@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in osm_search_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Each ``queries()`` entry is one operator/pipeline from SURVEY.md §2,
+expressed Ray-Data-first over the sf-dir Parquet tables; the matching
+``oracle_sql()`` entry reproduces it in DuckDB over the same tables.
+Geospatial inputs (pages/polygons/query points) are derived from the
+registered tables by deterministic arithmetic shared bit-for-bit between
+numpy and SQL — see osm_search_ray/sources/derived.py for the contract.
 """
 
 from __future__ import annotations
@@ -18,27 +16,94 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from osm_search_ray.sources import derived as dv
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: pages → coords → tiling → PIP join →
+    per-(admin rect, tile) rollup. Driver checks rows >= 0."""
+    from osm_search_ray.pipelines import tiling
+
+    return tiling.pip_tile_summary("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from osm_search_ray.pipelines import tiling, relational, textops, dedup_pipelines, simsearch, events as ev
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {}
+    # --- geospatial core (SURVEY §2: J3, K1-K3, tiling/M-ops) ---
+    q["tile_assign"] = lambda sf: tiling.tile_counts(sf)
+    q["pip_join"] = lambda sf: tiling.pip_join(sf)
+    q["pip_join_partitioned"] = lambda sf: tiling.pip_join(sf, partitioned=True)
+    q["pip_tile_summary"] = lambda sf: tiling.pip_tile_summary(sf)
+    q["knn_nearest_docs"] = lambda sf: tiling.knn_nearest_docs(sf, k=3)
+    # --- relational operator coverage (sources, filters, joins, aggs, top-k) ---
+    q["agg_pricing"] = relational.agg_pricing
+    q["join_customer_orders"] = relational.join_customer_orders
+    q["topk_orders_per_segment"] = relational.topk_orders_per_segment
+    q["filter_project_lineitem"] = relational.filter_project_lineitem
+    # --- text analysis / index stats (M8, A1-A8 analogues + training-data ops) ---
+    q["token_counts"] = textops.token_counts
+    q["term_doc_freq"] = textops.term_doc_freq
+    q["text_quality"] = textops.text_quality
+    # --- dedup family ---
+    q["dedup_exact"] = dedup_pipelines.dedup_exact
+    # --- similarity search ---
+    q["ann_cosine_topk"] = simsearch.ann_cosine_topk
+    # --- events (streaming-shaped) ---
+    q["events_hourly"] = ev.events_hourly
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cell12 = dv.sql_cell_expr("lat", "lon", 12)
+    hav = dv.SQL_HAVERSINE.format(lat1="qlat", lon1="qlon", lat2="lat", lon2="lon")
+    sql: dict[str, str] = {}
+
+    sql["tile_assign"] = f"""
+WITH {dv.SQL_GEO_PAGES.strip()}
+SELECT {cell12} AS cell_r12, COUNT(*) AS n_docs
+FROM geo_pages GROUP BY 1
+"""
+
+    sql["pip_join"] = f"""
+WITH {dv.SQL_GEO_PAGES.strip()}, {dv.SQL_ADMIN_RECTS.strip()}
+SELECT p.doc_id, p.lat, p.lon, r.rect_id
+FROM geo_pages p JOIN admin_rects r
+  ON p.lat BETWEEN r.lat0 AND r.lat1 AND p.lon BETWEEN r.lon0 AND r.lon1
+"""
+    sql["pip_join_partitioned"] = sql["pip_join"]
+
+    sql["pip_tile_summary"] = f"""
+WITH {dv.SQL_GEO_PAGES.strip()}, {dv.SQL_ADMIN_RECTS.strip()}
+SELECT r.rect_id, {cell12.replace('lat', 'p.lat').replace('lon', 'p.lon')} AS cell_r12,
+       COUNT(*) AS n_docs
+FROM geo_pages p JOIN admin_rects r
+  ON p.lat BETWEEN r.lat0 AND r.lat1 AND p.lon BETWEEN r.lon0 AND r.lon1
+GROUP BY 1, 2
+"""
+
+    sql["knn_nearest_docs"] = f"""
+WITH {dv.SQL_GEO_PAGES.strip()}, {dv.SQL_KNN_QUERIES.strip()},
+scored AS (
+    SELECT q.query_id, p.doc_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {hav}, p.doc_id) AS rank
+    FROM knn_queries q CROSS JOIN geo_pages p
+)
+SELECT query_id, doc_id, rank FROM scored WHERE rank <= 3
+"""
+
+    from osm_search_ray.pipelines import relational, textops, dedup_pipelines, simsearch, events as ev
+
+    sql["agg_pricing"] = relational.SQL_AGG_PRICING
+    sql["join_customer_orders"] = relational.SQL_JOIN_CUSTOMER_ORDERS
+    sql["topk_orders_per_segment"] = relational.SQL_TOPK_ORDERS_PER_SEGMENT
+    sql["filter_project_lineitem"] = relational.SQL_FILTER_PROJECT_LINEITEM
+    sql["token_counts"] = textops.SQL_TOKEN_COUNTS
+    sql["term_doc_freq"] = textops.SQL_TERM_DOC_FREQ
+    sql["text_quality"] = textops.SQL_TEXT_QUALITY
+    sql["dedup_exact"] = dedup_pipelines.SQL_DEDUP_EXACT
+    sql["ann_cosine_topk"] = simsearch.SQL_ANN_COSINE_TOPK
+    sql["events_hourly"] = ev.SQL_EVENTS_HOURLY
+    return sql

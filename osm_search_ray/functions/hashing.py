@@ -1,0 +1,115 @@
+"""Deterministic hashing kernels for dedup / fingerprinting.
+
+Python's builtin ``hash`` is salted per process (PYTHONHASHSEED) and MUST NOT
+be used in a distributed shuffle key — every hash here is a pure function of
+bytes, stable across processes and nodes (required for hash-partitioned
+dedup and for resumable, re-entrant runs).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer — public-domain integer mixer (Steele et al.)."""
+    x = x.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15)) & _MASK64
+        x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK64
+        x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _MASK64
+        return x ^ (x >> np.uint64(31))
+
+
+def hash64_str(values) -> np.ndarray:
+    """Stable 64-bit hash of each string (crc32 of utf-8 + crc32 of reversed,
+    mixed through splitmix64). Vector entry point for shingles/tokens."""
+    n = len(values)
+    lo = np.empty(n, dtype=np.uint64)
+    hi = np.empty(n, dtype=np.uint64)
+    crc = zlib.crc32
+    for i, v in enumerate(values):
+        b = v.encode("utf-8", "surrogatepass") if isinstance(v, str) else bytes(v)
+        lo[i] = crc(b)
+        hi[i] = crc(b[::-1], 0x9E3779B9)
+    return splitmix64((hi << np.uint64(32)) | lo)
+
+
+def hash64_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Combine two uint64 hash arrays order-sensitively."""
+    with np.errstate(over="ignore"):
+        return splitmix64((a.astype(np.uint64) * np.uint64(0x100000001B3)) ^ b.astype(np.uint64))
+
+
+def minhash_signature(token_hashes: np.ndarray, num_perm: int, seed: int = 7) -> np.ndarray:
+    """MinHash signature of one document's token/shingle hash set.
+
+    Universal-hash permutations h_i(x) = a_i*x + b_i (mod 2^64), min over the
+    set (Broder 1997). Returns shape (num_perm,) uint64.
+    """
+    if len(token_hashes) == 0:
+        return np.full(num_perm, _MASK64, dtype=np.uint64)
+    a, b = perm_coeffs(num_perm, seed)
+    with np.errstate(over="ignore"):
+        # (P, T) = a[:,None]*x[None,:] + b[:,None]
+        m = (a[:, None] * token_hashes[None, :].astype(np.uint64) + b[:, None]) & _MASK64
+    return m.min(axis=1)
+
+
+def perm_coeffs(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    base = splitmix64(np.arange(seed * 1000, seed * 1000 + 2 * num_perm, dtype=np.uint64))
+    a = base[:num_perm] | np.uint64(1)  # odd → bijective mod 2^64
+    b = base[num_perm:]
+    return a, b
+
+
+def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> np.uint64:
+    """64-bit SimHash (Charikar 2002): sign of per-bit weighted sums."""
+    if len(token_hashes) == 0:
+        return np.uint64(0)
+    th = token_hashes.astype(np.uint64)
+    bits = (th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    w = np.ones(len(th)) if weights is None else np.asarray(weights, dtype=np.float64)
+    score = (np.where(bits == 1, 1.0, -1.0) * w[:, None]).sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if score[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between uint64 arrays."""
+    x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
+    # popcount via bit tricks (no np.bit_count before numpy 2.0 guarantees)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):
+        return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def rolling_fingerprint(text: str, window: int = 16, mod: int = 1 << 61) -> int:
+    """Karp–Rabin rolling-hash document fingerprint: min rolling hash over
+    byte windows — a cheap content fingerprint for exact-ish dedup."""
+    data = text.encode("utf-8", "surrogatepass")
+    if len(data) < window:
+        return int(zlib.crc32(data))
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    base = np.uint64(257)
+    # hash of every window via prefix powers (vectorized)
+    with np.errstate(over="ignore"):
+        pows = np.empty(window, dtype=np.uint64)
+        pows[0] = 1
+        for i in range(1, window):
+            pows[i] = (pows[i - 1] * base) & _MASK64
+        # windows matrix trick: stride view
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        wins = sliding_window_view(arr, window)
+        h = (wins * pows[::-1][None, :]).sum(axis=1, dtype=np.uint64)
+    return int(splitmix64(h).min())

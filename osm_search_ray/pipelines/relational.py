@@ -1,0 +1,184 @@
+"""Relational operator coverage: sources S1-S3 (Parquet scan + filter),
+projections/filters (M1-M4 analogues), joins (J1/J4 analogues), aggregations
+(A1-A8 analogues), sorts/top-k (K1) — exercised over the TPC-H-ish tables.
+
+Each pipeline follows the scale discipline: prune columns at the read,
+vectorized Arrow kernels in map_batches, partial aggregation before any
+groupby shuffle, broadcast joins for small sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Sum
+
+
+def agg_pricing(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate with per-batch partial combine.
+
+    groupby (l_returnflag, l_linestatus): sum qty, sum price, sum discounted
+    revenue, row count — the A1/A3/A4-style accumulation pattern."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_price=("l_extendedprice", "sum"),
+                revenue=("revenue", "sum"),
+                n_rows=("l_quantity", "size"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    from ._util import int_scale_columns
+
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_price", alias_name="sum_price"),
+        Sum("revenue", alias_name="revenue"),
+        Sum("n_rows", alias_name="n_rows"),
+    )
+    return int_scale_columns(agg, {"sum_qty": 100, "sum_price": 100, "revenue": 100})
+
+
+SQL_AGG_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(l_quantity) * 100) AS BIGINT) AS sum_qty,
+       CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS sum_price,
+       CAST(ROUND(SUM(l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def join_customer_orders(sf_dir: str):
+    """Broadcast hash join (small dim side shipped once via ray.put) +
+    grouped rollup: per (nation, market segment) order count and total price.
+
+    The J4-style 'lookup join': customer⋈nation is tiny → broadcast dict;
+    the big orders table streams through map_batches un-shuffled, partials
+    pre-aggregated before the final small groupby."""
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_mktsegment"]).to_pandas()
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[["c_custkey", "n_name", "c_mktsegment"]]
+    dim_ref = ray.put(dim.set_index("c_custkey"))
+
+    class JoinRollup:
+        def __init__(self):
+            self.dim = ray.get(dim_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            j = df.join(self.dim, on="o_custkey", how="inner")
+            g = (
+                j.groupby(["n_name", "c_mktsegment"], sort=False)
+                .agg(n_orders=("o_orderkey", "size"), total_price=("o_totalprice", "sum"))
+                .reset_index()
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    partials = orders.map_batches(JoinRollup, batch_format="pyarrow", concurrency=(1, 4))
+    from ._util import int_scale_columns
+
+    agg = partials.groupby(["n_name", "c_mktsegment"]).aggregate(
+        Sum("n_orders", alias_name="n_orders"), Sum("total_price", alias_name="total_price")
+    )
+    return int_scale_columns(agg, {"total_price": 100})
+
+
+SQL_JOIN_CUSTOMER_ORDERS = """
+SELECT n.n_name, c.c_mktsegment,
+       COUNT(*) AS n_orders, CAST(ROUND(SUM(o.o_totalprice) * 100) AS BIGINT) AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def topk_orders_per_segment(sf_dir: str, k: int = 5):
+    """Per-group top-k (K1 rank-and-slice analogue): the 3 highest-value
+    orders per market segment, deterministic ties by o_orderkey.
+
+    Combiner discipline: each batch keeps ≤ k rows per segment before the
+    groupby shuffle, so the exchange is O(segments × blocks × k)."""
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    dim_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    class PartialTopK:
+        def __init__(self):
+            self.seg = ray.get(dim_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["c_mktsegment"] = df["o_custkey"].map(self.seg)
+            df = df.dropna(subset=["c_mktsegment"])
+            df = df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort")
+            g = df.groupby("c_mktsegment", sort=False).head(k)
+            return pa.Table.from_pandas(g[["c_mktsegment", "o_orderkey", "o_totalprice"]], preserve_index=False)
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    partials = orders.map_batches(PartialTopK, batch_format="pyarrow", concurrency=(1, 4))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("c_mktsegment").map_groups(final, batch_format="pandas")
+
+
+SQL_TOPK_ORDERS_PER_SEGMENT = """
+WITH ranked AS (
+    SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                              ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rank
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, o_orderkey, o_totalprice, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def filter_project_lineitem(sf_dir: str):
+    """Vectorized filter + projection + computed column, zero-copy Arrow
+    (M1/M2/M3-style predicate + projection). Filter pushed to the read."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(batch.column("l_returnflag"), "R"), pc.greater(batch.column("l_quantity"), 30.0))
+        t = batch.filter(m)
+        disc_price = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_linenumber": t.column("l_linenumber"),
+                "disc_price": disc_price,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_FILTER_PROJECT_LINEITEM = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1.0 - l_discount) AS disc_price
+FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 30.0
+"""

@@ -1,0 +1,100 @@
+"""Similarity search over the embedding column (training-data operator).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once and
+every corpus batch does one numpy matmul + per-batch partial top-k
+(combiner), so the merge shuffle sees ≤ k rows per (query, block).
+Scale path (LSH-bucketed ANN) lives in stages/annindex.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+K_DEFAULT = 5
+QUERY_STRIDE = 100  # vec_id % 100 == 0 rows are the query set (deterministic)
+
+
+class PartialCosineTopK:
+    def __init__(self, queries_ref, k: int):
+        q = ray.get(queries_ref)
+        self.qids = q["vec_id"]
+        qm = q["mat"].astype(np.float64)
+        self.qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())})
+        mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = self.qn @ mn.T  # (Q, B)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(self.qids)):
+            s = sims[qi]
+            mask = ids != self.qids[qi]  # exclude self-match
+            s_m, ids_m = s[mask], ids[mask]
+            if len(s_m) > self.k:
+                part = np.argpartition(-s_m, self.k)[: self.k]
+                s_m, ids_m = s_m[part], ids_m[part]
+            out_q.append(np.full(len(ids_m), self.qids[qi], dtype=np.int64))
+            out_v.append(ids_m)
+            out_s.append(s_m)
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "cosine": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
+def ann_cosine_topk(sf_dir: str, k: int = K_DEFAULT):
+    """Top-k cosine neighbors for each query vector (vec_id % 100 == 0),
+    self excluded; deterministic ties by vec_id. Output (query_id, vec_id, rank)."""
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qmask = (qt.column("vec_id").to_numpy() % QUERY_STRIDE) == 0
+    qt = qt.filter(pa.array(qmask))
+    queries_ref = ray.put(
+        {"vec_id": qt.column("vec_id").to_numpy(), "mat": np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)}
+    )
+
+    corpus = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    partial = corpus.map_batches(
+        PartialCosineTopK,
+        fn_constructor_kwargs=dict(queries_ref=queries_ref, k=k),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True], kind="mergesort").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "vec_id", "rank"]]
+
+    return partial.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+SQL_ANN_COSINE_TOPK = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0
+),
+scored AS (
+    SELECT q.query_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY list_cosine_similarity(
+                                  list_transform(q.qe, x -> CAST(x AS DOUBLE)),
+                                  list_transform(e.embedding, x -> CAST(x AS DOUBLE))) DESC,
+                              e.vec_id) AS rank
+    FROM q CROSS JOIN embeddings e
+    WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, rank FROM scored WHERE rank <= {K_DEFAULT}
+"""

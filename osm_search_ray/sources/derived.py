@@ -1,0 +1,154 @@
+"""Deterministic geo derivations over the driver's Parquet tables.
+
+The sandbox registers exactly these DuckDB views: region nation customer
+supplier part orders lineitem events documents embeddings.  The geospatial
+engine, however, operates over Common-Crawl-style ``pages`` and OSM-style
+geometry.  To make every geospatial operator *oracle-checkable*, the test
+``pages`` / polygon / query-point tables are derived from the registered
+tables by PURE ARITHMETIC that is written once here in numpy and once in SQL
+— both produce bit-identical float64 values (same operations, same order),
+so DuckDB can verify cell assignments, joins, and kNN ranks exactly.
+
+Derivation contract (keep the numpy and SQL forms in lockstep):
+
+  pages      := documents where doc_id % 5 <> 0          (rows with coords)
+    clustered = doc_id % 10 < 3                          (urban-skew cluster)
+    k1 = (doc_id * 7919)   % 10000
+    k2 = (doc_id * 104729) % 10000
+    lat = clustered ? -6.2  + k1 * 0.000004  : -6.6  + k1 * 0.00008
+    lon = clustered ? 106.8 + k2 * 0.0000045 : 106.4 + k2 * 0.00009
+  admin rects := nation:  5×5 grid of 0.16° × 0.18° rectangles
+    lat0 = -6.605  + (n_nationkey % 5)  * 0.16
+    lon0 = 106.395 + (n_nationkey // 5) * 0.18
+  knn queries := region:
+    qlat = -6.5 + r_regionkey * 0.15
+    qlon = 106.5 + r_regionkey * 0.17
+
+(The offsets -6.605/106.395 guarantee no derived point falls exactly on a
+rectangle edge — see tests/test_derived.py — so inclusive-edge semantics
+cannot diverge between the winding-number join and SQL BETWEEN.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+# ---------------------------------------------------------------- numpy side
+
+
+def page_coords(doc_id: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(has_geo, lat, lon) for each doc_id — the canonical arithmetic."""
+    doc_id = np.asarray(doc_id, dtype=np.int64)
+    has_geo = (doc_id % 5) != 0
+    clustered = (doc_id % 10) < 3
+    k1 = ((doc_id * 7919) % 10000).astype(np.float64)
+    k2 = ((doc_id * 104729) % 10000).astype(np.float64)
+    lat = np.where(clustered, -6.2 + k1 * 0.000004, -6.6 + k1 * 0.00008)
+    lon = np.where(clustered, 106.8 + k2 * 0.0000045, 106.4 + k2 * 0.00009)
+    return has_geo, lat, lon
+
+
+def add_page_coords(batch: pa.Table) -> pa.Table:
+    """map_batches stage: documents batch → + (lat, lon), geo-less rows dropped."""
+    has_geo, lat, lon = page_coords(batch.column("doc_id").to_numpy(zero_copy_only=False))
+    batch = batch.append_column("lat", pa.array(lat, pa.float64()))
+    batch = batch.append_column("lon", pa.array(lon, pa.float64()))
+    return batch.filter(pa.array(has_geo))
+
+
+def geo_pages(sf_dir: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    """documents.parquet → geo-referenced pages dataset (doc_id, lat, lon, ...)."""
+    cols = columns if columns is not None else ["doc_id"]
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    return ds.map_batches(add_page_coords, batch_format="pyarrow")
+
+
+def admin_rects(sf_dir: str) -> pa.Table:
+    """nation.parquet → 25 admin rectangles (small side; broadcast, never shuffled)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    key = t.column("n_nationkey").to_numpy().astype(np.int64)
+    lat0 = -6.605 + (key % 5).astype(np.float64) * 0.16
+    lon0 = 106.395 + (key // 5).astype(np.float64) * 0.18
+    return pa.table(
+        {
+            "rect_id": key,
+            "name": t.column("n_name"),
+            "lat0": lat0,
+            "lon0": lon0,
+            "lat1": lat0 + 0.16,
+            "lon1": lon0 + 0.18,
+        }
+    )
+
+
+def knn_query_points(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey"])
+    key = t.column("r_regionkey").to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "query_id": key,
+            "qlat": -6.5 + key.astype(np.float64) * 0.15,
+            "qlon": 106.5 + key.astype(np.float64) * 0.17,
+        }
+    )
+
+
+# ------------------------------------------------------------------ SQL side
+# CTE fragments matching the functions above bit-for-bit (float64 op order).
+
+SQL_GEO_PAGES = """
+geo_pages AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 < 3
+                THEN -6.2 + CAST((doc_id * 7919) % 10000 AS DOUBLE) * 0.000004
+                ELSE -6.6 + CAST((doc_id * 7919) % 10000 AS DOUBLE) * 0.00008
+           END AS lat,
+           CASE WHEN doc_id % 10 < 3
+                THEN 106.8 + CAST((doc_id * 104729) % 10000 AS DOUBLE) * 0.0000045
+                ELSE 106.4 + CAST((doc_id * 104729) % 10000 AS DOUBLE) * 0.00009
+           END AS lon
+    FROM documents
+    WHERE doc_id % 5 <> 0
+)"""
+
+SQL_ADMIN_RECTS = """
+admin_rects AS (
+    SELECT n_nationkey AS rect_id, n_name AS name,
+           -6.605  + CAST(n_nationkey % 5 AS DOUBLE) * 0.16  AS lat0,
+           106.395 + CAST(n_nationkey // 5 AS DOUBLE) * 0.18 AS lon0,
+           -6.605  + CAST(n_nationkey % 5 AS DOUBLE) * 0.16  + 0.16 AS lat1,
+           106.395 + CAST(n_nationkey // 5 AS DOUBLE) * 0.18 + 0.18 AS lon1
+    FROM nation
+)"""
+
+SQL_KNN_QUERIES = """
+knn_queries AS (
+    SELECT r_regionkey AS query_id,
+           -6.5  + CAST(r_regionkey AS DOUBLE) * 0.15 AS qlat,
+           106.5 + CAST(r_regionkey AS DOUBLE) * 0.17 AS qlon
+    FROM region
+)"""
+
+
+def sql_cell_expr(lat: str, lon: str, res: int) -> str:
+    """SQL for functions.cells.cell_of — identical floor arithmetic."""
+    n = 1 << res
+    return (
+        f"(LEAST(GREATEST(CAST(floor(({lon} + 180.0) / 360.0 * {n}) AS BIGINT), 0), {n - 1}) * {n} "
+        f"+ LEAST(GREATEST(CAST(floor(({lat} + 90.0) / 180.0 * {n}) AS BIGINT), 0), {n - 1}))"
+    )
+
+
+SQL_HAVERSINE = (
+    "(2.0 * 6371.0 * asin(sqrt("
+    "sin(radians({lat2} - {lat1}) / 2.0) * sin(radians({lat2} - {lat1}) / 2.0) "
+    "+ cos(radians({lat1})) * cos(radians({lat2})) "
+    "* sin(radians({lon2} - {lon1}) / 2.0) * sin(radians({lon2} - {lon1}) / 2.0))))"
+)

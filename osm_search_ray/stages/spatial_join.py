@@ -1,0 +1,315 @@
+"""Point-in-polygon spatial join — the flagship operator (SURVEY.md J3).
+
+The reference enriches every document with its containing admin areas by
+querying global R-trees + winding-number PIP inside one process
+(pkg/index/indexer.go:1017-1170).  At cluster scale there is no global tree;
+this module provides the two Ray-Data-native shapes:
+
+  broadcast_pip_join   polygon side small (admin boundaries for a country):
+                       the polygon set is ``ray.put`` once; a stateless-ish
+                       actor pool builds a bbox-grid index per actor ONCE in
+                       ``__init__`` and streams point batches through it.
+                       No shuffle at all — the 100 TB point side never moves.
+
+  partitioned_pip_join both sides large: points keyed to their coarse grid
+                       cell, polygons exploded to every cell their MBR
+                       covers, then a hash-partitioned ``groupby(cell)``
+                       co-locates them and a per-group vectorized PIP runs.
+                       Hot cells are SALTED (points spread across
+                       ``cell#salt`` replicas, polygons replicated to every
+                       salt) so one dense urban tile cannot straggle the
+                       shuffle; results need no dedup because each point
+                       lands in exactly one (cell, salt).
+
+Polygons are plain numpy rings (no shapely in this environment): a
+``PolygonSet`` of bboxes + ring arrays with a uniform-grid candidate index —
+the same filter-then-exact-test shape as an STRtree, built per actor/partition.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..functions.cells import RES_COARSE, cell_of, cover_bbox
+from ..functions.geometry import points_in_polygon
+
+
+@dataclass
+class PolygonSet:
+    """Columnar polygon collection + uniform-grid candidate index."""
+
+    poly_id: np.ndarray  # (P,) int64
+    bbox: np.ndarray  # (P, 4) float64 rows (lat0, lon0, lat1, lon1)
+    rings: list[tuple[np.ndarray, np.ndarray]]  # per polygon (ring_lat, ring_lon)
+    payload: dict[str, np.ndarray] | None = None  # extra columns keyed by position
+
+    @staticmethod
+    def from_rings(poly_id, rings, payload=None) -> "PolygonSet":
+        bbox = np.empty((len(rings), 4), dtype=np.float64)
+        for i, (rlat, rlon) in enumerate(rings):
+            bbox[i] = (rlat.min(), rlon.min(), rlat.max(), rlon.max())
+        return PolygonSet(np.asarray(poly_id, dtype=np.int64), bbox, rings, payload)
+
+    @staticmethod
+    def from_rects(rect_table: pa.Table, id_col: str = "rect_id") -> "PolygonSet":
+        """Rectangles (lat0, lon0, lat1, lon1) → 4-corner rings."""
+        lat0 = rect_table.column("lat0").to_numpy()
+        lon0 = rect_table.column("lon0").to_numpy()
+        lat1 = rect_table.column("lat1").to_numpy()
+        lon1 = rect_table.column("lon1").to_numpy()
+        rings = [
+            (
+                np.asarray([lat0[i], lat0[i], lat1[i], lat1[i]], dtype=np.float64),
+                np.asarray([lon0[i], lon1[i], lon1[i], lon0[i]], dtype=np.float64),
+            )
+            for i in range(len(lat0))
+        ]
+        payload = {
+            name: rect_table.column(name).to_numpy(zero_copy_only=False)
+            for name in rect_table.column_names
+            if name not in (id_col, "lat0", "lon0", "lat1", "lon1")
+        }
+        return PolygonSet.from_rings(rect_table.column(id_col).to_numpy(), rings, payload)
+
+    def locate(self, lat: np.ndarray, lon: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """All (point_idx, polygon_idx) containment pairs, edge-inclusive.
+
+        bbox prefilter (vectorized interval test) → exact winding-number test
+        per surviving polygon over only its candidate points.
+        """
+        lat = np.asarray(lat, dtype=np.float64)
+        lon = np.asarray(lon, dtype=np.float64)
+        if len(lat) == 0 or len(self.rings) == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        out_pt: list[np.ndarray] = []
+        out_pl: list[np.ndarray] = []
+        # candidate filter: for each polygon, the points inside its bbox.
+        # Polygons per partition are few (≪ points); loop polygons, vector points.
+        for j, (rlat, rlon) in enumerate(self.rings):
+            b = self.bbox[j]
+            cand = np.nonzero((lat >= b[0]) & (lat <= b[2]) & (lon >= b[1]) & (lon <= b[3]))[0]
+            if len(cand) == 0:
+                continue
+            hit = points_in_polygon(lat[cand], lon[cand], rlat, rlon)
+            idx = cand[hit]
+            if len(idx):
+                out_pt.append(idx)
+                out_pl.append(np.full(len(idx), j, dtype=np.int64))
+        if not out_pt:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        return np.concatenate(out_pt), np.concatenate(out_pl)
+
+
+class BroadcastPIPJoiner:
+    """Actor-pool stage for the broadcast join: the PolygonSet is shipped to
+    the object store ONCE (``ray.put`` on the driver) and each actor
+    materializes it once in ``__init__`` — never per batch."""
+
+    def __init__(self, poly_ref, lat_col: str, lon_col: str, how: str, id_out: str):
+        self.polys: PolygonSet = ray.get(poly_ref) if not isinstance(poly_ref, PolygonSet) else poly_ref
+        self.lat_col, self.lon_col, self.how, self.id_out = lat_col, lon_col, how, id_out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lat = batch.column(self.lat_col).to_numpy()
+        lon = batch.column(self.lon_col).to_numpy()
+        pt_idx, pl_idx = self.polys.locate(lat, lon)
+        if self.how == "inner":
+            out = batch.take(pa.array(pt_idx))
+            out = out.append_column(self.id_out, pa.array(self.polys.poly_id[pl_idx], pa.int64()))
+            if self.polys.payload:
+                for name, col in self.polys.payload.items():
+                    out = out.append_column(name, pa.array(col[pl_idx]))
+            return out
+        # left join: unmatched points keep null polygon id
+        n = len(batch)
+        first = np.full(n, -1, dtype=np.int64)
+        # keep the FIRST matching polygon per point (reference first-match rule,
+        # pkg/index/indexer.go:1060-1065); callers needing all matches use inner.
+        for p, g in zip(pt_idx[::-1], pl_idx[::-1]):
+            first[p] = g
+        ids = np.where(first >= 0, self.polys.poly_id[np.clip(first, 0, None)], -1)
+        return batch.append_column(
+            self.id_out, pa.array(np.where(first >= 0, ids, None), pa.int64(), from_pandas=True)
+        )
+
+
+def broadcast_pip_join(
+    points: "ray.data.Dataset",
+    polys: PolygonSet,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    how: str = "inner",
+    id_out: str = "poly_id",
+    concurrency: int | tuple[int, int] = (2, 8),
+    batch_size: int = 32768,
+) -> "ray.data.Dataset":
+    """Stream the (huge) point dataset through a broadcast polygon index."""
+    ref = ray.put(polys)
+    return points.map_batches(
+        BroadcastPIPJoiner,
+        fn_constructor_kwargs=dict(poly_ref=ref, lat_col=lat_col, lon_col=lon_col, how=how, id_out=id_out),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partitioned join (both sides large)
+# ---------------------------------------------------------------------------
+
+
+def _serialize_rings(rings: list[tuple[np.ndarray, np.ndarray]]) -> list[list[float]]:
+    return [np.concatenate([r[0], r[1]]).tolist() for r in rings]
+
+
+def _deserialize_ring(flat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    flat = np.asarray(flat, dtype=np.float64)
+    half = len(flat) // 2
+    return flat[:half], flat[half:]
+
+
+def polygons_to_cell_rows(polys: PolygonSet, res: int = RES_COARSE) -> pa.Table:
+    """Explode each polygon to one row per covering cell (its MBR cover)."""
+    cells: list[np.ndarray] = []
+    ids: list[np.ndarray] = []
+    ring_rows: list[list[float]] = []
+    flat_rings = _serialize_rings(polys.rings)
+    for j in range(len(polys.rings)):
+        b = polys.bbox[j]
+        cv = cover_bbox(b[0], b[1], b[2], b[3], res)
+        cells.append(cv)
+        ids.append(np.full(len(cv), polys.poly_id[j], dtype=np.int64))
+        ring_rows.extend([flat_rings[j]] * len(cv))
+    return pa.table(
+        {
+            "cell": pa.array(np.concatenate(cells) if cells else np.empty(0, np.int64)),
+            "poly_id": pa.array(np.concatenate(ids) if ids else np.empty(0, np.int64)),
+            "ring": pa.array(ring_rows, pa.list_(pa.float64())),
+        }
+    )
+
+
+def compute_salts(points: "ray.data.Dataset", lat_col: str, lon_col: str, res: int, hot_threshold: int) -> dict[int, int]:
+    """Skew pre-pass: per-cell counts via partial aggregation; returns
+    {cell: n_salts} for cells whose point count exceeds ``hot_threshold``.
+
+    This is the cheap ``groupby(cell).count()`` the north rule asks for,
+    done as per-batch partial counts + a tiny driver-side merge (the partial
+    output is ≤ one row per cell per block, not per point)."""
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        cells = cell_of(batch.column(lat_col).to_numpy(), batch.column(lon_col).to_numpy(), res)
+        u, c = np.unique(cells, return_counts=True)
+        return pa.table({"cell": u, "n": c})
+
+    parts = points.map_batches(partial_counts, batch_format="pyarrow")
+    merged: dict[int, int] = {}
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for cell, n in zip(b.column("cell").to_numpy(), b.column("n").to_numpy()):
+            merged[int(cell)] = merged.get(int(cell), 0) + int(n)
+    return {c: int(np.ceil(n / hot_threshold)) for c, n in merged.items() if n > hot_threshold}
+
+
+def partitioned_pip_join(
+    points: "ray.data.Dataset",
+    polys: PolygonSet,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    id_out: str = "poly_id",
+    res: int = RES_COARSE,
+    hot_threshold: int = 200_000,
+    salts: dict[int, int] | None = None,
+) -> "ray.data.Dataset":
+    """Cell-partitioned PIP join: shuffle both sides on (cell, salt), join
+    inside ``map_groups``. Exact; inner semantics; each point emits one row
+    per containing polygon."""
+    if salts is None:
+        salts = compute_salts(points, lat_col, lon_col, res, hot_threshold)
+    salts_ref = ray.put(salts)
+
+    def key_points(batch: pa.Table) -> pa.Table:
+        s = ray.get(salts_ref)
+        lat = batch.column(lat_col).to_numpy()
+        lon = batch.column(lon_col).to_numpy()
+        cells = cell_of(lat, lon, res)
+        if s:
+            nsalt = np.asarray([s.get(int(c), 1) for c in cells], dtype=np.int64)
+            # deterministic point→salt spread (stable across retries/resume)
+            from ..functions.hashing import splitmix64
+
+            salt = (splitmix64(cells.astype(np.uint64) ^ np.arange(len(cells), dtype=np.uint64)) % nsalt.astype(np.uint64)).astype(np.int64)
+        else:
+            salt = np.zeros(len(cells), dtype=np.int64)
+        out = batch.append_column("cell", pa.array(cells))
+        out = out.append_column("salt", pa.array(salt))
+        out = out.append_column("side", pa.array(np.zeros(len(cells), dtype=np.int8)))
+        return out
+
+    def key_polys(batch: pa.Table) -> pa.Table:
+        s = ray.get(salts_ref)
+        cells = batch.column("cell").to_numpy()
+        reps = np.asarray([s.get(int(c), 1) for c in cells], dtype=np.int64)
+        idx = np.repeat(np.arange(len(cells), dtype=np.int64), reps)
+        salt = np.concatenate([np.arange(r, dtype=np.int64) for r in reps]) if len(reps) else np.empty(0, np.int64)
+        out = batch.take(pa.array(idx))
+        out = out.append_column("salt", pa.array(salt))
+        out = out.append_column("side", pa.array(np.ones(len(idx), dtype=np.int8)))
+        return out
+
+    pts_keyed = points.map_batches(key_points, batch_format="pyarrow")
+    poly_rows = polygons_to_cell_rows(polys, res)
+    polys_keyed = ray.data.from_arrow(poly_rows).map_batches(key_polys, batch_format="pyarrow")
+
+    point_cols = [c for c in points.schema().names]
+    # unify schemas for union: points get null ring/poly_id, polys null point cols
+    def widen_points(t: pa.Table) -> pa.Table:
+        t = t.append_column("poly_id", pa.nulls(len(t), pa.int64()))
+        return t.append_column("ring", pa.nulls(len(t), pa.list_(pa.float64())))
+
+    def widen_polys(t: pa.Table) -> pa.Table:
+        for c in point_cols:
+            t = t.append_column(c, pa.nulls(len(t), pa.float64() if c in (lat_col, lon_col) else pa.int64()))
+        return t
+
+    pts_keyed = pts_keyed.map_batches(widen_points, batch_format="pyarrow")
+    polys_keyed = polys_keyed.map_batches(widen_polys, batch_format="pyarrow")
+    both = pts_keyed.union(polys_keyed)
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        pts = g[g["side"] == 0]
+        pls = g[g["side"] == 1]
+        if len(pts) == 0 or len(pls) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in zip(g.columns, g.dtypes)}).iloc[0:0]
+        rings = [_deserialize_ring(r) for r in pls["ring"]]
+        pset = PolygonSet.from_rings(pls["poly_id"].to_numpy(dtype=np.int64), rings)
+        pt_idx, pl_idx = pset.locate(pts[lat_col].to_numpy(), pts[lon_col].to_numpy())
+        out = pts.iloc[pt_idx].copy()
+        out["poly_id"] = pset.poly_id[pl_idx]
+        return out
+
+    joined = both.groupby(["cell", "salt"]).map_groups(join_group, batch_format="pandas")
+    keep = point_cols + ["poly_id"]
+    joined = joined.select_columns(keep)
+
+    # restore point-column dtypes (the union with the all-null polygon side
+    # upcasts int columns to float in pandas groups) and apply the output name
+    schema = points.schema()
+    types = dict(zip(schema.names, schema.types))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        arrays, names = [], []
+        for c in keep:
+            col = t.column(c)
+            if c in types and col.type != types[c]:
+                col = col.cast(types[c])
+            names.append(id_out if c == "poly_id" else c)
+            arrays.append(col)
+        return pa.table(dict(zip(names, arrays)))
+
+    return joined.map_batches(finalize, batch_format="pyarrow")

@@ -1,0 +1,71 @@
+"""The derived-geo contract: numpy and SQL derivations are bit-identical,
+and no derived point sits exactly on an admin-rect edge (so inclusive-edge
+semantics cannot diverge between winding PIP and SQL BETWEEN)."""
+
+import duckdb
+import numpy as np
+
+from osm_search_ray.sources import derived as dv
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    for t in ["documents", "nation", "region"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def test_page_coords_bit_identical_to_sql():
+    con = _con()
+    sql = con.execute(f"WITH {dv.SQL_GEO_PAGES.strip()} SELECT doc_id, lat, lon FROM geo_pages ORDER BY doc_id").df()
+    has_geo, lat, lon = dv.page_coords(np.arange(500))
+    ids = np.nonzero(has_geo)[0]
+    assert (sql["doc_id"].to_numpy() == ids).all()
+    # BIT-identical float64, not approximately equal
+    assert (sql["lat"].to_numpy() == lat[ids]).all()
+    assert (sql["lon"].to_numpy() == lon[ids]).all()
+
+
+def test_cell_expr_bit_identical_to_sql():
+    from osm_search_ray.functions.cells import cell_of
+
+    con = _con()
+    expr = dv.sql_cell_expr("lat", "lon", 12)
+    sql = con.execute(
+        f"WITH {dv.SQL_GEO_PAGES.strip()} SELECT doc_id, {expr} AS cell FROM geo_pages ORDER BY doc_id"
+    ).df()
+    has_geo, lat, lon = dv.page_coords(np.arange(500))
+    ids = np.nonzero(has_geo)[0]
+    assert (sql["cell"].to_numpy() == cell_of(lat[ids], lon[ids], 12)).all()
+
+
+def test_no_point_on_rect_edge():
+    """Minimum distance between any derived coordinate and any rect edge is
+    far above float error — the PIP oracle contract of sources/derived.py."""
+    has_geo, lat, lon = dv.page_coords(np.arange(100000))
+    lat, lon = lat[has_geo], lon[has_geo]
+    edges_lat = np.array([-6.605 + i * 0.16 for i in range(6)])
+    edges_lon = np.array([106.395 + i * 0.18 for i in range(6)])
+    dmin_lat = np.abs(lat[:, None] - edges_lat[None, :]).min()
+    dmin_lon = np.abs(lon[:, None] - edges_lon[None, :]).min()
+    assert dmin_lat > 1e-6 and dmin_lon > 1e-6
+
+
+def test_extractor_parity_with_arithmetic():
+    """The regex coordinate EXTRACTOR (pure function of page text, per the
+    north rule's byte-identical-text invariant) recovers exactly the
+    arithmetic coordinates that the oracle derives."""
+    from osm_search_ray.sources.fixtures import embed_geo_text, extract_coords
+
+    has_geo, lat, lon = dv.page_coords(np.arange(2000))
+    ids = np.nonzero(has_geo)[0]
+    texts = [embed_geo_text(f"body of page {i}", lat[i], lon[i]) for i in ids]
+    got_lat, got_lon, ok = extract_coords(texts)
+    assert ok.all()
+    assert np.allclose(got_lat, lat[ids], atol=5e-7, rtol=0)
+    assert np.allclose(got_lon, lon[ids], atol=5e-7, rtol=0)
+    # texts with no geo tag must not crash and must be filtered
+    _, _, ok2 = extract_coords(["no coordinates here", ""])
+    assert not ok2.any()

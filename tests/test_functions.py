@@ -1,0 +1,191 @@
+"""Unit tests for the pure kernels (no Ray needed)."""
+
+import numpy as np
+import pytest
+
+from osm_search_ray.functions import cells, geometry, hashing, tokenize
+
+
+class TestCells:
+    def test_roundtrip_bounds(self):
+        lat = np.array([-6.2, 0.0, 51.5, -89.9, 89.9])
+        lon = np.array([106.8, 0.0, -0.1, -179.9, 179.9])
+        for res in (7, 12, 14):
+            c = cells.cell_of(lat, lon, res)
+            lat0, lon0, lat1, lon1 = cells.cell_bounds(c, res)
+            assert ((lat >= lat0) & (lat < lat1 + 1e-9)).all()
+            assert ((lon >= lon0) & (lon < lon1 + 1e-9)).all()
+
+    def test_parent_consistency(self):
+        rng = np.random.default_rng(42)
+        lat = rng.uniform(-89, 89, 1000)
+        lon = rng.uniform(-179, 179, 1000)
+        fine = cells.cell_of(lat, lon, 14)
+        coarse = cells.cell_of(lat, lon, 12)
+        assert (cells.parent_cell(fine, 14, 12) == coarse).all()
+
+    def test_k_ring_counts(self):
+        c = int(cells.cell_of(np.array([-6.2]), np.array([106.8]), 12)[0])
+        assert len(cells.k_ring(c, 12, 0)) == 1
+        assert len(cells.k_ring(c, 12, 1)) == 9
+        assert len(cells.k_ring(c, 12, 2)) == 25
+        assert len(cells.ring_only(c, 12, 2)) == 16
+
+    def test_cover_bbox_contains_point_cells(self):
+        rng = np.random.default_rng(7)
+        lat = rng.uniform(-6.6, -5.9, 200)
+        lon = rng.uniform(106.4, 107.2, 200)
+        cover = set(cells.cover_bbox(-6.6, 106.4, -5.9, 107.2, 12).tolist())
+        pts = cells.cell_of(lat, lon, 12)
+        assert set(pts.tolist()) <= cover
+
+    def test_morton_locality(self):
+        # adjacent points share long prefixes more often than far ones
+        a = cells.morton_cell(np.array([-6.2]), np.array([106.8]))[0]
+        b = cells.morton_cell(np.array([-6.2000001]), np.array([106.8000001]))[0]
+        far = cells.morton_cell(np.array([40.0]), np.array([-70.0]))[0]
+        assert abs(int(a) - int(b)) < abs(int(a) - int(far))
+
+
+class TestGeometry:
+    def test_haversine_known(self):
+        # Jakarta Monas → Ragunan zoo ≈ 15.4 km
+        d = geometry.haversine_km(-6.1754, 106.8272, -6.3124, 106.8201)
+        assert 15.0 < float(d) < 15.6
+        assert float(geometry.haversine_km(0, 0, 0, 0)) == 0.0
+
+    def test_haversine_equator_degree(self):
+        # 1 degree of longitude at the equator ≈ 111.19 km (R=6371)
+        d = float(geometry.haversine_km(0.0, 0.0, 0.0, 1.0))
+        assert abs(d - 111.19492664455873) < 1e-6
+
+    def test_pip_square(self):
+        ring_lat = np.array([0.0, 0.0, 1.0, 1.0])
+        ring_lon = np.array([0.0, 1.0, 1.0, 0.0])
+        lat = np.array([0.5, 0.0, 1.0, 1.5, -0.1, 0.5])
+        lon = np.array([0.5, 0.5, 1.0, 0.5, 0.5, 1.0000001])
+        got = geometry.points_in_polygon(lat, lon, ring_lat, ring_lon)
+        # centre inside; edge + corner inclusive (reference on-segment rule);
+        # outside points excluded
+        assert got.tolist() == [True, True, True, False, False, False]
+
+    def test_pip_concave(self):
+        # concave "U" polygon: the notch is outside
+        ring_lat = np.array([0, 0, 3, 3, 1, 1, 3, 3, 0]) * 1.0
+        ring_lon = np.array([0, 3, 3, 2, 2, 1, 1, 0, 0]) * 1.0
+        inside = geometry.points_in_polygon(np.array([2.0]), np.array([1.5]), ring_lat, ring_lon)
+        assert not inside[0]  # inside the notch = outside polygon
+        assert geometry.points_in_polygon(np.array([0.5]), np.array([1.5]), ring_lat, ring_lon)[0]
+
+    def test_pip_matches_scalar_oracle(self):
+        # vectorized winding == pure-python winding oracle on random data
+        rng = np.random.default_rng(3)
+        ring_lat = np.array([0, 0.2, 1.1, 0.9, 0.5])
+        ring_lon = np.array([0, 1.0, 0.8, 0.1, 0.4])
+        lat = rng.uniform(-0.2, 1.3, 500)
+        lon = rng.uniform(-0.2, 1.3, 500)
+        got = geometry.points_in_polygon(lat, lon, ring_lat, ring_lon)
+        for i in range(len(lat)):
+            assert got[i] == _winding_scalar(lat[i], lon[i], ring_lat, ring_lon), i
+
+    def test_median_centroid_even_len(self):
+        # reference takes element len//2 of each INDEPENDENTLY sorted axis
+        lat, lon = geometry.median_centroid(np.array([4.0, 1.0, 3.0, 2.0]), np.array([10.0, 40.0, 20.0, 30.0]))
+        assert (lat, lon) == (3.0, 30.0)
+
+    def test_midpoint(self):
+        lat, lon = geometry.midpoint(0.0, 0.0, 0.0, 90.0)
+        assert abs(lat) < 1e-9 and abs(lon - 45.0) < 1e-9
+
+    def test_segment_circle(self):
+        hit = geometry.segment_intersects_circle(
+            np.array([-2.0]), np.array([0.0]), np.array([2.0]), np.array([0.0]), 0.0, 0.0, 1.0
+        )
+        assert hit[0]
+        miss = geometry.segment_intersects_circle(
+            np.array([-2.0]), np.array([2.0]), np.array([2.0]), np.array([2.0]), 0.0, 0.0, 1.0
+        )
+        assert not miss[0]
+        # both endpoints inside: segment does not CROSS the boundary circle
+        inside = geometry.segment_intersects_circle(
+            np.array([-0.1]), np.array([0.0]), np.array([0.1]), np.array([0.0]), 0.0, 0.0, 1.0
+        )
+        assert not inside[0]
+
+
+def _winding_scalar(py, px, ring_lat, ring_lon):
+    """Pure-python winding-number oracle (reference pkg/geo/geometry.go:86-122)."""
+    rl = list(zip(ring_lon.tolist(), ring_lat.tolist()))
+    if rl[0] != rl[-1]:
+        rl.append(rl[0])
+    wn = 0
+    for (x0, y0), (x1, y1) in zip(rl[:-1], rl[1:]):
+        # on-segment short-circuit
+        cross = (x1 - x0) * (py - y0) - (px - x0) * (y1 - y0)
+        if abs(cross) <= 1e-12 and min(x0, x1) - 1e-12 <= px <= max(x0, x1) + 1e-12 and min(y0, y1) - 1e-12 <= py <= max(y0, y1) + 1e-12:
+            return True
+        if y0 <= py:
+            if y1 > py and cross > 0:
+                wn += 1
+        else:
+            if y1 <= py and cross < 0:
+                wn -= 1
+    return wn != 0
+
+
+class TestHashing:
+    def test_stability(self):
+        a = hashing.hash64_str(["hello", "world", "hello"])
+        assert a[0] == a[2] and a[0] != a[1]
+        assert a[0] == hashing.hash64_str(["hello"])[0]  # process-stable
+
+    def test_minhash_similarity(self):
+        rng = np.random.default_rng(0)
+        base = [f"tok{i}" for i in range(200)]
+        h1 = hashing.hash64_str(base)
+        h2 = hashing.hash64_str(base[:180] + [f"x{i}" for i in range(20)])  # J≈0.818
+        s1 = hashing.minhash_signature(h1, 128)
+        s2 = hashing.minhash_signature(h2, 128)
+        est = (s1 == s2).mean()
+        true_j = 180 / 220
+        assert abs(est - true_j) < 0.12
+
+    def test_simhash_near_dup(self):
+        h1 = hashing.hash64_str([f"tok{i}" for i in range(100)])
+        h2 = hashing.hash64_str([f"tok{i}" for i in range(99)] + ["other"])
+        h3 = hashing.hash64_str([f"zzz{i}" for i in range(100)])
+        d_near = hashing.hamming64(np.array([hashing.simhash64(h1)]), np.array([hashing.simhash64(h2)]))[0]
+        d_far = hashing.hamming64(np.array([hashing.simhash64(h1)]), np.array([hashing.simhash64(h3)]))[0]
+        assert d_near < 10 < d_far
+
+    def test_rolling_fingerprint(self):
+        a = hashing.rolling_fingerprint("the quick brown fox jumps over the lazy dog")
+        b = hashing.rolling_fingerprint("the quick brown fox jumps over the lazy dog")
+        c = hashing.rolling_fingerprint("a completely different text body here")
+        assert a == b != c
+
+
+class TestTokenize:
+    def test_basic(self):
+        assert tokenize.tokenize("Jalan Sentosa-Harapan, No.3!") == ["jalan", "sentosa", "harapan", "no", "3"]
+        assert tokenize.tokenize("") == []
+        assert tokenize.tokenize("   ") == []
+
+    def test_array(self):
+        toks, counts = tokenize.tokenize_array(["a b", "", "c d e"])
+        assert counts.tolist() == [2, 0, 3]
+        assert toks.tolist() == ["a", "b", "c", "d", "e"]
+
+    def test_sql_parity(self):
+        import duckdb
+
+        texts = ["Jalan Sentosa-Harapan, No.3!", "", "  x  Y z0 ", "UPPER lower 123", "a—béc"]
+        got = [tokenize.tokenize(t) for t in texts]
+        sql = tokenize.SQL_TOKENIZE.format(col="t")
+        exp = [
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT {sql} FROM (SELECT unnest(?) AS t)", params=[texts]
+            ).fetchall()
+        ]
+        assert got == exp
