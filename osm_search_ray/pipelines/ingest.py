@@ -1,0 +1,363 @@
+"""OSM-style ingest: nodes/ways/relations Parquet → search documents.
+
+The engine form of the reference indexing pipeline (SURVEY.md §3.1;
+/root/reference/cmd/indexing/main.go:26-120 + pkg/geo/parse_osm.go +
+pkg/index/indexer.go): three in-RAM scans and mutex-guarded loops become
+Ray-Data shuffles:
+
+  shuffle 1  way→node explode-join-regroup (J1/J2): ways flat-mapped to
+             (way_id, pos, node_id), hash-bucket-joined to nodes, regrouped
+             by way_id with position order preserved
+  shuffle 2  dedup groupby(lower(name)) with the D1 containment rules, made
+             DETERMINISTIC (group sorted by (src_rank, orig_id) — the
+             reference's outcome depends on goroutine arrival order,
+             pkg/index/indexer.go:603-635)
+  shuffle 3  deterministic doc_id assignment: sort + per-block offsets
+             (replaces the arrival-order counter, pkg/index/indexer.go:196-216)
+  then       J3 address enrichment via the broadcast PIP join
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.geometry import bbox_contains, median_centroid
+from ..stages import maps
+from ..stages.joins import hash_bucket_join, zip_with_index
+from ..stages.spatial_join import PolygonSet, broadcast_pip_join
+
+
+def explode_way_nodes(batch: pa.Table, id_col: str = "id", list_col: str = "node_ids") -> pa.Table:
+    """way → (way_id, pos, node_id) rows, vectorized via list offsets."""
+    col = batch.column(list_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offsets = col.offsets.to_numpy()
+    values = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offsets)
+    way_ids = np.repeat(batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64), lens)
+    pos = np.concatenate([np.arange(n, dtype=np.int64) for n in lens]) if len(lens) else np.empty(0, np.int64)
+    return pa.table({"way_id": pa.array(way_ids), "pos": pa.array(pos), "node_id": pa.array(values)})
+
+
+def build_way_geometries(ways: "ray.data.Dataset", nodes: "ray.data.Dataset", num_buckets: int = 16) -> "ray.data.Dataset":
+    """J1: gather each way's node coordinates in ring order.
+
+    Output: (way_id, ring_lat list<double>, ring_lon list<double>,
+    clat, clon  — the reference median 'centroid', M5,
+    lat0/lon0/lat1/lon1 — the MBR).
+    """
+    exploded = ways.map_batches(explode_way_nodes, batch_format="pyarrow")
+    coords = nodes.map_batches(
+        lambda t: t.select(["id", "lat", "lon"]).rename_columns(["node_id", "lat", "lon"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_bucket_join(exploded, coords, on="node_id", num_buckets=num_buckets)
+
+    def regroup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("pos", kind="mergesort")
+        lat = g["lat"].to_numpy()
+        lon = g["lon"].to_numpy()
+        clat, clon = median_centroid(lat, lon)
+        return pd.DataFrame(
+            {
+                "way_id": [g["way_id"].iloc[0]],
+                "ring_lat": [lat.tolist()],
+                "ring_lon": [lon.tolist()],
+                "clat": [clat],
+                "clon": [clon],
+                "lat0": [float(lat.min())],
+                "lon0": [float(lon.min())],
+                "lat1": [float(lat.max())],
+                "lon1": [float(lon.max())],
+            }
+        )
+
+    return joined.groupby("way_id").map_groups(regroup, batch_format="pandas")
+
+
+def build_relation_boundaries(
+    relations: "ray.data.Dataset", way_geoms: "ray.data.Dataset", num_buckets: int = 8
+) -> "ray.data.Dataset":
+    """J2: concat member-way node coords in member order (the reference does
+    NOT close or orient rings — pkg/geo/parse_osm.go:348-368; neither do we).
+
+    Output: (rel_id, name, admin_level, postal_code, ring_lat, ring_lon,
+    clat, clon, lat0..lon1)."""
+
+    def explode_rel(batch: pa.Table) -> pa.Table:
+        col = batch.column("way_ids")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offsets = col.offsets.to_numpy()
+        lens = np.diff(offsets)
+        rel_ids = np.repeat(batch.column("id").to_numpy(), lens)
+        pos = np.concatenate([np.arange(n, dtype=np.int64) for n in lens]) if len(lens) else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "rel_id": pa.array(rel_ids.astype(np.int64)),
+                "member_pos": pa.array(pos),
+                "way_id": pa.array(col.values.to_numpy(zero_copy_only=False).astype(np.int64)),
+            }
+        )
+
+    exploded = relations.map_batches(explode_rel, batch_format="pyarrow")
+    joined = hash_bucket_join(exploded, way_geoms, on="way_id", num_buckets=num_buckets)
+
+    def regroup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("member_pos", kind="mergesort")
+        lat = np.concatenate([np.asarray(r) for r in g["ring_lat"]])
+        lon = np.concatenate([np.asarray(r) for r in g["ring_lon"]])
+        clat, clon = median_centroid(lat, lon)  # M6 — same median semantics
+        return pd.DataFrame(
+            {
+                "rel_id": [g["rel_id"].iloc[0]],
+                "ring_lat": [lat.tolist()],
+                "ring_lon": [lon.tolist()],
+                "clat": [clat],
+                "clon": [clon],
+                "lat0": [float(lat.min())],
+                "lon0": [float(lon.min())],
+                "lat1": [float(lat.max())],
+                "lon1": [float(lon.max())],
+            }
+        )
+
+    rings = joined.groupby("rel_id").map_groups(regroup, batch_format="pandas")
+    meta = relations.map_batches(
+        lambda t: t.select(["id", "name", "admin_level", "postal_code"]).rename_columns(
+            ["rel_id2", "name", "admin_level", "postal_code"]
+        ),
+        batch_format="pyarrow",
+    )
+    return hash_bucket_join(rings, meta, on="rel_id", right_on="rel_id2", num_buckets=num_buckets).drop_columns(
+        ["rel_id2"]
+    )
+
+
+def dedup_documents(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """D1 near-dup place suppression, deterministic form.
+
+    Reference rule (pkg/index/indexer.go:603-635): per lowercased name, a doc
+    is DROPPED if the registry MBR for that name contains its MBR or its MBR
+    contains the registry MBR; otherwise kept and the registry MBR grows to
+    the union. The reference applies this in goroutine arrival order; we sort
+    each name-group by (src_rank, orig_id) and apply the same sequential rule
+    — a canonical deterministic order (SURVEY.md §7.4)."""
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column("name_lower", pc.utf8_lower(batch.column("name")))
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["src_rank", "orig_id"], kind="mergesort")
+        reg: tuple[float, float, float, float] | None = None
+        keep = []
+        for i, row in enumerate(g.itertuples(index=False)):
+            box = (row.lat0, row.lon0, row.lat1, row.lon1)
+            if reg is not None and (bbox_contains(reg, box) or bbox_contains(box, reg)):
+                keep.append(False)
+                continue
+            keep.append(True)
+            reg = box if reg is None else (
+                min(reg[0], box[0]), min(reg[1], box[1]), max(reg[2], box[2]), max(reg[3], box[3])
+            )
+        return g[np.asarray(keep)]
+
+    return docs.map_batches(add_key, batch_format="pyarrow").groupby("name_lower").map_groups(
+        resolve, batch_format="pandas"
+    )
+
+
+def ingest_documents(
+    nodes: "ray.data.Dataset",
+    ways: "ray.data.Dataset",
+    relations: "ray.data.Dataset",
+    num_buckets: int = 16,
+) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """Full ingest: returns (docs, boundaries).
+
+    docs: (doc_id, name, lat, lon, street, tipe, postal_code, house_number,
+           src_rank, orig_id) — doc_id dense + deterministic.
+    boundaries: relation polygons with centroid/MBR.
+    """
+    way_geoms = build_way_geometries(ways, nodes, num_buckets)
+
+    # way-side documents: M1 filter → M3/M4 projection → join geometry
+    def way_attrs(batch: pa.Table) -> pa.Table:
+        keep = maps.check_way_allowed(batch)
+        t = batch.filter(pa.array(keep))
+        t = maps.project_name_address_type(t)
+        return t.select(["id", "name", "street", "tipe", "postal_code", "house_number"]).rename_columns(
+            ["attr_way_id", "name", "street", "tipe", "postal_code", "house_number"]
+        )
+
+    attrs = ways.map_batches(way_attrs, batch_format="pyarrow")
+    way_docs = hash_bucket_join(way_geoms, attrs, on="way_id", right_on="attr_way_id", num_buckets=num_buckets)
+
+    def finish_way_docs(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "orig_id": batch.column("way_id"),
+                "name": batch.column("name"),
+                "lat": batch.column("clat"),
+                "lon": batch.column("clon"),
+                "street": batch.column("street"),
+                "tipe": batch.column("tipe"),
+                "postal_code": batch.column("postal_code"),
+                "house_number": batch.column("house_number"),
+                "lat0": batch.column("lat0"),
+                "lon0": batch.column("lon0"),
+                "lat1": batch.column("lat1"),
+                "lon1": batch.column("lon1"),
+                "src_rank": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    way_docs = way_docs.map_batches(finish_way_docs, batch_format="pyarrow")
+
+    # node-side documents: M2 filter → M3/M4 projection; point MBR
+    def node_docs_fn(batch: pa.Table) -> pa.Table:
+        keep = maps.check_node_allowed(batch)
+        t = batch.filter(pa.array(keep))
+        t = maps.project_name_address_type(t)
+        n = len(t)
+        lat = t.column("lat")
+        lon = t.column("lon")
+        return pa.table(
+            {
+                "orig_id": t.column("id"),
+                "name": t.column("name"),
+                "lat": lat,
+                "lon": lon,
+                "street": t.column("street"),
+                "tipe": t.column("tipe"),
+                "postal_code": t.column("postal_code"),
+                "house_number": t.column("house_number"),
+                "lat0": lat,
+                "lon0": lon,
+                "lat1": lat,
+                "lon1": lon,
+                "src_rank": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+
+    node_docs = nodes.map_batches(node_docs_fn, batch_format="pyarrow")
+
+    merged = way_docs.union(node_docs)
+    # tipe == "chalet" rows are dropped (pkg/index/indexer.go:185)
+    merged = merged.map_batches(
+        lambda t: t.filter(pa.compute.not_equal(t.column("tipe"), "chalet")), batch_format="pyarrow"
+    )
+    deduped = dedup_documents(merged)
+
+    # deterministic dense doc ids: canonical order (name_lower, src_rank, orig_id)
+    ordered = deduped.sort(["name_lower", "src_rank", "orig_id"])
+    docs = zip_with_index(ordered, id_col="doc_id")
+
+    boundaries = build_relation_boundaries(relations, way_geoms, max(num_buckets // 2, 1))
+    return docs, boundaries
+
+
+# --------------------------------------------------------------------------
+# J3 — address enrichment (the flagship spatial join applied to docs)
+# --------------------------------------------------------------------------
+
+ADMIN_LEVEL_FIELD = {
+    # reference assembly rules (pkg/index/indexer.go:1017-1170): which admin
+    # level fills which address slot, and the match rule quirk per slot.
+    "7": ("kelurahan", "first"),
+    "6": ("kecamatan", "first"),
+    "5": ("city", "first"),
+    "4": ("province", "last"),  # last-match, no break (indexer.go:1128-1140)
+    "2": ("country", "bbox"),  # bbox hit only, NO point-in-polygon (:1162-1167)
+}
+
+
+def enrich_addresses(docs: "ray.data.Dataset", boundaries_pd: pd.DataFrame) -> "ray.data.Dataset":
+    """Fill kelurahan/kecamatan/city/province/country + postal fallback and
+    assemble the full address string (GetFullAdress ordering:
+    street, house_number, kelurahan, kecamatan, city, province, postal,
+    country — pkg/index/indexer.go:1017-1170).
+
+    boundaries_pd is the small broadcast side (admin polygons of one region).
+    """
+    by_level: dict[str, PolygonSet] = {}
+    meta: dict[str, dict[int, tuple[str, str]]] = {}
+    for level, grp in boundaries_pd.groupby("admin_level"):
+        rings = [
+            (np.asarray(r_lat, dtype=np.float64), np.asarray(r_lon, dtype=np.float64))
+            for r_lat, r_lon in zip(grp["ring_lat"], grp["ring_lon"])
+        ]
+        by_level[level] = PolygonSet.from_rings(grp["rel_id"].to_numpy(np.int64), rings)
+        meta[level] = {
+            int(r): (nm, pc_ or "") for r, nm, pc_ in zip(grp["rel_id"], grp["name"], grp["postal_code"])
+        }
+    state_ref = ray.put((by_level, meta))
+
+    class Enricher:
+        def __init__(self):
+            self.by_level, self.meta = ray.get(state_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lat = batch.column("lat").to_numpy()
+            lon = batch.column("lon").to_numpy()
+            n = len(batch)
+            slots = {f: np.full(n, "", dtype=object) for f, _ in ADMIN_LEVEL_FIELD.values()}
+            postal_by_level = {lv: np.full(n, "", dtype=object) for lv in ADMIN_LEVEL_FIELD}
+            for level, (field, rule) in ADMIN_LEVEL_FIELD.items():
+                pset = self.by_level.get(level)
+                if pset is None:
+                    continue
+                if rule == "bbox":
+                    # country: first bbox hit, no PIP (reference quirk)
+                    for j in range(len(pset.poly_id)):
+                        b = pset.bbox[j]
+                        hit = (lat >= b[0]) & (lat <= b[2]) & (lon >= b[1]) & (lon <= b[3])
+                        fresh = hit & (slots[field] == "")
+                        nm, _ = self.meta[level][int(pset.poly_id[j])]
+                        slots[field][fresh] = nm
+                    continue
+                pt_idx, pl_idx = pset.locate(lat, lon)
+                order = np.argsort(pl_idx, kind="stable")
+                if rule == "first":
+                    order = order[::-1]  # later writes win ⇒ apply descending so FIRST poly sticks
+                for p, j in zip(pt_idx[order], pl_idx[order]):
+                    nm, pcode = self.meta[level][int(pset.poly_id[j])]
+                    slots[field][p] = nm
+                    if pcode:
+                        postal_by_level[level][p] = pcode
+            # postal fallback: most specific admin level wins (the reference
+            # takes the kelurahan postal code, pkg/index/indexer.go:1017-1170)
+            postal_fb = np.full(n, "", dtype=object)
+            for lv in ("7", "6", "5", "4"):
+                empty = postal_fb == ""
+                postal_fb[empty] = postal_by_level[lv][empty]
+            street = batch.column("street").to_numpy(zero_copy_only=False)
+            housenum = batch.column("house_number").to_numpy(zero_copy_only=False)
+            postal = batch.column("postal_code").to_numpy(zero_copy_only=False)
+            address = []
+            for i in range(n):
+                parts = [
+                    street[i] or "",
+                    housenum[i] or "",
+                    slots["kelurahan"][i],
+                    slots["kecamatan"][i],
+                    slots["city"][i],
+                    slots["province"][i],
+                    (postal[i] or "") or postal_fb[i],
+                    slots["country"][i],
+                ]
+                address.append(", ".join([p for p in parts if p]))
+            out = batch
+            for f in ("kelurahan", "kecamatan", "city", "province", "country"):
+                out = out.append_column(f, pa.array(slots[f], pa.string()))
+            return out.append_column("address", pa.array(address, pa.string()))
+
+    return docs.map_batches(Enricher, batch_format="pyarrow", concurrency=(1, 4))

@@ -1,0 +1,113 @@
+"""Distributed join / indexing primitives the Dataset API doesn't ship.
+
+  hash_bucket_join   both-sides-large equi-join: add ``bucket = key % B`` to
+                     both sides, union, groupby(bucket), pandas merge inside
+                     the group — the portable partitioned hash join
+                     (ray_guide.md 'Joins and lookups'). B chooses the
+                     shuffle granularity; skewed keys can be salted upstream.
+
+  zip_with_index     deterministic dense 0..N-1 ids after a sort — replaces
+                     the reference's mutex-guarded arrival-order docID
+                     counter (pkg/index/indexer.go:196-216), which is
+                     nondeterministic under concurrency. Offsets are computed
+                     from per-block row counts (O(blocks) driver work, no
+                     data movement).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def hash_bucket_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    num_buckets: int = 64,
+    how: str = "inner",
+    right_on: str | None = None,
+) -> "ray.data.Dataset":
+    """Partitioned hash join of two datasets on an int64 key column.
+
+    Column sets of the two sides must be disjoint apart from the key.
+    """
+    right_on = right_on or on
+    lcols = set(left.schema().names)
+    rcols = set(right.schema().names)
+    overlap = (lcols & rcols) - {on} if on == right_on else (lcols & rcols)
+    if overlap:
+        raise ValueError(f"overlapping non-key columns: {overlap}")
+
+    def key_side(side: int, key: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+            batch = batch.append_column("__bucket", pa.array(k % num_buckets))
+            return batch.append_column("__side", pa.array(np.full(len(batch), side, dtype=np.int8)))
+
+        return fn
+
+    l_k = left.map_batches(key_side(0, on), batch_format="pyarrow")
+    r_k = right.map_batches(key_side(1, right_on), batch_format="pyarrow")
+
+    # widen to a common column set for union (pandas: missing cols → None,
+    # no Arrow type juggling for object/list columns)
+    l_names = list(left.schema().names)
+    r_names = [n for n in right.schema().names if n not in lcols]
+    all_cols = l_names + r_names + ["__bucket", "__side"]
+
+    def widen(fn_cols):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            for n in fn_cols:
+                if n not in df.columns:
+                    df[n] = None
+            return df[all_cols]
+
+        return fn
+
+    both = l_k.map_batches(widen(all_cols), batch_format="pandas").union(
+        r_k.map_batches(widen(all_cols), batch_format="pandas")
+    )
+    out_names = l_names + r_names
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == 0][l_names]
+        rg = g[g["__side"] == 1][[right_on] + r_names] if right_on not in r_names else g[g["__side"] == 1][r_names]
+        if right_on == on:
+            merged = lg.merge(rg, on=on, how=how)
+        else:
+            merged = lg.merge(rg, left_on=on, right_on=right_on, how=how)
+        return merged[out_names]
+
+    return both.groupby("__bucket").map_groups(join_group, batch_format="pandas")
+
+
+def zip_with_index(ds: "ray.data.Dataset", id_col: str = "row_id") -> "ray.data.Dataset":
+    """Add a dense 0..N-1 int64 id following the dataset's current block
+    order. Call after ``ds.sort(...)`` for a fully deterministic numbering.
+
+    Implementation: materialize block refs (zero-copy handles, not data),
+    read per-block counts from metadata, launch one task per block adding
+    the running offset.
+    """
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote
+    def count_block(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = ray.get([count_block.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+
+    @ray.remote
+    def add_ids(t: pa.Table, off: int) -> pa.Table:
+        return t.append_column(id_col, pa.array(np.arange(off, off + t.num_rows, dtype=np.int64)))
+
+    out_refs = [add_ids.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(out_refs)

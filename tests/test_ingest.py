@@ -1,0 +1,126 @@
+"""End-to-end ingest tests over the reference-parity OSM fixture corpus."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from osm_search_ray.pipelines import ingest
+from osm_search_ray.sources.fixtures import GOLDEN_PLACES, SPIMI_NODE_NAMES, SPIMI_WAY_NAMES, make_osm_tables
+
+
+@pytest.fixture(scope="module")
+def osm_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("osm")
+    for name, tbl in make_osm_tables().items():
+        pq.write_table(tbl, d / f"{name}.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def ingested(osm_dir):
+    nodes = ray.data.read_parquet(f"{osm_dir}/nodes.parquet")
+    ways = ray.data.read_parquet(f"{osm_dir}/ways.parquet")
+    rels = ray.data.read_parquet(f"{osm_dir}/relations.parquet")
+    docs, boundaries = ingest.ingest_documents(nodes, ways, rels, num_buckets=4)
+    return docs.to_pandas(), boundaries.to_pandas()
+
+
+def test_docs_contents(ingested):
+    docs, _ = ingested
+    names = set(docs["name"])
+    for n in SPIMI_WAY_NAMES + SPIMI_NODE_NAMES:
+        assert n in names, n
+    for n, _, _, _ in GOLDEN_PLACES:
+        assert n in names, n
+    # unnamed / disallowed rows filtered
+    assert "" not in names
+    # doc ids dense + deterministic
+    ids = np.sort(docs["doc_id"].to_numpy())
+    assert (ids == np.arange(len(docs))).all()
+
+
+def test_doc_ids_deterministic(osm_dir, ingested):
+    docs1, _ = ingested
+    nodes = ray.data.read_parquet(f"{osm_dir}/nodes.parquet")
+    ways = ray.data.read_parquet(f"{osm_dir}/ways.parquet")
+    rels = ray.data.read_parquet(f"{osm_dir}/relations.parquet")
+    docs2, _ = ingest.ingest_documents(nodes, ways, rels, num_buckets=2)  # different bucketing
+    a = docs1.sort_values("doc_id")[["doc_id", "name", "orig_id"]].reset_index(drop=True)
+    b = docs2.to_pandas().sort_values("doc_id")[["doc_id", "name", "orig_id"]].reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_way_centroid_median_semantics(ingested, osm_dir):
+    docs, _ = ingested
+    # way centroids follow the reference median rule: verify against a direct
+    # recompute from the fixture tables
+    nodes = pq.read_table(f"{osm_dir}/nodes.parquet").to_pandas()
+    ways = pq.read_table(f"{osm_dir}/ways.parquet").to_pandas()
+    nd = dict(zip(nodes["id"], zip(nodes["lat"], nodes["lon"])))
+    for _, w in ways.iterrows():
+        tags = dict(w["tags"])
+        name = tags.get("name")
+        if not name:
+            continue
+        lats = np.sort([nd[i][0] for i in w["node_ids"]])
+        lons = np.sort([nd[i][1] for i in w["node_ids"]])
+        row = docs[(docs["name"] == name) & (docs["src_rank"] == 0)]
+        if len(row) == 0:
+            continue
+        assert abs(row["lat"].iloc[0] - lats[len(lats) // 2]) < 1e-12
+        assert abs(row["lon"].iloc[0] - lons[len(lons) // 2]) < 1e-12
+
+
+def test_boundaries(ingested):
+    _, b = ingested
+    assert set(b["name"]) == {"Indonesia", "Jawa Barat", "Jakarta", "Jakarta Selatan", "Kebayoran", "Gandaria"}
+    ind = b[b["name"] == "Indonesia"].iloc[0]
+    assert len(ind["ring_lat"]) == 5
+    assert ind["lat0"] == pytest.approx(-9.25) and ind["lat1"] == pytest.approx(-3.25)
+
+
+def test_address_enrichment(ingested):
+    docs_pd, bounds_pd = ingested
+    docs = ray.data.from_pandas(docs_pd)
+    enriched = ingest.enrich_addresses(docs, bounds_pd).to_pandas()
+    monas = enriched[enriched["name"] == "Monumen Nasional"].iloc[0]
+    # (-6.1754, 106.8272) vs nested rects centered (-6.25, 106.80):
+    assert monas["kelurahan"] == ""  # outside Gandaria (half 0.05)
+    assert monas["kecamatan"] == "Kebayoran"  # inside half 0.1
+    assert monas["city"] == "Jakarta Selatan"
+    assert monas["province"] == "Jakarta"
+    assert monas["country"] == "Indonesia"
+    assert monas["address"] == "Kebayoran, Jakarta Selatan, Jakarta, 14000, Indonesia"
+    # street docs keep their addr:street in front of the admin chain
+    way = enriched[enriched["name"] == "Jalan Sentosa Harapan"].iloc[0]
+    assert way["address"].startswith("Jalan Sentosa Harapan")
+
+
+def test_dedup_containment():
+    """D1: same lowercased name with contained MBR ⇒ dropped; disjoint ⇒ kept."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "orig_id": [1, 2, 3, 4],
+            "name": ["Alpha", "alpha", "Alpha", "Beta"],
+            "lat": [0.5, 0.5, 5.0, 0.0],
+            "lon": [0.5, 0.5, 5.0, 0.0],
+            "street": [""] * 4,
+            "tipe": [""] * 4,
+            "postal_code": [""] * 4,
+            "house_number": [""] * 4,
+            "lat0": [0.0, 0.2, 5.0, 0.0],
+            "lon0": [0.0, 0.2, 5.0, 0.0],
+            "lat1": [1.0, 0.8, 5.1, 0.0],
+            "lon1": [1.0, 0.8, 5.1, 0.0],
+            "src_rank": np.zeros(4, dtype=np.int8),
+        }
+    )
+    out = ingest.dedup_documents(ray.data.from_pandas(docs)).to_pandas()
+    kept = set(out["orig_id"])
+    assert 1 in kept  # first Alpha kept
+    assert 2 not in kept  # contained in registry → dropped
+    assert 3 in kept  # disjoint same-name → kept (registry grows)
+    assert 4 in kept
