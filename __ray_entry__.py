@@ -37,6 +37,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["pip_join_partitioned"] = lambda sf: tiling.pip_join(sf, partitioned=True)
     q["pip_tile_summary"] = lambda sf: tiling.pip_tile_summary(sf)
     q["knn_nearest_docs"] = lambda sf: tiling.knn_nearest_docs(sf, k=3)
+    q["knn_radius_lang"] = lambda sf: tiling.knn_radius_lang(sf)
+    q["reverse_geocode"] = tiling.reverse_geocode
     # --- relational operator coverage (sources, filters, joins, aggs, top-k) ---
     q["agg_pricing"] = relational.agg_pricing
     q["join_customer_orders"] = relational.join_customer_orders
@@ -46,8 +48,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["token_counts"] = textops.token_counts
     q["term_doc_freq"] = textops.term_doc_freq
     q["text_quality"] = textops.text_quality
+    q["langid"] = textops.langid
+    q["bigram_counts"] = textops.bigram_counts
+    q["postings_lists"] = textops.postings_lists
+    # --- full-text search (BM25+ with reference formula quirks) ---
+    from osm_search_ray.pipelines import search_docs
+
+    q["bm25_search"] = search_docs.bm25_docs_search
     # --- dedup family ---
     q["dedup_exact"] = dedup_pipelines.dedup_exact
+    q["dedup_minhash"] = dedup_pipelines.dedup_minhash
+    q["dedup_simhash"] = dedup_pipelines.dedup_simhash
+    q["dedup_embedding"] = dedup_pipelines.dedup_embedding
+    q["dedup_fingerprint"] = dedup_pipelines.dedup_fingerprint
     # --- similarity search ---
     q["ann_cosine_topk"] = simsearch.ann_cosine_topk
     # --- events (streaming-shaped) ---
@@ -96,6 +109,26 @@ SELECT query_id, doc_id, rank FROM scored WHERE rank <= 3
 
     from osm_search_ray.pipelines import relational, textops, dedup_pipelines, simsearch, events as ev
 
+    hav_q = dv.SQL_HAVERSINE.format(lat1="q.qlat", lon1="q.qlon", lat2="p.lat", lon2="p.lon")
+    sql["knn_radius_lang"] = f"""
+WITH {dv.SQL_GEO_PAGES.strip().replace("SELECT doc_id,", "SELECT doc_id, lang,")}, {dv.SQL_KNN_QUERIES.strip()},
+scored AS (
+    SELECT q.query_id, p.doc_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY {hav_q}, p.doc_id) AS rank
+    FROM knn_queries q CROSS JOIN geo_pages p
+    WHERE p.lang = 'en' AND {hav_q} <= 25.0
+)
+SELECT query_id, doc_id, rank FROM scored WHERE rank <= 5
+"""
+    sql["reverse_geocode"] = f"""
+WITH {dv.SQL_GEO_PAGES.strip()}, {dv.SQL_KNN_QUERIES.strip()},
+scored AS (
+    SELECT q.query_id, p.doc_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY {hav_q}, p.doc_id) AS rank
+    FROM knn_queries q CROSS JOIN geo_pages p
+)
+SELECT query_id, doc_id, rank FROM scored WHERE rank = 1
+"""
     sql["agg_pricing"] = relational.SQL_AGG_PRICING
     sql["join_customer_orders"] = relational.SQL_JOIN_CUSTOMER_ORDERS
     sql["topk_orders_per_segment"] = relational.SQL_TOPK_ORDERS_PER_SEGMENT
@@ -103,7 +136,15 @@ SELECT query_id, doc_id, rank FROM scored WHERE rank <= 3
     sql["token_counts"] = textops.SQL_TOKEN_COUNTS
     sql["term_doc_freq"] = textops.SQL_TERM_DOC_FREQ
     sql["text_quality"] = textops.SQL_TEXT_QUALITY
+    sql["langid"] = textops._sql_langid()
+    sql["bigram_counts"] = textops.SQL_BIGRAM_COUNTS
+    sql["postings_lists"] = textops.SQL_POSTINGS_LISTS
+    from osm_search_ray.pipelines import search_docs
+
+    sql["bm25_search"] = search_docs.SQL_BM25_DOCS_SEARCH
     sql["dedup_exact"] = dedup_pipelines.SQL_DEDUP_EXACT
+    # dedup_minhash / dedup_simhash / dedup_embedding / dedup_fingerprint:
+    # LSH bucketing is not SQL-expressible → rows-only driver check
     sql["ann_cosine_topk"] = simsearch.SQL_ANN_COSINE_TOPK
     sql["events_hourly"] = ev.SQL_EVENTS_HOURLY
     return sql

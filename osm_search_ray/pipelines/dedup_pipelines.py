@@ -46,3 +46,55 @@ SQL_DEDUP_EXACT = """
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
 FROM documents GROUP BY text
 """
+
+
+def dedup_minhash(sf_dir: str):
+    """MinHash-LSH near-dup candidate pairs over documents (rows-only driver
+    check; the MinHash estimator itself is unit-tested against exact Jaccard
+    in tests/test_functions.py)."""
+    import ray.data
+
+    from ..stages.dedup import minhash_lsh_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.5)
+
+
+def dedup_simhash(sf_dir: str):
+    """SimHash near-dup pairs (rows-only driver check)."""
+    import ray.data
+
+    from ..stages.dedup import simhash_near_dups
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_near_dups(ds, max_hamming=3)
+
+
+def dedup_embedding(sf_dir: str):
+    """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only check)."""
+    import ray.data
+
+    from ..stages.dedup import embedding_near_dups
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_near_dups(ds, threshold=0.35)
+
+
+def dedup_fingerprint(sf_dir: str):
+    """Rolling-hash fingerprint per doc + exact dedup on the fingerprint:
+    output (fingerprint, n_docs, min_doc_id) (rows-only check — the hash is
+    engine-specific)."""
+    import pandas as pd
+    import ray.data
+
+    from ..stages.textstats import fingerprint_stage
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    fp = fingerprint_stage(ds)
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"fingerprint": [g["fingerprint"].iloc[0]], "n_docs": [len(g)], "min_doc_id": [g["doc_id"].min()]}
+        )
+
+    return fp.groupby("fingerprint").map_groups(agg, batch_format="pandas")

@@ -1,0 +1,128 @@
+"""Batch search pipelines — the engine form of the reference HTTP endpoints
+(SURVEY.md §3.2/§3.3): a ``queries`` table streamed through actor-pool stages
+holding the (broadcast) index state, instead of goroutine-per-request over
+global in-RAM indexes.
+
+Scale shape: the query table is the STREAMED side; index artifacts (terms,
+postings restricted per batch, doc store) are broadcast via ``ray.put`` once
+and materialized once per actor in ``__init__``.  At 100 TB-corpus scale the
+postings would be a term_id-partitioned Parquet dataset and this stage would
+flip to streaming postings past broadcast queries — same operator, the small
+side swaps (documented in pipelines/text_index.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.tokenize import tokenize
+from .scoring import SCORERS, rank_scores
+from .text_index import TextIndex
+
+
+class SearchActor:
+    """Actor-pool stage: holds vocab + postings + globals, scores query batches.
+
+    Optionally spell-corrects out-of-vocabulary terms with the state/spell.py
+    corrector (T4/T5) before scoring — mirroring FreeFormQuery
+    (/root/reference/pkg/searcher/searcher.go:150-246)."""
+
+    def __init__(self, index_ref, corrector_ref=None):
+        index: TextIndex = ray.get(index_ref)
+        self.vocab = index.vocab()
+        self.postings = index.postings
+        self.by_term = self.postings.groupby("term_id")
+        self.globals = index.globals
+        self.corrector = ray.get(corrector_ref) if corrector_ref is not None else None
+
+    def _terms_of(self, text: str) -> list[int]:
+        toks = tokenize(text)
+        if self.corrector is not None:
+            toks = self.corrector.correct_query(toks)
+        return [self.vocab[t] for t in toks if t in self.vocab]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            tids = self._terms_of(row["text"])
+            scoring = row.get("scoring") or "BM25_FIELD"
+            k = int(row.get("top_k") or 10)
+            offset = int(row.get("offset") or 0)
+            if tids:
+                frames = [self.by_term.get_group(t) for t in dict.fromkeys(tids) if t in self.by_term.groups]
+                p = pd.concat(frames) if frames else self.postings.iloc[0:0]
+                scores = SCORERS[scoring](p, tids, self.globals)
+                ranked = rank_scores(scores, k, offset)
+            else:
+                ranked = pd.DataFrame({"doc_id": [], "score": [], "rank": []})
+            ranked["query_id"] = row["query_id"]
+            out.append(ranked)
+        res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {"doc_id": [], "score": [], "rank": [], "query_id": []}
+        )
+        return pa.table(
+            {
+                "query_id": pa.array(res["query_id"].to_numpy(dtype=np.int64)),
+                "doc_id": pa.array(res["doc_id"].to_numpy(dtype=np.int64)),
+                "score": pa.array(res["score"].to_numpy(dtype=np.float64)),
+                "rank": pa.array(res["rank"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+
+def free_form_search(
+    index: TextIndex,
+    queries: "ray.data.Dataset | pd.DataFrame",
+    corrector=None,
+    concurrency=(1, 4),
+) -> "ray.data.Dataset":
+    """queries(query_id, text[, scoring, top_k, offset]) → ranked results."""
+    if isinstance(queries, pd.DataFrame):
+        queries = ray.data.from_pandas(queries)
+    index_ref = ray.put(index)
+    corrector_ref = ray.put(corrector) if corrector is not None else None
+    return queries.map_batches(
+        SearchActor,
+        fn_constructor_kwargs=dict(index_ref=index_ref, corrector_ref=corrector_ref),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def boolean_and_search(index: TextIndex, queries: "ray.data.Dataset | pd.DataFrame", concurrency=(1, 4)):
+    """J5 — implicit-AND boolean retrieval: docs containing ALL query terms
+    (sorted-posting intersection, /root/reference/pkg/searcher/searcher.go:572-630;
+    OR/NOT are parsed but unimplemented there, :664-670 — matched here)."""
+    if isinstance(queries, pd.DataFrame):
+        queries = ray.data.from_pandas(queries)
+    index_ref = ray.put(index)
+
+    class AndActor:
+        def __init__(self):
+            index: TextIndex = ray.get(index_ref)
+            self.vocab = index.vocab()
+            merged = index.postings.groupby(["term_id", "doc_id"]).size().reset_index(name="n")
+            self.docs_by_term = {t: g["doc_id"].to_numpy() for t, g in merged.groupby("term_id")}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_q, out_d = [], []
+            for row in batch.to_pylist():
+                tids = [self.vocab.get(t, -1) for t in tokenize(row["text"])]
+                if not tids or any(t < 0 for t in tids):
+                    continue
+                acc = None
+                for t in dict.fromkeys(tids):
+                    docs = self.docs_by_term.get(t, np.empty(0, np.int64))
+                    acc = docs if acc is None else np.intersect1d(acc, docs)
+                    if len(acc) == 0:
+                        break
+                for d in acc if acc is not None else []:
+                    out_q.append(row["query_id"])
+                    out_d.append(int(d))
+            return pa.table({"query_id": pa.array(out_q, pa.int64()), "doc_id": pa.array(out_d, pa.int64())})
+
+    return queries.map_batches(AndActor, batch_format="pyarrow", concurrency=concurrency)

@@ -106,3 +106,105 @@ SELECT doc_id,
             ELSE 0.0 END) * 1000000000) AS BIGINT) AS uniq_ratio
 FROM documents
 """
+
+
+def langid(sf_dir: str):
+    """Language-ID heuristic (stopword hit counts, deterministic arg-max) —
+    an actor-pool stage; exactly reproducible in SQL for the oracle."""
+    import ray.data
+
+    from ..stages.textstats import langid_stage
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return langid_stage(ds)
+
+
+def _sql_langid() -> str:
+    from ..stages.textstats import LANG_ORDER, LANG_STOPWORDS
+
+    toks = SQL_TOKENIZE.format(col="text")
+    score_cols = []
+    for lang in LANG_ORDER:
+        words = ", ".join(f"'{w}'" for w in sorted(LANG_STOPWORDS[lang]))
+        score_cols.append(f"len(list_filter({toks}, x -> x IN ({words}))) AS s_{lang}")
+    greatest = "GREATEST(" + ", ".join(f"s_{lang}" for lang in LANG_ORDER) + ")"
+    cases = " ".join(f"WHEN s_{lang} = m THEN '{lang}'" for lang in LANG_ORDER)
+    return f"""
+WITH scores AS (SELECT doc_id, {', '.join(score_cols)} FROM documents),
+m AS (SELECT doc_id, {greatest} AS m, * FROM scores)
+SELECT doc_id, CASE WHEN m = 0 THEN 'unknown' {cases} ELSE 'unknown' END AS pred_lang FROM m
+"""
+
+
+SQL_LANGID = None  # filled lazily via sql_langid() to avoid import cycles
+
+
+def bigram_counts(sf_dir: str):
+    """Raw consecutive-token bigram counts over the corpus (A6-style sliding
+    window → groupby; the padded 4-gram LM variant is pipelines/state/lm.py,
+    parity-tested against the reference fixtures in tests/test_search.py)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        toks, lens = tokenize_array(batch.column("text").to_pylist())
+        off = np.concatenate([[0], np.cumsum(lens)])
+        for i in range(len(lens)):
+            row = toks[off[i] : off[i + 1]]
+            for j in range(len(row) - 1):
+                g = f"{row[j]} {row[j+1]}"
+                counts[g] = counts.get(g, 0) + 1
+        return pa.table(
+            {"gram": pa.array(list(counts.keys()), pa.string()), "cnt": pa.array(list(counts.values()), pa.int64())}
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").groupby("gram").aggregate(Sum("cnt", alias_name="cnt"))
+
+
+_TOKS2 = SQL_TOKENIZE.format(col="text")
+SQL_BIGRAM_COUNTS = f"""
+WITH toks AS (SELECT doc_id, {_TOKS2} AS t FROM documents),
+pairs AS (
+    SELECT t[i] || ' ' || t[i + 1] AS gram
+    FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+)
+SELECT gram, COUNT(*) AS cnt FROM pairs GROUP BY 1
+"""
+
+
+def postings_lists(sf_dir: str):
+    """Reference SPIMI posting-list shape over the documents corpus: term →
+    sorted doc ids WITH tf-by-repetition, serialized as a CSV string column
+    (list-typed columns hash awkwardly across engines)."""
+    import ray.data
+
+    from .text_index import spimi_postings_lists
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    lists = spimi_postings_lists(ds)
+
+    def stringify(batch: pa.Table) -> pa.Table:
+        ids_str = [",".join(str(int(x)) for x in row) for row in batch.column("doc_ids").to_pylist()]
+        return pa.table(
+            {
+                "term": batch.column("term"),
+                "doc_ids_str": pa.array(ids_str, pa.string()),
+                "n_postings": batch.column("n_postings"),
+            }
+        )
+
+    return lists.map_batches(stringify, batch_format="pyarrow")
+
+
+SQL_POSTINGS_LISTS = f"""
+WITH occurrences AS (
+    SELECT doc_id, unnest({_TOKS2}) AS term FROM documents
+)
+SELECT term,
+       array_to_string(list(doc_id ORDER BY doc_id), ',') AS doc_ids_str,
+       COUNT(*) AS n_postings
+FROM occurrences GROUP BY 1
+"""

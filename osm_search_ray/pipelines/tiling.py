@@ -92,3 +92,25 @@ def write_tiles(sf_dir: str, out_dir: str) -> str:
     ds = tiled_pages(sf_dir)
     ds.write_parquet(out_dir, partition_cols=["cell_r12"])
     return out_dir
+
+
+def knn_radius_lang(sf_dir: str, k: int = 5, radius_km: float = 25.0, lang: str = "en") -> "ray.data.Dataset":
+    """K3 analogue — radius + feature-filtered kNN: the k nearest geo pages
+    within ``radius_km`` whose ``lang`` matches (the reference's
+    NearestNeighboursRadiusWithFeatureFilter, pkg/datastructure/rtree.go:648-672;
+    the feature predicate filters the streamed side before the combiner)."""
+    import pyarrow.compute as _pc
+
+    pts = geo_pages(sf_dir, columns=["doc_id", "lang"])
+    pts = pts.map_batches(lambda t: t.filter(_pc.equal(t.column("lang"), lang)), batch_format="pyarrow")
+    return broadcast_knn(pts, knn_query_points(sf_dir), k=k, radius_km=radius_km).select_columns(
+        ["query_id", "doc_id", "rank"]
+    )
+
+
+def reverse_geocode(sf_dir: str) -> "ray.data.Dataset":
+    """Reverse geocoding = 1-NN (the reference's ReverseGeocoding,
+    pkg/searcher/searcher.go:679-686): nearest geo page to each query point."""
+    return broadcast_knn(geo_pages(sf_dir), knn_query_points(sf_dir), k=1).select_columns(
+        ["query_id", "doc_id", "rank"]
+    )

@@ -1,0 +1,206 @@
+"""4-gram language model with stupid backoff — exact reference semantics
+(/root/reference/pkg/searcher/ngram_lm.go).
+
+Counting is a Ray groupby shuffle (A6: flat_map sliding windows →
+groupby((n, gram)).count()); the resulting count dicts are small and are
+broadcast to scorer/spell actors via ``ray.put``.
+
+Reference semantics reproduced exactly:
+  * vocab threshold: words with corpus frequency >= 2 kept, others → <UNK>
+    (COUNT_THRESOLD_NGRAM, spell_corrector.go:19-22)
+  * per-n padding: n × <s> prepended + ONE </s> appended before counting
+    n-grams (ngram_lm.go:368-379) — so unigram counts include 1 <s> per doc,
+    bigram counts 2, etc. (denominator scope quirk kept as-is)
+  * probability: count(ngram) / count((n-1)-prefix) where the prefix count
+    comes from the (n-1)-gram pass (ngram_lm.go:212-297); unigram:
+    count / TotalWordFreq (TotalWordFreq counted in the n=1 pass)
+  * stupid backoff: λ=1 at 4-gram, ×0.4 per backoff, stop at first non-zero
+    (ngram_lm.go:322-337)
+  * query log-probability: pad with 4 <s> + </s>, sum ln(P(w_i | prev3))
+    from i=4 (ngram_lm.go:300-318) — natural log, as in math.Log
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Sum
+
+START_TOKEN = "<s>"
+END_TOKEN = "</s>"
+UNKNOWN_TOKEN = "<UNK>"
+COUNT_THRESHOLD = 2
+
+
+@dataclass
+class NGramLM:
+    unigram: dict[str, int] = field(default_factory=dict)
+    bigram: dict[tuple, int] = field(default_factory=dict)
+    trigram: dict[tuple, int] = field(default_factory=dict)
+    quadgram: dict[tuple, int] = field(default_factory=dict)
+    total_word_freq: int = 0
+    vocab: set = field(default_factory=set)  # thresholded vocab (no specials)
+
+    # -- probability (ngram_lm.go:212-297) --------------------------------
+    def _prob(self, next_word: str, prev: tuple, n: int) -> float:
+        if n == 1:
+            return self.unigram.get(next_word, 0) / self.total_word_freq if self.total_word_freq else 0.0
+        if n == 2:
+            denom = self.unigram.get(prev[0])
+            if denom is None:
+                return 0.0
+            return self.bigram.get((prev[0], next_word), 0) / denom
+        if n == 3:
+            denom = self.bigram.get((prev[0], prev[1]))
+            if denom is None:
+                return 0.0
+            return self.trigram.get((prev[0], prev[1], next_word), 0) / denom
+        if n == 4:
+            denom = self.trigram.get(tuple(prev[:3]))
+            if denom is None:
+                return 0.0
+            return self.quadgram.get((prev[0], prev[1], prev[2], next_word), 0) / denom
+        return 0.0
+
+    def stupid_backoff(self, next_word: str, prev: tuple, n: int = 4) -> float:
+        lam = 1.0
+        while n > 0:
+            p = lam * self._prob(next_word, prev, n)
+            if p != 0:
+                return p
+            prev = prev[1:]
+            lam *= 0.4
+            n -= 1
+        return 0.0
+
+    def query_log_prob(self, tokens: list[str]) -> float:
+        """ln-sum of stupid-backoff 4-gram probs over the padded query."""
+        q = [START_TOKEN] * 4 + self._unk(tokens) + [END_TOKEN]
+        total = 0.0
+        for i in range(4, len(q)):
+            p = self.stupid_backoff(q[i], tuple(q[i - 3 : i]), 4)
+            # math.Log(0) = -Inf in Go; mirror it
+            total += np.log(p) if p > 0 else -np.inf
+        return float(total)
+
+    def _unk(self, tokens: list[str]) -> list[str]:
+        return [t if t in self.vocab else UNKNOWN_TOKEN for t in tokens]
+
+
+def count_doc_ngrams(counts: dict, toks: list[str]) -> None:
+    """Accumulate the reference's 4 counting passes for one doc into a
+    {(n, gram_key): cnt} dict — n × <s> prepended, one </s> appended per pass
+    (ngram_lm.go:368-379). Shared by the Ray partial and the unit tests."""
+    for n in (1, 2, 3, 4):
+        padded = [START_TOKEN] * n + toks + [END_TOKEN]
+        for i in range(len(padded) - n + 1):
+            key = (n, "\x1f".join(padded[i : i + n]))
+            counts[key] = counts.get(key, 0) + 1
+
+
+def lm_from_counts(counts: dict, vocab: set) -> NGramLM:
+    lm = NGramLM(vocab=vocab)
+    for (n, gram), cnt in counts.items():
+        parts = tuple(gram.split("\x1f"))
+        if n == 1:
+            lm.unigram[parts[0]] = int(cnt)
+            lm.total_word_freq += int(cnt)
+        elif n == 2:
+            lm.bigram[parts] = int(cnt)
+        elif n == 3:
+            lm.trigram[parts] = int(cnt)
+        else:
+            lm.quadgram[parts] = int(cnt)
+    return lm
+
+
+def count_ngrams(docs_tokens: list[list[str]], vocab: set | None = None) -> NGramLM:
+    """Pure (no-Ray) LM build over already-tokenized docs; vocab defaults to
+    all tokens (no UNK) — the shape of the reference's unit tests."""
+    if vocab is None:
+        vocab = {t for doc in docs_tokens for t in doc}
+    counts: dict = {}
+    for toks in docs_tokens:
+        count_doc_ngrams(counts, [t if t in vocab else UNKNOWN_TOKEN for t in toks])
+    return lm_from_counts(counts, vocab)
+
+
+def build_ngram_lm(docs: "ray.data.Dataset", text_cols: list[str] = ("name", "address")) -> NGramLM:
+    """A5 + A6 as Ray shuffles: word counts → threshold → UNK-replace →
+    n-gram counts for n=1..4, each with the reference's per-n padding.
+
+    The doc corpus is tokenized ``name + " " + address`` per doc
+    (pkg/index/indexer.go:858-869)."""
+    from ..functions.tokenize import tokenize_array
+
+    def tokens_per_doc(batch: pa.Table) -> pa.Table:
+        joined = [
+            " ".join(str(batch.column(c)[i].as_py() or "") for c in text_cols) for i in range(len(batch))
+        ]
+        toks, counts = tokenize_array(joined)
+        off = np.concatenate([[0], np.cumsum(counts)])
+        docs_tokens = [toks[off[i] : off[i + 1]].tolist() for i in range(len(joined))]
+        return pa.table({"tokens": pa.array(docs_tokens, pa.list_(pa.string()))})
+
+    tok_ds = docs.map_batches(tokens_per_doc, batch_format="pyarrow")
+
+    # A5: word frequency partials → threshold
+    def wc_partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.values.to_pylist()
+        u, c = np.unique(np.asarray(flat, dtype=object), return_counts=True)
+        return pa.table({"word": pa.array(u.astype(object), pa.string()), "n": pa.array(c)})
+
+    wc = tok_ds.map_batches(wc_partial, batch_format="pyarrow").groupby("word").aggregate(Sum("n", alias_name="n"))
+    wc_pd = wc.to_pandas()
+    vocab = set(wc_pd[wc_pd["n"] >= COUNT_THRESHOLD]["word"])
+
+    # A6: n-gram count partials per n, with per-n padding, then groupby-sum
+    import ray
+
+    vocab_ref = ray.put(vocab)
+
+    def ngram_partial(batch: pa.Table) -> pa.Table:
+        v = ray.get(vocab_ref)
+        col = batch.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        counts: dict[tuple, int] = {}
+        for row in col.to_pylist():
+            count_doc_ngrams(counts, [t if t in v else UNKNOWN_TOKEN for t in row])
+        if not counts:
+            return pa.table({"n": pa.array([], pa.int8()), "gram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+        ks = list(counts.keys())
+        return pa.table(
+            {
+                "n": pa.array([k[0] for k in ks], pa.int8()),
+                "gram": pa.array([k[1] for k in ks], pa.string()),
+                "cnt": pa.array([counts[k] for k in ks], pa.int64()),
+            }
+        )
+
+    grams = (
+        tok_ds.map_batches(ngram_partial, batch_format="pyarrow")
+        .groupby(["n", "gram"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+
+    counts = {(int(n), g): int(c) for n, g, c in zip(grams["n"], grams["gram"], grams["cnt"])}
+    return lm_from_counts(counts, vocab)
+
+
+def ngram_counts_table(lm: NGramLM) -> pd.DataFrame:
+    """(n, gram, cnt) frame — the S9 Parquet artifact."""
+    rows = []
+    uni = {(k,): v for k, v in lm.unigram.items()}
+    for n, d in ((1, uni), (2, lm.bigram), (3, lm.trigram), (4, lm.quadgram)):
+        for k, v in d.items():
+            rows.append((n, " ".join(k), v))
+    return pd.DataFrame(rows, columns=["n", "gram", "cnt"])

@@ -1,0 +1,246 @@
+"""Text index, scoring, LM, spell correction, and search — reference-parity
+tests (expectations mirror /root/reference/pkg/searcher/*_test.go and
+pkg/index/indexer_test.go fixture semantics)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from osm_search_ray.pipelines import search as search_mod
+from osm_search_ray.pipelines import text_index as ti
+from osm_search_ray.pipelines.scoring import SCORERS, rank_scores
+from osm_search_ray.state.lm import NGramLM, count_ngrams
+from osm_search_ray.state.spell import SpellCorrector, edit_distance_candidates
+
+DOCS = pd.DataFrame(
+    {
+        "doc_id": np.arange(8, dtype=np.int64),
+        "name": [
+            "Dunia Fantasi",
+            "Kebun Binatang Ragunan",
+            "Monumen Nasional",
+            "Taman Mini Indonesia",
+            "Jalan Dunia Baru",
+            "Jalan Kebun Jeruk Apel",
+            "Jalan Pantai Ancol",
+            "Jalan Sentosa Harapan",
+        ],
+        "address": [
+            "Jalan Lodan Timur, Ancol, Jakarta Utara",
+            "Jalan Harsono, Ragunan, Jakarta Selatan",
+            "Gambir, Jakarta Pusat",
+            "Ceger, Jakarta Timur",
+            "Jalan Dunia Baru",
+            "Jalan Kebun Jeruk Apel",
+            "Jalan Pantai Ancol",
+            "Jalan Sentosa Harapan",
+        ],
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def index():
+    return ti.build_text_index(ray.data.from_pandas(DOCS))
+
+
+class TestTextIndex:
+    def test_term_ids_sorted_deterministic(self, index):
+        t = index.terms
+        assert (t["term"].to_numpy() == np.sort(t["term"].to_numpy())).all()
+        assert (t["term_id"].to_numpy() == np.arange(len(t))).all()
+
+    def test_postings_tf(self, index):
+        vocab = index.vocab()
+        p = index.postings
+        # "jalan" appears twice in doc 4's address? no — once in name, once in address
+        jalan = p[p["term_id"] == vocab["jalan"]]
+        # doc 4 name: "Jalan Dunia Baru" → tf 1 in field 0
+        row = jalan[(jalan["doc_id"] == 4) & (jalan["field"] == ti.FIELD_NAME)]
+        assert row["tf"].iloc[0] == 1
+        # doc 0 address has "jalan" once
+        row = jalan[(jalan["doc_id"] == 0) & (jalan["field"] == ti.FIELD_ADDRESS)]
+        assert row["tf"].iloc[0] == 1
+
+    def test_df_distinct_across_fields(self, index):
+        vocab = index.vocab()
+        stats = index.term_stats.set_index("term_id")["df"]
+        # "ancol": docs 0 (address), 6 (name+address) → df = 2
+        assert stats[vocab["ancol"]] == 2
+        # "jakarta": docs 0,1,2,3 addresses → df = 4
+        assert stats[vocab["jakarta"]] == 4
+
+    def test_field_lengths(self, index):
+        p = index.postings
+        d0 = p[p["doc_id"] == 0].iloc[0]
+        assert d0["name_len"] == 2  # "dunia fantasi"
+        assert d0["address_len"] == 6
+        assert d0["total_len"] == 8
+        assert index.globals["docs_count"] == 8
+
+    def test_save_load_roundtrip(self, index, tmp_path):
+        ti.save_text_index(index, str(tmp_path / "idx"))
+        loaded = ti.load_text_index(str(tmp_path / "idx"))
+        assert loaded.globals == index.globals
+        pd.testing.assert_frame_equal(
+            loaded.postings.reset_index(drop=True), index.postings.reset_index(drop=True)
+        )
+
+
+class TestScoring:
+    def test_bm25_field_ranks_name_match_first(self, index):
+        vocab = index.vocab()
+        tids = [vocab["dunia"], vocab["fantasi"]]
+        p = index.postings[index.postings["term_id"].isin(tids)]
+        scores = SCORERS["BM25_FIELD"](p, tids, index.globals)
+        ranked = rank_scores(scores, k=10)
+        assert ranked["doc_id"].iloc[0] == 0  # "Dunia Fantasi" itself
+
+    def test_bm25_plus_formula_quirk(self, index):
+        """Verify the (K1+1)+tf numerator exactly on a single-term case."""
+        vocab = index.vocab()
+        tid = vocab["gambir"]  # only doc 2, tf 1 (address)
+        p = index.postings[index.postings["term_id"] == tid]
+        scores = SCORERS["BM25_PLUS"](p, [tid], index.globals)
+        n = index.globals["docs_count"]
+        avg = index.globals["avg_total_len"]
+        dl = p["total_len"].iloc[0]
+        idf = np.log10(n + 1) - np.log10(1)
+        expect = idf * (1.0 + ((1.2 + 1) + 1) / (1.2 * (1 - 0.98 + 0.98 * dl / avg) + 1))
+        assert scores[2] == pytest.approx(expect, rel=1e-12)
+
+    def test_duplicate_query_terms_double_count_bm25f_only(self, index):
+        vocab = index.vocab()
+        tid = vocab["gambir"]
+        p = index.postings[index.postings["term_id"] == tid]
+        s1 = SCORERS["BM25_FIELD"](p, [tid], index.globals)
+        s2 = SCORERS["BM25_FIELD"](p, [tid, tid], index.globals)
+        assert s2[2] == pytest.approx(2 * s1[2])  # per-occurrence loop
+        b1 = SCORERS["BM25_PLUS"](p, [tid], index.globals)
+        b2 = SCORERS["BM25_PLUS"](p, [tid, tid], index.globals)
+        assert b2[2] == pytest.approx(b1[2])  # distinct-term loop
+
+    def test_tfidf_no_norm(self, index):
+        vocab = index.vocab()
+        tid = vocab["gambir"]
+        p = index.postings[index.postings["term_id"] == tid]
+        scores = SCORERS["TF_IDF_COSINE"](p, [tid], index.globals)
+        n = index.globals["docs_count"]
+        idf = np.log10(n) - np.log10(1)
+        # tf_q = 1+log10(1) = 1; tf_d = 1+log10(1) = 1 → score = idf^2 (no norm)
+        assert scores[2] == pytest.approx(idf * idf)
+
+
+class TestNGramLM:
+    def test_counts_match_reference_fixture(self):
+        """pkg/searcher/ngram_lm_test.go:46-115 with 0→<s>, 1→</s>."""
+        docs = [["3", "4", "5"], ["6", "5", "5", "5", "5"], ["11", "12", "6", "6", "6"]]
+        lm = count_ngrams(docs)
+        assert lm.unigram == {"<s>": 3, "</s>": 3, "3": 1, "4": 1, "5": 5, "6": 4, "11": 1, "12": 1}
+        assert lm.total_word_freq == 19
+        expected_bigram = {
+            ("<s>", "<s>"): 3,
+            ("<s>", "3"): 1,
+            ("<s>", "6"): 1,
+            ("<s>", "11"): 1,
+            ("3", "4"): 1,
+            ("4", "5"): 1,
+            ("6", "5"): 1,
+            ("5", "5"): 3,
+            ("11", "12"): 1,
+            ("12", "6"): 1,
+            ("6", "6"): 2,
+            ("5", "</s>"): 2,
+            ("6", "</s>"): 1,
+        }
+        assert lm.bigram == expected_bigram
+
+    def test_stupid_backoff(self):
+        docs = [["a", "b", "c"], ["a", "b", "d"]]
+        lm = count_ngrams(docs)
+        # full 4-gram exists: P(c | <s> a b) = quad(s,a,b,c)/tri(s,a,b) = 1/2
+        assert lm.stupid_backoff("c", ("<s>", "a", "b"), 4) == pytest.approx(0.5)
+        # backoff once: unseen 4-gram ctx → 0.4 * trigram
+        p = lm.stupid_backoff("c", ("x", "a", "b"), 4)
+        assert p == pytest.approx(0.4 * (lm.trigram[("a", "b", "c")] / lm.bigram[("a", "b")]))
+
+    def test_query_log_prob_ranks_seen_sentences(self):
+        docs = [["kebun", "binatang", "ragunan"]] * 3 + [["kebun", "jeruk"]]
+        lm = count_ngrams(docs)
+        good = lm.query_log_prob(["kebun", "binatang", "ragunan"])
+        bad = lm.query_log_prob(["ragunan", "kebun", "binatang"])
+        assert good > bad
+
+
+class TestSpell:
+    def test_edit_distance_candidates_sorted(self):
+        vocab = sorted(["jalan", "jalur", "jalanan", "kebun", "dunia"])
+        c1 = edit_distance_candidates("jalen", vocab, 1)
+        assert c1 == ["jalan"]
+        c2 = edit_distance_candidates("jalen", vocab, 2)
+        assert c2 == ["jalan", "jalur"]  # lexicographic order
+
+    def test_correct_query_reference_misspellings(self):
+        """searcher_test.go:50-190: 'Duniu Fsntaso' → 'dunia fantasi',
+        'Kebun Bibatqng Raginan' → 'kebun binatang ragunan'."""
+        corpus = [["dunia", "fantasi"], ["kebun", "binatang", "ragunan"], ["monumen", "nasional"]] * 2
+        lm = count_ngrams(corpus)
+        sc = SpellCorrector.build(lm.vocab, lm)
+        assert sc.correct_query(["duniu", "fsntaso"]) == ["dunia", "fantasi"]
+        assert sc.correct_query(["kebun", "bibatqng", "raginan"]) == ["kebun", "binatang", "ragunan"]
+
+    def test_autocomplete_prefix(self):
+        """'kebun binatang ra' → 'kebun binatang ragunan' (searcher_test.go)."""
+        corpus = [["kebun", "binatang", "ragunan"], ["kebun", "raya", "bogor"], ["taman", "ria"]] * 2
+        lm = count_ngrams(corpus)
+        sc = SpellCorrector.build(lm.vocab, lm)
+        out = sc.autocomplete(["kebun", "binatang", "ra"])
+        assert out[0] == ["kebun", "binatang", "ragunan"]
+        assert len(out) <= 3
+
+
+class TestSearchPipeline:
+    def test_free_form_query_golden(self, index):
+        queries = pd.DataFrame(
+            {"query_id": [0, 1], "text": ["Dunia Fantasi", "kebun binatang ragunan"], "scoring": ["BM25_FIELD"] * 2, "top_k": [5, 5], "offset": [0, 0]}
+        )
+        res = search_mod.free_form_search(index, queries).to_pandas()
+        top0 = res[(res["query_id"] == 0) & (res["rank"] == 1)]["doc_id"].iloc[0]
+        top1 = res[(res["query_id"] == 1) & (res["rank"] == 1)]["doc_id"].iloc[0]
+        assert top0 == 0 and top1 == 1
+
+    def test_free_form_query_with_spell_correction(self, index):
+        lm = count_ngrams([["dunia", "fantasi"], ["kebun", "binatang", "ragunan"]] * 2)
+        sc = SpellCorrector.build(lm.vocab, lm)
+        queries = pd.DataFrame({"query_id": [0], "text": ["Duniu Fsntaso"], "scoring": ["BM25_FIELD"], "top_k": [5], "offset": [0]})
+        res = search_mod.free_form_search(index, queries, corrector=sc).to_pandas()
+        assert res[res["rank"] == 1]["doc_id"].iloc[0] == 0
+
+    def test_all_scorings_run(self, index):
+        for s in ("BM25_FIELD", "BM25_PLUS", "TF_IDF_COSINE"):
+            queries = pd.DataFrame({"query_id": [0], "text": ["jalan ancol"], "scoring": [s], "top_k": [3], "offset": [0]})
+            res = search_mod.free_form_search(index, queries).to_pandas()
+            assert len(res) > 0
+
+    def test_offset_slicing(self, index):
+        q0 = pd.DataFrame({"query_id": [0], "text": ["jalan"], "scoring": ["BM25_PLUS"], "top_k": [10], "offset": [0]})
+        q2 = pd.DataFrame({"query_id": [0], "text": ["jalan"], "scoring": ["BM25_PLUS"], "top_k": [10], "offset": [2]})
+        r0 = search_mod.free_form_search(index, q0).to_pandas().sort_values("rank")
+        r2 = search_mod.free_form_search(index, q2).to_pandas().sort_values("rank")
+        assert r0["doc_id"].iloc[2:].tolist() == r2["doc_id"].iloc[: len(r0) - 2].tolist()
+
+    def test_boolean_and(self, index):
+        queries = pd.DataFrame({"query_id": [0], "text": ["jalan ancol"]})
+        res = search_mod.boolean_and_search(index, queries).to_pandas()
+        # docs containing BOTH 'jalan' and 'ancol': doc 0 (address) and doc 6
+        assert set(res["doc_id"]) == {0, 6}
+
+
+def test_spimi_posting_lists():
+    """Reference tf-by-repetition posting shape (pkg/index/indexer.go:811-817)."""
+    docs = pd.DataFrame({"doc_id": [0, 1, 2], "text": ["apel apel malang", "apel", "jeruk malang"]})
+    out = ti.spimi_postings_lists(ray.data.from_pandas(docs)).to_pandas()
+    apel = out[out["term"] == "apel"].iloc[0]
+    assert apel["doc_ids"] == [0, 0, 1]  # doc 0 twice (tf=2), doc 1 once
+    assert apel["n_postings"] == 3
