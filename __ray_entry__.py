@@ -65,6 +65,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ann_cosine_topk"] = simsearch.ann_cosine_topk
     # --- events (streaming-shaped) ---
     q["events_hourly"] = ev.events_hourly
+    q["sessionize"] = ev.sessionize
+    # --- geofencing (J6) ---
+    from osm_search_ray.pipelines import geofence_pipeline
+
+    q["geofence_status"] = geofence_pipeline.geofence_status
     return q
 
 
@@ -147,4 +152,8 @@ SELECT query_id, doc_id, rank FROM scored WHERE rank = 1
     # LSH bucketing is not SQL-expressible → rows-only driver check
     sql["ann_cosine_topk"] = simsearch.SQL_ANN_COSINE_TOPK
     sql["events_hourly"] = ev.SQL_EVENTS_HOURLY
+    sql["sessionize"] = ev.SQL_SESSIONIZE.format(gap=30 * 60)
+    from osm_search_ray.pipelines import geofence_pipeline
+
+    sql["geofence_status"] = geofence_pipeline.SQL_GEOFENCE_STATUS
     return sql

@@ -58,7 +58,7 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("ts", kind="mergesort").copy()
         gap = g["ts"].diff().dt.total_seconds().fillna(np.inf)
-        g["session_idx"] = (gap > gap_minutes * 60).cumsum().astype(np.int64)
+        g["session_idx"] = ((gap > gap_minutes * 60).cumsum() - 1).astype(np.int64)
         out = (
             g.groupby("session_idx", sort=True)
             .agg(user_id=("user_id", "first"), n_events=("event_id", "size"), first_event=("event_id", "min"))

@@ -1,0 +1,143 @@
+"""Per-partition checkpointed Parquet sink with lineage manifests
+(north rule: a killed run resumes without recomputing finished partitions).
+
+Layout per stage:
+
+    <out_dir>/part=<key>/data.parquet        one atomic file per partition
+    <out_dir>/_manifest.jsonl                one row per COMPLETED partition:
+        {stage, partition_key, input_lineage_hash, row_count, byte_count,
+         wall_ms, status}
+
+Write protocol (idempotent, retry-safe):
+  1. partition data is written to ``part=<key>/.tmp-data.parquet``
+  2. os.replace → ``data.parquet``  (atomic on POSIX)
+  3. manifest row appended AFTER the rename — a crash between 2 and 3 is
+     safe because the rewrite on resume is idempotent (same deterministic
+     partition content; lineage hash verifies it)
+
+Resume protocol:
+  ``completed_keys()`` reads the manifest; the driver filters finished
+  partition keys out of the input BEFORE launching the stage, so completed
+  partitions cost one set-lookup per batch, not a recompute.
+
+The reference has no checkpointing at all — any crash restarts indexing
+from zero (SURVEY.md §4; /root/reference/cmd/indexing/main.go:47-49).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _lineage_hash(df: pd.DataFrame) -> str:
+    """Deterministic content hash of a partition (row-order independent)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for c in sorted(df.columns):
+        col = df[c]
+        try:
+            arr = np.sort(col.to_numpy())
+            h.update(np.ascontiguousarray(arr).tobytes())
+        except TypeError:
+            h.update("\x1f".join(sorted(col.astype(str))).encode())
+    return h.hexdigest()[:16]
+
+
+def manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest.jsonl")
+
+
+def completed_keys(out_dir: str) -> set:
+    done = set()
+    mp = manifest_path(out_dir)
+    if os.path.exists(mp):
+        with open(mp) as f:
+            for line in f:
+                row = json.loads(line)
+                if row.get("status") == "done":
+                    done.add(row["partition_key"])
+    return done
+
+
+def checkpointed_write(
+    ds,
+    out_dir: str,
+    partition_col: str,
+    stage: str = "stage",
+    fail_on_keys: set | None = None,
+) -> list[dict]:
+    """Write ``ds`` partitioned by ``partition_col``, skipping partitions
+    already in the manifest. Returns the manifest rows written this run.
+
+    ``fail_on_keys`` injects a crash after specific partitions — used by the
+    kill/resume test to simulate a mid-run failure."""
+    os.makedirs(out_dir, exist_ok=True)
+    done = completed_keys(out_dir)
+    done_list = sorted(done)
+
+    # prune completed partitions BEFORE the shuffle (cheap set lookup)
+    if done:
+        import pyarrow.compute as pc
+
+        done_arr = pa.array(done_list)
+
+        def prune(batch: pa.Table) -> pa.Table:
+            mask = pc.invert(pc.is_in(batch.column(partition_col), value_set=done_arr))
+            return batch.filter(mask)
+
+        ds = ds.map_batches(prune, batch_format="pyarrow")
+
+    rows: list[dict] = []
+
+    def write_group(g: pd.DataFrame) -> pd.DataFrame:
+        key = g[partition_col].iloc[0]
+        key_out = int(key) if isinstance(key, (int, np.integer)) else str(key)
+        t0 = time.time()
+        pdir = os.path.join(out_dir, f"part={key_out}")
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, ".tmp-data.parquet")
+        final = os.path.join(pdir, "data.parquet")
+        table = pa.Table.from_pandas(g, preserve_index=False)
+        pq.write_table(table, tmp)
+        if fail_on_keys and key_out in fail_on_keys:
+            raise RuntimeError(f"injected failure at partition {key_out}")
+        os.replace(tmp, final)
+        row = {
+            "stage": stage,
+            "partition_key": key_out,
+            "input_lineage_hash": _lineage_hash(g),
+            "row_count": int(len(g)),
+            "byte_count": int(os.path.getsize(final)),
+            "wall_ms": int((time.time() - t0) * 1000),
+            "status": "done",
+        }
+        return pd.DataFrame([row])
+
+    manifest_rows = ds.groupby(partition_col).map_groups(write_group, batch_format="pandas").to_pandas()
+    mp = manifest_path(out_dir)
+    with open(mp, "a") as f:
+        for _, r in manifest_rows.iterrows():
+            rec = r.to_dict()
+            f.write(json.dumps(rec) + "\n")
+            rows.append(rec)
+    return rows
+
+
+def read_checkpointed(out_dir: str, columns: list[str] | None = None):
+    """Read back only COMPLETED partitions (manifest-driven)."""
+    import ray.data
+
+    files = [
+        os.path.join(out_dir, f"part={k}", "data.parquet")
+        for k in sorted(completed_keys(out_dir), key=str)
+    ]
+    files = [f for f in files if os.path.exists(f)]
+    return ray.data.read_parquet(files, columns=columns)

@@ -152,3 +152,59 @@ SQL_HAVERSINE = (
     "+ cos(radians({lat1})) * cos(radians({lat2})) "
     "* sin(radians({lon2} - {lon1}) / 2.0) * sin(radians({lon2} - {lon1}) / 2.0))))"
 )
+
+
+def fence_points(sf_dir: str) -> "ray.data.Dataset":
+    """events → geofence query-point log (event_id, point_id, ts, lat, lon)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ev = batch.column("event_id").to_numpy()
+        k1 = ((ev * 7919) % 10000).astype(np.float64)
+        k2 = ((ev * 104729) % 10000).astype(np.float64)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "point_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "lat": pa.array(-6.6 + k1 * 0.00008),
+                "lon": pa.array(106.4 + k2 * 0.00009),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def fence_circles(sf_dir: str):
+    """supplier → 10 circular fences (key, lat, lon, radius_km)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]).to_pandas()
+    key = t["s_suppkey"].to_numpy().astype(np.int64)
+    return pd.DataFrame(
+        {
+            "key": key,
+            "lat": -6.55 + (key % 5).astype(np.float64) * 0.17,
+            "lon": 106.45 + (key // 5).astype(np.float64) * 0.42,
+            "radius_km": np.full(len(key), 5.0),
+        }
+    )
+
+
+SQL_FENCE_POINTS = """
+fence_points AS (
+    SELECT event_id, user_id AS point_id, ts,
+           -6.6 + CAST((event_id * 7919) % 10000 AS DOUBLE) * 0.00008 AS lat,
+           106.4 + CAST((event_id * 104729) % 10000 AS DOUBLE) * 0.00009 AS lon
+    FROM events
+)"""
+
+SQL_FENCE_CIRCLES = """
+fence_circles AS (
+    SELECT s_suppkey AS key,
+           -6.55 + CAST(s_suppkey % 5 AS DOUBLE) * 0.17 AS flat,
+           106.45 + CAST(s_suppkey // 5 AS DOUBLE) * 0.42 AS flon,
+           5.0 AS radius_km
+    FROM supplier
+)"""

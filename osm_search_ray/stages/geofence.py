@@ -1,0 +1,131 @@
+"""Geofencing (SURVEY.md J6/T6 — /root/reference/pkg/geofence/geofence.go,
+pkg/datastructure/circle.go) as a batch Ray-Data flow.
+
+Reference semantics reproduced:
+  * per query point: the 3 nearest fences are evaluated (geofence.go:65)
+  * Contains = haversine(center, point) <= radius_km (circle.go:40-42)
+  * transitions (geofence.go:97-116):
+      prev INSIDE,  cur INSIDE  → [INSIDE]
+      prev INSIDE,  cur OUTSIDE → [EXIT, OUTSIDE]     (two rows)
+      prev OUTSIDE, cur INSIDE  → [ENTER, INSIDE]     (two rows)
+      prev OUTSIDE, cur OUTSIDE → [CROSS] if the segment prev→cur intersects
+                                   the circle else [OUTSIDE]
+  * a point with NO previous position uses the sentinel (-999, -999) — and
+    the reference feeds that sentinel into the segment-intersection test too
+    (geofence.go:73-86 + 109); reproduced verbatim.
+  * segment×circle: equirectangular projection to meters with R=6371007 and
+    cos(center_lat), radius in meters, quadratic roots in [0,1]
+    (circle.go:53-96).
+
+Deviation (documented): fence NN order is by equirectangular center distance
+with ties by fence key — the reference's order is R-tree bbox minDist order,
+which is nondeterministic across insert orders; ours is canonical.
+
+The streamed side is the point-event log; fences are the broadcast side.
+Previous positions come from a per-point-id sort + lag inside map_groups —
+the Ray-Data streaming-shaped pattern (ray_guide.md)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.geometry import equirect_approx, haversine_km
+
+EARTH_RADIUS_M = 6371007.0
+NO_PREV = -999.0
+
+STATUS_INSIDE = "INSIDE"
+STATUS_OUTSIDE = "OUTSIDE"
+STATUS_ENTER = "ENTER"
+STATUS_EXIT = "EXIT"
+STATUS_CROSS = "CROSS"
+
+
+def line_circle_intersect(lat1, lon1, lat2, lon2, clat: float, clon: float, radius_km: float) -> np.ndarray:
+    """Vectorized port of circle.go:53-96 (projection in radians × R meters)."""
+    clat_r = np.radians(clat)
+    clon_r = np.radians(clon)
+    r_m = radius_km * 1000.0
+    coslat = np.cos(clat_r)
+
+    def proj(lat_r, lon_r):
+        return lat_r * EARTH_RADIUS_M, lon_r * EARTH_RADIUS_M * coslat
+
+    a_lat, a_lon = proj(np.radians(np.asarray(lat1, np.float64)), np.radians(np.asarray(lon1, np.float64)))
+    b_lat, b_lon = proj(np.radians(np.asarray(lat2, np.float64)), np.radians(np.asarray(lon2, np.float64)))
+    c_lat, c_lon = proj(clat_r, clon_r)
+
+    v_lat = a_lat - c_lat
+    v_lon = a_lon - c_lon
+    u_lat = b_lat - a_lat
+    u_lon = b_lon - a_lon
+    alpha = u_lat * u_lat + u_lon * u_lon
+    beta = u_lat * v_lat + u_lon * v_lon
+    gamma = v_lat * v_lat + v_lon * v_lon - r_m * r_m
+    disc = beta * beta - alpha * gamma
+    ok = disc >= 0
+    sq = np.sqrt(np.where(ok, disc, 0.0))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t1 = np.where(ok, (-beta + sq) / alpha, np.nan)
+        t2 = np.where(ok, (-beta - sq) / alpha, np.nan)
+    return ok & (((t1 >= 0) & (t1 <= 1)) | ((t2 >= 0) & (t2 <= 1)))
+
+
+def fence_status_flow(
+    points: "ray.data.Dataset",
+    fences: pd.DataFrame,
+    k_nearest: int = 3,
+) -> "ray.data.Dataset":
+    """points(event_id, point_id, ts, lat, lon) × fences(key, lat, lon,
+    radius_km) → (event_id, fence_key, status) rows.
+
+    groupby(point_id) establishes per-point ts order (lag for prev position);
+    fences are broadcast once."""
+    fences_ref = ray.put(fences[["key", "lat", "lon", "radius_km"]].reset_index(drop=True))
+
+    def per_point(g: pd.DataFrame) -> pd.DataFrame:
+        f = ray.get(fences_ref)
+        fk = f["key"].to_numpy()
+        flat = f["lat"].to_numpy()
+        flon = f["lon"].to_numpy()
+        frad = f["radius_km"].to_numpy()
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        lat = g["lat"].to_numpy()
+        lon = g["lon"].to_numpy()
+        plat = np.concatenate([[NO_PREV], lat[:-1]])
+        plon = np.concatenate([[NO_PREV], lon[:-1]])
+        ev = g["event_id"].to_numpy()
+        out_ev, out_key, out_st = [], [], []
+        for i in range(len(g)):
+            d = equirect_approx(lat[i], lon[i], flat, flon)
+            order = np.lexsort((fk, d))[:k_nearest]
+            for j in order:
+                cur_in = haversine_km(flat[j], flon[j], lat[i], lon[i]) <= frad[j]
+                old_in = (
+                    plat[i] != NO_PREV
+                    and haversine_km(flat[j], flon[j], plat[i], plon[i]) <= frad[j]
+                )
+                if old_in and cur_in:
+                    st = [STATUS_INSIDE]
+                elif old_in and not cur_in:
+                    st = [STATUS_EXIT, STATUS_OUTSIDE]
+                elif not old_in and cur_in:
+                    st = [STATUS_ENTER, STATUS_INSIDE]
+                else:
+                    # sentinel prev feeds the intersection test too (reference)
+                    crossed = line_circle_intersect(
+                        np.asarray([plat[i]]), np.asarray([plon[i]]), np.asarray([lat[i]]), np.asarray([lon[i]]),
+                        flat[j], flon[j], frad[j],
+                    )[0]
+                    st = [STATUS_CROSS] if crossed else [STATUS_OUTSIDE]
+                for s in st:
+                    out_ev.append(int(ev[i]))
+                    out_key.append(int(fk[j]))
+                    out_st.append(s)
+        return pd.DataFrame({"event_id": out_ev, "fence_key": out_key, "status": out_st})
+
+    return points.groupby("point_id").map_groups(per_point, batch_format="pandas")

@@ -1,0 +1,125 @@
+"""Multimodal column stages (training-data operators): image / audio / video
+as opaque ``binary`` columns with typed metadata.
+
+This container has no image/audio codecs (no PIL / ffmpeg / torchvision),
+so the DECODE step is stubbed: ``codec="real"`` raises NotImplementedError
+at actor construction; ``codec="fake"`` (default, used in tests and
+benchmarks) produces a DETERMINISTIC fake decode derived from the payload
+bytes — the Ray-side plumbing (schema, actor signature, batch sizing, output
+layout) is real and tested either way.
+
+Scale notes baked into the stage defaults:
+  * small ``batch_size`` (64) — large binary payloads × batch × concurrency
+    must fit the worker heap (ray_guide.md 'Memory-aware')
+  * the binary column is DROPPED from the output (features only) so blocks
+    shrink immediately after the expensive stage
+  * actor pools (not tasks): codec/model setup happens once per actor
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..functions.hashing import splitmix64
+
+IMAGE_FEATURE_DIM = 16
+
+
+def _fake_pixels(payload: bytes, h: int, w: int) -> np.ndarray:
+    """Deterministic fake decode: seed a counter-based stream from the bytes."""
+    seed = np.uint64(len(payload))
+    head = np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
+    base = splitmix64(np.asarray([seed ^ head], dtype=np.uint64))[0]
+    stream = splitmix64(np.arange(h * w, dtype=np.uint64) + base)
+    return (stream & np.uint64(0xFF)).astype(np.uint8).reshape(h, w)
+
+
+class ImageDecodeFeatures:
+    """binary image column → fixed-dim feature vector + (h, w) metadata.
+
+    Actor-pool stage: with a real codec the model/codec loads once here."""
+
+    def __init__(self, codec: str = "fake", bin_col: str = "payload", id_col: str = "item_id", hw: tuple = (32, 32)):
+        if codec == "real":
+            raise NotImplementedError(
+                "no image codec in this environment — install PIL/torchvision and implement real decode here"
+            )
+        self.bin_col, self.id_col, self.hw = bin_col, id_col, hw
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h, w = self.hw
+        feats, heights, widths = [], [], []
+        for payload in batch.column(self.bin_col).to_pylist():
+            px = _fake_pixels(payload or b"", h, w)
+            # 16-bin intensity histogram, L1-normalized — a real feature layout
+            hist = np.bincount(px.ravel() >> 4, minlength=IMAGE_FEATURE_DIM).astype(np.float64)
+            feats.append((hist / hist.sum()).tolist())
+            heights.append(h)
+            widths.append(w)
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "height": pa.array(heights, pa.int32()),
+                "width": pa.array(widths, pa.int32()),
+                "features": pa.array(feats, pa.list_(pa.float64(), IMAGE_FEATURE_DIM)),
+            }
+        )
+
+
+class AudioFrameSampler:
+    """binary audio column → every k-th 'frame' (fixed-size byte windows) as
+    list<binary> + frame count metadata; deterministic, codec-free."""
+
+    def __init__(self, bin_col: str = "payload", id_col: str = "item_id", frame_bytes: int = 256, stride: int = 4):
+        self.bin_col, self.id_col = bin_col, id_col
+        self.frame_bytes, self.stride = frame_bytes, stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_frames_out, samples = [], []
+        for payload in batch.column(self.bin_col).to_pylist():
+            payload = payload or b""
+            frames = [
+                payload[i : i + self.frame_bytes] for i in range(0, len(payload), self.frame_bytes)
+            ]
+            picked = frames[:: self.stride]
+            n_frames_out.append(len(frames))
+            samples.append(picked)
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "n_frames": pa.array(n_frames_out, pa.int32()),
+                "sampled_frames": pa.array(samples, pa.list_(pa.binary())),
+            }
+        )
+
+
+def image_feature_stage(ds: "ray.data.Dataset", codec: str = "fake", concurrency=(1, 8), batch_size: int = 64):
+    return ds.map_batches(
+        ImageDecodeFeatures,
+        fn_constructor_kwargs=dict(codec=codec),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def audio_sample_stage(ds: "ray.data.Dataset", concurrency=(1, 8), batch_size: int = 64):
+    return ds.map_batches(
+        AudioFrameSampler, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+    )
+
+
+def make_binary_items(n: int = 64, payload_bytes: int = 4096, seed: int = 3) -> pa.Table:
+    """Deterministic synthetic binary items table (item_id, kind, payload)."""
+    rng = np.random.default_rng(seed)
+    payloads = [rng.integers(0, 256, payload_bytes, dtype=np.uint8).tobytes() for _ in range(n)]
+    return pa.table(
+        {
+            "item_id": pa.array(np.arange(n, dtype=np.int64)),
+            "kind": pa.array(["image" if i % 2 == 0 else "audio" for i in range(n)]),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )

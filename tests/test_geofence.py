@@ -1,0 +1,81 @@
+"""Geofence parity tests (reference pkg/datastructure/circle_test.go and
+pkg/geofence/geofence.go transition rules)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from osm_search_ray.functions.geometry import haversine_km
+from osm_search_ray.stages.geofence import fence_status_flow, line_circle_intersect
+
+
+CENTER = (-7.5680, 110.8117)  # circle_test.go fixture, r = 1 km
+RADIUS = 1.0
+
+
+class TestCircle:
+    def test_contains(self):
+        # a point ~500 m away is inside; ~2 km away is outside
+        inside = haversine_km(CENTER[0], CENTER[1], -7.5680, 110.8117 + 0.0045) <= RADIUS
+        outside = haversine_km(CENTER[0], CENTER[1], -7.5680, 110.8117 + 0.02) <= RADIUS
+        assert bool(inside) and not bool(outside)
+
+    def test_line_circle_crossing(self):
+        # segment passing straight through the center crosses
+        hit = line_circle_intersect(
+            np.array([CENTER[0]]), np.array([CENTER[1] - 0.05]),
+            np.array([CENTER[0]]), np.array([CENTER[1] + 0.05]),
+            CENTER[0], CENTER[1], RADIUS,
+        )
+        assert hit[0]
+        # far-away parallel segment does not
+        miss = line_circle_intersect(
+            np.array([CENTER[0] + 0.5]), np.array([CENTER[1] - 0.05]),
+            np.array([CENTER[0] + 0.5]), np.array([CENTER[1] + 0.05]),
+            CENTER[0], CENTER[1], RADIUS,
+        )
+        assert not miss[0]
+
+
+class TestTransitions:
+    @pytest.fixture()
+    def fences(self):
+        return pd.DataFrame({"key": [1], "lat": [CENTER[0]], "lon": [CENTER[1]], "radius_km": [RADIUS]})
+
+    def _run(self, pts, fences):
+        ds = ray.data.from_pandas(pts)
+        return fence_status_flow(ds, fences, k_nearest=1).to_pandas()
+
+    def test_enter_inside_exit(self, fences):
+        ts = pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:01", "2024-01-01 00:02", "2024-01-01 00:03"])
+        pts = pd.DataFrame(
+            {
+                "event_id": [0, 1, 2, 3],
+                "point_id": [7, 7, 7, 7],
+                "ts": ts,
+                "lat": [CENTER[0], CENTER[0], CENTER[0], CENTER[0]],
+                "lon": [CENTER[1] + 0.05, CENTER[1], CENTER[1] + 0.001, CENTER[1] + 0.05],
+            }
+        )
+        out = self._run(pts, fences)
+        by_ev = out.groupby("event_id")["status"].apply(list).to_dict()
+        assert by_ev[0] == ["OUTSIDE"]  # first point: sentinel prev, outside
+        assert by_ev[1] == ["ENTER", "INSIDE"]
+        assert by_ev[2] == ["INSIDE"]
+        assert by_ev[3] == ["EXIT", "OUTSIDE"]
+
+    def test_cross_without_entering_sample(self, fences):
+        # both endpoints outside, segment passes through the circle → CROSS
+        ts = pd.to_datetime(["2024-01-01 00:00", "2024-01-01 00:01"])
+        pts = pd.DataFrame(
+            {
+                "event_id": [0, 1],
+                "point_id": [8, 8],
+                "ts": ts,
+                "lat": [CENTER[0], CENTER[0]],
+                "lon": [CENTER[1] - 0.05, CENTER[1] + 0.05],
+            }
+        )
+        out = self._run(pts, fences)
+        assert out[out["event_id"] == 1]["status"].tolist() == ["CROSS"]
