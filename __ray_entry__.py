@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from osm_search_ray.pipelines import search_docs
 
     q["bm25_search"] = search_docs.bm25_docs_search
+    q["autocomplete"] = search_docs.autocomplete_docs
     # --- dedup family ---
     q["dedup_exact"] = dedup_pipelines.dedup_exact
     q["dedup_minhash"] = dedup_pipelines.dedup_minhash
@@ -70,6 +71,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from osm_search_ray.pipelines import geofence_pipeline
 
     q["geofence_status"] = geofence_pipeline.geofence_status
+    # --- raster↔vector (north rule) ---
+    from osm_search_ray.pipelines import raster_pipeline
+
+    q["raster_coverage"] = raster_pipeline.raster_coverage
     return q
 
 
@@ -156,4 +161,8 @@ SELECT query_id, doc_id, rank FROM scored WHERE rank = 1
     from osm_search_ray.pipelines import geofence_pipeline
 
     sql["geofence_status"] = geofence_pipeline.SQL_GEOFENCE_STATUS
+    from osm_search_ray.pipelines import raster_pipeline
+
+    sql["raster_coverage"] = raster_pipeline.SQL_RASTER_COVERAGE
+    # autocomplete: LM ranking not SQL-expressible → rows-only check
     return sql

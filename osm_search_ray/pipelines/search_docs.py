@@ -124,3 +124,34 @@ SELECT query_id, doc_id, rank, score_micro FROM ranked WHERE rank <= {TOP_K}
 
 
 SQL_BM25_DOCS_SEARCH = _sql()
+
+
+AUTOCOMPLETE_PREFIXES: list[tuple[int, str]] = [
+    (0, "s"),
+    (1, "wind"),
+    (2, "cust"),
+    (3, "b"),
+    (4, "qu"),
+]
+
+
+def autocomplete_docs(sf_dir: str):
+    """Autocomplete over the documents vocabulary: last token treated as a
+    prefix, candidates ranked by the 4-gram stupid-backoff LM, top 3 —
+    reference flow (pkg/searcher/spell_corrector.go:160-227). Rows-only
+    driver check (the LM ranking is not SQL-expressible); deterministic.
+
+    Output (query_id, rank, completion)."""
+    import ray.data
+
+    from ..state.lm import build_ngram_lm
+    from ..state.spell import SpellCorrector
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    lm = build_ngram_lm(ds, text_cols=["text"])
+    sc = SpellCorrector.build(lm.vocab, lm)
+    rows = []
+    for qid, prefix in AUTOCOMPLETE_PREFIXES:
+        for rank, cand in enumerate(sc.autocomplete([prefix], top_n=3), start=1):
+            rows.append((qid, rank, cand[-1]))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "completion"])

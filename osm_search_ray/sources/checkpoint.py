@@ -8,17 +8,19 @@ Layout per stage:
         {stage, partition_key, input_lineage_hash, row_count, byte_count,
          wall_ms, status}
 
-Write protocol (idempotent, retry-safe):
+Write protocol (idempotent, retry-safe, crash-safe):
   1. partition data is written to ``part=<key>/.tmp-data.parquet``
   2. os.replace → ``data.parquet``  (atomic on POSIX)
-  3. manifest row appended AFTER the rename — a crash between 2 and 3 is
-     safe because the rewrite on resume is idempotent (same deterministic
-     partition content; lineage hash verifies it)
+  3. the WORKER writes ``part=<key>/manifest.json`` via tmp+rename — the
+     per-partition completion record survives a driver crash, so a killed
+     run loses at most in-flight partitions, never finished ones
+  4. on stage success the driver compacts sidecars into ``_manifest.jsonl``
 
 Resume protocol:
-  ``completed_keys()`` reads the manifest; the driver filters finished
-  partition keys out of the input BEFORE launching the stage, so completed
-  partitions cost one set-lookup per batch, not a recompute.
+  ``completed_keys()`` reads the compacted manifest AND the sidecars; the
+  driver filters finished partition keys out of the input BEFORE launching
+  the stage, so completed partitions cost one set-lookup per batch, not a
+  recompute.
 
 The reference has no checkpointing at all — any crash restarts indexing
 from zero (SURVEY.md §4; /root/reference/cmd/indexing/main.go:47-49).
@@ -64,6 +66,14 @@ def completed_keys(out_dir: str) -> set:
                 row = json.loads(line)
                 if row.get("status") == "done":
                     done.add(row["partition_key"])
+    # sidecars from a crashed run (not yet compacted into _manifest.jsonl)
+    import glob
+
+    for side in glob.glob(os.path.join(out_dir, "part=*", "manifest.json")):
+        with open(side) as f:
+            row = json.load(f)
+        if row.get("status") == "done":
+            done.add(row["partition_key"])
     return done
 
 
@@ -108,6 +118,7 @@ def checkpointed_write(
         table = pa.Table.from_pandas(g, preserve_index=False)
         pq.write_table(table, tmp)
         if fail_on_keys and key_out in fail_on_keys:
+            time.sleep(1.0)  # let sibling partitions finish → deterministic test
             raise RuntimeError(f"injected failure at partition {key_out}")
         os.replace(tmp, final)
         row = {
@@ -119,6 +130,11 @@ def checkpointed_write(
             "wall_ms": int((time.time() - t0) * 1000),
             "status": "done",
         }
+        # per-partition sidecar: completion survives a driver crash
+        side_tmp = os.path.join(pdir, ".tmp-manifest.json")
+        with open(side_tmp, "w") as f:
+            json.dump(row, f)
+        os.replace(side_tmp, os.path.join(pdir, "manifest.json"))
         return pd.DataFrame([row])
 
     manifest_rows = ds.groupby(partition_col).map_groups(write_group, batch_format="pandas").to_pandas()
