@@ -113,3 +113,96 @@ def rolling_fingerprint(text: str, window: int = 16, mod: int = 1 << 61) -> int:
         wins = sliding_window_view(arr, window)
         h = (wins * pows[::-1][None, :]).sum(axis=1, dtype=np.uint64)
     return int(splitmix64(h).min())
+
+
+def minhash_signature_batch(
+    texts: list, num_perm: int = 128, shingle_k: int = 5, seed: int = 7
+) -> np.ndarray:
+    """Vectorized MinHash over a BATCH of texts: (N, num_perm) uint64.
+
+    One concatenated byte buffer for the whole batch; all character shingles
+    hashed in a handful of numpy passes (sliding windows → polynomial hash →
+    splitmix64); per-row minima via ``np.minimum.reduceat`` with
+    cross-row-boundary windows masked out. Replaces a per-document Python
+    loop that costs ~100µs/doc with ~2µs/doc of cache-resident numpy.
+    Rows shorter than ``shingle_k`` use their whole text as one shingle.
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    n = len(texts)
+    if n == 0:
+        return np.empty((0, num_perm), dtype=np.uint64)
+    payloads = [
+        (t.encode("utf-8", "surrogatepass") if isinstance(t, str) else bytes(t or b"")) for t in texts
+    ]
+    # rows shorter than the shingle → pad to k so they contribute one window
+    payloads = [p if len(p) >= shingle_k else p.ljust(shingle_k, b"\0") for p in payloads]
+    lens = np.asarray([len(p) for p in payloads], dtype=np.int64)
+    buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+
+    wins = sliding_window_view(buf, shingle_k)  # (T-k+1, k) view, zero-copy
+    pows = np.array([257**j for j in range(shingle_k)], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = splitmix64((wins.astype(np.uint64) * pows[None, :]).sum(axis=1, dtype=np.uint64))
+
+    # windows whose span crosses a row boundary are invalid → mask to max
+    valid_counts = lens - shingle_k + 1  # per row
+    idx = np.arange(len(h), dtype=np.int64)
+    row_of = np.searchsorted(starts, idx, side="right") - 1
+    valid = idx - starts[row_of] < valid_counts[row_of]
+    a, b = perm_coeffs(num_perm, seed)
+    out = np.empty((n, num_perm), dtype=np.uint64)
+    reduce_starts = np.minimum(starts, len(h) - 1)
+    with np.errstate(over="ignore"):
+        for p in range(num_perm):
+            vals = a[p] * h + b[p]
+            vals[~valid] = _MASK64
+            out[:, p] = np.minimum.reduceat(vals, reduce_starts)
+    return out
+
+
+def minhash_batch_from_arrow(col, num_perm: int = 16, shingle_k: int = 5, seed: int = 7) -> np.ndarray:
+    """Zero-copy batch MinHash straight from an Arrow string column: the
+    column's UTF-8 data buffer IS the concatenated payload, its offsets ARE
+    the row starts — no per-row Python objects at all.
+
+    Rows shorter than ``shingle_k`` get the all-ones degenerate signature
+    (callers with short rows should use :func:`minhash_signature_batch`)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, num_perm), dtype=np.uint64)
+    offsets = np.frombuffer(col.buffers()[1], dtype=np.int32, count=n + 1, offset=col.offset * 4).astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    lo, hi = offsets[0], offsets[-1]
+    buf = data[lo:hi]
+    starts = offsets[:-1] - lo
+    lens = np.diff(offsets)
+
+    if len(buf) < shingle_k:
+        return np.full((n, num_perm), _MASK64, dtype=np.uint64)
+    wins = sliding_window_view(buf, shingle_k)
+    pows = np.array([257**j for j in range(shingle_k)], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        h = splitmix64((wins.astype(np.uint64) * pows[None, :]).sum(axis=1, dtype=np.uint64))
+    valid_counts = lens - shingle_k + 1
+    idx = np.arange(len(h), dtype=np.int64)
+    row_of = np.searchsorted(starts, idx, side="right") - 1
+    valid = idx - starts[row_of] < valid_counts[row_of]
+    a, b = perm_coeffs(num_perm, seed)
+    out = np.empty((n, num_perm), dtype=np.uint64)
+    reduce_starts = np.minimum(starts, len(h) - 1)
+    with np.errstate(over="ignore"):
+        for p in range(num_perm):
+            vals = a[p] * h + b[p]
+            vals[~valid] = _MASK64
+            out[:, p] = np.minimum.reduceat(vals, reduce_starts)
+    # rows with no valid window → degenerate all-ones signature
+    out[valid_counts <= 0] = _MASK64
+    return out

@@ -28,6 +28,24 @@ def embed_geo_text(body: str, lat: float, lon: float) -> str:
     return f"{body} geo: {lat:.6f}, {lon:.6f}"
 
 
+def extract_coords_arrow(text_col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized coordinate extractor over an Arrow string column using the
+    ``extract_regex`` C++ kernel — the hot-path form of :func:`extract_coords`
+    (same semantics; equality asserted in tests/test_derived.py)."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    if isinstance(text_col, _pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    m = _pc.extract_regex(text_col, pattern=r"geo:\s*(?P<lat>-?\d+(?:\.\d+)?),\s*(?P<lon>-?\d+(?:\.\d+)?)")
+    lat = _pc.cast(_pc.struct_field(m, "lat"), _pa.float64()).to_numpy(zero_copy_only=False)
+    lon = _pc.cast(_pc.struct_field(m, "lon"), _pa.float64()).to_numpy(zero_copy_only=False)
+    ok = ~np.isnan(lat) & ~np.isnan(lon) & (np.abs(lat) <= 90.0) & (np.abs(lon) <= 180.0)
+    lat = np.where(ok, lat, np.nan)
+    lon = np.where(ok, lon, np.nan)
+    return lat, lon, ok
+
+
 def extract_coords(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Pure coordinate extractor: text → (lat, lon, has_geo).
 

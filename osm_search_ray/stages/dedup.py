@@ -21,7 +21,14 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..functions.hashing import hash64_str, hamming64, minhash_signature, perm_coeffs, simhash64
+from ..functions.hashing import (
+    hash64_str,
+    hamming64,
+    minhash_signature,
+    minhash_signature_batch,
+    perm_coeffs,
+    simhash64,
+)
 from ..functions.tokenize import tokenize
 
 
@@ -53,24 +60,25 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
 
     def sig_and_bands(batch: pa.Table) -> pa.Table:
+        # batch-vectorized signatures (functions/hashing.py reduceat kernel)
+        # over the NORMALIZED text (tokenize-join, as char_shingles does)
         ids = batch.column(id_col).to_numpy()
-        out_band, out_hash, out_id, out_sig = [], [], [], []
-        for i, text in enumerate(batch.column(text_col).to_pylist()):
-            sh = char_shingles(text or "", shingle_k)
-            sig = minhash_signature(hash64_str(sh), num_perm)
-            for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                h = np.int64(np.bitwise_xor.reduce(chunk * np.uint64(2654435761)) & np.uint64(0x7FFFFFFFFFFFFFFF))
-                out_band.append(b)
-                out_hash.append(int(h))
-                out_id.append(int(ids[i]))
-                out_sig.append(sig.astype(np.int64).tolist())
+        norm = [" ".join(tokenize(t or "")) for t in batch.column(text_col).to_pylist()]
+        sigs = minhash_signature_batch(norm, num_perm, shingle_k)  # (N, P)
+        n = len(ids)
+        with np.errstate(over="ignore"):
+            banded = sigs.reshape(n, bands, rows_per_band) * np.uint64(2654435761)
+        buckets = np.bitwise_xor.reduce(banded, axis=2) & np.uint64(0x7FFFFFFFFFFFFFFF)  # (N, B)
+        out_id = np.repeat(ids.astype(np.int64), bands)
+        out_band = np.tile(np.arange(bands, dtype=np.int32), n)
+        out_hash = buckets.reshape(-1).astype(np.int64)
+        sig_rows = np.repeat(sigs.astype(np.int64), bands, axis=0)
         return pa.table(
             {
-                "band": pa.array(out_band, pa.int32()),
-                "bucket": pa.array(out_hash, pa.int64()),
-                id_col: pa.array(out_id, pa.int64()),
-                "sig": pa.array(out_sig, pa.list_(pa.int64())),
+                "band": pa.array(out_band),
+                "bucket": pa.array(out_hash),
+                id_col: pa.array(out_id),
+                "sig": pa.array(sig_rows.tolist(), pa.list_(pa.int64())),
             }
         )
 

@@ -145,17 +145,30 @@ def broadcast_pip_join(
     lon_col: str = "lon",
     how: str = "inner",
     id_out: str = "poly_id",
-    concurrency: int | tuple[int, int] = (2, 8),
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 32768,
+    mode: str = "tasks",
 ) -> "ray.data.Dataset":
-    """Stream the (huge) point dataset through a broadcast polygon index."""
+    """Stream the (huge) point dataset through a broadcast polygon index.
+
+    ``mode="tasks"`` (default): stateless tasks that ``ray.get`` the shared
+    PolygonSet per task — zero-copy from the object store, and the task pool
+    scales elastically with available CPUs (an autoscaling ACTOR pool ramps
+    too slowly to saturate a wide node on short stages). Use
+    ``mode="actors"`` when per-worker index construction is expensive enough
+    to amortize (huge polygon sets): state then builds once per actor."""
     ref = ray.put(polys)
+    if mode == "tasks":
+        def join_task(batch: pa.Table) -> pa.Table:
+            return BroadcastPIPJoiner(ref, lat_col, lon_col, how, id_out)(batch)
+
+        return points.map_batches(join_task, batch_format="pyarrow", batch_size=batch_size)
     return points.map_batches(
         BroadcastPIPJoiner,
         fn_constructor_kwargs=dict(poly_ref=ref, lat_col=lat_col, lon_col=lon_col, how=how, id_out=id_out),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or (2, 8),
     )
 
 

@@ -69,3 +69,23 @@ def test_extractor_parity_with_arithmetic():
     # texts with no geo tag must not crash and must be filtered
     _, _, ok2 = extract_coords(["no coordinates here", ""])
     assert not ok2.any()
+
+
+def test_extract_coords_arrow_matches_python():
+    import pyarrow as pa
+
+    from osm_search_ray.sources.fixtures import extract_coords, extract_coords_arrow
+
+    texts = [
+        "body geo: -6.123456, 106.800000 tail",
+        "no geo here",
+        "",
+        "geo: 91.0, 10.0",          # out of range → filtered
+        "geo:  -6.5 , 107.0",       # space before comma → NOT a match (both)
+        "x geo: -6.5, 107.0 geo: -1.0, 2.0",  # first match wins
+        "geo: 6, 107",              # integer coords
+    ]
+    la1, lo1, ok1 = extract_coords(texts)
+    la2, lo2, ok2 = extract_coords_arrow(pa.array(texts))
+    assert ok1.tolist() == ok2.tolist()
+    assert np.array_equal(la1[ok1], la2[ok2]) and np.array_equal(lo1[ok1], lo2[ok2])
