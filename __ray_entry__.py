@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_fingerprint"] = dedup_pipelines.dedup_fingerprint
     # --- similarity search ---
     q["ann_cosine_topk"] = simsearch.ann_cosine_topk
+    q["ann_ivf_topk"] = simsearch.ann_ivf_topk
     # --- events (streaming-shaped) ---
     q["events_hourly"] = ev.events_hourly
     q["sessionize"] = ev.sessionize
@@ -156,6 +157,7 @@ SELECT query_id, doc_id, rank FROM scored WHERE rank = 1
     # dedup_minhash / dedup_simhash / dedup_embedding / dedup_fingerprint:
     # LSH bucketing is not SQL-expressible → rows-only driver check
     sql["ann_cosine_topk"] = simsearch.SQL_ANN_COSINE_TOPK
+    sql["ann_ivf_topk"] = simsearch.SQL_ANN_COSINE_TOPK  # nprobe=nlist → exact
     sql["events_hourly"] = ev.SQL_EVENTS_HOURLY
     sql["sessionize"] = ev.SQL_SESSIONIZE.format(gap=30 * 60)
     from osm_search_ray.pipelines import geofence_pipeline

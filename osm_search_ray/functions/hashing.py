@@ -206,3 +206,54 @@ def minhash_batch_from_arrow(col, num_perm: int = 16, shingle_k: int = 5, seed: 
     # rows with no valid window → degenerate all-ones signature
     out[valid_counts <= 0] = _MASK64
     return out
+
+
+# --------------------------------------------------------------------------
+# Varint codec (reference M11 parity — pkg/compress/compress.go:28-48,104-133)
+# Parquet's encodings make this unnecessary in the engine's storage path;
+# provided for bit-compat parity with the reference's posting-list files.
+# --------------------------------------------------------------------------
+
+
+def encode_uvarints(values: np.ndarray) -> bytes:
+    """LEB128 unsigned varint encoding of an int array (compress.go:28-48)."""
+    out = bytearray()
+    for v in np.asarray(values, dtype=np.uint64):
+        v = int(v)
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+    return bytes(out)
+
+
+def decode_uvarints(data: bytes) -> np.ndarray:
+    """Inverse of encode_uvarints (compress.go:104-133 / binary.Uvarint)."""
+    out = []
+    cur = 0
+    shift = 0
+    for b in data:
+        cur |= (b & 0x7F) << shift
+        if b & 0x80:
+            shift += 7
+        else:
+            out.append(cur)
+            cur = 0
+            shift = 0
+    return np.asarray(out, dtype=np.uint64)
+
+
+def delta_encode_postings(doc_ids: np.ndarray) -> bytes:
+    """Gap + varint encoding of a sorted posting list (the reference's
+    on-disk posting format shape)."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    gaps = np.diff(doc_ids, prepend=0)
+    return encode_uvarints(gaps.astype(np.uint64))
+
+
+def delta_decode_postings(data: bytes) -> np.ndarray:
+    return np.cumsum(decode_uvarints(data).astype(np.int64))

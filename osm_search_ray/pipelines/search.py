@@ -126,3 +126,26 @@ def boolean_and_search(index: TextIndex, queries: "ray.data.Dataset | pd.DataFra
             return pa.table({"query_id": pa.array(out_q, pa.int64()), "doc_id": pa.array(out_d, pa.int64())})
 
     return queries.map_batches(AndActor, batch_format="pyarrow", concurrency=concurrency)
+
+
+def validate_queries(queries: "ray.data.Dataset", require_geo: bool = False) -> "ray.data.Dataset":
+    """M18 analogue — request validation as a filter stage on the query
+    table (the reference validates per HTTP request,
+    pkg/http/http-router/controllers/searcher.go:109-145): drops rows with
+    empty text, non-positive top_k, negative offset, or (if required)
+    out-of-range lat/lon."""
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.invert(pc.equal(pc.coalesce(t.column("text"), ""), "")),
+            pc.greater(pc.coalesce(t.column("top_k"), 10), 0),
+        )
+        mask = pc.and_(mask, pc.greater_equal(pc.coalesce(t.column("offset"), 0), 0))
+        if require_geo and "lat" in t.column_names:
+            ok_lat = pc.and_(pc.greater_equal(t.column("lat"), -90.0), pc.less_equal(t.column("lat"), 90.0))
+            ok_lon = pc.and_(pc.greater_equal(t.column("lon"), -180.0), pc.less_equal(t.column("lon"), 180.0))
+            mask = pc.and_(mask, pc.and_(ok_lat, ok_lon))
+        return t.filter(mask)
+
+    return queries.map_batches(fn, batch_format="pyarrow")

@@ -98,3 +98,23 @@ scored AS (
 )
 SELECT query_id, vec_id, rank FROM scored WHERE rank <= {K_DEFAULT}
 """
+
+
+def ann_ivf_topk(sf_dir: str, k: int = K_DEFAULT, nlist: int = 8, nprobe: int | None = None):
+    """IVF scale-path ANN (stages/annindex.py). With nprobe=nlist (default
+    here) results are EXACT, so the brute-force SQL oracle applies; smaller
+    nprobe is the read-pruned approximate regime (recall-tested in
+    tests/test_ann_misc.py)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.annindex import ivf_cosine_topk
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qmask = (qt.column("vec_id").to_numpy() % QUERY_STRIDE) == 0
+    qt = qt.filter(pa.array(qmask))
+    queries = {
+        "vec_id": qt.column("vec_id").to_numpy(),
+        "mat": np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64),
+    }
+    corpus = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf_cosine_topk(corpus, queries, k=k, nlist=nlist, nprobe=nprobe or nlist)

@@ -185,3 +185,17 @@ def spimi_postings_lists(docs: "ray.data.Dataset", text_col: str = "text", id_co
         .groupby("term")
         .map_groups(collect, batch_format="pandas")
     )
+
+
+def read_postings_for_terms(index_dir: str, term_ids: list[int]) -> pd.DataFrame:
+    """S7/J7 analogue — read ONLY the requested terms' postings rows from the
+    Parquet artifact via predicate pushdown (``filters`` prunes row groups
+    using the Parquet footer statistics — the engine-native replacement for
+    the reference's offset-sidecar seek, pkg/index/inverted_index.go:131-193).
+    """
+    import pyarrow.parquet as pq
+
+    return pq.read_table(
+        f"{index_dir}/postings.parquet",
+        filters=[("term_id", "in", list(term_ids))],
+    ).to_pandas()

@@ -1,0 +1,122 @@
+"""IVF ANN recall, varint codec round-trip, postings pushdown, validation,
+and determinism."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+
+def _emb(n=400, dim=16, seed=2):
+    rng = np.random.default_rng(seed)
+    # clustered data so IVF lists are meaningful
+    centers = rng.normal(size=(8, dim)) * 3
+    assign = rng.integers(0, 8, n)
+    mat = centers[assign] + rng.normal(size=(n, dim)) * 0.5
+    return pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": mat.tolist()})
+
+
+class TestIVF:
+    def test_nprobe_all_equals_bruteforce(self):
+        from osm_search_ray.stages.annindex import ivf_cosine_topk
+
+        df = _emb()
+        mat = np.asarray(df["embedding"].tolist())
+        qids = np.array([0, 50, 100], dtype=np.int64)
+        queries = {"vec_id": qids, "mat": mat[qids]}
+        got = ivf_cosine_topk(ray.data.from_pandas(df), queries, k=5, nlist=8, nprobe=8)
+        # brute force oracle
+        mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        for qi, qid in enumerate(qids):
+            sims = mn[qid] @ mn.T
+            sims[qid] = -np.inf
+            order = np.lexsort((np.arange(len(sims)), -sims))[:5]
+            g = got[got["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
+            assert g == order.tolist(), qid
+
+    def test_partial_probe_recall(self):
+        from osm_search_ray.stages.annindex import ivf_cosine_topk
+
+        df = _emb()
+        mat = np.asarray(df["embedding"].tolist())
+        qids = np.arange(0, 400, 40, dtype=np.int64)
+        queries = {"vec_id": qids, "mat": mat[qids]}
+        got = ivf_cosine_topk(ray.data.from_pandas(df), queries, k=5, nlist=8, nprobe=3)
+        mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        hits = total = 0
+        for qid in qids:
+            sims = mn[qid] @ mn.T
+            sims[qid] = -np.inf
+            truth = set(np.argsort(-sims)[:5].tolist())
+            g = set(got[got["query_id"] == qid]["vec_id"].tolist())
+            hits += len(truth & g)
+            total += 5
+        assert hits / total >= 0.8  # clustered data: 3/8 probes keep recall high
+
+
+class TestVarint:
+    def test_roundtrip(self):
+        from osm_search_ray.functions.hashing import decode_uvarints, encode_uvarints
+
+        vals = np.array([0, 1, 127, 128, 300, 2**20, 2**40, 2**63 - 1], dtype=np.uint64)
+        assert (decode_uvarints(encode_uvarints(vals)) == vals).all()
+
+    def test_posting_gap_encoding(self):
+        from osm_search_ray.functions.hashing import delta_decode_postings, delta_encode_postings
+
+        ids = np.array([3, 7, 8, 100, 10_000, 10_001], dtype=np.int64)
+        enc = delta_encode_postings(ids)
+        assert (delta_decode_postings(enc) == ids).all()
+        # gaps compress: sorted dense ids use ~1 byte each
+        dense = np.arange(1000, dtype=np.int64)
+        assert len(delta_encode_postings(dense)) < 1010
+
+
+class TestPushdownAndValidation:
+    def test_read_postings_for_terms(self, tmp_path):
+        from osm_search_ray.pipelines import text_index as ti
+
+        docs = pd.DataFrame(
+            {"doc_id": [0, 1], "name": ["apel malang", "jeruk"], "address": ["jalan apel", "jalan jeruk"]}
+        )
+        index = ti.build_text_index(ray.data.from_pandas(docs))
+        ti.save_text_index(index, str(tmp_path / "idx"))
+        vocab = index.vocab()
+        got = ti.read_postings_for_terms(str(tmp_path / "idx"), [vocab["apel"]])
+        assert set(got["term_id"]) == {vocab["apel"]}
+        assert len(got) == 2  # name field doc 0, address field doc 0
+
+    def test_validate_queries(self):
+        from osm_search_ray.pipelines.search import validate_queries
+
+        q = pd.DataFrame(
+            {
+                "query_id": [0, 1, 2, 3],
+                "text": ["ok", "", "also ok", "neg"],
+                "top_k": [10, 10, 0, 5],
+                "offset": [0, 0, 0, -1],
+            }
+        )
+        out = validate_queries(ray.data.from_pandas(q)).to_pandas()
+        assert out["query_id"].tolist() == [0]
+
+
+def test_text_index_build_deterministic():
+    """Two builds over shuffled input rows produce identical artifacts
+    (the determinism the reference lacks — SURVEY.md §7.4)."""
+    from osm_search_ray.pipelines import text_index as ti
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(50, dtype=np.int64),
+            "name": [f"jalan nomor {i % 7} blok {i % 3}" for i in range(50)],
+            "address": [f"kota {i % 5}" for i in range(50)],
+        }
+    )
+    a = ti.build_text_index(ray.data.from_pandas(docs))
+    b = ti.build_text_index(ray.data.from_pandas(docs.sample(frac=1, random_state=9)))
+    pd.testing.assert_frame_equal(a.terms, b.terms)
+    pd.testing.assert_frame_equal(
+        a.postings.reset_index(drop=True), b.postings.sort_values(["field", "term_id", "doc_id"]).reset_index(drop=True)
+    )
+    assert a.globals == b.globals
