@@ -149,7 +149,7 @@ def autocomplete_docs(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     lm = build_ngram_lm(ds, text_cols=["text"])
-    sc = SpellCorrector.build(lm.vocab, lm)
+    sc = SpellCorrector.build(lm.full_vocab, lm)
     rows = []
     for qid, prefix in AUTOCOMPLETE_PREFIXES:
         for rank, cand in enumerate(sc.autocomplete([prefix], top_n=3), start=1):

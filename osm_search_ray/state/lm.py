@@ -44,6 +44,10 @@ class NGramLM:
     quadgram: dict[tuple, int] = field(default_factory=dict)
     total_word_freq: int = 0
     vocab: set = field(default_factory=set)  # thresholded vocab (no specials)
+    full_vocab: set = field(default_factory=set)  # ALL corpus terms — the
+    # spell/autocomplete FST domain (reference: CorpusTermsFST over the full
+    # term dictionary, pkg/searcher/spell_corrector.go:47-72; the LM's
+    # thresholded vocab only governs <UNK> replacement)
 
     # -- probability (ngram_lm.go:212-297) --------------------------------
     def _prob(self, next_word: str, prev: tuple, n: int) -> float:
@@ -121,12 +125,15 @@ def lm_from_counts(counts: dict, vocab: set) -> NGramLM:
 def count_ngrams(docs_tokens: list[list[str]], vocab: set | None = None) -> NGramLM:
     """Pure (no-Ray) LM build over already-tokenized docs; vocab defaults to
     all tokens (no UNK) — the shape of the reference's unit tests."""
+    full = {t for doc in docs_tokens for t in doc}
     if vocab is None:
-        vocab = {t for doc in docs_tokens for t in doc}
+        vocab = full
     counts: dict = {}
     for toks in docs_tokens:
         count_doc_ngrams(counts, [t if t in vocab else UNKNOWN_TOKEN for t in toks])
-    return lm_from_counts(counts, vocab)
+    lm = lm_from_counts(counts, vocab)
+    lm.full_vocab = full
+    return lm
 
 
 def build_ngram_lm(docs: "ray.data.Dataset", text_cols: list[str] = ("name", "address")) -> NGramLM:
@@ -157,9 +164,17 @@ def build_ngram_lm(docs: "ray.data.Dataset", text_cols: list[str] = ("name", "ad
         u, c = np.unique(np.asarray(flat, dtype=object), return_counts=True)
         return pa.table({"word": pa.array(u.astype(object), pa.string()), "n": pa.array(c)})
 
-    wc = tok_ds.map_batches(wc_partial, batch_format="pyarrow").groupby("word").aggregate(Sum("n", alias_name="n"))
-    wc_pd = wc.to_pandas()
-    vocab = set(wc_pd[wc_pd["n"] >= COUNT_THRESHOLD]["word"])
+    # stream the per-batch partials and merge driver-side: the merged dict
+    # is bounded by O(vocab), not O(corpus) (the groupby-shuffle alternative
+    # pays ~5s fixed sort-shuffle cost per call in this Ray version)
+    wc_merged: dict[str, int] = {}
+    for b in tok_ds.map_batches(wc_partial, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        for w, c in zip(b.column("word").to_pylist(), b.column("n").to_numpy()):
+            wc_merged[w] = wc_merged.get(w, 0) + int(c)
+    vocab = {w for w, c in wc_merged.items() if c >= COUNT_THRESHOLD}
+    full_vocab = set(wc_merged)
 
     # A6: n-gram count partials per n, with per-n padding, then groupby-sum
     import ray
@@ -185,15 +200,16 @@ def build_ngram_lm(docs: "ray.data.Dataset", text_cols: list[str] = ("name", "ad
             }
         )
 
-    grams = (
-        tok_ds.map_batches(ngram_partial, batch_format="pyarrow")
-        .groupby(["n", "gram"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .to_pandas()
-    )
-
-    counts = {(int(n), g): int(c) for n, g, c in zip(grams["n"], grams["gram"], grams["cnt"])}
-    return lm_from_counts(counts, vocab)
+    counts: dict = {}
+    for b in tok_ds.map_batches(ngram_partial, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        for n_, g, c in zip(b.column("n").to_numpy(), b.column("gram").to_pylist(), b.column("cnt").to_numpy()):
+            key = (int(n_), g)
+            counts[key] = counts.get(key, 0) + int(c)
+    lm = lm_from_counts(counts, vocab)
+    lm.full_vocab = full_vocab
+    return lm
 
 
 def ngram_counts_table(lm: NGramLM) -> pd.DataFrame:

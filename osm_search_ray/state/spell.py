@@ -84,8 +84,12 @@ class SpellCorrector:
     lm: NGramLM
 
     @staticmethod
-    def build(vocab: set[str], lm: NGramLM) -> "SpellCorrector":
-        return SpellCorrector(vocab_sorted=sorted(vocab), lm=lm)
+    def build(vocab: set[str] | None, lm: NGramLM) -> "SpellCorrector":
+        """``vocab`` is the FULL term dictionary (index vocabulary — the
+        reference builds its FST over all corpus terms). Defaults to the
+        LM's full_vocab. The LM's thresholded vocab only drives <UNK>."""
+        v = vocab if vocab else (lm.full_vocab or lm.vocab)
+        return SpellCorrector(vocab_sorted=sorted(v), lm=lm)
 
     def word_candidates(self, word: str, d: int) -> list[str]:
         return edit_distance_candidates(word, self.vocab_sorted, d)

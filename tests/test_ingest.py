@@ -124,3 +124,84 @@ def test_dedup_containment():
     assert 2 not in kept  # contained in registry → dropped
     assert 3 in kept  # disjoint same-name → kept (registry grows)
     assert 4 in kept
+
+
+def test_e2e_ingest_index_search(ingested):
+    """Reference §3.2 golden flow end-to-end through OUR ingest: fixture OSM
+    tables → docs → text index + LM → misspelled query corrects and ranks
+    the golden place first (searcher_test.go:50-190 semantics)."""
+    import ray.data
+
+    from osm_search_ray.pipelines import search as search_mod
+    from osm_search_ray.pipelines import text_index as ti
+    from osm_search_ray.state.lm import build_ngram_lm
+    from osm_search_ray.state.spell import SpellCorrector
+
+    docs_pd, bounds_pd = ingested
+    docs_pd = docs_pd.copy()
+    docs_pd["address"] = docs_pd["street"].fillna("")
+    docs = ray.data.from_pandas(docs_pd[["doc_id", "name", "address"]])
+    index = ti.build_text_index(docs)
+    lm = build_ngram_lm(ray.data.from_pandas(docs_pd[["name", "address"]].fillna("")))
+    sc = SpellCorrector.build(lm.full_vocab, lm)
+
+    import pandas as pd
+
+    queries = pd.DataFrame(
+        {
+            "query_id": [0, 1],
+            "text": ["Dunia Fantasi", "Duniu Fantaso"],  # exact + misspelled
+            "scoring": ["BM25_FIELD", "BM25_FIELD"],
+            "top_k": [3, 3],
+            "offset": [0, 0],
+        }
+    )
+    res = search_mod.free_form_search(index, queries, corrector=sc).to_pandas()
+    name_of = dict(zip(docs_pd["doc_id"], docs_pd["name"]))
+    for qid in (0, 1):
+        top = res[(res["query_id"] == qid) & (res["rank"] == 1)]["doc_id"].iloc[0]
+        assert name_of[top] == "Dunia Fantasi", (qid, name_of[top])
+
+
+def test_salted_partitioned_join_equals_broadcast():
+    """Forcing salting (hot_threshold=50 over a clustered point set) must not
+    change the join result vs the broadcast join."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from osm_search_ray.stages.spatial_join import (
+        PolygonSet,
+        broadcast_pip_join,
+        compute_salts,
+        partitioned_pip_join,
+    )
+    import pyarrow as pa
+
+    rng = np.random.default_rng(4)
+    n = 2000
+    # heavy skew: 70% of points in one tiny cluster (one hot cell)
+    hot = rng.integers(0, n, n) % 10 < 7
+    lat = np.where(hot, -6.2 + rng.uniform(0, 0.001, n), rng.uniform(-6.6, -5.9, n))
+    lon = np.where(hot, 106.8 + rng.uniform(0, 0.001, n), rng.uniform(106.4, 107.2, n))
+    pts = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "lat": lat, "lon": lon})
+    rects = pa.table(
+        {
+            "rect_id": pa.array(np.arange(4, dtype=np.int64)),
+            "lat0": pa.array([-6.7, -6.25, -6.0, -6.3]),
+            "lon0": pa.array([106.3, 106.7, 106.9, 106.0]),
+            "lat1": pa.array([-6.3, -6.1, -5.8, -5.9]),
+            "lon1": pa.array([106.9, 106.9, 107.3, 107.4]),
+        }
+    )
+    polys = PolygonSet.from_rects(rects)
+    a = broadcast_pip_join(ray.data.from_pandas(pts), polys, id_out="rect_id").to_pandas()
+    salts = compute_salts(ray.data.from_pandas(pts), "lat", "lon", 12, hot_threshold=50)
+    assert len(salts) >= 1  # the hot cell was detected and split
+    b = partitioned_pip_join(
+        ray.data.from_pandas(pts), polys, id_out="rect_id", hot_threshold=50, salts=salts
+    ).to_pandas()
+    key = ["doc_id", "rect_id"]
+    pd.testing.assert_frame_equal(
+        a[key].sort_values(key).reset_index(drop=True), b[key].sort_values(key).reset_index(drop=True)
+    )
