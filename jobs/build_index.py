@@ -55,9 +55,9 @@ def main() -> None:
 
     docs_dir = os.path.join(args.out, "docs")
     if not cp.completed_keys(docs_dir):
-        docs, boundaries = ing.ingest_documents(nodes, ways, rels)
+        docs, boundaries, streets = ing.ingest_documents(nodes, ways, rels)
         boundaries_pd = boundaries.to_pandas()
-        enriched = ing.enrich_addresses(docs, boundaries_pd)
+        enriched = ing.enrich_addresses(docs, boundaries_pd, streets.to_pandas())
 
         import numpy as np
         import pyarrow as pa

@@ -262,7 +262,23 @@ def ingest_documents(
     docs = zip_with_index(ordered, id_col="doc_id")
 
     boundaries = build_relation_boundaries(relations, way_geoms, max(num_buckets // 2, 1))
-    return docs, boundaries
+
+    # street table for the nearest-street address fallback: named highway ways
+    def street_attrs(batch: pa.Table) -> pa.Table:
+        has_hwy = maps.map_lookup(batch.column("tags"), "highway") != None  # noqa: E711
+        t = batch.filter(pa.array(has_hwy))
+        t = maps.project_name_address_type(t)
+        return t.select(["id", "name"]).rename_columns(["street_way_id", "name"])
+
+    sattrs = ways.map_batches(street_attrs, batch_format="pyarrow")
+    streets = hash_bucket_join(
+        way_geoms.map_batches(lambda t: t.select(["way_id", "clat", "clon"]), batch_format="pyarrow"),
+        sattrs,
+        on="way_id",
+        right_on="street_way_id",
+        num_buckets=max(num_buckets // 2, 1),
+    )
+    return docs, boundaries, streets
 
 
 # --------------------------------------------------------------------------
@@ -280,13 +296,19 @@ ADMIN_LEVEL_FIELD = {
 }
 
 
-def enrich_addresses(docs: "ray.data.Dataset", boundaries_pd: pd.DataFrame) -> "ray.data.Dataset":
+def enrich_addresses(
+    docs: "ray.data.Dataset", boundaries_pd: pd.DataFrame, streets_pd: pd.DataFrame | None = None
+) -> "ray.data.Dataset":
     """Fill kelurahan/kecamatan/city/province/country + postal fallback and
     assemble the full address string (GetFullAdress ordering:
     street, house_number, kelurahan, kecamatan, city, province, postal,
     country — pkg/index/indexer.go:1017-1170).
 
-    boundaries_pd is the small broadcast side (admin polygons of one region).
+    Docs WITHOUT an ``addr:street`` get the NEAREST street's name
+    (unconditional 1-NN over street centroids by the equirect ranking
+    metric — reference indexer.go:1030-1037 via the street R-tree).
+
+    boundaries_pd / streets_pd are the small broadcast sides.
     """
     by_level: dict[str, PolygonSet] = {}
     meta: dict[str, dict[int, tuple[str, str]]] = {}
@@ -299,11 +321,19 @@ def enrich_addresses(docs: "ray.data.Dataset", boundaries_pd: pd.DataFrame) -> "
         meta[level] = {
             int(r): (nm, pc_ or "") for r, nm, pc_ in zip(grp["rel_id"], grp["name"], grp["postal_code"])
         }
-    state_ref = ray.put((by_level, meta))
+    if streets_pd is not None and len(streets_pd):
+        streets_state = (
+            streets_pd["name"].to_numpy(dtype=object),
+            streets_pd["clat"].to_numpy(dtype=np.float64),
+            streets_pd["clon"].to_numpy(dtype=np.float64),
+        )
+    else:
+        streets_state = None
+    state_ref = ray.put((by_level, meta, streets_state))
 
     class Enricher:
         def __init__(self):
-            self.by_level, self.meta = ray.get(state_ref)
+            self.by_level, self.meta, self.streets = ray.get(state_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             lat = batch.column("lat").to_numpy()
@@ -339,7 +369,16 @@ def enrich_addresses(docs: "ray.data.Dataset", boundaries_pd: pd.DataFrame) -> "
             for lv in ("7", "6", "5", "4"):
                 empty = postal_fb == ""
                 postal_fb[empty] = postal_by_level[lv][empty]
-            street = batch.column("street").to_numpy(zero_copy_only=False)
+            street = batch.column("street").to_numpy(zero_copy_only=False).copy()
+            # nearest-street fallback (reference indexer.go:1030-1037)
+            if self.streets is not None:
+                from ..functions.geometry import equirect_approx as _eq
+
+                s_names, s_lat, s_lon = self.streets
+                missing = np.asarray([not s for s in street])
+                for i in np.nonzero(missing)[0]:
+                    d = _eq(lat[i], lon[i], s_lat, s_lon)
+                    street[i] = s_names[int(np.argmin(d))]
             housenum = batch.column("house_number").to_numpy(zero_copy_only=False)
             postal = batch.column("postal_code").to_numpy(zero_copy_only=False)
             address = []

@@ -22,12 +22,12 @@ def ingested(osm_dir):
     nodes = ray.data.read_parquet(f"{osm_dir}/nodes.parquet")
     ways = ray.data.read_parquet(f"{osm_dir}/ways.parquet")
     rels = ray.data.read_parquet(f"{osm_dir}/relations.parquet")
-    docs, boundaries = ingest.ingest_documents(nodes, ways, rels, num_buckets=4)
-    return docs.to_pandas(), boundaries.to_pandas()
+    docs, boundaries, streets = ingest.ingest_documents(nodes, ways, rels, num_buckets=4)
+    return docs.to_pandas(), boundaries.to_pandas(), streets.to_pandas()
 
 
 def test_docs_contents(ingested):
-    docs, _ = ingested
+    docs, _, _ = ingested
     names = set(docs["name"])
     for n in SPIMI_WAY_NAMES + SPIMI_NODE_NAMES:
         assert n in names, n
@@ -41,18 +41,18 @@ def test_docs_contents(ingested):
 
 
 def test_doc_ids_deterministic(osm_dir, ingested):
-    docs1, _ = ingested
+    docs1, _, _ = ingested
     nodes = ray.data.read_parquet(f"{osm_dir}/nodes.parquet")
     ways = ray.data.read_parquet(f"{osm_dir}/ways.parquet")
     rels = ray.data.read_parquet(f"{osm_dir}/relations.parquet")
-    docs2, _ = ingest.ingest_documents(nodes, ways, rels, num_buckets=2)  # different bucketing
+    docs2, _, _ = ingest.ingest_documents(nodes, ways, rels, num_buckets=2)  # different bucketing
     a = docs1.sort_values("doc_id")[["doc_id", "name", "orig_id"]].reset_index(drop=True)
     b = docs2.to_pandas().sort_values("doc_id")[["doc_id", "name", "orig_id"]].reset_index(drop=True)
     assert a.equals(b)
 
 
 def test_way_centroid_median_semantics(ingested, osm_dir):
-    docs, _ = ingested
+    docs, _, _ = ingested
     # way centroids follow the reference median rule: verify against a direct
     # recompute from the fixture tables
     nodes = pq.read_table(f"{osm_dir}/nodes.parquet").to_pandas()
@@ -73,7 +73,7 @@ def test_way_centroid_median_semantics(ingested, osm_dir):
 
 
 def test_boundaries(ingested):
-    _, b = ingested
+    _, b, _ = ingested
     assert set(b["name"]) == {"Indonesia", "Jawa Barat", "Jakarta", "Jakarta Selatan", "Kebayoran", "Gandaria"}
     ind = b[b["name"] == "Indonesia"].iloc[0]
     assert len(ind["ring_lat"]) == 5
@@ -81,7 +81,7 @@ def test_boundaries(ingested):
 
 
 def test_address_enrichment(ingested):
-    docs_pd, bounds_pd = ingested
+    docs_pd, bounds_pd, _ = ingested
     docs = ray.data.from_pandas(docs_pd)
     enriched = ingest.enrich_addresses(docs, bounds_pd).to_pandas()
     monas = enriched[enriched["name"] == "Monumen Nasional"].iloc[0]
@@ -126,6 +126,20 @@ def test_dedup_containment():
     assert 4 in kept
 
 
+def test_nearest_street_fallback(ingested):
+    """Docs without addr:street get the NEAREST street's name in front of
+    the address chain (reference indexer.go:1030-1037)."""
+    docs_pd, bounds_pd, streets_pd = ingested
+    docs = ray.data.from_pandas(docs_pd)
+    enriched = ingest.enrich_addresses(docs, bounds_pd, streets_pd).to_pandas()
+    monas = enriched[enriched["name"] == "Monumen Nasional"].iloc[0]
+    first = monas["address"].split(", ")[0]
+    assert first in set(streets_pd["name"])  # a street name now leads
+    # docs WITH addr:street keep their own street
+    way = enriched[enriched["name"] == "Jalan Sentosa Harapan"].iloc[0]
+    assert way["address"].startswith("Jalan Sentosa Harapan")
+
+
 def test_e2e_ingest_index_search(ingested):
     """Reference §3.2 golden flow end-to-end through OUR ingest: fixture OSM
     tables → docs → text index + LM → misspelled query corrects and ranks
@@ -137,7 +151,7 @@ def test_e2e_ingest_index_search(ingested):
     from osm_search_ray.state.lm import build_ngram_lm
     from osm_search_ray.state.spell import SpellCorrector
 
-    docs_pd, bounds_pd = ingested
+    docs_pd, bounds_pd, _ = ingested
     docs_pd = docs_pd.copy()
     docs_pd["address"] = docs_pd["street"].fillna("")
     docs = ray.data.from_pandas(docs_pd[["doc_id", "name", "address"]])

@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) for the geometric/hash kernels —
+mirrors the reference's structural R-tree invariant tests (SURVEY.md §5)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from osm_search_ray.functions import cells, geometry, hashing
+
+finite_lat = st.floats(min_value=-89.99, max_value=89.99, allow_nan=False)
+finite_lon = st.floats(min_value=-179.99, max_value=179.99, allow_nan=False)
+
+
+class TestCellProperties:
+    @given(finite_lat, finite_lon, st.integers(min_value=1, max_value=15))
+    @settings(max_examples=200, deadline=None)
+    def test_point_in_own_cell_bounds(self, lat, lon, res):
+        c = cells.cell_of(np.array([lat]), np.array([lon]), res)
+        lat0, lon0, lat1, lon1 = cells.cell_bounds(c, res)
+        # ±1e-9 tolerance: points within one double-rounding of a cell edge
+        # may land either side of floor() — consistently in numpy AND SQL
+        # (both use the same arithmetic), so parity is unaffected
+        assert lat0[0] - 1e-9 <= lat <= lat1[0] + 1e-9
+        assert lon0[0] - 1e-9 <= lon <= lon1[0] + 1e-9
+
+    @given(finite_lat, finite_lon, st.integers(min_value=4, max_value=14), st.integers(min_value=1, max_value=3))
+    @settings(max_examples=100, deadline=None)
+    def test_parent_of_kring_members(self, lat, lon, res, k):
+        """k_ring members at res are all within k cells (Chebyshev) of center."""
+        c = int(cells.cell_of(np.array([lat]), np.array([lon]), res)[0])
+        n = 1 << res
+        cx, cy = c // n, c % n
+        for m in cells.k_ring(c, res, k):
+            mx, my = int(m) // n, int(m) % n
+            dx = min(abs(mx - cx), n - abs(mx - cx))  # lon wraps
+            assert dx <= k and abs(my - cy) <= k
+
+    @given(finite_lat, finite_lon)
+    @settings(max_examples=100, deadline=None)
+    def test_cover_bbox_contains_cell(self, lat, lon):
+        res = 10
+        c = cells.cell_of(np.array([lat]), np.array([lon]), res)[0]
+        cov = cells.cover_bbox(lat, lon, lat, lon, res)
+        assert c in set(cov.tolist())
+
+
+class TestGeometryProperties:
+    @given(finite_lat, finite_lon, finite_lat, finite_lon)
+    @settings(max_examples=200, deadline=None)
+    def test_haversine_symmetry_triangle(self, a, b, c, d):
+        d1 = float(geometry.haversine_km(a, b, c, d))
+        d2 = float(geometry.haversine_km(c, d, a, b))
+        assert abs(d1 - d2) < 1e-9
+        assert d1 >= 0
+        assert d1 <= 6371.0 * np.pi + 1e-6  # half circumference
+
+    @given(
+        st.lists(st.tuples(finite_lat, finite_lon), min_size=3, max_size=10, unique=True),
+        finite_lat,
+        finite_lon,
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_pip_matches_scalar_winding(self, ring, lat, lon):
+        ring_lat = np.array([r[0] for r in ring])
+        ring_lon = np.array([r[1] for r in ring])
+        got = geometry.points_in_polygon(np.array([lat]), np.array([lon]), ring_lat, ring_lon)[0]
+        from tests.test_functions import _winding_scalar
+
+        assert got == _winding_scalar(lat, lon, ring_lat, ring_lon)
+
+    @given(st.lists(st.floats(-80, 80, allow_nan=False), min_size=1, max_size=20))
+    @settings(max_examples=100, deadline=None)
+    def test_median_centroid_is_element(self, vals):
+        lat, lon = geometry.median_centroid(np.array(vals), np.array(vals))
+        assert lat in vals and lon in vals  # len//2 element, never interpolated
+
+
+class TestHashProperties:
+    @given(st.lists(st.text(min_size=0, max_size=30), min_size=1, max_size=20))
+    @settings(max_examples=100, deadline=None)
+    def test_batch_minhash_consistent(self, texts):
+        """Batch kernel equals itself across groupings (associativity of
+        per-row computation) and is deterministic."""
+        a = hashing.minhash_signature_batch(texts, 16)
+        b = hashing.minhash_signature_batch(texts, 16)
+        assert np.array_equal(a, b)
+        # splitting the batch must not change any row's signature
+        half = len(texts) // 2
+        if half:
+            c = np.vstack(
+                [hashing.minhash_signature_batch(texts[:half], 16), hashing.minhash_signature_batch(texts[half:], 16)]
+            )
+            assert np.array_equal(a, c)
+
+    @given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=0, max_size=50))
+    @settings(max_examples=100, deadline=None)
+    def test_varint_roundtrip(self, vals):
+        arr = np.asarray(vals, dtype=np.uint64)
+        assert (hashing.decode_uvarints(hashing.encode_uvarints(arr)) == arr).all()
