@@ -59,56 +59,87 @@ def minhash_lsh_pairs(
     doc_a < doc_b, deduplicated."""
     rows_per_band = num_perm // bands
 
-    def sig_and_bands(batch: pa.Table) -> pa.Table:
+    def signatures(batch: pa.Table) -> pa.Table:
         # batch-vectorized signatures (functions/hashing.py reduceat kernel)
         # over the NORMALIZED text (tokenize-join, as char_shingles does)
         ids = batch.column(id_col).to_numpy()
         norm = [" ".join(tokenize(t or "")) for t in batch.column(text_col).to_pylist()]
         sigs = minhash_signature_batch(norm, num_perm, shingle_k)  # (N, P)
-        n = len(ids)
-        with np.errstate(over="ignore"):
-            banded = sigs.reshape(n, bands, rows_per_band) * np.uint64(2654435761)
-        buckets = np.bitwise_xor.reduce(banded, axis=2) & np.uint64(0x7FFFFFFFFFFFFFFF)  # (N, B)
-        out_id = np.repeat(ids.astype(np.int64), bands)
-        out_band = np.tile(np.arange(bands, dtype=np.int32), n)
-        out_hash = buckets.reshape(-1).astype(np.int64)
-        sig_rows = np.repeat(sigs.astype(np.int64), bands, axis=0)
         return pa.table(
             {
-                "band": pa.array(out_band),
-                "bucket": pa.array(out_hash),
-                id_col: pa.array(out_id),
-                "sig": pa.array(sig_rows.tolist(), pa.list_(pa.int64())),
+                id_col: pa.array(ids.astype(np.int64)),
+                "sig": pa.array(sigs.astype(np.int64).tolist(), pa.list_(pa.int64(), num_perm)),
             }
         )
 
-    banded = docs.map_batches(sig_and_bands, batch_format="pyarrow")
+    sig_ds = docs.map_batches(signatures, batch_format="pyarrow")
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard_est": []})
-        g = g.sort_values(g.columns[2], kind="mergesort")  # id col
-        ids = g.iloc[:, 2].to_numpy(dtype=np.int64)
-        sigs = np.asarray([np.asarray(s, dtype=np.int64) for s in g["sig"]], dtype=np.int64)
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                est = float((sigs[i] == sigs[j]).mean())
-                if est >= threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_j.append(est)
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "jaccard_est": out_j})
+    # band rows carry ONLY (band, bucket, doc_id) — signatures are NOT
+    # replicated through the shuffle; the candidate pairs are verified
+    # afterwards against the signature table (broadcast here; at corpus
+    # scale this verify is a doc_id-bucketed join instead)
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        sigs = np.asarray(batch.column("sig").to_pylist(), dtype=np.int64).astype(np.uint64)
+        n = len(ids)
+        if n == 0:
+            return pa.table({"band": pa.array([], pa.int32()), "bucket": pa.array([], pa.int64()), id_col: pa.array([], pa.int64())})
+        with np.errstate(over="ignore"):
+            banded = sigs.reshape(n, bands, rows_per_band) * np.uint64(2654435761)
+        buckets = np.bitwise_xor.reduce(banded, axis=2) & np.uint64(0x7FFFFFFFFFFFFFFF)
+        return pa.table(
+            {
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                "bucket": pa.array(buckets.reshape(-1).astype(np.int64)),
+                id_col: pa.array(np.repeat(ids.astype(np.int64), bands)),
+            }
+        )
 
-    pairs = banded.groupby(["band", "bucket"]).map_groups(pairs_in_bucket, batch_format="pandas")
+    sig_mat = sig_ds.materialize()
+    # bounded partition count: most buckets are singletons, and a map_groups
+    # per BUCKET pays Python overhead ~150k times — so groups are hash
+    # partitions of buckets (64 of them) and pair generation inside each
+    # partition is a vectorized pandas pass over its buckets
+    num_parts = 64
 
-    # a pair can match in several bands → dedup on (doc_a, doc_b)
-    def dedup(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def band_rows_p(batch: pa.Table) -> pa.Table:
+        t = band_rows(batch)
+        part = (t.column("bucket").to_numpy() % num_parts).astype(np.int32)
+        return t.append_column("bpart", pa.array(part))
 
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(dedup, batch_format="pandas")
+    banded = sig_mat.map_batches(band_rows_p, batch_format="pyarrow")
+
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        idc = g.columns[2]
+        g = g.drop_duplicates(["band", "bucket", idc])
+        sizes = g.groupby(["band", "bucket"])[idc].transform("size")
+        g = g[sizes > 1].sort_values(["band", "bucket", idc], kind="mergesort")
+        out_a, out_b = [], []
+        for _, grp in g.groupby(["band", "bucket"], sort=False):
+            ids = grp[idc].to_numpy(dtype=np.int64)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64), "doc_b": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}).drop_duplicates()
+
+    pairs = banded.groupby("bpart").map_groups(pairs_in_partition, batch_format="pandas")
+    pairs_pd = pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+
+    # verify candidates against the signature table (small side broadcast)
+    sig_pd = sig_mat.to_pandas()
+    sig_map = dict(zip(sig_pd[id_col], (np.asarray(s, dtype=np.int64) for s in sig_pd["sig"])))
+    if len(pairs_pd) == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame({"doc_a": pd.Series(dtype=np.int64), "doc_b": pd.Series(dtype=np.int64), "jaccard_est": pd.Series(dtype=np.float64)})
+        )
+    est = np.asarray(
+        [float((sig_map[a] == sig_map[b]).mean()) for a, b in zip(pairs_pd["doc_a"], pairs_pd["doc_b"])]
+    )
+    out = pairs_pd.assign(jaccard_est=est)
+    out = out[out["jaccard_est"] >= threshold].reset_index(drop=True)
+    return ray.data.from_pandas(out if len(out) else pd.DataFrame({"doc_a": pd.Series(dtype=np.int64), "doc_b": pd.Series(dtype=np.int64), "jaccard_est": pd.Series(dtype=np.float64)}))
 
 
 def simhash_near_dups(
@@ -143,26 +174,44 @@ def simhash_near_dups(
             }
         )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        g = g.sort_values(g.columns[0], kind="mergesort").drop_duplicates(g.columns[0])
-        ids = g.iloc[:, 0].to_numpy(dtype=np.int64)
-        sigs = g["sig"].to_numpy(dtype=np.int64).astype(np.uint64)
-        out_a, out_b, out_h = [], [], []
-        for i in range(len(ids)):
-            d = hamming64(np.full(len(ids) - i - 1, sigs[i]), sigs[i + 1 :])
-            for j, h in zip(range(i + 1, len(ids)), d):
-                if h <= max_hamming:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_h.append(int(h))
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_h})
+    num_parts = 64
 
-    cand = docs.map_batches(sig, batch_format="pyarrow").groupby(["block", "key"]).map_groups(
-        pairs, batch_format="pandas"
+    def add_part(t: pa.Table) -> pa.Table:
+        part = ((t.column("key").to_numpy().astype(np.int64) * 4 + t.column("block").to_numpy()) % num_parts).astype(np.int32)
+        return t.append_column("bpart", pa.array(part))
+
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        idc = g.columns[0]
+        g = g.drop_duplicates(["block", "key", idc])
+        sizes = g.groupby(["block", "key"])[idc].transform("size")
+        g = g[sizes > 1].sort_values(["block", "key", idc], kind="mergesort")
+        out_a, out_b, out_h = [], [], []
+        for _, grp in g.groupby(["block", "key"], sort=False):
+            ids = grp[idc].to_numpy(dtype=np.int64)
+            sigs = grp["sig"].to_numpy(dtype=np.int64).astype(np.uint64)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            h = hamming64(sigs[ia], sigs[ib])
+            keep = h <= max_hamming
+            out_a.append(ids[ia][keep])
+            out_b.append(ids[ib][keep])
+            out_h.append(h[keep])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64), "doc_b": pd.Series(dtype=np.int64), "hamming": pd.Series(dtype=np.int64)})
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b), "hamming": np.concatenate(out_h)}
+        ).drop_duplicates(["doc_a", "doc_b"])
+
+    cand = (
+        docs.map_batches(sig, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("bpart")
+        .map_groups(pairs_in_partition, batch_format="pandas")
     )
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    # a pair can match in multiple blocks → global dedup on the small result
+    out = cand.to_pandas().drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
+    return ray.data.from_pandas(
+        out if len(out) else pd.DataFrame({"doc_a": pd.Series(dtype=np.int64), "doc_b": pd.Series(dtype=np.int64), "hamming": pd.Series(dtype=np.int64)})
+    )
 
 
 def ngram_jaccard_pairs(
