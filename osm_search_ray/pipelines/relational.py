@@ -72,27 +72,31 @@ def join_customer_orders(sf_dir: str):
     The J4-style 'lookup join': customer⋈nation is tiny → broadcast dict;
     the big orders table streams through map_batches un-shuffled, partials
     pre-aggregated before the final small groupby."""
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_mktsegment"]).to_pandas()
-    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]).to_pandas()
+    import pyarrow.parquet as pq
+
+    # dimension tables are tiny: direct driver read (a Dataset pipeline per
+    # dim costs ~1-2s of scheduling for a 150-row file)
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_mktsegment"]).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]).to_pandas()
     dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[["c_custkey", "n_name", "c_mktsegment"]]
     dim_ref = ray.put(dim.set_index("c_custkey"))
 
-    class JoinRollup:
-        def __init__(self):
-            self.dim = ray.get(dim_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            df = batch.to_pandas()
-            j = df.join(self.dim, on="o_custkey", how="inner")
-            g = (
-                j.groupby(["n_name", "c_mktsegment"], sort=False)
-                .agg(n_orders=("o_orderkey", "size"), total_price=("o_totalprice", "sum"))
-                .reset_index()
-            )
-            return pa.Table.from_pandas(g, preserve_index=False)
+    def join_rollup(batch: pa.Table) -> pa.Table:
+        # stateless task: the broadcast dim table is a zero-copy object-store
+        # ray.get per batch (an actor pool's spawn cost dominates this short
+        # stage; tasks scale elastically — see stages/spatial_join.py note)
+        dim = ray.get(dim_ref)
+        df = batch.to_pandas()
+        j = df.join(dim, on="o_custkey", how="inner")
+        g = (
+            j.groupby(["n_name", "c_mktsegment"], sort=False)
+            .agg(n_orders=("o_orderkey", "size"), total_price=("o_totalprice", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    partials = orders.map_batches(JoinRollup, batch_format="pyarrow", concurrency=(1, 4))
+    partials = orders.map_batches(join_rollup, batch_format="pyarrow")
     from ._util import int_scale_columns
 
     agg = partials.groupby(["n_name", "c_mktsegment"]).aggregate(
@@ -117,23 +121,22 @@ def topk_orders_per_segment(sf_dir: str, k: int = 5):
 
     Combiner discipline: each batch keeps ≤ k rows per segment before the
     groupby shuffle, so the exchange is O(segments × blocks × k)."""
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]).to_pandas()
     dim_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
 
-    class PartialTopK:
-        def __init__(self):
-            self.seg = ray.get(dim_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            df = batch.to_pandas()
-            df["c_mktsegment"] = df["o_custkey"].map(self.seg)
-            df = df.dropna(subset=["c_mktsegment"])
-            df = df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort")
-            g = df.groupby("c_mktsegment", sort=False).head(k)
-            return pa.Table.from_pandas(g[["c_mktsegment", "o_orderkey", "o_totalprice"]], preserve_index=False)
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        seg = ray.get(dim_ref)
+        df = batch.to_pandas()
+        df["c_mktsegment"] = df["o_custkey"].map(seg)
+        df = df.dropna(subset=["c_mktsegment"])
+        df = df.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort")
+        g = df.groupby("c_mktsegment", sort=False).head(k)
+        return pa.Table.from_pandas(g[["c_mktsegment", "o_orderkey", "o_totalprice"]], preserve_index=False)
 
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    partials = orders.map_batches(PartialTopK, batch_format="pyarrow", concurrency=(1, 4))
+    partials = orders.map_batches(partial_topk, batch_format="pyarrow")
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort").head(k).copy()

@@ -50,7 +50,13 @@ class LangId:
         return pa.table({self.id_col: batch.column(self.id_col), "pred_lang": pa.array(preds, pa.string())})
 
 
-def langid_stage(docs, text_col: str = "text", id_col: str = "doc_id", concurrency=(1, 4)):
+def langid_stage(docs, text_col: str = "text", id_col: str = "doc_id", concurrency=None):
+    """Stateless tasks by default (the stopword sets are module constants —
+    an actor pool's spawn cost dominates this short stage); pass a
+    ``concurrency`` to get an actor pool for long-running corpora."""
+    if concurrency is None:
+        fn = LangId(text_col=text_col, id_col=id_col)
+        return docs.map_batches(lambda t, _fn=fn: _fn(t), batch_format="pyarrow")
     return docs.map_batches(
         LangId,
         fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
