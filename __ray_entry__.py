@@ -44,6 +44,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["join_customer_orders"] = relational.join_customer_orders
     q["topk_orders_per_segment"] = relational.topk_orders_per_segment
     q["filter_project_lineitem"] = relational.filter_project_lineitem
+    q["join_lineitem_orders_bucketed"] = relational.join_lineitem_orders_bucketed
+    q["doc_lookup"] = relational.doc_lookup
     # --- text analysis / index stats (M8, A1-A8 analogues + training-data ops) ---
     q["token_counts"] = textops.token_counts
     q["term_doc_freq"] = textops.term_doc_freq
@@ -68,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- events (streaming-shaped) ---
     q["events_hourly"] = ev.events_hourly
     q["sessionize"] = ev.sessionize
+    q["purchase_attribution"] = ev.purchase_attribution
     # --- geofencing (J6) ---
     from osm_search_ray.pipelines import geofence_pipeline
 
@@ -144,6 +147,8 @@ SELECT query_id, doc_id, rank FROM scored WHERE rank = 1
     sql["join_customer_orders"] = relational.SQL_JOIN_CUSTOMER_ORDERS
     sql["topk_orders_per_segment"] = relational.SQL_TOPK_ORDERS_PER_SEGMENT
     sql["filter_project_lineitem"] = relational.SQL_FILTER_PROJECT_LINEITEM
+    sql["join_lineitem_orders_bucketed"] = relational.SQL_JOIN_LINEITEM_ORDERS_BUCKETED
+    sql["doc_lookup"] = relational.SQL_DOC_LOOKUP
     sql["token_counts"] = textops.SQL_TOKEN_COUNTS
     sql["term_doc_freq"] = textops.SQL_TERM_DOC_FREQ
     sql["text_quality"] = textops.SQL_TEXT_QUALITY
@@ -160,6 +165,7 @@ SELECT query_id, doc_id, rank FROM scored WHERE rank = 1
     sql["ann_ivf_topk"] = simsearch.SQL_ANN_COSINE_TOPK  # nprobe=nlist → exact
     sql["events_hourly"] = ev.SQL_EVENTS_HOURLY
     sql["sessionize"] = ev.SQL_SESSIONIZE.format(gap=30 * 60)
+    sql["purchase_attribution"] = ev.SQL_PURCHASE_ATTRIBUTION
     from osm_search_ray.pipelines import geofence_pipeline
 
     sql["geofence_status"] = geofence_pipeline.SQL_GEOFENCE_STATUS

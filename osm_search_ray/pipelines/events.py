@@ -86,3 +86,65 @@ SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
        COUNT(*) AS n_events, MIN(event_id) AS first_event
 FROM sess GROUP BY 1, 2
 """
+
+
+def purchase_attribution(sf_dir: str):
+    """As-of join (ray_guide.md 'Joins and lookups'): for every purchase
+    event, the most recent PRIOR click by the same user. Partition by user,
+    sort by ts inside the group, pandas merge_asof per group.
+
+    Output (purchase_event_id, click_event_id nullable, gap_seconds_x100)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        purchases = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"], kind="mergesort")
+        clicks = g[g["event_type"] == "click"].sort_values(["ts", "event_id"], kind="mergesort")
+        if len(purchases) == 0:
+            return pd.DataFrame(
+                {"purchase_event_id": pd.Series(dtype=np.int64), "click_event_id": pd.Series(dtype=np.int64), "gap_seconds_x100": pd.Series(dtype=np.int64)}
+            )
+        m = pd.merge_asof(
+            purchases[["event_id", "ts"]],
+            clicks[["event_id", "ts"]].rename(columns={"event_id": "click_event_id", "ts": "click_ts"}),
+            left_on="ts",
+            right_on="click_ts",
+            direction="backward",
+            allow_exact_matches=False,  # strictly prior
+        )
+        gap = (m["ts"] - m["click_ts"]).dt.total_seconds()
+        # no-prior-click rows use -1 sentinels (nullable int dtypes hash
+        # inconsistently across engines)
+        return pd.DataFrame(
+            {
+                "purchase_event_id": m["event_id"].astype(np.int64),
+                "click_event_id": m["click_event_id"].fillna(-1).astype(np.int64),
+                "gap_seconds_x100": np.where(
+                    gap.notna(), np.rint(gap.fillna(0) * 100), -1
+                ).astype(np.int64),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+SQL_PURCHASE_ATTRIBUTION = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+matched AS (
+    SELECT p.event_id AS purchase_event_id,
+           (SELECT c.event_id FROM c
+            WHERE c.user_id = p.user_id AND c.ts < p.ts
+            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_event_id,
+           (SELECT c.ts FROM c
+            WHERE c.user_id = p.user_id AND c.ts < p.ts
+            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_ts
+    FROM p
+)
+SELECT purchase_event_id,
+       COALESCE(click_event_id, -1) AS click_event_id,
+       CASE WHEN click_ts IS NULL THEN -1
+            ELSE CAST(ROUND(epoch(ts_diff) * 100) AS BIGINT) END AS gap_seconds_x100
+FROM (SELECT purchase_event_id, click_event_id, click_ts,
+             (SELECT ts FROM events e WHERE e.event_id = purchase_event_id) - click_ts AS ts_diff
+      FROM matched)
+"""

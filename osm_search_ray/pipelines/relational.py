@@ -185,3 +185,59 @@ SELECT l_orderkey, l_linenumber,
        l_extendedprice * (1.0 - l_discount) AS disc_price
 FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 30.0
 """
+
+
+def join_lineitem_orders_bucketed(sf_dir: str):
+    """Both-sides-large equi-join through the generic hash-bucket partitioned
+    join (stages/joins.hash_bucket_join — the portable pattern for when no
+    side fits a broadcast), then a grouped rollup:
+    per o_orderpriority, line count + total quantity (scaled int)."""
+    import ray.data
+
+    from ..stages.joins import hash_bucket_join
+    from ._util import int_scale_columns
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
+    joined = hash_bucket_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_buckets=16)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("o_orderpriority", sort=False).agg(
+            n_lines=("l_quantity", "size"), sum_qty=("l_quantity", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_lines", alias_name="n_lines"), Sum("sum_qty", alias_name="sum_qty"))
+    )
+    return int_scale_columns(agg, {"sum_qty": 100})
+
+
+SQL_JOIN_LINEITEM_ORDERS_BUCKETED = """
+SELECT o.o_orderpriority, COUNT(*) AS n_lines,
+       CAST(ROUND(SUM(l.l_quantity) * 100) AS BIGINT) AS sum_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+
+def doc_lookup(sf_dir: str):
+    """S5/J4 analogue — point lookups as a batch semi-join: a broadcast id
+    set filters the doc store stream (no shuffle)."""
+    import ray.data
+
+    wanted = [1, 7, 42, 99, 365]
+    wanted_arr = pa.array(wanted, pa.int64())
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("doc_id"), value_set=wanted_arr)), batch_format="pyarrow"
+    )
+
+
+SQL_DOC_LOOKUP = """
+SELECT doc_id, lang, n_chars FROM documents WHERE doc_id IN (1, 7, 42, 99, 365)
+"""
