@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["langid"] = textops.langid
     q["bigram_counts"] = textops.bigram_counts
     q["postings_lists"] = textops.postings_lists
+    q["image_features"] = textops.image_features  # multimodal plumbing (rows-only)
     # --- full-text search (BM25+ with reference formula quirks) ---
     from osm_search_ray.pipelines import search_docs
 

@@ -208,3 +208,35 @@ SELECT term,
        COUNT(*) AS n_postings
 FROM occurrences GROUP BY 1
 """
+
+
+def image_features(sf_dir: str):
+    """Multimodal plumbing driver query (rows-only): documents' text bytes
+    stand in as opaque binary payloads → actor-pool decode/feature stage
+    (deterministic fake decode; stages/multimodal.py — real codecs are
+    stubbed in this container). Output (item_id, height, width, feat_sum_x1e9)."""
+    import ray.data
+
+    from ..stages.multimodal import image_feature_stage
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_binary(batch: pa.Table) -> pa.Table:
+        payloads = [t.encode() for t in batch.column("text").to_pylist()]
+        return pa.table({"item_id": batch.column("doc_id"), "payload": pa.array(payloads, pa.binary())})
+
+    feats = image_feature_stage(ds.map_batches(to_binary, batch_format="pyarrow"))
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        f = np.asarray(batch.column("features").to_pylist(), dtype=np.float64)
+        s = np.rint(f.max(axis=1) * 1e9).astype(np.int64) if len(f) else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "item_id": batch.column("item_id"),
+                "height": batch.column("height"),
+                "width": batch.column("width"),
+                "feat_max_x1e9": pa.array(s),
+            }
+        )
+
+    return feats.map_batches(summarize, batch_format="pyarrow")

@@ -87,10 +87,14 @@ def knn_nearest_docs(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
 
 
 def write_tiles(sf_dir: str, out_dir: str) -> str:
-    """Write the tiled corpus as cell-partitioned Parquet (resumable layout:
-    one directory per coarse cell; kNN and reverse geocoding prune on it)."""
-    ds = tiled_pages(sf_dir)
-    ds.write_parquet(out_dir, partition_cols=["cell_r12"])
+    """Write the tiled corpus as cell-partitioned Parquet through the
+    checkpointed sink (one directory per coarse cell + lineage manifest —
+    resumable; also avoids Arrow's 1024-partitions-per-fragment limit that
+    plain ``write_parquet(partition_cols=...)`` hits on wide cell spreads).
+    kNN and reverse geocoding prune on the cell directories."""
+    from ..sources.checkpoint import checkpointed_write
+
+    checkpointed_write(tiled_pages(sf_dir), out_dir, "cell_r12", stage="tiles")
     return out_dir
 
 

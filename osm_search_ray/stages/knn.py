@@ -134,8 +134,11 @@ def cell_knn_oneshot(
         cells = ring_only(center, res, ring)
         frames = []
         for c in cells:
-            for f in glob.glob(f"{tiles_dir}/cell={int(c)}/*.parquet"):
-                frames.append(pq.read_table(f, columns=[id_col, "lat", "lon"]).to_pandas())
+            # both layouts: ray write_parquet hive dirs and the checkpointed
+            # sink's part=<cell> dirs
+            for pat in (f"{tiles_dir}/cell={int(c)}/*.parquet", f"{tiles_dir}/part={int(c)}/*.parquet"):
+                for f in glob.glob(pat):
+                    frames.append(pq.read_table(f, columns=[id_col, "lat", "lon"]).to_pandas())
         if frames:
             df = pd.concat(frames, ignore_index=True)
             d = haversine_km(qlat, qlon, df["lat"].to_numpy(), df["lon"].to_numpy())
@@ -144,10 +147,15 @@ def cell_knn_oneshot(
             best.sort()
             best = best[:k]
         if len(best) >= k:
-            # lower bound to ring r+1: (r) full cells between → degree distance
+            # lower bound on the distance to anything in ring r+1: a point in
+            # the center cell is ≥ r axis-steps from every ring-(r+1) cell —
+            # use the SMALLER step (lon cells shrink by cos(lat)) so the
+            # bound stays conservative at all latitudes
             lat0, lon0, lat1, lon1 = cell_bounds(np.asarray([center]), res)
-            cell_h_km = (lat1[0] - lat0[0]) * 111.19492664455873
-            if best[k - 1][0] <= ring * cell_h_km:
+            lat_step_km = (lat1[0] - lat0[0]) * 111.19492664455873
+            max_abs_lat = max(abs(lat0[0]), abs(lat1[0]))
+            lon_step_km = (lon1[0] - lon0[0]) * 111.19492664455873 * max(np.cos(np.radians(max_abs_lat)), 1e-9)
+            if best[k - 1][0] <= ring * min(lat_step_km, lon_step_km):
                 break
     return pd.DataFrame(
         {

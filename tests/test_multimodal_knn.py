@@ -69,3 +69,48 @@ class TestCellKNN:
         brute = df.assign(d=d).sort_values(["d", "doc_id"]).head(k)
         assert got["doc_id"].tolist() == brute["doc_id"].tolist()
         assert np.allclose(got["dist_km"].to_numpy(), brute["d"].to_numpy())
+
+
+class TestLeftJoinAndTiles:
+    def test_broadcast_left_join_first_match(self):
+        """how='left': unmatched points keep null id; matched points get the
+        FIRST polygon (reference first-match rule)."""
+        import pyarrow as pa
+
+        from osm_search_ray.stages.spatial_join import PolygonSet, broadcast_pip_join
+
+        pts = pd.DataFrame({"doc_id": [0, 1], "lat": [0.5, 9.0], "lon": [0.5, 9.0]})
+        # two overlapping rects both containing point 0; nothing contains point 1
+        rects = pa.table(
+            {
+                "rect_id": pa.array([10, 20], pa.int64()),
+                "lat0": pa.array([0.0, 0.25]),
+                "lon0": pa.array([0.0, 0.25]),
+                "lat1": pa.array([1.0, 0.75]),
+                "lon1": pa.array([1.0, 0.75]),
+            }
+        )
+        polys = PolygonSet.from_rects(rects)
+        out = (
+            broadcast_pip_join(ray.data.from_pandas(pts), polys, how="left", id_out="rect_id")
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out["rect_id"].iloc[0] == 10  # first polygon wins
+        assert pd.isna(out["rect_id"].iloc[1])
+
+    def test_write_tiles_then_cell_knn(self, tmp_path):
+        """write_tiles (checkpointed layout) feeds the cell-kNN scale path."""
+        from osm_search_ray.functions.cells import RES_COARSE
+        from osm_search_ray.functions.geometry import haversine_km
+        from osm_search_ray.pipelines.tiling import write_tiles
+        from osm_search_ray.sources.derived import page_coords
+        from osm_search_ray.stages.knn import cell_knn_oneshot
+
+        out = write_tiles("/root/testdata/sf0.001", str(tmp_path / "tiles"))
+        got = cell_knn_oneshot(out, -6.25, 106.8, 5, res=RES_COARSE)
+        has, lat, lon = page_coords(np.arange(500))
+        d = haversine_km(-6.25, 106.8, lat[has], lon[has])
+        ids = np.arange(500)[has]
+        order = np.lexsort((ids, d))[:5]
+        assert got["doc_id"].tolist() == ids[order].tolist()
