@@ -32,12 +32,49 @@ def hash_bucket_join(
     num_buckets: int = 64,
     how: str = "inner",
     right_on: str | None = None,
+    use_native: bool = True,
 ) -> "ray.data.Dataset":
     """Partitioned hash join of two datasets on an int64 key column.
 
-    Column sets of the two sides must be disjoint apart from the key.
+    Uses this Ray version's native hash-partitioned ``Dataset.join`` when
+    available (``use_native``); the explicit bucket-union-groupby join below
+    is the portable fallback (and the reference implementation its results
+    are tested against). Column sets of the two sides must be disjoint apart
+    from the key.
     """
     right_on = right_on or on
+
+    def _native_safe(ds) -> bool:
+        # acero hash join rejects list/map/struct non-key columns at runtime
+        # (inside shuffle actors, past any plan-time try/except) — detect here
+        try:
+            s = ds.schema()
+            for t in s.types:
+                if not isinstance(t, pa.DataType) or pa.types.is_nested(t):
+                    return False
+            return True
+        except Exception:
+            return False
+
+    if use_native and hasattr(left, "join") and _native_safe(left) and _native_safe(right):
+        try:
+            joined = left.join(
+                right,
+                join_type=how,
+                num_partitions=num_buckets,
+                on=(on,),
+                right_on=(right_on,) if right_on != on else None,
+            )
+            if right_on != on:
+                # the native join drops the right key column; the portable
+                # fallback keeps it — restore it so both paths share a contract
+                joined = joined.map_batches(
+                    lambda t, _on=on, _ron=right_on: t.append_column(_ron, t.column(_on)),
+                    batch_format="pyarrow",
+                )
+            return joined
+        except Exception:
+            pass  # fall through to the portable implementation
     lcols = set(left.schema().names)
     rcols = set(right.schema().names)
     overlap = (lcols & rcols) - {on} if on == right_on else (lcols & rcols)
@@ -75,6 +112,15 @@ def hash_bucket_join(
     )
     out_names = l_names + r_names
 
+    # primitive dtypes to restore after the union (widening with None turns
+    # int64 key/value columns into object dtype inside the mixed blocks)
+    dtype_map: dict[str, str] = {}
+    for side in (left, right):
+        s = side.schema()
+        for name, t in zip(s.names, s.types):
+            if isinstance(t, pa.DataType) and (pa.types.is_integer(t) or pa.types.is_floating(t)):
+                dtype_map[name] = t.to_pandas_dtype()
+
     def join_group(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["__side"] == 0][l_names]
         rg = g[g["__side"] == 1][[right_on] + r_names] if right_on not in r_names else g[g["__side"] == 1][r_names]
@@ -82,7 +128,11 @@ def hash_bucket_join(
             merged = lg.merge(rg, on=on, how=how)
         else:
             merged = lg.merge(rg, left_on=on, right_on=right_on, how=how)
-        return merged[out_names]
+        merged = merged[out_names]
+        for col, dt in dtype_map.items():
+            if col in merged.columns and merged[col].notna().all():
+                merged[col] = merged[col].astype(dt)
+        return merged
 
     return both.groupby("__bucket").map_groups(join_group, batch_format="pandas")
 
