@@ -85,6 +85,16 @@ def build_text_index(
         .aggregate(Sum("tf", alias_name="tf"))
     )
     tf_pd = tf.to_pandas()  # small at test scale; Parquet-partitioned at 100 TB
+    if len(tf_pd) == 0:  # empty corpus → empty artifacts with fixed schema
+        empty_postings = pd.DataFrame(
+            {c: pd.Series(dtype=np.int64) for c in ["field", "term_id", "doc_id", "tf", "name_len", "address_len", "total_len"]}
+        )
+        return TextIndex(
+            terms=pd.DataFrame({"term": pd.Series(dtype=str), "term_id": pd.Series(dtype=np.int64)}),
+            postings=empty_postings,
+            term_stats=pd.DataFrame({"term_id": pd.Series(dtype=np.int64), "df": pd.Series(dtype=np.int64)}),
+            globals={"docs_count": 0, "avg_name_len": 0.0, "avg_address_len": 0.0, "avg_total_len": 0.0},
+        )
 
     # deterministic term ids: sorted unique
     terms_sorted = np.sort(tf_pd["term"].unique())

@@ -189,3 +189,18 @@ class TestTokenize:
             ).fetchall()
         ]
         assert got == exp
+
+
+class TestReferenceDistanceFixtures:
+    def test_haversine_reference_cases(self):
+        """Exact fixture cases from the reference
+        (pkg/datastructure/distance_test.go:9-51, delta 0.1 km)."""
+        cases = [
+            (-7.557155997491524, 110.77170252731288, -7.550209300671982, 110.78942094938256, 2.1),
+            (-7.546196863318374, 110.7775170972345, -7.550209300671982, 110.78942094938256, 1.38),
+            (-7.759889166547908, 110.36689459108496, -7.760335932763678, 110.37671195413539, 1.08),
+            (-7.700002453207869, 110.37712514761436, -7.760335932763678, 110.37671195413539, 6.7),
+        ]
+        for la1, lo1, la2, lo2, exp in cases:
+            got = float(geometry.haversine_km(la1, lo1, la2, lo2))
+            assert abs(got - exp) < 0.1, (exp, got)

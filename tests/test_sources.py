@@ -1,0 +1,99 @@
+"""Doc store range-partitioned lookups, multi-format pages readers,
+empty-input robustness."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from osm_search_ray.sources import doc_store
+from osm_search_ray.sources.fixtures import make_pages
+from osm_search_ray.sources.readers import read_pages, write_pages_as
+
+
+class TestDocStore:
+    def test_write_and_point_lookup(self, tmp_path):
+        n = 1000
+        docs = pd.DataFrame(
+            {"doc_id": np.arange(n, dtype=np.int64), "name": [f"doc {i}" for i in range(n)], "lat": np.linspace(-6, -5, n)}
+        )
+        out = str(tmp_path / "store")
+        doc_store.write_doc_store(ray.data.from_pandas(docs), out, range_size=100)
+        got = doc_store.get_docs(out, [5, 250, 999])
+        assert sorted(got["doc_id"]) == [5, 250, 999]
+        assert got[got["doc_id"] == 250]["name"].iloc[0] == "doc 250"
+        # missing ids return no rows, no error
+        got2 = doc_store.get_docs(out, [10_000_000])
+        assert len(got2) == 0
+
+    def test_lookup_prunes_partitions(self, tmp_path):
+        """Only the covering range partitions are read (file-level prune)."""
+        docs = pd.DataFrame({"doc_id": np.arange(1000, dtype=np.int64), "v": np.arange(1000)})
+        out = str(tmp_path / "store")
+        doc_store.write_doc_store(ray.data.from_pandas(docs), out, range_size=100)
+        import osm_search_ray.sources.doc_store as ds_mod
+
+        read_paths = []
+        orig = ds_mod.pq.read_table
+
+        def spy(path, **kw):
+            read_paths.append(path)
+            return orig(path, **kw)
+
+        ds_mod.pq.read_table = spy
+        try:
+            doc_store.get_docs(out, [5, 7])  # both in range 0
+        finally:
+            ds_mod.pq.read_table = orig
+        assert len(read_paths) == 1 and "part=0" in read_paths[0]
+
+
+class TestReaders:
+    @pytest.mark.parametrize("fmt", ["parquet", "json", "csv"])
+    def test_roundtrip_formats(self, tmp_path, fmt):
+        pages = make_pages(50)
+        ext = {"parquet": "parquet", "json": "jsonl", "csv": "csv"}[fmt]
+        path = write_pages_as(pages, str(tmp_path / f"pages.{ext}"), fmt)
+        ds = read_pages(path, fmt)
+        got = ds.to_pandas().sort_values("url").reset_index(drop=True)
+        exp = pages.to_pandas().sort_values("url").reset_index(drop=True)
+        assert len(got) == 50
+        assert got["text"].tolist() == exp["text"].tolist()  # byte-identical text per url
+        assert got["html"].tolist() == exp["html"].tolist()  # binary survives b64
+        assert (got["warc_ts"].astype("datetime64[us]") == exp["warc_ts"].astype("datetime64[us]")).all()
+
+    def test_extraction_same_across_formats(self, tmp_path):
+        """The coordinate extractor gives identical results from any source
+        format (the per-url byte-identical text invariant)."""
+        from osm_search_ray.sources.fixtures import pages_to_points
+
+        pages = make_pages(80)
+        outs = {}
+        for fmt, ext in [("parquet", "parquet"), ("json", "jsonl")]:
+            path = write_pages_as(pages, str(tmp_path / f"p.{ext}"), fmt)
+            pts = read_pages(path, fmt).map_batches(pages_to_points, batch_format="pyarrow").to_pandas()
+            outs[fmt] = pts.sort_values("url").reset_index(drop=True)
+        pd.testing.assert_frame_equal(outs["parquet"], outs["json"])
+
+
+class TestEmptyInputs:
+    def test_pip_join_empty_points(self):
+        import pyarrow as pa
+
+        from osm_search_ray.stages.spatial_join import PolygonSet, broadcast_pip_join
+
+        rects = pa.table(
+            {"rect_id": pa.array([1], pa.int64()), "lat0": pa.array([0.0]), "lon0": pa.array([0.0]), "lat1": pa.array([1.0]), "lon1": pa.array([1.0])}
+        )
+        polys = PolygonSet.from_rects(rects)
+        empty = ray.data.from_pandas(pd.DataFrame({"doc_id": pd.Series(dtype=np.int64), "lat": pd.Series(dtype=float), "lon": pd.Series(dtype=float)}))
+        out = broadcast_pip_join(empty, polys, id_out="rect_id").to_pandas()
+        assert len(out) == 0
+
+    def test_text_index_empty_docs(self):
+        from osm_search_ray.pipelines import text_index as ti
+
+        docs = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64), "name": pd.Series(dtype=str), "address": pd.Series(dtype=str)})
+        index = ti.build_text_index(ray.data.from_pandas(docs))
+        assert len(index.terms) == 0 and len(index.postings) == 0
+        assert index.globals["docs_count"] == 0
