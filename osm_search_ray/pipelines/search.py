@@ -149,3 +149,39 @@ def validate_queries(queries: "ray.data.Dataset", require_geo: bool = False) -> 
         return t.filter(mask)
 
     return queries.map_batches(fn, batch_format="pyarrow")
+
+
+def autocomplete_search(
+    corrector, queries: "ray.data.Dataset | pd.DataFrame", top_n: int = 3, concurrency=(1, 4)
+) -> "ray.data.Dataset":
+    """Batch autocomplete: queries(query_id, text) streamed through an
+    actor pool holding the corrector (sorted vocab + LM) — the engine form
+    of GET /api/autocomplete (reference spell_corrector.go:160-227).
+
+    Output (query_id, rank, completion) — completion is the completed LAST
+    term; earlier terms pass through unchanged."""
+    if isinstance(queries, pd.DataFrame):
+        queries = ray.data.from_pandas(queries)
+    ref = ray.put(corrector)
+
+    class AutocompleteActor:
+        def __init__(self):
+            self.sc = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_q, out_r, out_c = [], [], []
+            for row in batch.to_pylist():
+                toks = tokenize(row["text"])
+                for rank, cand in enumerate(self.sc.autocomplete(toks, top_n=top_n), start=1):
+                    out_q.append(int(row["query_id"]))
+                    out_r.append(rank)
+                    out_c.append(cand[-1])
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "rank": pa.array(out_r, pa.int64()),
+                    "completion": pa.array(out_c, pa.string()),
+                }
+            )
+
+    return queries.map_batches(AutocompleteActor, batch_format="pyarrow", concurrency=concurrency)

@@ -147,11 +147,12 @@ def autocomplete_docs(sf_dir: str):
     from ..state.lm import build_ngram_lm
     from ..state.spell import SpellCorrector
 
+    from .search import autocomplete_search
+
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     lm = build_ngram_lm(ds, text_cols=["text"])
     sc = SpellCorrector.build(lm.full_vocab, lm)
-    rows = []
-    for qid, prefix in AUTOCOMPLETE_PREFIXES:
-        for rank, cand in enumerate(sc.autocomplete([prefix], top_n=3), start=1):
-            rows.append((qid, rank, cand[-1]))
-    return pd.DataFrame(rows, columns=["query_id", "rank", "completion"])
+    queries = pd.DataFrame(
+        {"query_id": [q for q, _ in AUTOCOMPLETE_PREFIXES], "text": [p for _, p in AUTOCOMPLETE_PREFIXES]}
+    )
+    return autocomplete_search(sc, queries).to_pandas()

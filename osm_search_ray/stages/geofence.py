@@ -129,3 +129,94 @@ def fence_status_flow(
         return pd.DataFrame({"event_id": out_ev, "fence_key": out_key, "status": out_st})
 
     return points.groupby("point_id").map_groups(per_point, batch_format="pandas")
+
+
+def fence_status_incremental(
+    new_points: "ray.data.Dataset",
+    fences: pd.DataFrame,
+    prev_positions: pd.DataFrame | None = None,
+    k_nearest: int = 3,
+) -> tuple["ray.data.Dataset", pd.DataFrame]:
+    """Incremental batch form of the geofence flow — the engine equivalent of
+    the reference's persisted last-query-point store
+    (pkg/kvdb/kv_db.go:109-137 via pkg/geofence/fence_index.go:56-71):
+
+    ``prev_positions`` is the keyed last-value table (point_id, lat, lon)
+    carried over from the previous batch; points with no stored position use
+    the (-999, -999) sentinel, exactly like a fresh reference store. Returns
+    (status rows, updated last-value table to persist for the next batch).
+    """
+    prev_map: dict[int, tuple[float, float]] = {}
+    if prev_positions is not None:
+        prev_map = {
+            int(p): (float(la), float(lo))
+            for p, la, lo in zip(prev_positions["point_id"], prev_positions["lat"], prev_positions["lon"])
+        }
+    prev_ref = ray.put(prev_map)
+    fences_ref = ray.put(fences[["key", "lat", "lon", "radius_km"]].reset_index(drop=True))
+
+    def per_point(g: pd.DataFrame) -> pd.DataFrame:
+        f = ray.get(fences_ref)
+        stored = ray.get(prev_ref)
+        fk = f["key"].to_numpy()
+        flat = f["lat"].to_numpy()
+        flon = f["lon"].to_numpy()
+        frad = f["radius_km"].to_numpy()
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        pid = int(g["point_id"].iloc[0])
+        lat = g["lat"].to_numpy()
+        lon = g["lon"].to_numpy()
+        p0 = stored.get(pid, (NO_PREV, NO_PREV))
+        plat = np.concatenate([[p0[0]], lat[:-1]])
+        plon = np.concatenate([[p0[1]], lon[:-1]])
+        ev = g["event_id"].to_numpy()
+        out_ev, out_key, out_st = [], [], []
+        for i in range(len(g)):
+            d = equirect_approx(lat[i], lon[i], flat, flon)
+            order = np.lexsort((fk, d))[:k_nearest]
+            for j in order:
+                cur_in = haversine_km(flat[j], flon[j], lat[i], lon[i]) <= frad[j]
+                old_in = (
+                    plat[i] != NO_PREV and haversine_km(flat[j], flon[j], plat[i], plon[i]) <= frad[j]
+                )
+                if old_in and cur_in:
+                    st = [STATUS_INSIDE]
+                elif old_in and not cur_in:
+                    st = [STATUS_EXIT, STATUS_OUTSIDE]
+                elif not old_in and cur_in:
+                    st = [STATUS_ENTER, STATUS_INSIDE]
+                else:
+                    crossed = line_circle_intersect(
+                        np.asarray([plat[i]]), np.asarray([plon[i]]), np.asarray([lat[i]]), np.asarray([lon[i]]),
+                        flat[j], flon[j], frad[j],
+                    )[0]
+                    st = [STATUS_CROSS] if crossed else [STATUS_OUTSIDE]
+                for s_ in st:
+                    out_ev.append(int(ev[i]))
+                    out_key.append(int(fk[j]))
+                    out_st.append(s_)
+        res = pd.DataFrame({"event_id": out_ev, "fence_key": out_key, "status": out_st})
+        # last row also reports the new stored position via a side channel col
+        res["__pid"] = pid
+        res["__last_lat"] = lat[-1]
+        res["__last_lon"] = lon[-1]
+        return res
+
+    out = new_points.groupby("point_id").map_groups(per_point, batch_format="pandas")
+    out_pd = out.to_pandas()
+    if len(out_pd):
+        updated = (
+            out_pd.groupby("__pid").agg(lat=("__last_lat", "first"), lon=("__last_lon", "first")).reset_index()
+        ).rename(columns={"__pid": "point_id"})
+    else:
+        updated = pd.DataFrame({"point_id": pd.Series(dtype=np.int64), "lat": pd.Series(dtype=float), "lon": pd.Series(dtype=float)})
+    # merge with untouched stored positions
+    if prev_positions is not None and len(prev_positions):
+        untouched = prev_positions[~prev_positions["point_id"].isin(updated["point_id"])]
+        updated = pd.concat([untouched, updated], ignore_index=True)
+    statuses = out_pd.drop(columns=["__pid", "__last_lat", "__last_lon"])
+    import ray.data as rd
+
+    return rd.from_pandas(statuses) if len(statuses) else rd.from_pandas(
+        pd.DataFrame({"event_id": pd.Series(dtype=np.int64), "fence_key": pd.Series(dtype=np.int64), "status": pd.Series(dtype=str)})
+    ), updated

@@ -79,3 +79,39 @@ class TestTransitions:
         )
         out = self._run(pts, fences)
         assert out[out["event_id"] == 1]["status"].tolist() == ["CROSS"]
+
+
+class TestIncrementalState:
+    def test_incremental_equals_full_replay(self):
+        """Processing the event log in two batches with the carried last-value
+        table gives the SAME statuses as one full replay (the kvdb
+        last-point-store semantics, fence_index.go:56-71)."""
+        import ray.data
+
+        from osm_search_ray.stages.geofence import fence_status_incremental
+
+        fences = pd.DataFrame({"key": [1], "lat": [CENTER[0]], "lon": [CENTER[1]], "radius_km": [RADIUS]})
+        ts = pd.to_datetime(
+            ["2024-01-01 00:00", "2024-01-01 00:01", "2024-01-01 00:02", "2024-01-01 00:03"]
+        )
+        pts = pd.DataFrame(
+            {
+                "event_id": [0, 1, 2, 3],
+                "point_id": [7, 7, 7, 7],
+                "ts": ts,
+                "lat": [CENTER[0]] * 4,
+                "lon": [CENTER[1] + 0.05, CENTER[1], CENTER[1] + 0.001, CENTER[1] + 0.05],
+            }
+        )
+        full = fence_status_flow(ray.data.from_pandas(pts), fences, k_nearest=1).to_pandas()
+
+        s1, state = fence_status_incremental(ray.data.from_pandas(pts.iloc[:2]), fences, None, k_nearest=1)
+        s2, state2 = fence_status_incremental(ray.data.from_pandas(pts.iloc[2:]), fences, state, k_nearest=1)
+        inc = pd.concat([s1.to_pandas(), s2.to_pandas()], ignore_index=True)
+
+        key = ["event_id", "fence_key", "status"]
+        pd.testing.assert_frame_equal(
+            full[key].sort_values(key).reset_index(drop=True), inc[key].sort_values(key).reset_index(drop=True)
+        )
+        # the carried state holds the LAST position
+        assert state2[state2["point_id"] == 7]["lon"].iloc[0] == pytest.approx(CENTER[1] + 0.05)
