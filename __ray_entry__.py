@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_hourly"] = ev.events_hourly
     q["sessionize"] = ev.sessionize
     q["purchase_attribution"] = ev.purchase_attribution
+    q["approx_distinct_users"] = ev.approx_distinct_users  # HLL sketch (rows-only)
     # --- geofencing (J6) ---
     from osm_search_ray.pipelines import geofence_pipeline
 

@@ -148,3 +148,28 @@ FROM (SELECT purchase_event_id, click_event_id, click_ts,
              (SELECT ts FROM events e WHERE e.event_id = purchase_event_id) - click_ts AS ts_diff
       FROM matched)
 """
+
+
+def approx_distinct_users(sf_dir: str):
+    """HLL approximate distinct users per event_type (mergeable-sketch
+    partials; stages/sketches.py). Output (event_type, approx_users,
+    exact_users) — rows-only driver check (estimate is engine-defined), the
+    ±5% bound vs exact is asserted in tests."""
+    import pyarrow.parquet as pq
+
+    from ..stages.sketches import approx_distinct
+
+    types = sorted(
+        set(pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type"]).column("event_type").to_pylist())
+    )
+    rows = []
+    for et in types:
+        ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+        ds = ds.map_batches(
+            lambda t, _et=et: t.filter(pa.compute.equal(t.column("event_type"), _et)), batch_format="pyarrow"
+        )
+        est = approx_distinct(ds, "user_id", p=12)
+        exact = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]).to_pandas()
+        exact_n = exact[exact["event_type"] == et]["user_id"].nunique()
+        rows.append((et, int(round(est)), int(exact_n)))
+    return pd.DataFrame(rows, columns=["event_type", "approx_users", "exact_users"])

@@ -142,3 +142,34 @@ def test_native_vs_portable_bucket_join():
     pd.testing.assert_frame_equal(
         a[key].sort_values(key).reset_index(drop=True), b[key].sort_values(key).reset_index(drop=True)
     )
+
+
+class TestHLL:
+    def test_estimate_within_error(self):
+        from osm_search_ray.stages.sketches import approx_distinct
+
+        n = 20_000
+        df = pd.DataFrame({"v": (np.arange(n * 3, dtype=np.int64) % n)})  # n distinct, 3x dup
+        est = approx_distinct(ray.data.from_pandas(df), "v", p=12)
+        assert abs(est - n) / n < 0.05  # HLL p=12 → ~1.6% typical error
+
+    def test_merge_equals_single(self):
+        from osm_search_ray.stages.sketches import hll_add_hashes, hll_create, hll_estimate, hll_merge
+        from osm_search_ray.functions.hashing import splitmix64
+
+        h = splitmix64(np.arange(10_000, dtype=np.uint64))
+        full = hll_create(10)
+        hll_add_hashes(full, h)
+        a, b = hll_create(10), hll_create(10)
+        hll_add_hashes(a, h[:6000])
+        hll_add_hashes(b, h[4000:])  # overlapping halves
+        merged = hll_merge(a, b)
+        assert (merged == full).all()  # mergeability is exact
+        assert abs(hll_estimate(full) - 10_000) / 10_000 < 0.1
+
+    def test_string_column(self):
+        from osm_search_ray.stages.sketches import approx_distinct
+
+        df = pd.DataFrame({"s": [f"user-{i % 500}" for i in range(5000)]})
+        est = approx_distinct(ray.data.from_pandas(df), "s", p=12)
+        assert abs(est - 500) / 500 < 0.1
