@@ -26,8 +26,21 @@ import ray
 import ray.data
 
 from ..functions.geometry import bbox_contains, median_centroid
+
+
+def pack_ring(lat: np.ndarray, lon: np.ndarray) -> bytes:
+    """Ring coords → packed float64 bytes (lat array then lon array)."""
+    return np.ascontiguousarray(
+        np.concatenate([np.asarray(lat, np.float64), np.asarray(lon, np.float64)])
+    ).tobytes()
+
+
+def unpack_ring(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    flat = np.frombuffer(blob, dtype=np.float64)
+    half = len(flat) // 2
+    return flat[:half], flat[half:]
 from ..stages import maps
-from ..stages.joins import hash_bucket_join, zip_with_index
+from ..stages.joins import grouped_apply_bounded, hash_bucket_join, hash_partitioned_apply, zip_with_index
 from ..stages.spatial_join import PolygonSet, broadcast_pip_join
 
 
@@ -47,7 +60,7 @@ def explode_way_nodes(batch: pa.Table, id_col: str = "id", list_col: str = "node
 def build_way_geometries(ways: "ray.data.Dataset", nodes: "ray.data.Dataset", num_buckets: int = 16) -> "ray.data.Dataset":
     """J1: gather each way's node coordinates in ring order.
 
-    Output: (way_id, ring_lat list<double>, ring_lon list<double>,
+    Output: (way_id, ring: packed float64 bytes,
     clat, clon  — the reference median 'centroid', M5,
     lat0/lon0/lat1/lon1 — the MBR).
     """
@@ -58,26 +71,42 @@ def build_way_geometries(ways: "ray.data.Dataset", nodes: "ray.data.Dataset", nu
     )
     joined = hash_bucket_join(exploded, coords, on="node_id", num_buckets=num_buckets)
 
-    def regroup(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("pos", kind="mergesort")
-        lat = g["lat"].to_numpy()
-        lon = g["lon"].to_numpy()
-        clat, clon = median_centroid(lat, lon)
+    def regroup_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # fully vectorized per-partition: group boundaries via np.unique +
+        # reduceat; medians via per-axis lexsort and the len//2 element
+        # (the reference median rule, M5); rings packed as float64 bytes
+        # (uniform-length list columns trip Ray's tensor-extension concat)
+        if len(g) == 0:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in [
+                    ("way_id", np.int64), ("ring", object), ("clat", float), ("clon", float),
+                    ("lat0", float), ("lon0", float), ("lat1", float), ("lon1", float)]}
+            )
+        g = g.sort_values(["way_id", "pos"], kind="mergesort")
+        wid = g["way_id"].to_numpy(dtype=np.int64)
+        lat = g["lat"].to_numpy(dtype=np.float64)
+        lon = g["lon"].to_numpy(dtype=np.float64)
+        uniq, starts = np.unique(wid, return_index=True)
+        lens = np.diff(np.append(starts, len(wid)))
+        rings = [pack_ring(lat[s : s + l], lon[s : s + l]) for s, l in zip(starts, lens)]
+        order_lat = np.lexsort((lat, wid))
+        order_lon = np.lexsort((lon, wid))
+        med_lat = lat[order_lat][starts + lens // 2]
+        med_lon = lon[order_lon][starts + lens // 2]
         return pd.DataFrame(
             {
-                "way_id": [g["way_id"].iloc[0]],
-                "ring_lat": [lat.tolist()],
-                "ring_lon": [lon.tolist()],
-                "clat": [clat],
-                "clon": [clon],
-                "lat0": [float(lat.min())],
-                "lon0": [float(lon.min())],
-                "lat1": [float(lat.max())],
-                "lon1": [float(lon.max())],
+                "way_id": uniq,
+                "ring": rings,
+                "clat": med_lat,
+                "clon": med_lon,
+                "lat0": np.minimum.reduceat(lat, starts),
+                "lon0": np.minimum.reduceat(lon, starts),
+                "lat1": np.maximum.reduceat(lat, starts),
+                "lon1": np.maximum.reduceat(lon, starts),
             }
         )
 
-    return joined.groupby("way_id").map_groups(regroup, batch_format="pandas")
+    return hash_partitioned_apply(joined, "way_id", regroup_partition, num_parts=num_buckets * 2)
 
 
 def build_relation_boundaries(
@@ -86,7 +115,7 @@ def build_relation_boundaries(
     """J2: concat member-way node coords in member order (the reference does
     NOT close or orient rings — pkg/geo/parse_osm.go:348-368; neither do we).
 
-    Output: (rel_id, name, admin_level, postal_code, ring_lat, ring_lon,
+    Output: (rel_id, name, admin_level, postal_code, ring: packed bytes,
     clat, clon, lat0..lon1)."""
 
     def explode_rel(batch: pa.Table) -> pa.Table:
@@ -110,14 +139,14 @@ def build_relation_boundaries(
 
     def regroup(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("member_pos", kind="mergesort")
-        lat = np.concatenate([np.asarray(r) for r in g["ring_lat"]])
-        lon = np.concatenate([np.asarray(r) for r in g["ring_lon"]])
+        parts = [unpack_ring(r) for r in g["ring"]]
+        lat = np.concatenate([p[0] for p in parts])
+        lon = np.concatenate([p[1] for p in parts])
         clat, clon = median_centroid(lat, lon)  # M6 — same median semantics
         return pd.DataFrame(
             {
                 "rel_id": [g["rel_id"].iloc[0]],
-                "ring_lat": [lat.tolist()],
-                "ring_lon": [lon.tolist()],
+                "ring": [pack_ring(lat, lon)],
                 "clat": [clat],
                 "clon": [clon],
                 "lat0": [float(lat.min())],
@@ -154,23 +183,33 @@ def dedup_documents(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 
         return batch.append_column("name_lower", pc.utf8_lower(batch.column("name")))
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["src_rank", "orig_id"], kind="mergesort")
-        reg: tuple[float, float, float, float] | None = None
-        keep = []
-        for i, row in enumerate(g.itertuples(index=False)):
-            box = (row.lat0, row.lon0, row.lat1, row.lon1)
-            if reg is not None and (bbox_contains(reg, box) or bbox_contains(box, reg)):
-                keep.append(False)
-                continue
-            keep.append(True)
-            reg = box if reg is None else (
-                min(reg[0], box[0]), min(reg[1], box[1]), max(reg[2], box[2]), max(reg[3], box[3])
-            )
-        return g[np.asarray(keep)]
+    def resolve_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # names are mostly unique: vectorized fast path keeps all singleton
+        # name-groups; only multi-doc names run the sequential registry rule
+        if len(g) == 0:
+            return g
+        g = g.sort_values(["name_lower", "src_rank", "orig_id"], kind="mergesort")
+        sizes = g.groupby("name_lower", sort=False)["orig_id"].transform("size").to_numpy()
+        singles = g[sizes == 1]
+        multi = g[sizes > 1]
+        kept = [singles]
+        for _, sub in multi.groupby("name_lower", sort=False):
+            reg: tuple[float, float, float, float] | None = None
+            keep = []
+            for row in sub.itertuples(index=False):
+                box = (row.lat0, row.lon0, row.lat1, row.lon1)
+                if reg is not None and (bbox_contains(reg, box) or bbox_contains(box, reg)):
+                    keep.append(False)
+                    continue
+                keep.append(True)
+                reg = box if reg is None else (
+                    min(reg[0], box[0]), min(reg[1], box[1]), max(reg[2], box[2]), max(reg[3], box[3])
+                )
+            kept.append(sub[np.asarray(keep)])
+        return pd.concat(kept, ignore_index=True)
 
-    return docs.map_batches(add_key, batch_format="pyarrow").groupby("name_lower").map_groups(
-        resolve, batch_format="pandas"
+    return hash_partitioned_apply(
+        docs.map_batches(add_key, batch_format="pyarrow"), "name_lower", resolve_partition, num_parts=64
     )
 
 
@@ -313,10 +352,7 @@ def enrich_addresses(
     by_level: dict[str, PolygonSet] = {}
     meta: dict[str, dict[int, tuple[str, str]]] = {}
     for level, grp in boundaries_pd.groupby("admin_level"):
-        rings = [
-            (np.asarray(r_lat, dtype=np.float64), np.asarray(r_lon, dtype=np.float64))
-            for r_lat, r_lon in zip(grp["ring_lat"], grp["ring_lon"])
-        ]
+        rings = [unpack_ring(r) for r in grp["ring"]]
         by_level[level] = PolygonSet.from_rings(grp["rel_id"].to_numpy(np.int64), rings)
         meta[level] = {
             int(r): (nm, pc_ or "") for r, nm, pc_ in zip(grp["rel_id"], grp["name"], grp["postal_code"])

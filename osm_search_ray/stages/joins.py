@@ -161,3 +161,62 @@ def zip_with_index(ds: "ray.data.Dataset", id_col: str = "row_id") -> "ray.data.
 
     out_refs = [add_ids.remote(r, int(o)) for r, o in zip(refs, offsets)]
     return ray.data.from_arrow_refs(out_refs)
+
+
+def grouped_apply_bounded(
+    ds: "ray.data.Dataset",
+    key: str | list[str],
+    per_group_fn,
+    num_parts: int = 64,
+) -> "ray.data.Dataset":
+    """groupby(key).map_groups with BOUNDED Ray-group count: Ray's map_groups
+    pays ~ms Python overhead per group, catastrophic for >10k tiny groups
+    (ways, doc names, LSH buckets). Keys are hash-partitioned into
+    ``num_parts`` Ray groups; real per-key grouping happens inside each
+    partition as an in-process pandas loop.
+
+    ``per_group_fn(sub_df) -> df`` — same contract as map_groups' fn.
+    Key hashing uses pandas' deterministic hash (stable across processes)."""
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        df_keys = batch.select(keys).to_pandas()
+        h = pd.util.hash_pandas_object(df_keys, index=False).to_numpy()
+        return batch.append_column("__gpart", pa.array((h % num_parts).astype(np.int32)))
+
+    def apply_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__gpart"])
+        outs = [per_group_fn(sub) for _, sub in g.groupby(keys, sort=False)]
+        outs = [o for o in outs if o is not None and len(o)]
+        if not outs:
+            return per_group_fn(g.iloc[0:0]) if len(g) == 0 else pd.DataFrame()
+        return pd.concat(outs, ignore_index=True)
+
+    return ds.map_batches(add_part, batch_format="pyarrow").groupby("__gpart").map_groups(
+        apply_partition, batch_format="pandas"
+    )
+
+
+def hash_partitioned_apply(
+    ds: "ray.data.Dataset",
+    key: str | list[str],
+    partition_fn,
+    num_parts: int = 64,
+) -> "ray.data.Dataset":
+    """Hash-partition rows by key into ``num_parts`` Ray groups and hand each
+    WHOLE partition to ``partition_fn(df) -> df`` — for fully-vectorized
+    per-partition kernels (reduceat over group boundaries etc.) where even an
+    in-process per-group loop is too slow."""
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        df_keys = batch.select(keys).to_pandas()
+        h = pd.util.hash_pandas_object(df_keys, index=False).to_numpy()
+        return batch.append_column("__gpart", pa.array((h % num_parts).astype(np.int32)))
+
+    def apply_partition(g: pd.DataFrame) -> pd.DataFrame:
+        return partition_fn(g.drop(columns=["__gpart"]))
+
+    return ds.map_batches(add_part, batch_format="pyarrow").groupby("__gpart").map_groups(
+        apply_partition, batch_format="pandas"
+    )

@@ -75,8 +75,11 @@ def test_way_centroid_median_semantics(ingested, osm_dir):
 def test_boundaries(ingested):
     _, b, _ = ingested
     assert set(b["name"]) == {"Indonesia", "Jawa Barat", "Jakarta", "Jakarta Selatan", "Kebayoran", "Gandaria"}
+    from osm_search_ray.pipelines.ingest import unpack_ring
+
     ind = b[b["name"] == "Indonesia"].iloc[0]
-    assert len(ind["ring_lat"]) == 5
+    rl, _ = unpack_ring(ind["ring"])
+    assert len(rl) == 5
     assert ind["lat0"] == pytest.approx(-9.25) and ind["lat1"] == pytest.approx(-3.25)
 
 
