@@ -66,7 +66,9 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
         )
         return out[["user_id", "session_idx", "n_events", "first_event"]]
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    from ..stages.joins import grouped_apply_bounded
+
+    return grouped_apply_bounded(ds, "user_id", per_user, num_parts=64)
 
 
 SQL_SESSIONIZE = """
@@ -124,7 +126,9 @@ def purchase_attribution(sf_dir: str):
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    from ..stages.joins import grouped_apply_bounded
+
+    return grouped_apply_bounded(ds, "user_id", per_user, num_parts=64)
 
 
 SQL_PURCHASE_ATTRIBUTION = """

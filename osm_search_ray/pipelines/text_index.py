@@ -190,10 +190,10 @@ def spimi_postings_lists(docs: "ray.data.Dataset", text_col: str = "text", id_co
             }
         )
 
-    return (
-        docs.map_batches(explode, batch_format="pyarrow")
-        .groupby("term")
-        .map_groups(collect, batch_format="pandas")
+    from ..stages.joins import grouped_apply_bounded
+
+    return grouped_apply_bounded(
+        docs.map_batches(explode, batch_format="pyarrow"), "term", collect, num_parts=64
     )
 
 

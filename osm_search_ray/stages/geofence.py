@@ -128,7 +128,9 @@ def fence_status_flow(
                     out_st.append(s)
         return pd.DataFrame({"event_id": out_ev, "fence_key": out_key, "status": out_st})
 
-    return points.groupby("point_id").map_groups(per_point, batch_format="pandas")
+    from .joins import grouped_apply_bounded
+
+    return grouped_apply_bounded(points, "point_id", per_point, num_parts=64)
 
 
 def fence_status_incremental(
@@ -202,7 +204,9 @@ def fence_status_incremental(
         res["__last_lon"] = lon[-1]
         return res
 
-    out = new_points.groupby("point_id").map_groups(per_point, batch_format="pandas")
+    from .joins import grouped_apply_bounded
+
+    out = grouped_apply_bounded(new_points, "point_id", per_point, num_parts=64)
     out_pd = out.to_pandas()
     if len(out_pd):
         updated = (

@@ -306,7 +306,9 @@ def partitioned_pip_join(
         out["poly_id"] = pset.poly_id[pl_idx]
         return out
 
-    joined = both.groupby(["cell", "salt"]).map_groups(join_group, batch_format="pandas")
+    from .joins import grouped_apply_bounded
+
+    joined = grouped_apply_bounded(both, ["cell", "salt"], join_group, num_parts=64)
     keep = point_cols + ["poly_id"]
     joined = joined.select_columns(keep)
 
