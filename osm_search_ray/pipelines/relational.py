@@ -199,7 +199,7 @@ def join_lineitem_orders_bucketed(sf_dir: str):
 
     li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
-    joined = hash_bucket_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_buckets=16)
+    joined = hash_bucket_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_buckets=16, use_native=True)
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()

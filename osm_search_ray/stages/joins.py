@@ -32,15 +32,18 @@ def hash_bucket_join(
     num_buckets: int = 64,
     how: str = "inner",
     right_on: str | None = None,
-    use_native: bool = True,
+    use_native: bool = False,
 ) -> "ray.data.Dataset":
     """Partitioned hash join of two datasets on an int64 key column.
 
-    Uses this Ray version's native hash-partitioned ``Dataset.join`` when
-    available (``use_native``); the explicit bucket-union-groupby join below
-    is the portable fallback (and the reference implementation its results
-    are tested against). Column sets of the two sides must be disjoint apart
-    from the key.
+    ``use_native=True`` opts into this Ray version's hash-partitioned
+    ``Dataset.join`` — ONLY safe when both inputs have clean flat Arrow
+    schemas end-to-end (e.g. straight from read_parquet): upstream
+    map_groups stages can emit schema-less empty pandas blocks that crash
+    acero at EXECUTION time, past any plan-time guard. The explicit
+    bucket-union-groupby join below is the portable default (and the
+    reference implementation the native path is tested against). Column
+    sets of the two sides must be disjoint apart from the key.
     """
     right_on = right_on or on
 
@@ -189,7 +192,9 @@ def grouped_apply_bounded(
         outs = [per_group_fn(sub) for _, sub in g.groupby(keys, sort=False)]
         outs = [o for o in outs if o is not None and len(o)]
         if not outs:
-            return per_group_fn(g.iloc[0:0]) if len(g) == 0 else pd.DataFrame()
+            # ALWAYS return the fn's empty-frame schema — a bare DataFrame()
+            # emits a schema-less block that breaks downstream Arrow ops
+            return per_group_fn(g.iloc[0:0])
         return pd.concat(outs, ignore_index=True)
 
     return ds.map_batches(add_part, batch_format="pyarrow").groupby("__gpart").map_groups(
