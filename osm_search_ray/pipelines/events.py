@@ -113,16 +113,17 @@ def purchase_attribution(sf_dir: str):
             direction="backward",
             allow_exact_matches=False,  # strictly prior
         )
-        gap = (m["ts"] - m["click_ts"]).dt.total_seconds()
-        # no-prior-click rows use -1 sentinels (nullable int dtypes hash
-        # inconsistently across engines)
+        # EXACT integer microsecond arithmetic (float seconds * 100 lands
+        # on .5 boundaries when micros % 10000 == 5000, where np.rint
+        # half-to-even and SQL ROUND half-away disagree)
+        gap_int = (m["ts"].values.astype("datetime64[us]").astype(np.int64)
+                   - m["click_ts"].values.astype("datetime64[us]").astype(np.int64))
+        has = m["click_ts"].notna().to_numpy()
         return pd.DataFrame(
             {
                 "purchase_event_id": m["event_id"].astype(np.int64),
                 "click_event_id": m["click_event_id"].fillna(-1).astype(np.int64),
-                "gap_seconds_x100": np.where(
-                    gap.notna(), np.rint(gap.fillna(0) * 100), -1
-                ).astype(np.int64),
+                "gap_seconds_x100": np.where(has, np.where(has, gap_int, 0) // 10000, -1).astype(np.int64),
             }
         )
 
@@ -147,9 +148,9 @@ matched AS (
 SELECT purchase_event_id,
        COALESCE(click_event_id, -1) AS click_event_id,
        CASE WHEN click_ts IS NULL THEN -1
-            ELSE CAST(ROUND(epoch(ts_diff) * 100) AS BIGINT) END AS gap_seconds_x100
+            ELSE (epoch_us(p_ts) - epoch_us(click_ts)) // 10000 END AS gap_seconds_x100
 FROM (SELECT purchase_event_id, click_event_id, click_ts,
-             (SELECT ts FROM events e WHERE e.event_id = purchase_event_id) - click_ts AS ts_diff
+             (SELECT ts FROM events e WHERE e.event_id = purchase_event_id) AS p_ts
       FROM matched)
 """
 
