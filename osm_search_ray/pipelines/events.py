@@ -26,24 +26,22 @@ def events_hourly(sf_dir: str):
         df = pd.DataFrame(
             {"event_type": batch.column("event_type").to_pandas(), "hour_bucket": hour, "value": batch.column("value").to_numpy()}
         )
+        df["value_c"] = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
         g = df.groupby(["event_type", "hour_bucket"], sort=False).agg(
-            n_events=("value", "size"), sum_value=("value", "sum")
+            n_events=("value_c", "size"), sum_value=("value_c", "sum")
         ).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    from ._util import int_scale_columns
-
-    agg = partials.groupby(["event_type", "hour_bucket"]).aggregate(
+    return partials.groupby(["event_type", "hour_bucket"]).aggregate(
         Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value")
     )
-    return int_scale_columns(agg, {"sum_value": 100})
 
 
 SQL_EVENTS_HOURLY = """
 SELECT event_type,
        CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket,
-       COUNT(*) AS n_events, CAST(ROUND(SUM(value) * 100) AS BIGINT) AS sum_value
+       COUNT(*) AS n_events, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
 FROM events GROUP BY 1, 2
 """
 

@@ -29,37 +29,39 @@ def agg_pricing(sf_dir: str):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
+        # integerize PER ROW (all inputs have exactly 2 decimals), sum in
+        # int64: zero float accumulation, so the engine and the SQL oracle
+        # are exactly equal at any scale (float sums diverge in the last
+        # ulps and scaled rounding can straddle .5 boundaries)
         df = batch.to_pandas()
-        df["revenue"] = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        qty_c = np.rint(df["l_quantity"].to_numpy() * 100).astype(np.int64)
+        price_c = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_pct = np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        df["sum_qty"] = qty_c
+        df["sum_price"] = price_c
+        df["revenue"] = price_c * (100 - disc_pct)  # price_cents × pct → ×10000
         g = (
             df.groupby(["l_returnflag", "l_linestatus"], sort=False)
-            .agg(
-                sum_qty=("l_quantity", "sum"),
-                sum_price=("l_extendedprice", "sum"),
-                revenue=("revenue", "sum"),
-                n_rows=("l_quantity", "size"),
-            )
+            .agg(sum_qty=("sum_qty", "sum"), sum_price=("sum_price", "sum"), revenue=("revenue", "sum"), n_rows=("l_quantity", "size"))
             .reset_index()
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    from ._util import int_scale_columns
-
-    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
         Sum("sum_qty", alias_name="sum_qty"),
         Sum("sum_price", alias_name="sum_price"),
         Sum("revenue", alias_name="revenue"),
         Sum("n_rows", alias_name="n_rows"),
     )
-    return int_scale_columns(agg, {"sum_qty": 100, "sum_price": 100, "revenue": 100})
 
 
 SQL_AGG_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       CAST(ROUND(SUM(l_quantity) * 100) AS BIGINT) AS sum_qty,
-       CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS sum_price,
-       CAST(ROUND(SUM(l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT) AS revenue,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue,
        COUNT(*) AS n_rows
 FROM lineitem GROUP BY 1, 2
 """
@@ -88,26 +90,25 @@ def join_customer_orders(sf_dir: str):
         dim = ray.get(dim_ref)
         df = batch.to_pandas()
         j = df.join(dim, on="o_custkey", how="inner")
+        # exact integer cents per row → int64 sums (no float accumulation)
+        j["total_price"] = np.rint(j["o_totalprice"].to_numpy() * 100).astype(np.int64)
         g = (
             j.groupby(["n_name", "c_mktsegment"], sort=False)
-            .agg(n_orders=("o_orderkey", "size"), total_price=("o_totalprice", "sum"))
+            .agg(n_orders=("o_orderkey", "size"), total_price=("total_price", "sum"))
             .reset_index()
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
     partials = orders.map_batches(join_rollup, batch_format="pyarrow")
-    from ._util import int_scale_columns
-
-    agg = partials.groupby(["n_name", "c_mktsegment"]).aggregate(
+    return partials.groupby(["n_name", "c_mktsegment"]).aggregate(
         Sum("n_orders", alias_name="n_orders"), Sum("total_price", alias_name="total_price")
     )
-    return int_scale_columns(agg, {"total_price": 100})
 
 
 SQL_JOIN_CUSTOMER_ORDERS = """
 SELECT n.n_name, c.c_mktsegment,
-       COUNT(*) AS n_orders, CAST(ROUND(SUM(o.o_totalprice) * 100) AS BIGINT) AS total_price
+       COUNT(*) AS n_orders, CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_price
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -203,22 +204,22 @@ def join_lineitem_orders_bucketed(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
+        df["sum_qty"] = np.rint(df["l_quantity"].to_numpy() * 100).astype(np.int64)
         g = df.groupby("o_orderpriority", sort=False).agg(
-            n_lines=("l_quantity", "size"), sum_qty=("l_quantity", "sum")
+            n_lines=("sum_qty", "size"), sum_qty=("sum_qty", "sum")
         ).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    agg = (
+    return (
         joined.map_batches(partial, batch_format="pyarrow")
         .groupby("o_orderpriority")
         .aggregate(Sum("n_lines", alias_name="n_lines"), Sum("sum_qty", alias_name="sum_qty"))
     )
-    return int_scale_columns(agg, {"sum_qty": 100})
 
 
 SQL_JOIN_LINEITEM_ORDERS_BUCKETED = """
 SELECT o.o_orderpriority, COUNT(*) AS n_lines,
-       CAST(ROUND(SUM(l.l_quantity) * 100) AS BIGINT) AS sum_qty
+       CAST(SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1
 """
