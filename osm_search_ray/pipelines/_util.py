@@ -9,6 +9,11 @@ import pyarrow as pa
 def int_scale_columns(ds, cols: dict[str, int]):
     """Convert float aggregate columns to scaled BIGINT (e.g. cents).
 
+    NOTE: prefer integerizing PER ROW before the sum (see
+    pipelines/relational.agg_pricing) — rounding after a float sum can
+    straddle .5 boundaries at scale; this helper remains for aggregate
+    outputs whose per-row form is unavailable.
+
     Distributed float sums are order-dependent in the last ulps, and float
     ROUND implementations differ between engines — so every float AGGREGATE
     column is emitted as ``CAST(ROUND(x * scale) AS BIGINT)`` on both the Ray

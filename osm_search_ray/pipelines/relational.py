@@ -196,7 +196,6 @@ def join_lineitem_orders_bucketed(sf_dir: str):
     import ray.data
 
     from ..stages.joins import hash_bucket_join
-    from ._util import int_scale_columns
 
     li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
