@@ -1,0 +1,78 @@
+"""Job-level end-to-end: build_index → re-submit (resume) → run_queries,
+in real subprocesses (each owns its Ray session, like `ray job submit`)."""
+
+import glob
+import json
+import os
+import subprocess
+import sys
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, timeout=420):
+    return subprocess.run(
+        [sys.executable] + args,
+        cwd=REPO,
+        env=dict(os.environ, RAY_GRAFT_CPUS="4"),
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+
+
+@pytest.fixture(scope="module")
+def osm_dir(tmp_path_factory):
+    from osm_search_ray.sources.fixtures import make_osm_tables
+
+    d = tmp_path_factory.mktemp("osm_job")
+    for name, tbl in make_osm_tables().items():
+        pq.write_table(tbl, d / f"{name}.parquet")
+    return str(d)
+
+
+def test_build_resume_and_serve(osm_dir, tmp_path):
+    out = str(tmp_path / "index")
+    r1 = _run(["jobs/build_index.py", "--osm-dir", osm_dir, "--out", out])
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    assert "BUILD COMPLETE" in r1.stdout
+
+    # re-submit: every stage must be skipped (resume)
+    r2 = _run(["jobs/build_index.py", "--osm-dir", osm_dir, "--out", out])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "already complete" in r2.stdout and "BUILD COMPLETE" in r2.stdout
+
+    # manifests carry lineage + metrics
+    with open(os.path.join(out, "docs", "_manifest.jsonl")) as f:
+        rows = [json.loads(l) for l in f]
+    assert all(r["status"] == "done" and r["row_count"] > 0 for r in rows)
+
+    # serve: search (exact + misspelled) over the built artifacts
+    qpath = str(tmp_path / "q.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "query_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["Dunia Fantasi", "Duniu Fantaso"]),
+                "scoring": pa.array(["BM25_FIELD"] * 2),
+                "top_k": pa.array([3, 3], pa.int32()),
+                "offset": pa.array([0, 0], pa.int32()),
+            }
+        ),
+        qpath,
+    )
+    res_dir = str(tmp_path / "res")
+    r3 = _run(["jobs/run_queries.py", "--index", out, "--queries", qpath, "--kind", "search", "--out", res_dir])
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    df = pd.concat([pq.read_table(f).to_pandas() for f in glob.glob(f"{res_dir}/*.parquet")])
+    docs = pd.concat(
+        [pq.read_table(f).to_pandas() for f in glob.glob(os.path.join(out, "docs", "part=*", "data.parquet"))]
+    )
+    name_of = dict(zip(docs["doc_id"], docs["name"]))
+    tops = df[df["rank"] == 1].sort_values("query_id")["doc_id"].tolist()
+    assert [name_of[t] for t in tops] == ["Dunia Fantasi", "Dunia Fantasi"]
