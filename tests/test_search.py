@@ -244,3 +244,74 @@ def test_spimi_posting_lists():
     apel = out[out["term"] == "apel"].iloc[0]
     assert apel["doc_ids"] == [0, 0, 1]  # doc 0 twice (tf=2), doc 1 once
     assert apel["n_postings"] == 3
+
+
+class TestSpimiReferenceParity:
+    """Exact expectations from pkg/index/indexer_test.go:80-135, translated
+    from the reference's arrival-order term ids to term strings (our ids are
+    deterministic-sorted; parity is asserted at the semantic level the
+    reference's own tests use — posting sets with multiplicity + lengths)."""
+
+    CORPUS = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "name": [
+                "Jalan Sentosa Harapan",
+                "Jalan Dunia Baru",
+                "Jalan Mulwo Apel",
+                "Jalan Kebun Jeruk Apel",
+                "Jalan Pantai Ancol",
+            ],
+            "address": [""] * 5,
+        }
+    )
+    # reference arrival-order vocab: jalan=0 sentosa=1 harapan=2 dunia=3
+    # baru=4 mulwo=5 apel=6 kebun=7 jeruk=8 pantai=9 ancol=10; expectedPairs
+    # (indexer_test.go:98-115) regrouped per term:
+    EXPECTED_POSTINGS = {
+        "jalan": [1, 2, 3, 4, 5],
+        "sentosa": [1],
+        "harapan": [1],
+        "dunia": [2],
+        "baru": [2],
+        "mulwo": [3],
+        "apel": [3, 4],
+        "kebun": [4],
+        "jeruk": [4],
+        "pantai": [5],
+        "ancol": [5],
+    }
+    EXPECTED_LEN_DF = {1: 3, 2: 3, 3: 3, 4: 4, 5: 3}
+
+    def test_posting_lists_match(self):
+        out = ti.spimi_postings_lists(
+            ray.data.from_pandas(self.CORPUS.rename(columns={"name": "text"})[["doc_id", "text"]])
+        ).to_pandas()
+        got = {r["term"]: list(r["doc_ids"]) for _, r in out.iterrows()}
+        assert got == self.EXPECTED_POSTINGS
+
+    def test_field_lengths_match(self):
+        index = ti.build_text_index(ray.data.from_pandas(self.CORPUS))
+        lens = (
+            index.postings[index.postings["field"] == ti.FIELD_NAME]
+            .groupby("doc_id")["name_len"]
+            .first()
+            .to_dict()
+        )
+        assert lens == self.EXPECTED_LEN_DF
+
+    def test_single_doc_concat_case(self):
+        """indexer_test.go:40-60: one doc with all five names concatenated →
+        16 token occurrences, jalan tf=5, apel tf=2."""
+        doc = pd.DataFrame(
+            {
+                "doc_id": [1],
+                "text": ["Jalan Sentosa Harapan Jalan Dunia Baru Jalan Mulwo Apel Jalan Kebun Jeruk Apel Jalan Pantai Ancol"],
+            }
+        )
+        out = ti.spimi_postings_lists(ray.data.from_pandas(doc)).to_pandas()
+        total = out["n_postings"].sum()
+        assert total == 16  # lenDF[1] == 16 in the reference
+        got = dict(zip(out["term"], out["doc_ids"]))
+        assert got["jalan"] == [1] * 5
+        assert got["apel"] == [1] * 2
