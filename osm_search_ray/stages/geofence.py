@@ -75,6 +75,75 @@ def line_circle_intersect(lat1, lon1, lat2, lon2, clat: float, clon: float, radi
     return ok & (((t1 >= 0) & (t1 <= 1)) | ((t2 >= 0) & (t2 <= 1)))
 
 
+
+
+def _statuses_for_track(
+    ev: np.ndarray,
+    lat: np.ndarray,
+    lon: np.ndarray,
+    plat: np.ndarray,
+    plon: np.ndarray,
+    fk: np.ndarray,
+    flat: np.ndarray,
+    flon: np.ndarray,
+    frad: np.ndarray,
+    k_nearest: int,
+) -> pd.DataFrame:
+    """Vectorized status computation for one point's ordered track:
+    (E×F) equirect matrix → per-event top-k fences (ties by key) →
+    contains/transition logic via array ops; the segment×circle test runs
+    only on the OUTSIDE→OUTSIDE subset. Semantics identical to the scalar
+    form (transition table of geofence.go:97-116)."""
+    e = len(ev)
+    f = len(fk)
+    k = min(k_nearest, f)
+    d = equirect_approx(lat[:, None], lon[:, None], flat[None, :], flon[None, :])  # (E, F)
+    # top-k by (distance, key): lexsort per row
+    order = np.lexsort((np.broadcast_to(fk, (e, f)), d), axis=1)[:, :k]  # (E, k)
+    rows = np.repeat(np.arange(e), k)
+    cols = order.ravel()
+    cur_in = haversine_km(flat[cols], flon[cols], lat[rows], lon[rows]) <= frad[cols]
+    has_prev = plat[rows] != NO_PREV
+    old_in = has_prev & (haversine_km(flat[cols], flon[cols], plat[rows], plon[rows]) <= frad[cols])
+    # OUTSIDE→OUTSIDE pairs need the segment test (sentinel prev included,
+    # as the reference does)
+    oo = ~old_in & ~cur_in
+    crossed = np.zeros(len(rows), dtype=bool)
+    if oo.any():
+        idx = np.nonzero(oo)[0]
+        crossed[idx] = np.array(
+            [
+                line_circle_intersect(
+                    np.asarray([plat[rows[i]]]), np.asarray([plon[rows[i]]]),
+                    np.asarray([lat[rows[i]]]), np.asarray([lon[rows[i]]]),
+                    flat[cols[i]], flon[cols[i]], frad[cols[i]],
+                )[0]
+                for i in idx
+            ]
+        )
+    primary = np.select(
+        [old_in & cur_in, old_in & ~cur_in, ~old_in & cur_in, crossed],
+        [STATUS_INSIDE, STATUS_EXIT, STATUS_ENTER, STATUS_CROSS],
+        default=STATUS_OUTSIDE,
+    )
+    out_ev = [ev[rows]]
+    out_key = [fk[cols]]
+    out_st = [primary]
+    # transitions emit a second row (EXIT→OUTSIDE, ENTER→INSIDE)
+    trans = old_in != cur_in
+    if trans.any():
+        out_ev.append(ev[rows][trans])
+        out_key.append(fk[cols][trans])
+        out_st.append(np.where(cur_in[trans], STATUS_INSIDE, STATUS_OUTSIDE))
+    return pd.DataFrame(
+        {
+            "event_id": np.concatenate(out_ev).astype(np.int64),
+            "fence_key": np.concatenate(out_key).astype(np.int64),
+            "status": np.concatenate(out_st),
+        }
+    )
+
+
 def fence_status_flow(
     points: "ray.data.Dataset",
     fences: pd.DataFrame,
@@ -99,34 +168,7 @@ def fence_status_flow(
         plat = np.concatenate([[NO_PREV], lat[:-1]])
         plon = np.concatenate([[NO_PREV], lon[:-1]])
         ev = g["event_id"].to_numpy()
-        out_ev, out_key, out_st = [], [], []
-        for i in range(len(g)):
-            d = equirect_approx(lat[i], lon[i], flat, flon)
-            order = np.lexsort((fk, d))[:k_nearest]
-            for j in order:
-                cur_in = haversine_km(flat[j], flon[j], lat[i], lon[i]) <= frad[j]
-                old_in = (
-                    plat[i] != NO_PREV
-                    and haversine_km(flat[j], flon[j], plat[i], plon[i]) <= frad[j]
-                )
-                if old_in and cur_in:
-                    st = [STATUS_INSIDE]
-                elif old_in and not cur_in:
-                    st = [STATUS_EXIT, STATUS_OUTSIDE]
-                elif not old_in and cur_in:
-                    st = [STATUS_ENTER, STATUS_INSIDE]
-                else:
-                    # sentinel prev feeds the intersection test too (reference)
-                    crossed = line_circle_intersect(
-                        np.asarray([plat[i]]), np.asarray([plon[i]]), np.asarray([lat[i]]), np.asarray([lon[i]]),
-                        flat[j], flon[j], frad[j],
-                    )[0]
-                    st = [STATUS_CROSS] if crossed else [STATUS_OUTSIDE]
-                for s in st:
-                    out_ev.append(int(ev[i]))
-                    out_key.append(int(fk[j]))
-                    out_st.append(s)
-        return pd.DataFrame({"event_id": out_ev, "fence_key": out_key, "status": out_st})
+        return _statuses_for_track(ev, lat, lon, plat, plon, fk, flat, flon, frad, k_nearest)
 
     from .joins import grouped_apply_bounded
 
@@ -172,32 +214,7 @@ def fence_status_incremental(
         plat = np.concatenate([[p0[0]], lat[:-1]])
         plon = np.concatenate([[p0[1]], lon[:-1]])
         ev = g["event_id"].to_numpy()
-        out_ev, out_key, out_st = [], [], []
-        for i in range(len(g)):
-            d = equirect_approx(lat[i], lon[i], flat, flon)
-            order = np.lexsort((fk, d))[:k_nearest]
-            for j in order:
-                cur_in = haversine_km(flat[j], flon[j], lat[i], lon[i]) <= frad[j]
-                old_in = (
-                    plat[i] != NO_PREV and haversine_km(flat[j], flon[j], plat[i], plon[i]) <= frad[j]
-                )
-                if old_in and cur_in:
-                    st = [STATUS_INSIDE]
-                elif old_in and not cur_in:
-                    st = [STATUS_EXIT, STATUS_OUTSIDE]
-                elif not old_in and cur_in:
-                    st = [STATUS_ENTER, STATUS_INSIDE]
-                else:
-                    crossed = line_circle_intersect(
-                        np.asarray([plat[i]]), np.asarray([plon[i]]), np.asarray([lat[i]]), np.asarray([lon[i]]),
-                        flat[j], flon[j], frad[j],
-                    )[0]
-                    st = [STATUS_CROSS] if crossed else [STATUS_OUTSIDE]
-                for s_ in st:
-                    out_ev.append(int(ev[i]))
-                    out_key.append(int(fk[j]))
-                    out_st.append(s_)
-        res = pd.DataFrame({"event_id": out_ev, "fence_key": out_key, "status": out_st})
+        res = _statuses_for_track(ev, lat, lon, plat, plon, fk, flat, flon, frad, k_nearest)
         # last row also reports the new stored position via a side channel col
         res["__pid"] = pid
         res["__last_lat"] = lat[-1]
