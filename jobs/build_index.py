@@ -54,12 +54,17 @@ def main() -> None:
     rels = ray.data.read_parquet(f"{args.osm_dir}/relations.parquet")
 
     docs_dir = os.path.join(args.out, "docs")
-    if not cp.completed_keys(docs_dir):
+    if cp.stage_complete(docs_dir):
+        # skip ONLY on the explicit whole-stage marker — a non-empty
+        # completed_keys() after a crash means *some* partitions finished,
+        # not the stage (ADVICE r01: the old guard silently resumed over an
+        # incomplete corpus)
+        print(f"docs stage: {len(cp.completed_keys(docs_dir))} partitions already complete")
+    else:
         docs, boundaries, streets = ing.ingest_documents(nodes, ways, rels)
         boundaries_pd = boundaries.to_pandas()
         enriched = ing.enrich_addresses(docs, boundaries_pd, streets.to_pandas())
 
-        import numpy as np
         import pyarrow as pa
 
         def add_cell(batch: pa.Table) -> pa.Table:
@@ -68,12 +73,11 @@ def main() -> None:
 
         tiled = enriched.map_batches(add_cell, batch_format="pyarrow")
         fail = {args.fail_at} if args.fail_at is not None else None
+        # checkpointed_write prunes already-finished partitions cheaply, so
+        # a resume re-runs the (lazy) upstream compute but rewrites nothing
         rows = cp.checkpointed_write(tiled, docs_dir, "cell", stage="docs_tiles", fail_on_keys=fail)
+        cp.mark_stage_complete(docs_dir, "docs_tiles")
         print(f"docs stage: wrote {len(rows)} partitions")
-    else:
-        # resume path: only unfinished partitions are recomputed by
-        # checkpointed_write; for the common all-done case skip entirely
-        print(f"docs stage: {len(cp.completed_keys(docs_dir))} partitions already complete")
 
     docs_back = cp.read_checkpointed(docs_dir)
 

@@ -57,6 +57,29 @@ def manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_manifest.jsonl")
 
 
+def stage_complete(out_dir: str) -> bool:
+    """True only when a prior run finished the WHOLE stage (marker written
+    by ``mark_stage_complete`` after ``checkpointed_write`` returned).
+
+    Partition-level sidecars alone are NOT completion evidence: a crashed
+    run leaves finished partitions behind, and a resume that skipped the
+    stage because ``completed_keys()`` was non-empty would silently build
+    downstream artifacts over an incomplete corpus (ADVICE r01, high)."""
+    return os.path.exists(os.path.join(out_dir, "_STAGE_COMPLETE.json"))
+
+
+def mark_stage_complete(out_dir: str, stage: str) -> None:
+    """Write the stage-complete marker atomically (tmp + rename).
+
+    Call only after ``checkpointed_write`` returned without raising; the
+    marker records the final partition-key set for auditability."""
+    keys = sorted(completed_keys(out_dir), key=str)
+    tmp = os.path.join(out_dir, ".tmp-_STAGE_COMPLETE.json")
+    with open(tmp, "w") as f:
+        json.dump({"stage": stage, "partitions": keys, "completed_at": time.time()}, f)
+    os.replace(tmp, os.path.join(out_dir, "_STAGE_COMPLETE.json"))
+
+
 def completed_keys(out_dir: str) -> set:
     done = set()
     mp = manifest_path(out_dir)

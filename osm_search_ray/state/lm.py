@@ -82,17 +82,22 @@ class NGramLM:
         return 0.0
 
     def query_log_prob(self, tokens: list[str]) -> float:
-        """ln-sum of stupid-backoff 4-gram probs over the padded query."""
-        q = [START_TOKEN] * 4 + self._unk(tokens) + [END_TOKEN]
+        """ln-sum of stupid-backoff 4-gram probs over the padded query.
+
+        Tokens are scored RAW — no <UNK> substitution — matching the
+        reference: EstimateQueriesProbabilities (ngram_lm.go:300-318) pads
+        and scores the caller's term IDs as-is, so a below-threshold word
+        (counted as <UNK> during training) has no counts at any order and
+        backs off to unigram 0 → math.Log(0) = -inf. UNK-replacing here
+        (the r01 behavior) let such words inherit the aggregate <UNK> mass
+        and could invert spell/autocomplete rankings (ADVICE r01, medium)."""
+        q = [START_TOKEN] * 4 + list(tokens) + [END_TOKEN]
         total = 0.0
         for i in range(4, len(q)):
             p = self.stupid_backoff(q[i], tuple(q[i - 3 : i]), 4)
             # math.Log(0) = -Inf in Go; mirror it
             total += np.log(p) if p > 0 else -np.inf
         return float(total)
-
-    def _unk(self, tokens: list[str]) -> list[str]:
-        return [t if t in self.vocab else UNKNOWN_TOKEN for t in tokens]
 
 
 def count_doc_ngrams(counts: dict, toks: list[str]) -> None:

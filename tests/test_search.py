@@ -165,6 +165,21 @@ class TestNGramLM:
         p = lm.stupid_backoff("c", ("x", "a", "b"), 4)
         assert p == pytest.approx(0.4 * (lm.trigram[("a", "b", "c")] / lm.bigram[("a", "b")]))
 
+    def test_query_log_prob_scores_raw_tokens(self):
+        """EstimateQueriesProbabilities (ngram_lm.go:300-318) scores the
+        caller's tokens as-is — no <UNK> substitution. A freq-1 word
+        (counted as <UNK> during training) must score -inf, not inherit
+        the aggregate <UNK> probability mass (ADVICE r01, medium)."""
+        from collections import Counter
+
+        docs = [["kebun", "raya"]] * 3 + [["rarething"]]
+        freq = Counter(t for d in docs for t in d)
+        lm = count_ngrams(docs, vocab={t for t, c in freq.items() if c >= 2})
+        assert "rarething" not in lm.vocab and lm.unigram["<UNK>"] == 1
+        assert lm.query_log_prob(["rarething"]) == -np.inf
+        # the <UNK> mass exists but only scores when asked for explicitly
+        assert lm.query_log_prob(["<UNK>"]) > -np.inf
+
     def test_query_log_prob_ranks_seen_sentences(self):
         docs = [["kebun", "binatang", "ragunan"]] * 3 + [["kebun", "jeruk"]]
         lm = count_ngrams(docs)

@@ -36,6 +36,45 @@ def osm_dir(tmp_path_factory):
     return str(d)
 
 
+def _sidecar_rowcounts(docs_dir):
+    """partition_key -> row_count from the per-partition sidecar manifests."""
+    out = {}
+    for side in glob.glob(os.path.join(docs_dir, "part=*", "manifest.json")):
+        with open(side) as f:
+            row = json.load(f)
+        out[row["partition_key"]] = row["row_count"]
+    return out
+
+
+def test_build_partial_crash_resume(osm_dir, tmp_path):
+    """A run killed mid-docs-stage must, on re-submit, recompute the missing
+    partitions — NOT skip the stage because some partitions finished
+    (ADVICE r01 high: the old guard built the text index over an
+    incomplete corpus and printed BUILD COMPLETE)."""
+    ref_out = str(tmp_path / "ref")
+    r0 = _run(["jobs/build_index.py", "--osm-dir", osm_dir, "--out", ref_out])
+    assert r0.returncode == 0, r0.stderr[-2000:]
+    ref_counts = _sidecar_rowcounts(os.path.join(ref_out, "docs"))
+    assert len(ref_counts) >= 2
+    victim = sorted(ref_counts)[-1]
+
+    out = str(tmp_path / "crash")
+    r1 = _run(["jobs/build_index.py", "--osm-dir", osm_dir, "--out", out, "--fail-at", str(victim)])
+    assert r1.returncode != 0
+    assert "BUILD COMPLETE" not in r1.stdout
+    docs_dir = os.path.join(out, "docs")
+    assert not os.path.exists(os.path.join(docs_dir, "_STAGE_COMPLETE.json"))
+    mid = _sidecar_rowcounts(docs_dir)
+    assert victim not in mid  # the injected-failure partition never completed
+
+    r2 = _run(["jobs/build_index.py", "--osm-dir", osm_dir, "--out", out])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "BUILD COMPLETE" in r2.stdout
+    # resumed build covers the FULL corpus: identical partition/row map
+    assert _sidecar_rowcounts(docs_dir) == ref_counts
+    assert os.path.exists(os.path.join(docs_dir, "_STAGE_COMPLETE.json"))
+
+
 def test_build_resume_and_serve(osm_dir, tmp_path):
     out = str(tmp_path / "index")
     r1 = _run(["jobs/build_index.py", "--osm-dir", osm_dir, "--out", out])
