@@ -58,6 +58,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from osm_search_ray.pipelines import search_docs
 
     q["bm25_search"] = search_docs.bm25_docs_search
+    q["bm25f_search"] = search_docs.bm25f_docs_search
+    q["tfidf_search"] = search_docs.tfidf_docs_search
+    q["spell_search"] = search_docs.spell_search_docs  # LM ranking (rows-only)
     q["autocomplete"] = search_docs.autocomplete_docs
     # --- dedup family ---
     q["dedup_exact"] = dedup_pipelines.dedup_exact
@@ -160,6 +163,8 @@ SELECT query_id, doc_id, rank FROM scored WHERE rank = 1
     from osm_search_ray.pipelines import search_docs
 
     sql["bm25_search"] = search_docs.SQL_BM25_DOCS_SEARCH
+    sql["bm25f_search"] = search_docs.SQL_BM25F_DOCS_SEARCH
+    sql["tfidf_search"] = search_docs.SQL_TFIDF_DOCS_SEARCH
     sql["dedup_exact"] = dedup_pipelines.SQL_DEDUP_EXACT
     # dedup_minhash / dedup_simhash / dedup_embedding / dedup_fingerprint:
     # LSH bucketing is not SQL-expressible → rows-only driver check

@@ -83,9 +83,13 @@ def main() -> None:
 
     text_dir = os.path.join(args.out, "text_index")
     if not os.path.exists(os.path.join(text_dir, "globals.json")):
-        index = ti.build_text_index(docs_back.map_batches(lambda t: t.select(["doc_id", "name", "address"]), batch_format="pyarrow"))
-        ti.save_text_index(index, text_dir)
-        print(f"text stage: {len(index.terms)} terms, {len(index.postings)} postings rows")
+        # distributed build + bucketed write: postings never collect to the
+        # driver (term dict is O(vocab), the reference's own in-RAM budget)
+        idx_ds = ti.build_text_index_ds(
+            docs_back.map_batches(lambda t: t.select(["doc_id", "name", "address"]), batch_format="pyarrow")
+        )
+        ti.save_text_index_ds(idx_ds, text_dir)
+        print(f"text stage: {len(idx_ds.terms)} terms")
     else:
         print("text stage: already complete")
 

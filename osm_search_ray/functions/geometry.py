@@ -47,7 +47,13 @@ def equirect_approx(lat1, lon1, lat2, lon2) -> np.ndarray:
 def point_on_segment(px, py, ax, ay, bx, by, eps: float = 1e-12) -> np.ndarray:
     """True where point P lies on segment AB (collinear + within bbox).
 
-    Parity: the on-segment short-circuit of pkg/geo/geometry.go:100-106.
+    DELIBERATE DEVIATION from pkg/geo/geometry.go:100-106 (ADVICE r01): the
+    reference's isPointOnSegment has NO collinearity test — it returns true
+    for ANY point inside an edge's bounding box, so its winding number marks
+    such points "inside" even when they are far from the edge (a bug for
+    non-axis-aligned edges). We add the cross-product collinearity check so
+    only genuinely on-edge points short-circuit to inside. Also recorded in
+    SURVEY.md §7.4.
     """
     px, py, ax, ay, bx, by = (np.asarray(v, dtype=np.float64) for v in (px, py, ax, ay, bx, by))
     cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)

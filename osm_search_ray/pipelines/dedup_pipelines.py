@@ -30,16 +30,20 @@ def dedup_exact(sf_dir: str):
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        # within a hash bucket, group by exact text (collision-safe)
-        out = (
-            g.groupby("text", sort=False)
+    # hash-partition on content_hash into BOUNDED Ray groups (~one group per
+    # distinct doc would pay map_groups' per-group ms overhead corpus-wide —
+    # VERDICT r01 item 7); the real per-text grouping is one vectorized
+    # pandas groupby per partition (collision-safe: keyed by exact text)
+    def keep_first_partition(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("text", sort=False)
             .agg(doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
             .reset_index(drop=True)
         )
-        return out
 
-    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pandas")
+    from ..stages.joins import hash_partitioned_apply
+
+    return hash_partitioned_apply(hashed, "content_hash", keep_first_partition, num_parts=64)
 
 
 SQL_DEDUP_EXACT = """
@@ -92,9 +96,17 @@ def dedup_fingerprint(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     fp = fingerprint_stage(ds)
 
-    def agg(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"fingerprint": [g["fingerprint"].iloc[0]], "n_docs": [len(g)], "min_doc_id": [g["doc_id"].min()]}
+    # bounded partitions + one vectorized groupby per partition (same
+    # rationale as dedup_exact: ~one Ray group per distinct fingerprint
+    # would pay per-group overhead corpus-wide)
+    def agg_partition(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("fingerprint", sort=False)
+            .agg(n_docs=("doc_id", "size"), min_doc_id=("doc_id", "min"))
+            .reset_index()
         )
+        return g[["fingerprint", "n_docs", "min_doc_id"]]
 
-    return fp.groupby("fingerprint").map_groups(agg, batch_format="pandas")
+    from ..stages.joins import hash_partitioned_apply
+
+    return hash_partitioned_apply(fp, "fingerprint", agg_partition, num_parts=64)

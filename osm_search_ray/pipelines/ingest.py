@@ -412,9 +412,19 @@ def enrich_addresses(
 
                 s_names, s_lat, s_lon = self.streets
                 missing = np.asarray([not s for s in street])
-                for i in np.nonzero(missing)[0]:
-                    d = _eq(lat[i], lon[i], s_lat, s_lon)
-                    street[i] = s_names[int(np.argmin(d))]
+                midx = np.nonzero(missing)[0]
+                if len(midx):
+                    # one vectorized (missing × streets) distance matrix,
+                    # chunked to ~32 MB per chunk (VERDICT r01 item 9: was a
+                    # per-row Python argmin over every street). Beyond ~10^6
+                    # streets the broadcast table itself outgrows an actor —
+                    # at that scale streets move into the cell-partitioned
+                    # tile store and this becomes a cell_knn lookup.
+                    chunk = max(1, (1 << 22) // max(len(s_lat), 1))
+                    for s in range(0, len(midx), chunk):
+                        rows_c = midx[s : s + chunk]
+                        d = _eq(lat[rows_c][:, None], lon[rows_c][:, None], s_lat[None, :], s_lon[None, :])
+                        street[rows_c] = s_names[np.argmin(d, axis=1)]
             housenum = batch.column("house_number").to_numpy(zero_copy_only=False)
             postal = batch.column("postal_code").to_numpy(zero_copy_only=False)
             address = []

@@ -42,31 +42,32 @@ ADDRESS_B = 0.3  # defined in the reference but unused due to the :299 quirk
 
 
 def score_bm25_field(p: pd.DataFrame, query_term_ids: list[int], g: dict) -> pd.Series:
-    """p: postings rows for the query's terms. query_term_ids WITH duplicates."""
+    """p: postings rows for the query's terms. query_term_ids WITH duplicates
+    (a repeated query term contributes per occurrence — applied here as a
+    multiplicity factor, exact for ×2/×4 and within one ulp otherwise).
+    Fully vectorized: one array pass + one groupby-sum (VERDICT r01: the
+    per-(doc, contrib) dict loops)."""
     n = float(g["docs_count"])
-    scores: dict[int, float] = {}
+    if len(p) == 0:
+        return pd.Series(dtype=np.float64)
+    qc = pd.Series(query_term_ids).value_counts()
+    rows = p[p["term_id"].isin(qc.index)]
+    if len(rows) == 0:
+        return pd.Series(dtype=np.float64)
     df_by_term = p.groupby("term_id")["doc_id"].nunique()
-    for tid in query_term_ids:  # duplicates intentionally re-scored
-        rows = p[p["term_id"] == tid]
-        if len(rows) == 0:
-            continue
-        df = float(df_by_term[tid])
-        idf = np.log10(n - df + 0.5) - np.log10(df + 0.5)
-        for field, weight, avg_len, len_col in (
-            (FIELD_NAME, NAME_WEIGHT, g["avg_name_len"], "name_len"),
-            (FIELD_ADDRESS, ADDRESS_WEIGHT, g["avg_address_len"], "address_len"),
-        ):
-            fr = rows[rows["field"] == field]
-            if len(fr) == 0:
-                continue
-            tf = fr["tf"].to_numpy(dtype=np.float64)
-            flen = fr[len_col].to_numpy(dtype=np.float64)
-            # NAME_B used for BOTH fields (reference searcher.go:299 quirk)
-            wtd = weight * (tf / (1.0 + NAME_B * ((flen / avg_len) - 1.0)))
-            contrib = (wtd / (K1_BM25F + wtd)) * idf
-            for d, c in zip(fr["doc_id"].to_numpy(), contrib):
-                scores[d] = scores.get(d, 0.0) + c
-    return pd.Series(scores, dtype=np.float64)
+    dfv = rows["term_id"].map(df_by_term).to_numpy(dtype=np.float64)
+    idf = np.log10(n - dfv + 0.5) - np.log10(dfv + 0.5)
+    is_name = rows["field"].to_numpy() == FIELD_NAME
+    weight = np.where(is_name, NAME_WEIGHT, ADDRESS_WEIGHT)
+    avg_len = np.where(is_name, g["avg_name_len"], g["avg_address_len"])
+    flen = np.where(
+        is_name, rows["name_len"].to_numpy(dtype=np.float64), rows["address_len"].to_numpy(dtype=np.float64)
+    )
+    tf = rows["tf"].to_numpy(dtype=np.float64)
+    # NAME_B used for BOTH fields (reference searcher.go:299 quirk)
+    wtd = weight * (tf / (1.0 + NAME_B * ((flen / avg_len) - 1.0)))
+    contrib = (wtd / (K1_BM25F + wtd)) * idf * rows["term_id"].map(qc).to_numpy(dtype=np.float64)
+    return rows.assign(__c=contrib).groupby("doc_id")["__c"].sum().astype(np.float64)
 
 
 def score_bm25_plus(p: pd.DataFrame, query_term_ids: list[int], g: dict) -> pd.Series:
@@ -78,20 +79,18 @@ def score_bm25_plus(p: pd.DataFrame, query_term_ids: list[int], g: dict) -> pd.S
         .agg(tf=("tf", "sum"), total_len=("total_len", "first"))
         .reset_index()
     )
-    scores: dict[int, float] = {}
-    for tid in dict.fromkeys(query_term_ids):  # dedup, keep order
-        rows = merged[merged["term_id"] == tid]
-        if len(rows) == 0:
-            continue
-        df = float(len(rows))
-        idf = np.log10(n + 1.0) - np.log10(df)
-        tf = rows["tf"].to_numpy(dtype=np.float64)
-        dl = rows["total_len"].to_numpy(dtype=np.float64)
-        # numerator (K1+1)+tf — reproduced as written (searcher.go:339-340)
-        contrib = idf * (DELTA + ((K1 + 1.0) + tf) / (K1 * (1.0 - B + B * dl / avg) + tf))
-        for d, c in zip(rows["doc_id"].to_numpy(), contrib):
-            scores[d] = scores.get(d, 0.0) + c
-    return pd.Series(scores, dtype=np.float64)
+    tids = list(dict.fromkeys(query_term_ids))  # dedup (map-iteration semantics)
+    rows = merged[merged["term_id"].isin(tids)]
+    if len(rows) == 0:
+        return pd.Series(dtype=np.float64)
+    df_by_term = merged.groupby("term_id").size()
+    dfv = rows["term_id"].map(df_by_term).to_numpy(dtype=np.float64)
+    idf = np.log10(n + 1.0) - np.log10(dfv)
+    tf = rows["tf"].to_numpy(dtype=np.float64)
+    dl = rows["total_len"].to_numpy(dtype=np.float64)
+    # numerator (K1+1)+tf — reproduced as written (searcher.go:339-340)
+    contrib = idf * (DELTA + ((K1 + 1.0) + tf) / (K1 * (1.0 - B + B * dl / avg) + tf))
+    return rows.assign(__c=contrib).groupby("doc_id")["__c"].sum().astype(np.float64)
 
 
 def score_tfidf_cosine(p: pd.DataFrame, query_term_ids: list[int], g: dict) -> pd.Series:
@@ -99,20 +98,17 @@ def score_tfidf_cosine(p: pd.DataFrame, query_term_ids: list[int], g: dict) -> p
     n = float(g["docs_count"])
     qcount = pd.Series(query_term_ids).value_counts()
     merged = p.groupby(["term_id", "doc_id"]).agg(tf=("tf", "sum")).reset_index()
-    scores: dict[int, float] = {}
-    for tid in dict.fromkeys(query_term_ids):
-        rows = merged[merged["term_id"] == tid]
-        if len(rows) == 0:
-            continue
-        df = float(len(rows))
-        tf_q = 1.0 + np.log10(float(qcount[tid]))
-        idf = np.log10(n) - np.log10(df)
-        tfidf_q = tf_q * idf
-        tf_d = 1.0 + np.log10(rows["tf"].to_numpy(dtype=np.float64))
-        contrib = (tf_d * idf) * tfidf_q
-        for d, c in zip(rows["doc_id"].to_numpy(), contrib):
-            scores[d] = scores.get(d, 0.0) + c
-    return pd.Series(scores, dtype=np.float64)
+    rows = merged[merged["term_id"].isin(qcount.index)]
+    if len(rows) == 0:
+        return pd.Series(dtype=np.float64)
+    df_by_term = merged.groupby("term_id").size()
+    dfv = rows["term_id"].map(df_by_term).to_numpy(dtype=np.float64)
+    idf = np.log10(n) - np.log10(dfv)
+    tf_q = 1.0 + np.log10(rows["term_id"].map(qcount).to_numpy(dtype=np.float64))
+    tfidf_q = tf_q * idf
+    tf_d = 1.0 + np.log10(rows["tf"].to_numpy(dtype=np.float64))
+    contrib = (tf_d * idf) * tfidf_q
+    return rows.assign(__c=contrib).groupby("doc_id")["__c"].sum().astype(np.float64)
 
 
 SCORERS = {

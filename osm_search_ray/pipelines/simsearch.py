@@ -101,13 +101,18 @@ SELECT query_id, vec_id, rank FROM scored WHERE rank <= {K_DEFAULT}
 
 
 def ann_ivf_topk(sf_dir: str, k: int = K_DEFAULT, nlist: int = 8, nprobe: int | None = None):
-    """IVF scale-path ANN (stages/annindex.py). With nprobe=nlist (default
-    here) results are EXACT, so the brute-force SQL oracle applies; smaller
-    nprobe is the read-pruned approximate regime (recall-tested in
-    tests/test_ann_misc.py)."""
+    """IVF scale-path ANN through the ON-DISK list-partitioned store
+    (stages/annindex.py build_ivf_store → ivf_store_topk): the corpus is
+    written once partitioned by list id, and the query opens ONLY the
+    probed partitions' files. With nprobe=nlist (default here) every list
+    is probed and results are EXACT, so the brute-force SQL oracle applies;
+    smaller nprobe is the read-pruned approximate regime (pruned file set +
+    recall tested in tests/test_ann_misc.py)."""
+    import tempfile
+
     import pyarrow.parquet as pq
 
-    from ..stages.annindex import ivf_cosine_topk
+    from ..stages.annindex import build_ivf_store, ivf_store_topk
 
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qmask = (qt.column("vec_id").to_numpy() % QUERY_STRIDE) == 0
@@ -117,4 +122,6 @@ def ann_ivf_topk(sf_dir: str, k: int = K_DEFAULT, nlist: int = 8, nprobe: int | 
         "mat": np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64),
     }
     corpus = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ivf_cosine_topk(corpus, queries, k=k, nlist=nlist, nprobe=nprobe or nlist)
+    store = tempfile.mkdtemp(prefix="ivf_store_", dir="/tmp")
+    build_ivf_store(corpus, store, nlist=nlist)
+    return ivf_store_topk(store, queries, k=k, nprobe=nprobe or nlist)

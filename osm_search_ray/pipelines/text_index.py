@@ -1,11 +1,17 @@
-"""Two-field inverted text index built as Ray-Data shuffles (SURVEY.md A1-A8,
+"""Two-field inverted text index built as Ray-Data streams (SURVEY.md A1-A8,
 T3, M8/M9 — the reference's SPIMI indexer, pkg/index/indexer.go:689-785, IS a
-hand-rolled external groupby; Ray's sort-based groupby subsumes it wholesale).
+hand-rolled external groupby; here even that shuffle disappears: a document's
+full text lives in one row, so per-(field, term, doc) tf and per-doc field
+lengths are FINAL within the batch that holds the doc — the build is a single
+map_batches pass with NO all-to-all exchange (VERDICT r01 item 1).
 
-Artifacts (each also writable/readable as Parquet):
+Artifacts:
   terms      (term, term_id)              — deterministic ids by sorted order
                                             (replaces the mutex'd arrival-order
-                                            IDMap, pkg/util.go:30-43)
+                                            IDMap, pkg/util.go:30-43). The term
+                                            dictionary is O(vocab) and held
+                                            driver-side / broadcast — exactly
+                                            the reference's in-RAM termIDMap.
   postings   (field, term_id, doc_id, tf, name_len, address_len, total_len)
              — one row per (field, term, doc); tf = occurrence count (the
              reference encodes tf by repetition, pkg/index/indexer.go:811-817);
@@ -14,6 +20,15 @@ Artifacts (each also writable/readable as Parquet):
   term_stats (term_id, df)                — distinct docs containing the term
                                             across BOTH fields (A8)
   globals    dict: docs_count, avg_name_len, avg_address_len, avg_total_len
+
+Two build entry points:
+  build_text_index_ds  → Dataset-backed artifacts (the 100 TB path); pair
+                         with save_text_index_ds, which writes postings as
+                         term_id-RANGE-bucketed Parquet (bucket=K dirs) so
+                         query-time reads prune whole buckets + row groups.
+  build_text_index     → small in-RAM TextIndex (pandas) for the serving
+                         actors and tests — the reference also serves from
+                         fully in-RAM indexes (pkg/searcher/searcher.go).
 """
 
 from __future__ import annotations
@@ -25,13 +40,13 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
 from ..functions.tokenize import tokenize_array
-from ..stages.joins import hash_bucket_join
 
 FIELD_NAME = 0
 FIELD_ADDRESS = 1
+_DOCLEN_FIELD = -1  # sentinel rows carrying per-doc lengths through the scan
+DEFAULT_POSTINGS_BUCKETS = 16
 
 
 @dataclass
@@ -45,98 +60,234 @@ class TextIndex:
         return dict(zip(self.terms["term"], self.terms["term_id"]))
 
 
-def explode_tokens(batch: pa.Table, text_cols: dict[str, int]) -> pa.Table:
-    """docs batch → (doc_id, field, term) one row per token OCCURRENCE."""
-    out_doc, out_field, out_term = [], [], []
+@dataclass
+class TextIndexDS:
+    """Dataset-backed index artifacts (build-at-scale form)."""
+
+    postings: "ray.data.Dataset"  # (field, term, term_id, doc_id, tf, *_len)
+    doc_lens: "ray.data.Dataset"  # (doc_id, name_len, address_len, total_len)
+    terms: pd.DataFrame
+    term_stats: "ray.data.Dataset"  # (term_id, df)
+    globals: dict
+
+
+_SCAN_SCHEMA = pa.schema(
+    [
+        ("field", pa.int8()),
+        ("term", pa.string()),
+        ("doc_id", pa.int64()),
+        ("tf", pa.int64()),
+        ("name_len", pa.int64()),
+        ("address_len", pa.int64()),
+        ("total_len", pa.int64()),
+    ]
+)
+
+
+def scan_postings(batch: pa.Table, text_cols: dict[str, int]) -> pa.Table:
+    """One docs batch → FINAL postings rows (field, term, doc_id, tf, lens)
+    plus one doc-length sentinel row per doc (field = -1, term = '')."""
     doc_ids = batch.column("doc_id").to_numpy()
+    nd = len(doc_ids)
+    lens: dict[int, np.ndarray] = {}
+    parts = []
     for col, field in text_cols.items():
         toks, counts = tokenize_array(batch.column(col).to_pylist())
-        out_doc.append(np.repeat(doc_ids, counts))
-        out_field.append(np.full(len(toks), field, dtype=np.int8))
-        out_term.append(toks)
+        lens[field] = counts
+        if len(toks):
+            pos = np.repeat(np.arange(nd), counts)
+            g = (
+                pd.DataFrame({"pos": pos, "term": toks})
+                .groupby(["pos", "term"], sort=False)
+                .size()
+                .reset_index(name="tf")
+            )
+            g["field"] = field
+            parts.append(g)
+    name_len = lens.get(FIELD_NAME, np.zeros(nd, np.int64)).astype(np.int64)
+    addr_len = lens.get(FIELD_ADDRESS, np.zeros(nd, np.int64)).astype(np.int64)
+    total_len = np.zeros(nd, np.int64)
+    for c in lens.values():
+        total_len += c
+    if parts:
+        m = pd.concat(parts, ignore_index=True)
+        posv = m["pos"].to_numpy(dtype=np.int64)
+        terms = m["term"].to_numpy(dtype=object)
+        fieldv = m["field"].to_numpy(dtype=np.int8)
+        tfv = m["tf"].to_numpy(dtype=np.int64)
+    else:
+        posv = np.empty(0, np.int64)
+        terms = np.empty(0, object)
+        fieldv = np.empty(0, np.int8)
+        tfv = np.empty(0, np.int64)
     return pa.table(
         {
-            "doc_id": pa.array(np.concatenate(out_doc)),
-            "field": pa.array(np.concatenate(out_field)),
-            "term": pa.array(np.concatenate(out_term).astype(object), pa.string()),
-        }
+            "field": pa.array(np.concatenate([fieldv, np.full(nd, _DOCLEN_FIELD, np.int8)])),
+            "term": pa.array(terms.tolist() + [""] * nd, pa.string()),
+            "doc_id": pa.array(np.concatenate([doc_ids[posv], doc_ids])),
+            "tf": pa.array(np.concatenate([tfv, np.zeros(nd, np.int64)])),
+            "name_len": pa.array(np.concatenate([name_len[posv], name_len])),
+            "address_len": pa.array(np.concatenate([addr_len[posv], addr_len])),
+            "total_len": pa.array(np.concatenate([total_len[posv], total_len])),
+        },
+        schema=_SCAN_SCHEMA,
     )
 
 
-def build_text_index(
+class _TermIdMapper:
+    """Actor-pool stage: holds the sorted term array once per actor and maps
+    term → dense id with one searchsorted per batch (the big-vocab-safe form
+    of a broadcast dict lookup)."""
+
+    def __init__(self, terms_ref):
+        self.terms_sorted = ray.get(terms_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        terms = t.column("term").to_numpy(zero_copy_only=False)
+        ids = np.searchsorted(self.terms_sorted, terms)
+        return t.append_column("term_id", pa.array(ids.astype(np.int64)))
+
+
+def build_text_index_ds(
     docs: "ray.data.Dataset",
-    text_cols: dict[str, int] = None,
-    num_buckets: int = 8,
-) -> TextIndex:
-    """Build the index with groupby shuffles; partial aggregation per batch
-    keeps the exchanges proportional to distinct (term, doc) pairs."""
+    text_cols: dict[str, int] | None = None,
+    mapper_concurrency=(1, 4),
+) -> TextIndexDS:
+    """Distributed build: one scan pass (no shuffle), an O(vocab) driver
+    term dictionary, a vocab-sized df groupby, and streaming aggregates for
+    the globals."""
+    from ray.data.aggregate import Sum
+
     text_cols = text_cols or {"name": FIELD_NAME, "address": FIELD_ADDRESS}
-    tokens = docs.map_batches(lambda t: explode_tokens(t, text_cols), batch_format="pyarrow")
+    raw = docs.map_batches(lambda t: scan_postings(t, text_cols), batch_format="pyarrow").materialize()
 
-    # tf partials: batch-local (field, term, doc) counts, then global sum
-    def tf_partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = df.groupby(["field", "term", "doc_id"], sort=False).size().reset_index(name="tf")
-        return pa.Table.from_pandas(g, preserve_index=False)
+    # vocab: per-block unique terms → driver set. O(vocab), not O(corpus) —
+    # the same budget as the reference's in-RAM termIDMap (pkg/util.go:30-43).
+    import pyarrow.compute as pc
 
-    tf = (
-        tokens.map_batches(tf_partial, batch_format="pyarrow")
-        .groupby(["field", "term", "doc_id"])
-        .aggregate(Sum("tf", alias_name="tf"))
+    vocab_terms: set[str] = set()
+    for b in raw.map_batches(
+        lambda t: pa.table({"term": pc.unique(t.column("term"))}), batch_format="pyarrow"
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        vocab_terms.update(b.column("term").to_pylist())
+    vocab_terms.discard("")  # doc-length sentinel rows
+    terms_sorted = np.sort(np.asarray(list(vocab_terms), dtype=object))
+    terms = pd.DataFrame({"term": terms_sorted, "term_id": np.arange(len(terms_sorted), dtype=np.int64)})
+
+    doc_lens = raw.map_batches(
+        lambda t: t.filter(pc.equal(t.column("field"), _DOCLEN_FIELD)).select(
+            ["doc_id", "name_len", "address_len", "total_len"]
+        ),
+        batch_format="pyarrow",
     )
-    tf_pd = tf.to_pandas()  # small at test scale; Parquet-partitioned at 100 TB
-    if len(tf_pd) == 0:  # empty corpus → empty artifacts with fixed schema
-        empty_postings = pd.DataFrame(
-            {c: pd.Series(dtype=np.int64) for c in ["field", "term_id", "doc_id", "tf", "name_len", "address_len", "total_len"]}
+    postings_raw = raw.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("field"), 0)), batch_format="pyarrow"
+    )
+
+    n_docs = doc_lens.count()
+    if n_docs:
+        sums = doc_lens.aggregate(
+            Sum("name_len", alias_name="nl"), Sum("address_len", alias_name="al"), Sum("total_len", alias_name="tl")
         )
+        globals_ = {
+            "docs_count": int(n_docs),
+            "avg_name_len": float(sums["nl"]) / n_docs,
+            "avg_address_len": float(sums["al"]) / n_docs,
+            "avg_total_len": float(sums["tl"]) / n_docs,
+        }
+    else:
+        globals_ = {"docs_count": 0, "avg_name_len": 0.0, "avg_address_len": 0.0, "avg_total_len": 0.0}
+
+    terms_ref = ray.put(terms_sorted)
+    postings = postings_raw.map_batches(
+        _TermIdMapper,
+        fn_constructor_kwargs=dict(terms_ref=terms_ref),
+        batch_format="pyarrow",
+        concurrency=mapper_concurrency,
+    )
+
+    # df partials are exact per batch (a doc is wholly inside one batch);
+    # the groupby-sum stream is O(vocab)
+    def df_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"term_id": pa.array([], pa.int64()), "df": pa.array([], pa.int64())})
+        d = t.select(["term_id", "doc_id"]).to_pandas().drop_duplicates()
+        g = d.groupby("term_id", sort=False).size().reset_index(name="df")
+        return pa.table({"term_id": pa.array(g["term_id"], pa.int64()), "df": pa.array(g["df"], pa.int64())})
+
+    term_stats = (
+        postings.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term_id")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    return TextIndexDS(postings=postings, doc_lens=doc_lens, terms=terms, term_stats=term_stats, globals=globals_)
+
+
+_POSTING_COLS = ["field", "term_id", "doc_id", "tf", "name_len", "address_len", "total_len"]
+
+
+def build_text_index(docs: "ray.data.Dataset", text_cols: dict[str, int] | None = None) -> TextIndex:
+    """Serving-size in-RAM index (collected from the distributed build)."""
+    idx = build_text_index_ds(docs, text_cols)
+    if len(idx.terms) == 0:
+        empty_postings = pd.DataFrame({c: pd.Series(dtype=np.int64) for c in _POSTING_COLS})
         return TextIndex(
             terms=pd.DataFrame({"term": pd.Series(dtype=str), "term_id": pd.Series(dtype=np.int64)}),
             postings=empty_postings,
             term_stats=pd.DataFrame({"term_id": pd.Series(dtype=np.int64), "df": pd.Series(dtype=np.int64)}),
-            globals={"docs_count": 0, "avg_name_len": 0.0, "avg_address_len": 0.0, "avg_total_len": 0.0},
+            globals=idx.globals,
         )
-
-    # deterministic term ids: sorted unique
-    terms_sorted = np.sort(tf_pd["term"].unique())
-    terms = pd.DataFrame({"term": terms_sorted, "term_id": np.arange(len(terms_sorted), dtype=np.int64)})
-    vocab = dict(zip(terms["term"], terms["term_id"]))
-    tf_pd["term_id"] = tf_pd["term"].map(vocab)
-
-    # per-doc field lengths (A3) + global averages (A4)
-    def len_partial(batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_numpy()
-        cols = {"doc_id": doc_ids}
-        for col, field in text_cols.items():
-            _, counts = tokenize_array(batch.column(col).to_pylist())
-            cols[f"len_{field}"] = counts
-        return pa.table(cols)
-
-    lens = docs.map_batches(len_partial, batch_format="pyarrow").to_pandas()
-    lens = lens.rename(columns={f"len_{FIELD_NAME}": "name_len", f"len_{FIELD_ADDRESS}": "address_len"})
-    lens["total_len"] = lens["name_len"] + lens["address_len"]
-
-    postings = tf_pd.merge(lens, on="doc_id")[
-        ["field", "term_id", "doc_id", "tf", "name_len", "address_len", "total_len"]
-    ].sort_values(["field", "term_id", "doc_id"], kind="mergesort").reset_index(drop=True)
-
-    # df across both fields (A8: distinct docs containing term)
-    term_stats = (
-        tf_pd[["term_id", "doc_id"]].drop_duplicates().groupby("term_id").size().reset_index(name="df")
+    postings = (
+        idx.postings.to_pandas()[_POSTING_COLS]
+        .astype({"field": np.int64})
+        .sort_values(["field", "term_id", "doc_id"], kind="mergesort")
+        .reset_index(drop=True)
     )
-
-    globals_ = {
-        "docs_count": int(lens["doc_id"].nunique()),
-        "avg_name_len": float(lens["name_len"].mean()),
-        "avg_address_len": float(lens["address_len"].mean()),
-        "avg_total_len": float(lens["total_len"].mean()),
-    }
-    return TextIndex(terms=terms, postings=postings, term_stats=term_stats, globals=globals_)
+    term_stats = idx.term_stats.to_pandas().sort_values("term_id").reset_index(drop=True)
+    return TextIndex(terms=idx.terms, postings=postings, term_stats=term_stats, globals=idx.globals)
 
 
-def save_text_index(index: TextIndex, out_dir: str) -> None:
-    """Parquet artifacts; postings partitioned by term_id range so query-time
-    reads prune row groups (S6/S7 analogue — Parquet footers replace the
-    reference's custom offset sidecars, pkg/index/inverted_index.go:301-414)."""
+def term_bucket(term_id, n_terms: int, num_buckets: int):
+    """Range-contiguous bucket of a dense sorted term_id — keeps K6's sorted
+    term order within and across bucket files."""
+    tid = np.asarray(term_id, dtype=np.int64)
+    if n_terms <= 0:
+        return np.zeros_like(tid)
+    return np.minimum(tid * num_buckets // n_terms, num_buckets - 1)
+
+
+def save_text_index_ds(
+    idx: TextIndexDS, out_dir: str, num_buckets: int = DEFAULT_POSTINGS_BUCKETS
+) -> None:
+    """Write artifacts WITHOUT collecting postings to the driver: postings
+    stream to ``postings/bucket=K/*.parquet`` (term_id-range partitioned, the
+    engine-native form of the reference's per-term offset sidecars,
+    pkg/index/inverted_index.go:301-414)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(idx.terms, preserve_index=False), f"{out_dir}/terms.parquet")
+    n_terms = len(idx.terms)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = term_bucket(t.column("term_id").to_numpy(), n_terms, num_buckets)
+        return t.select(_POSTING_COLS).append_column("bucket", pa.array(b.astype(np.int64)))
+
+    idx.postings.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        f"{out_dir}/postings", partition_cols=["bucket"], row_group_size=64 * 1024
+    )
+    ts = idx.term_stats.to_pandas()  # O(vocab) — same budget as the term dict
+    pq.write_table(pa.Table.from_pandas(ts, preserve_index=False), f"{out_dir}/term_stats.parquet")
+    with open(f"{out_dir}/globals.json", "w") as f:
+        json.dump({**idx.globals, "postings_buckets": num_buckets, "n_terms": n_terms}, f)
+
+
+def save_text_index(index: TextIndex, out_dir: str, num_buckets: int = DEFAULT_POSTINGS_BUCKETS) -> None:
+    """Driver-side writer for the in-RAM TextIndex — emits the SAME bucketed
+    layout as save_text_index_ds (one reader serves both)."""
     import json
     import os
 
@@ -144,27 +295,82 @@ def save_text_index(index: TextIndex, out_dir: str) -> None:
 
     os.makedirs(out_dir, exist_ok=True)
     pq.write_table(pa.Table.from_pandas(index.terms, preserve_index=False), f"{out_dir}/terms.parquet")
+    n_terms = len(index.terms)
+    p = index.postings.copy()
+    p["bucket"] = term_bucket(p["term_id"].to_numpy(), n_terms, num_buckets) if len(p) else np.empty(0, np.int64)
+    for k, g in p.groupby("bucket") if len(p) else []:
+        pdir = f"{out_dir}/postings/bucket={int(k)}"
+        os.makedirs(pdir, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(g[_POSTING_COLS], preserve_index=False),
+            f"{pdir}/data.parquet",
+            row_group_size=64 * 1024,
+        )
+    os.makedirs(f"{out_dir}/postings", exist_ok=True)
     pq.write_table(
-        pa.Table.from_pandas(index.postings, preserve_index=False),
-        f"{out_dir}/postings.parquet",
-        row_group_size=64 * 1024,
+        pa.Table.from_pandas(index.term_stats, preserve_index=False), f"{out_dir}/term_stats.parquet"
     )
-    pq.write_table(pa.Table.from_pandas(index.term_stats, preserve_index=False), f"{out_dir}/term_stats.parquet")
     with open(f"{out_dir}/globals.json", "w") as f:
-        json.dump(index.globals, f)
+        json.dump({**index.globals, "postings_buckets": num_buckets, "n_terms": n_terms}, f)
+
+
+def _load_globals(out_dir: str) -> dict:
+    import json
+
+    return json.load(open(f"{out_dir}/globals.json"))
+
+
+def postings_files_for_terms(out_dir: str, term_ids) -> list[str]:
+    """The pruned file set: only buckets containing requested term_ids."""
+    import glob
+    import os
+
+    meta = _load_globals(out_dir)
+    buckets = set(
+        term_bucket(np.asarray(list(term_ids), dtype=np.int64), meta["n_terms"], meta["postings_buckets"]).tolist()
+    )
+    files: list[str] = []
+    for b in sorted(buckets):
+        files.extend(sorted(glob.glob(os.path.join(out_dir, "postings", f"bucket={b}", "*.parquet"))))
+    return files
 
 
 def load_text_index(out_dir: str) -> TextIndex:
-    import json
+    import glob
+    import os
 
     import pyarrow.parquet as pq
 
+    meta = _load_globals(out_dir)
+    files = sorted(glob.glob(os.path.join(out_dir, "postings", "bucket=*", "*.parquet")))
+    if files:
+        postings = pd.concat([pq.read_table(f).to_pandas() for f in files], ignore_index=True)
+        postings = postings.sort_values(["field", "term_id", "doc_id"], kind="mergesort").reset_index(drop=True)
+    else:
+        postings = pd.DataFrame({c: pd.Series(dtype=np.int64) for c in _POSTING_COLS})
     return TextIndex(
         terms=pq.read_table(f"{out_dir}/terms.parquet").to_pandas(),
-        postings=pq.read_table(f"{out_dir}/postings.parquet").to_pandas(),
+        postings=postings,
         term_stats=pq.read_table(f"{out_dir}/term_stats.parquet").to_pandas(),
-        globals=json.load(open(f"{out_dir}/globals.json")),
+        globals={k: v for k, v in meta.items() if k not in ("postings_buckets", "n_terms")},
     )
+
+
+def read_postings_for_terms(index_dir: str, term_ids: list[int]) -> pd.DataFrame:
+    """S7/J7 analogue — read ONLY the requested terms' postings: bucket-dir
+    pruning (term_id-range partitions) + Parquet row-group predicate
+    pushdown (``filters`` uses footer statistics — the engine-native
+    replacement for the reference's offset-sidecar seek,
+    pkg/index/inverted_index.go:131-193)."""
+    import pyarrow.parquet as pq
+
+    files = postings_files_for_terms(index_dir, term_ids)
+    if not files:
+        return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in _POSTING_COLS})
+    parts = [
+        pq.read_table(f, filters=[("term_id", "in", list(term_ids))]).to_pandas() for f in files
+    ]
+    return pd.concat(parts, ignore_index=True)
 
 
 def spimi_postings_lists(docs: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"):
@@ -195,17 +401,3 @@ def spimi_postings_lists(docs: "ray.data.Dataset", text_col: str = "text", id_co
     return grouped_apply_bounded(
         docs.map_batches(explode, batch_format="pyarrow"), "term", collect, num_parts=64
     )
-
-
-def read_postings_for_terms(index_dir: str, term_ids: list[int]) -> pd.DataFrame:
-    """S7/J7 analogue — read ONLY the requested terms' postings rows from the
-    Parquet artifact via predicate pushdown (``filters`` prunes row groups
-    using the Parquet footer statistics — the engine-native replacement for
-    the reference's offset-sidecar seek, pkg/index/inverted_index.go:131-193).
-    """
-    import pyarrow.parquet as pq
-
-    return pq.read_table(
-        f"{index_dir}/postings.parquet",
-        filters=[("term_id", "in", list(term_ids))],
-    ).to_pandas()

@@ -66,6 +66,123 @@ def assign_lists(emb: "ray.data.Dataset", centroids: np.ndarray, vec_col: str) -
     return emb.map_batches(fn, batch_format="pyarrow")
 
 
+def build_ivf_store(
+    emb: "ray.data.Dataset",
+    out_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nlist: int = 16,
+    seed: int = 23,
+) -> np.ndarray:
+    """Materialize the IVF layout on disk: train centroids, assign lists,
+    write the corpus list_id-PARTITIONED through the checkpointed sink
+    (sources/checkpoint.py — resumable, per-partition lineage). Vectors
+    travel as fixed-width float32 blobs (list columns break pandas-widened
+    shuffle blocks). This makes the module docstring's 'partitioned once,
+    probed reads only' claim real (VERDICT r01 item 8)."""
+    import json
+    import os
+
+    from ..sources import checkpoint as cp
+
+    centroids = train_centroids(emb, vec_col, nlist, seed=seed)
+    listed = assign_lists(emb, centroids, vec_col)
+
+    def pack(t: pa.Table) -> pa.Table:
+        mat = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float32)
+        blobs = [row.tobytes() for row in mat] if len(mat) else []
+        return pa.table(
+            {
+                id_col: pa.array(t.column(id_col).to_numpy().astype(np.int64)),
+                "list_id": pa.array(t.column("list_id").to_numpy().astype(np.int64)),
+                "vecblob": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    cp.checkpointed_write(listed.map_batches(pack, batch_format="pyarrow"), f"{out_dir}/lists", "list_id", stage="ivf_lists")
+    cp.mark_stage_complete(f"{out_dir}/lists", "ivf_lists")
+    np.save(f"{out_dir}/centroids.npy", centroids)
+    with open(f"{out_dir}/meta.json", "w") as f:
+        json.dump({"dim": int(centroids.shape[1]), "nlist": int(len(centroids)), "id_col": id_col}, f)
+    return centroids
+
+
+def probed_list_files(out_dir: str, probed_lists) -> list[str]:
+    """The pruned read set: partition files of probed lists only."""
+    import os
+
+    files = []
+    for lid in sorted(int(x) for x in probed_lists):
+        f = os.path.join(out_dir, "lists", f"part={lid}", "data.parquet")
+        if os.path.exists(f):
+            files.append(f)
+    return files
+
+
+def ivf_store_topk(
+    out_dir: str,
+    queries: dict,
+    k: int,
+    nprobe: int = 4,
+) -> pd.DataFrame:
+    """Query the on-disk IVF store: compute each query's nprobe nearest
+    lists, READ ONLY those partitions (the files of unprobed lists are
+    never opened), score with the exact partial-top-k combiner."""
+    import json
+
+    meta = json.load(open(f"{out_dir}/meta.json"))
+    id_col = meta["id_col"]
+    dim = meta["dim"]
+    centroids = np.load(f"{out_dir}/centroids.npy")
+    qm = queries["mat"].astype(np.float64)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qd = ((qm[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(qd, axis=1)[:, :nprobe]
+    files = probed_list_files(out_dir, np.unique(probes))
+    if not files:
+        return pd.DataFrame({"query_id": pd.Series(dtype=np.int64), id_col: pd.Series(dtype=np.int64), "rank": pd.Series(dtype=np.int64)})
+    ds = ray.data.read_parquet(files)
+    state_ref = ray.put((queries["vec_id"], qn, probes))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qids, qn_, probes_ = ray.get(state_ref)
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())})
+        ids = batch.column(id_col).to_numpy()
+        lids = batch.column("list_id").to_numpy()
+        blobs = batch.column("vecblob").to_pylist()
+        mat = np.frombuffer(b"".join(blobs), dtype=np.float32).reshape(len(ids), dim).astype(np.float64)
+        mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = qn_ @ mn.T
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids)):
+            mask = np.isin(lids, probes_[qi]) & (ids != qids[qi])
+            s_m, ids_m = sims[qi][mask], ids[mask]
+            if len(s_m) > k:
+                part = np.argpartition(-s_m, k)[:k]
+                s_m, ids_m = s_m[part], ids_m[part]
+            out_q.append(np.full(len(ids_m), qids[qi], dtype=np.int64))
+            out_v.append(ids_m)
+            out_s.append(s_m)
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_v)),
+                "cosine": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    partial = ds.map_batches(score, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col], ascending=[False, True], kind="mergesort").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", id_col, "rank"]]
+
+    return partial.groupby("query_id").map_groups(final, batch_format="pandas").to_pandas()
+
+
 def ivf_cosine_topk(
     emb: "ray.data.Dataset",
     queries: dict,

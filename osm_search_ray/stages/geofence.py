@@ -45,11 +45,16 @@ STATUS_EXIT = "EXIT"
 STATUS_CROSS = "CROSS"
 
 
-def line_circle_intersect(lat1, lon1, lat2, lon2, clat: float, clon: float, radius_km: float) -> np.ndarray:
-    """Vectorized port of circle.go:53-96 (projection in radians × R meters)."""
-    clat_r = np.radians(clat)
-    clon_r = np.radians(clon)
-    r_m = radius_km * 1000.0
+def line_circle_intersect(lat1, lon1, lat2, lon2, clat, clon, radius_km) -> np.ndarray:
+    """Vectorized port of circle.go:53-96 (projection in radians × R meters).
+
+    ``clat``/``clon``/``radius_km`` may be scalars (one circle vs many
+    segments) or arrays broadcastable with the segment endpoints (one circle
+    PER ROW — the OUTSIDE→OUTSIDE batch path); every op below is
+    elementwise, including the per-center cos used by the projection."""
+    clat_r = np.radians(np.asarray(clat, np.float64))
+    clon_r = np.radians(np.asarray(clon, np.float64))
+    r_m = np.asarray(radius_km, np.float64) * 1000.0
     coslat = np.cos(clat_r)
 
     def proj(lat_r, lon_r):
@@ -110,16 +115,13 @@ def _statuses_for_track(
     oo = ~old_in & ~cur_in
     crossed = np.zeros(len(rows), dtype=bool)
     if oo.any():
+        # ONE vectorized call over the whole OUTSIDE→OUTSIDE subset with
+        # per-row circle arrays (VERDICT r01 item 5 / ADVICE: the per-pair
+        # Python loop here ran at scalar speed on the dominant subset)
         idx = np.nonzero(oo)[0]
-        crossed[idx] = np.array(
-            [
-                line_circle_intersect(
-                    np.asarray([plat[rows[i]]]), np.asarray([plon[rows[i]]]),
-                    np.asarray([lat[rows[i]]]), np.asarray([lon[rows[i]]]),
-                    flat[cols[i]], flon[cols[i]], frad[cols[i]],
-                )[0]
-                for i in idx
-            ]
+        ri, ci = rows[idx], cols[idx]
+        crossed[idx] = line_circle_intersect(
+            plat[ri], plon[ri], lat[ri], lon[ri], flat[ci], flon[ci], frad[ci]
         )
     primary = np.select(
         [old_in & cur_in, old_in & ~cur_in, ~old_in & cur_in, crossed],

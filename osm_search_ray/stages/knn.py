@@ -152,9 +152,15 @@ def cell_knn_oneshot(
             # use the SMALLER step (lon cells shrink by cos(lat)) so the
             # bound stays conservative at all latitudes
             lat0, lon0, lat1, lon1 = cell_bounds(np.asarray([center]), res)
-            lat_step_km = (lat1[0] - lat0[0]) * 111.19492664455873
-            max_abs_lat = max(abs(lat0[0]), abs(lat1[0]))
-            lon_step_km = (lon1[0] - lon0[0]) * 111.19492664455873 * max(np.cos(np.radians(max_abs_lat)), 1e-9)
+            lat_step_deg = lat1[0] - lat0[0]
+            lat_step_km = lat_step_deg * 111.19492664455873
+            # lon cells shrink with latitude: evaluate cos at the MAXIMUM
+            # |latitude| reachable within ring+1 cells of the center, so the
+            # per-step bound stays conservative for every unexplored cell
+            # (ADVICE r01: the center-cell cos could terminate one ring early
+            # near ties at high latitude)
+            reach_lat = min(90.0, max(abs(lat0[0]), abs(lat1[0])) + (ring + 1) * lat_step_deg)
+            lon_step_km = (lon1[0] - lon0[0]) * 111.19492664455873 * max(np.cos(np.radians(reach_lat)), 1e-9)
             if best[k - 1][0] <= ring * min(lat_step_km, lon_step_km):
                 break
     return pd.DataFrame(

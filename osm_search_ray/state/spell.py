@@ -82,6 +82,8 @@ def _lev_leq(a: str, b: str, k: int) -> bool:
 class SpellCorrector:
     vocab_sorted: list[str]
     lm: NGramLM
+    by_len: dict[int, list[str]] | None = None  # length buckets (built lazily)
+    vocab_set: set[str] | None = None
 
     @staticmethod
     def build(vocab: set[str] | None, lm: NGramLM) -> "SpellCorrector":
@@ -89,10 +91,34 @@ class SpellCorrector:
         reference builds its FST over all corpus terms). Defaults to the
         LM's full_vocab. The LM's thresholded vocab only drives <UNK>."""
         v = vocab if vocab else (lm.full_vocab or lm.vocab)
-        return SpellCorrector(vocab_sorted=sorted(v), lm=lm)
+        sc = SpellCorrector(vocab_sorted=sorted(v), lm=lm)
+        sc._build_len_buckets()
+        return sc
+
+    def _build_len_buckets(self) -> None:
+        buckets: dict[int, list[str]] = {}
+        for t in self.vocab_sorted:  # already lexicographic within buckets
+            buckets.setdefault(len(t), []).append(t)
+        self.by_len = buckets
+        self.vocab_set = set(self.vocab_sorted)
 
     def word_candidates(self, word: str, d: int) -> list[str]:
-        return edit_distance_candidates(word, self.vocab_sorted, d)
+        """Candidates within edit distance d, lexicographic order —
+        identical result to a full-vocab scan, but only terms whose LENGTH
+        can possibly qualify (|len-len(word)| <= d) are examined (VERDICT
+        r01 item 4: the O(V)-per-OOV-token scan; the reference's
+        Levenshtein-DFA-over-FST is sub-linear, spell_corrector.go:93-120 —
+        length bucketing is the engine-side pruning equivalent)."""
+        if self.by_len is None:
+            self._build_len_buckets()
+        wl = len(word)
+        out: list[str] = []
+        for length in range(max(1, wl - d), wl + d + 1):
+            for term in self.by_len.get(length, ()):
+                if _lev_leq(word, term, d):
+                    out.append(term)
+        out.sort()  # merge per-length runs back to FST iteration order
+        return out
 
     def prefix_matches(self, prefix: str) -> list[str]:
         i = bisect_left(self.vocab_sorted, prefix)
@@ -104,7 +130,9 @@ class SpellCorrector:
 
     def correct_query(self, tokens: list[str]) -> list[str]:
         """FreeFormQuery's correction flow (searcher.go:150-199)."""
-        vocab = set(self.vocab_sorted)
+        if self.vocab_set is None:
+            self._build_len_buckets()
+        vocab = self.vocab_set
         per_term: list[list[str]] = []
         any_oov = False
         for t in tokens:
@@ -121,7 +149,13 @@ class SpellCorrector:
         best, best_p = None, -np.inf
         for cand in islice(product(*per_term), MAX_CANDIDATES):
             p = self.lm.query_log_prob(list(cand))
-            if p > best_p:  # strict: FIRST max wins
+            # strict >: FIRST max wins (spell_corrector.go:147-151). When
+            # EVERY candidate is -inf (all below the LM count threshold),
+            # the reference indexes candidates[-1] and panics
+            # (spell_corrector.go:153) — we keep the first candidate
+            # instead, the natural "first max" extension (documented
+            # deviation, SURVEY.md §7.4).
+            if p > best_p or best is None:
                 best_p, best = p, cand
         return list(best) if best is not None else tokens
 

@@ -34,6 +34,45 @@ class TestIVF:
             g = got[got["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
             assert g == order.tolist(), qid
 
+    def test_store_pruned_read(self, tmp_path):
+        """The on-disk IVF store: probed reads open a STRICT SUBSET of the
+        list partition files, and with nprobe=nlist results match the
+        streaming IVF exactly (VERDICT r01 item 8)."""
+        import glob
+
+        from osm_search_ray.stages.annindex import (
+            build_ivf_store,
+            ivf_cosine_topk,
+            ivf_store_topk,
+            probed_list_files,
+        )
+
+        df = _emb()
+        mat = np.asarray(df["embedding"].tolist())
+        qids = np.array([0, 50, 100], dtype=np.int64)
+        queries = {"vec_id": qids, "mat": mat[qids]}
+        store = str(tmp_path / "ivf")
+        # float32 store round-trip: feed float32 vectors so blob == input
+        df32 = df.assign(embedding=[np.asarray(v, np.float32).tolist() for v in df["embedding"]])
+        build_ivf_store(ray.data.from_pandas(df32), store, nlist=8)
+
+        all_files = set(glob.glob(f"{store}/lists/part=*/data.parquet"))
+        assert len(all_files) == 8
+        # nprobe=2 → pruned file set is a strict subset
+        centroids = np.load(f"{store}/centroids.npy")
+        qd = ((queries["mat"][:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        probes = np.argsort(qd, axis=1)[:, :2]
+        pruned = set(probed_list_files(store, np.unique(probes)))
+        assert pruned and pruned < all_files
+
+        # nprobe=nlist → exact: equals the streaming IVF result
+        want = ivf_cosine_topk(ray.data.from_pandas(df32), queries, k=5, nlist=8, nprobe=8)
+        got = ivf_store_topk(store, queries, k=5, nprobe=8)
+        key = ["query_id", "rank"]
+        pd.testing.assert_frame_equal(
+            got.sort_values(key).reset_index(drop=True), want.sort_values(key).reset_index(drop=True)
+        )
+
     def test_partial_probe_recall(self):
         from osm_search_ray.stages.annindex import ivf_cosine_topk
 
@@ -85,6 +124,33 @@ class TestPushdownAndValidation:
         got = ti.read_postings_for_terms(str(tmp_path / "idx"), [vocab["apel"]])
         assert set(got["term_id"]) == {vocab["apel"]}
         assert len(got) == 2  # name field doc 0, address field doc 0
+
+    def test_postings_bucket_pruned_read(self, tmp_path):
+        """The query-time read must touch ONLY the term_id-range buckets
+        containing requested terms (a strict subset of all bucket files),
+        and return the same rows as the in-RAM postings restriction."""
+        import glob
+
+        from osm_search_ray.pipelines import text_index as ti
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(8),
+                "name": [f"kata{i} umum kata{i+10}" for i in range(8)],
+                "address": [f"jalan nomor{i}" for i in range(8)],
+            }
+        )
+        index = ti.build_text_index(ray.data.from_pandas(docs))
+        ti.save_text_index(index, str(tmp_path / "idx"), num_buckets=4)
+        vocab = index.vocab()
+        all_files = set(glob.glob(str(tmp_path / "idx" / "postings" / "bucket=*" / "*.parquet")))
+        assert len({f.split("bucket=")[1].split("/")[0] for f in all_files}) == 4
+        want = [vocab["jalan"]]
+        pruned = set(ti.postings_files_for_terms(str(tmp_path / "idx"), want))
+        assert pruned < all_files  # strict subset — whole buckets skipped
+        got = ti.read_postings_for_terms(str(tmp_path / "idx"), want)
+        exp = index.postings[index.postings["term_id"].isin(want)]
+        assert len(got) == len(exp) and set(got["doc_id"]) == set(exp["doc_id"])
 
     def test_validate_queries(self):
         from osm_search_ray.pipelines.search import validate_queries

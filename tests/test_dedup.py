@@ -1,0 +1,90 @@
+"""Dedup-family stage tests — in particular the distributed MinHash verify
+(VERDICT r01 item 3: the doc_id-bucketed-join verify must produce exactly
+the pair set of the old driver-side verify)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import ray.data
+
+from osm_search_ray.functions.hashing import minhash_signature_batch
+from osm_search_ray.functions.tokenize import tokenize
+from osm_search_ray.stages import dedup as dd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _driver_oracle_minhash(texts, ids, num_perm=128, bands=32, threshold=0.5):
+    """The r01 driver-side verify, reimplemented as the test oracle: same
+    signature kernel, same band-bucket math, full driver pair enumeration."""
+    rows_per_band = num_perm // bands
+    norm = [" ".join(tokenize(t or "")) for t in texts]
+    sigs = minhash_signature_batch(norm, num_perm, 5).astype(np.int64).astype(np.uint64)
+    n = len(ids)
+    with np.errstate(over="ignore"):
+        banded = sigs.reshape(n, bands, rows_per_band) * np.uint64(2654435761)
+    buckets = np.bitwise_xor.reduce(banded, axis=2) & np.uint64(0x7FFFFFFFFFFFFFFF)
+    cand = set()
+    for b in range(bands):
+        by_bucket = {}
+        for i in range(n):
+            by_bucket.setdefault(int(buckets[i, b]), []).append(i)
+        for members in by_bucket.values():
+            for x in range(len(members)):
+                for y in range(x + 1, len(members)):
+                    a, bb = sorted((int(ids[members[x]]), int(ids[members[y]])))
+                    cand.add((a, bb))
+    sig_by_id = {int(i): sigs[k].astype(np.int64) for k, i in enumerate(ids)}
+    out = {}
+    for a, b in cand:
+        est = float((sig_by_id[a] == sig_by_id[b]).mean())
+        if est >= threshold:
+            out[(a, b)] = est
+    return out
+
+
+def test_minhash_distributed_verify_equals_driver_oracle():
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    expected = _driver_oracle_minhash(docs["text"].tolist(), docs["doc_id"].tolist())
+
+    got = dd.minhash_lsh_pairs(
+        ray.data.from_pandas(docs), threshold=0.5
+    ).to_pandas()
+    got_map = {
+        (int(a), int(b)): float(e)
+        for a, b, e in zip(got["doc_a"], got["doc_b"], got["jaccard_est"])
+    }
+    assert got_map.keys() == expected.keys()
+    for k, v in expected.items():
+        assert got_map[k] == v, k
+    # and the pair set is globally unique
+    assert len(got) == len(got.drop_duplicates(["doc_a", "doc_b"]))
+
+
+def test_simhash_pairs_unique_and_within_hamming():
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    out = dd.simhash_near_dups(ray.data.from_pandas(docs), max_hamming=3).to_pandas()
+    assert len(out) == len(out.drop_duplicates(["doc_a", "doc_b"]))
+    assert (out["hamming"] <= 3).all()
+
+
+def test_embedding_near_dups_finds_planted_duplicates():
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((20, 16))
+    # plant 3 exact duplicates (ids 20..22 duplicate ids 0..2)
+    vecs = np.vstack([base, base[:3]])
+    emb = pd.DataFrame({"vec_id": np.arange(23, dtype=np.int64), "embedding": list(vecs)})
+    out = dd.embedding_near_dups(
+        ray.data.from_pandas(emb), threshold=0.999
+    ).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(out["doc_a"], out["doc_b"])}
+    assert {(0, 20), (1, 21), (2, 22)} <= found
+    assert (out["cosine"] >= 0.999).all()
+
+
+def test_ngram_jaccard_cap():
+    import pytest
+
+    big = pd.DataFrame({"doc_a": np.arange(200_000), "doc_b": np.arange(200_000) + 1})
+    with pytest.raises(ValueError, match="SMALL candidate sets"):
+        dd.ngram_jaccard_pairs(None, big)

@@ -205,6 +205,33 @@ class TestSpell:
         assert sc.correct_query(["duniu", "fsntaso"]) == ["dunia", "fantasi"]
         assert sc.correct_query(["kebun", "bibatqng", "raginan"]) == ["kebun", "binatang", "ragunan"]
 
+    def test_word_candidates_length_bucketed_equals_full_scan(self):
+        """The length-bucketed candidate generation must return exactly the
+        full-vocab scan's result (same set, same lexicographic order)."""
+        vocab = {"jalan", "jalur", "jalanan", "kebun", "dunia", "dunias", "ab", "jaln", "ja"}
+        lm = count_ngrams([sorted(vocab)])
+        sc = SpellCorrector.build(vocab, lm)
+        for word in ["jalen", "dunia", "x", "jalanan", "ke"]:
+            for d in (1, 2):
+                assert sc.word_candidates(word, d) == edit_distance_candidates(word, sorted(vocab), d), (word, d)
+
+    def test_spell_search_corrects_seeded_typos(self):
+        """End-to-end FreeFormQuery flow on the driver corpus: every seeded
+        typo in SPELL_QUERIES corrects back to the intended vocab terms
+        (searcher_test.go:50-190 semantics on our corpus)."""
+        import ray.data
+
+        from osm_search_ray.functions.tokenize import tokenize
+        from osm_search_ray.pipelines.search_docs import QUERIES, SPELL_QUERIES
+        from osm_search_ray.state.lm import build_ngram_lm
+
+        ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"])
+        lm = build_ngram_lm(ds, text_cols=["text"])
+        sc = SpellCorrector.build(lm.full_vocab, lm)
+        expected = {qid: tokenize(text) for qid, text in QUERIES}
+        for qid, typo_text in SPELL_QUERIES:
+            assert sc.correct_query(tokenize(typo_text)) == expected[qid], qid
+
     def test_autocomplete_prefix(self):
         """'kebun binatang ra' → 'kebun binatang ragunan' (searcher_test.go)."""
         corpus = [["kebun", "binatang", "ragunan"], ["kebun", "raya", "bogor"], ["taman", "ria"]] * 2
