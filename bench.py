@@ -33,6 +33,25 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 PAGES_PER_DOC = int(os.environ.get("BENCH_PAGES_PER_DOC", "120"))
 
 
+def _warm_workers() -> None:
+    """Force ALL num_cpus Ray workers to start before timing (workers spawn
+    lazily; a trivial task warm-up only starts a handful) so measurements
+    are steady-state compute, not process spawn."""
+    import ray as _ray
+    import ray.data
+
+    @_ray.remote(num_cpus=1)
+    def _hold():
+        import time as _t
+
+        _t.sleep(0.4)
+
+    _ray.get([_hold.remote() for _ in range(NUM_CPUS)])
+    ray.data.range(100_000, override_num_blocks=NUM_CPUS).map_batches(
+        lambda t: t, batch_format="pyarrow"
+    ).count()
+
+
 def headline_spatial(sf_dir: str) -> dict:
     import numpy as np
     import pyarrow as pa
@@ -84,21 +103,7 @@ def headline_spatial(sf_dir: str) -> dict:
 
     polys = PolygonSet.from_rects(admin_rects(sf_dir).select(["rect_id", "lat0", "lon0", "lat1", "lon1"]))
 
-    # warm the Ray worker pool so the measurement is steady-state compute,
-    # not process spawn: force ALL num_cpus workers to start (a trivial task
-    # warm-up only spawns a handful of lazy workers)
-    import ray as _ray
-
-    @_ray.remote(num_cpus=1)
-    def _hold():
-        import time as _t
-
-        _t.sleep(0.4)
-
-    _ray.get([_hold.remote() for _ in range(NUM_CPUS)])
-    ray.data.range(100_000, override_num_blocks=NUM_CPUS).map_batches(
-        lambda t: t, batch_format="pyarrow"
-    ).count()
+    _warm_workers()
 
     t0 = time.time()
     ds = ray.data.range(n_pages, override_num_blocks=NUM_CPUS)
@@ -124,11 +129,9 @@ def headline_spatial(sf_dir: str) -> dict:
     # streamed partials in one final combine (bounded by O(tiles))
     import pandas as pd
 
+    final_ds = joined.map_batches(partial_counts, batch_format="pyarrow")
     parts = [
-        b.to_pandas()
-        for b in joined.map_batches(partial_counts, batch_format="pyarrow").iter_batches(
-            batch_size=None, batch_format="pyarrow"
-        )
+        b.to_pandas() for b in final_ds.iter_batches(batch_size=None, batch_format="pyarrow")
     ]
     res = (
         pd.concat(parts, ignore_index=True)
@@ -138,7 +141,7 @@ def headline_spatial(sf_dir: str) -> dict:
     )
     dt = time.time() - t0
     joined_rows = int(res["n"].sum())
-    return {
+    out = {
         "sec": dt,
         "pages": n_pages,
         "joined_rows": joined_rows,
@@ -146,6 +149,11 @@ def headline_spatial(sf_dir: str) -> dict:
         "joined_rows_per_sec": joined_rows / dt,
         "tiles": len(res),
     }
+    if os.environ.get("BENCH_CAPTURE_STATS"):
+        # per-operator Ray Data execution stats for the scaling audit
+        # (VERDICT r01 item 10: worker-time-dominance must be auditable)
+        out["stats"] = final_ds.stats()
+    return out
 
 
 def run_suite() -> dict:
@@ -165,6 +173,9 @@ def run_suite() -> dict:
 
     for t in ["documents", "lineitem", "orders", "events", "embeddings", "nation", "customer", "region"]:
         pq.read_table(f"{SF_DIR}/{t}.parquet")
+    # warm the worker pool so the FIRST query doesn't absorb process spawn
+    # (r01: tile_assign carried ~2 s of worker startup)
+    _warm_workers()
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
@@ -237,7 +248,39 @@ def run_scaling() -> dict:
     }
 
 
+def run_stats_capture(levels=(8, 32)) -> dict:
+    """Run the headline pipeline at each level with stats capture ON and
+    write the per-operator ds.stats() reports to BENCH/STATS_<n>cpu.txt —
+    the audit trail for the scaling-efficiency claim (VERDICT r01 item 10)."""
+    out_paths = {}
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    for ncpu in levels:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            BENCH_HEADLINE_ONLY="1",
+            BENCH_CAPTURE_STATS="1",
+            BENCH_PAGES_PER_DOC=os.environ.get("BENCH_SCALING_PAGES_PER_DOC", "2000"),
+        )
+        out = subprocess.run([sys.executable, __file__], env=env, capture_output=True, text=True, check=True).stdout
+        r = json.loads(out.strip().splitlines()[-1])
+        path = os.path.join(bench_dir, f"STATS_{ncpu}cpu.txt")
+        with open(path, "w") as f:
+            f.write(
+                f"# headline pipeline ds.stats() — num_cpus={ncpu}, "
+                f"pages={r['headline']['pages']}, wall={r['headline']['sec']:.2f}s, "
+                f"pages/s={r['headline']['pages_per_sec']:.0f}\n\n"
+            )
+            f.write(r["headline"]["stats"])
+        out_paths[str(ncpu)] = path
+    return {"metric": "stats_capture", "value": len(out_paths), "unit": "files", "paths": out_paths}
+
+
 def main() -> None:
+    if "--stats" in sys.argv:
+        print(json.dumps(run_stats_capture()))
+        return
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
         return

@@ -231,9 +231,13 @@ def ingest_documents(
     def way_attrs(batch: pa.Table) -> pa.Table:
         keep = maps.check_way_allowed(batch)
         t = batch.filter(pa.array(keep))
+        # M10: the doc's key=value feature list (indexer.go:1172-1180),
+        # carried as a ';'-joined string so it survives pandas-widened
+        # shuffles (list columns break mixed blocks — CLAUDE.md pitfalls)
+        t = t.append_column("features", pa.compute.binary_join(maps.osm_features(t), ";"))
         t = maps.project_name_address_type(t)
-        return t.select(["id", "name", "street", "tipe", "postal_code", "house_number"]).rename_columns(
-            ["attr_way_id", "name", "street", "tipe", "postal_code", "house_number"]
+        return t.select(["id", "name", "street", "tipe", "postal_code", "house_number", "features"]).rename_columns(
+            ["attr_way_id", "name", "street", "tipe", "postal_code", "house_number", "features"]
         )
 
     attrs = ways.map_batches(way_attrs, batch_format="pyarrow")
@@ -255,6 +259,7 @@ def ingest_documents(
                 "lon0": batch.column("lon0"),
                 "lat1": batch.column("lat1"),
                 "lon1": batch.column("lon1"),
+                "features": batch.column("features"),
                 "src_rank": pa.array(np.zeros(n, dtype=np.int8)),
             }
         )
@@ -265,6 +270,7 @@ def ingest_documents(
     def node_docs_fn(batch: pa.Table) -> pa.Table:
         keep = maps.check_node_allowed(batch)
         t = batch.filter(pa.array(keep))
+        t = t.append_column("features", pa.compute.binary_join(maps.osm_features(t), ";"))
         t = maps.project_name_address_type(t)
         n = len(t)
         lat = t.column("lat")
@@ -283,6 +289,7 @@ def ingest_documents(
                 "lon0": lon,
                 "lat1": lat,
                 "lon1": lon,
+                "features": t.column("features"),
                 "src_rank": pa.array(np.ones(n, dtype=np.int8)),
             }
         )

@@ -24,20 +24,18 @@ from .scoring import SCORERS, rank_scores
 from .text_index import TextIndex
 
 
-class SearchActor:
-    """Actor-pool stage: holds vocab + postings + globals, scores query batches.
+class SearchCore:
+    """The in-RAM query engine: vocab + per-term postings + globals (+
+    optional spell corrector). Shared by the batch actor-pool stage
+    (SearchActor) and the long-lived serving session (serving.QuerySession)
+    — one scoring implementation, two execution shapes."""
 
-    Optionally spell-corrects out-of-vocabulary terms with the state/spell.py
-    corrector (T4/T5) before scoring — mirroring FreeFormQuery
-    (/root/reference/pkg/searcher/searcher.go:150-246)."""
-
-    def __init__(self, index_ref, corrector_ref=None):
-        index: TextIndex = ray.get(index_ref)
+    def __init__(self, index: TextIndex, corrector=None):
         self.vocab = index.vocab()
         self.postings = index.postings
         self.by_term = self.postings.groupby("term_id")
         self.globals = index.globals
-        self.corrector = ray.get(corrector_ref) if corrector_ref is not None else None
+        self.corrector = corrector
 
     def _terms_of(self, text: str) -> list[int]:
         toks = tokenize(text)
@@ -45,9 +43,11 @@ class SearchActor:
             toks = self.corrector.correct_query(toks)
         return [self.vocab[t] for t in toks if t in self.vocab]
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def search_rows(self, rows: list[dict]) -> pd.DataFrame:
+        """rows: dicts with query_id, text[, scoring, top_k, offset] →
+        (query_id, doc_id, score, rank) frame."""
         out = []
-        for row in batch.to_pylist():
+        for row in rows:
             tids = self._terms_of(row["text"])
             scoring = row.get("scoring") or "BM25_FIELD"
             k = int(row.get("top_k") or 10)
@@ -64,6 +64,23 @@ class SearchActor:
         res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
             {"doc_id": [], "score": [], "rank": [], "query_id": []}
         )
+        return res
+
+
+class SearchActor:
+    """Actor-pool stage: holds a SearchCore, scores query batches.
+
+    Optionally spell-corrects out-of-vocabulary terms with the state/spell.py
+    corrector (T4/T5) before scoring — mirroring FreeFormQuery
+    (/root/reference/pkg/searcher/searcher.go:150-246)."""
+
+    def __init__(self, index_ref, corrector_ref=None):
+        index: TextIndex = ray.get(index_ref)
+        corrector = ray.get(corrector_ref) if corrector_ref is not None else None
+        self.core = SearchCore(index, corrector)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        res = self.core.search_rows(batch.to_pylist())
         return pa.table(
             {
                 "query_id": pa.array(res["query_id"].to_numpy(dtype=np.int64)),

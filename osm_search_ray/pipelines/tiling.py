@@ -98,6 +98,110 @@ def write_tiles(sf_dir: str, out_dir: str) -> str:
     return out_dir
 
 
+def refresh_tiles(
+    tiles_dir: str,
+    upserts: "ray.data.Dataset | None" = None,
+    deletes=None,
+    id_col: str = "doc_id",
+) -> list[int]:
+    """Incremental index maintenance — the engine form of the reference
+    R-tree's delete + reinsert (pkg/datastructure/rtree_test.go:477-713,
+    rtree.go delete/condense/reinsert): instead of mutating a shared tree,
+    ONLY the cell partitions touched by the change set are rewritten
+    (read old partition → drop deleted/overwritten ids → append upserts →
+    atomic tmp+rename, sidecar manifest refreshed); every untouched
+    partition keeps its bytes and lineage. Returns the refreshed cell keys.
+
+    ``upserts``: rows with the tile schema minus cell columns (id, lat,
+    lon, ...); cells are assigned here. An id already present in a touched
+    cell is REPLACED (reinsert semantics). ``deletes``: pandas frame with
+    (id_col, lat, lon) — the location identifies the cell, exactly like
+    the reference's Delete(bbox) API.
+    """
+    import json
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    del_by_cell: dict[int, set] = {}
+    if deletes is not None and len(deletes):
+        dcells = cell_of(
+            np.asarray(deletes["lat"], np.float64), np.asarray(deletes["lon"], np.float64), RES_COARSE
+        )
+        for c, i in zip(dcells, deletes[id_col]):
+            del_by_cell.setdefault(int(c), set()).add(int(i))
+
+    import ray
+
+    def merge_partition(cell: int, g, dels: set) -> dict:
+        """Pure per-partition merge: drop deleted/overwritten ids, append
+        upserts, atomic tmp+rename, refresh the sidecar manifest."""
+        pdir = os.path.join(tiles_dir, f"part={cell}")
+        path = os.path.join(pdir, "data.parquet")
+        old = pq.read_table(path).to_pandas() if os.path.exists(path) else None
+        if old is None:
+            old = g.iloc[0:0]
+        gone = dels | set(g[id_col].tolist())
+        kept = old[~old[id_col].isin(gone)] if len(old) else old
+        new = pd.concat([kept, g], ignore_index=True)[list(old.columns)]  # keep partition schema order
+        new = new.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, ".tmp-data.parquet")
+        pq.write_table(pa.Table.from_pandas(new, preserve_index=False), tmp)
+        os.replace(tmp, path)
+        row = {
+            "stage": "tiles_refresh",
+            "partition_key": cell,
+            "row_count": int(len(new)),
+            "byte_count": int(os.path.getsize(path)),
+            "wall_ms": 0,
+            "status": "done",
+        }
+        side = os.path.join(pdir, ".tmp-manifest.json")
+        with open(side, "w") as f:
+            json.dump(row, f)
+        os.replace(side, os.path.join(pdir, "manifest.json"))
+        return row
+
+    del_ref = ray.put(del_by_cell)
+    manifest_rows: list[dict] = []
+    upsert_cells: set[int] = set()
+    if upserts is not None:
+
+        def rewrite_cell(g: pd.DataFrame) -> pd.DataFrame:
+            dels = ray.get(del_ref)
+            cell = int(g["cell_r12"].iloc[0])
+            return pd.DataFrame([merge_partition(cell, g, dels.get(cell, set()))])
+
+        out = (
+            upserts.map_batches(add_cells, batch_format="pyarrow")
+            .groupby("cell_r12")
+            .map_groups(rewrite_cell, batch_format="pandas")
+            .to_pandas()
+        )
+        manifest_rows += out.to_dict("records")
+        upsert_cells = {int(k) for k in out["partition_key"]}
+
+    # delete-only cells: an incremental batch touches few — merge them with
+    # empty upsert frames (schema taken from the existing partition)
+    for cell in sorted(set(del_by_cell) - upsert_cells):
+        path = os.path.join(tiles_dir, f"part={cell}", "data.parquet")
+        if not os.path.exists(path):
+            continue
+        empty = pq.read_table(path).to_pandas().iloc[0:0]
+        manifest_rows.append(merge_partition(cell, empty, del_by_cell[cell]))
+
+    # append refreshed rows to the compacted manifest (completed_keys reads
+    # both the jsonl and the per-partition sidecars)
+    if manifest_rows:
+        mp = os.path.join(tiles_dir, "_manifest.jsonl")
+        with open(mp, "a") as f:
+            for r in manifest_rows:
+                f.write(json.dumps(r) + "\n")
+    return sorted(int(r["partition_key"]) for r in manifest_rows)
+
+
 def knn_radius_lang(sf_dir: str, k: int = 5, radius_km: float = 25.0, lang: str = "en") -> "ray.data.Dataset":
     """K3 analogue — radius + feature-filtered kNN: the k nearest geo pages
     within ``radius_km`` whose ``lang`` matches (the reference's

@@ -122,3 +122,63 @@ class TestRaster:
         # the polygon must have covered pixels
         inner = cell_of(np.array([-6.2]), np.array([106.8]), RES_COARSE)[0]
         assert out[out["cell"] == inner]["covered_px"].iloc[0] == 64 * 64
+
+
+class TestRefreshTiles:
+    def test_incremental_refresh_rewrites_only_touched_cells(self, tmp_path):
+        """Index maintenance (the reference R-tree's delete+reinsert,
+        rtree_test.go:477-713): upserts/deletes rewrite ONLY their cell
+        partitions; every untouched partition keeps its exact bytes."""
+        import glob
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        from osm_search_ray.pipelines import tiling
+
+        out = str(tmp_path / "tiles")
+        tiling.write_tiles("/root/testdata/sf0.001", out)
+
+        def digests():
+            return {
+                f: hashlib.md5(open(f, "rb").read()).hexdigest()
+                for f in glob.glob(f"{out}/part=*/data.parquet")
+            }
+
+        before = digests()
+        parts = sorted(before)
+        assert len(parts) >= 2
+        # pick a partition with at least 2 rows (victim + replaced doc)
+        target = next(p for p in parts if pq.read_metadata(p).num_rows >= 2)
+        old = pq.read_table(target).to_pandas()
+        cell = int(old["cell_r12"].iloc[0])
+        base_cols = [c for c in old.columns if c not in ("cell_r12", "cell_r14", "z_cell")]
+        victim = old.iloc[0]  # will be deleted
+        moved = old.iloc[1]  # will be upserted with same id (replace)
+
+        up = pd.DataFrame([moved[base_cols], moved[base_cols]]).iloc[0:1].copy()
+        new_row = moved[base_cols].copy()
+        new_row["doc_id"] = 99_000_001
+        up = pd.DataFrame([moved[base_cols].to_dict(), new_row.to_dict()])
+        touched = tiling.refresh_tiles(
+            out,
+            upserts=ray.data.from_pandas(up),
+            deletes=pd.DataFrame(
+                {"doc_id": [victim["doc_id"]], "lat": [victim["lat"]], "lon": [victim["lon"]]}
+            ),
+        )
+        assert touched == [cell]
+
+        after = digests()
+        changed = {f for f in before if before[f] != after[f]}
+        assert changed == {f"{out}/part={cell}/data.parquet"}
+
+        new = pq.read_table(f"{out}/part={cell}/data.parquet").to_pandas()
+        assert int(victim["doc_id"]) not in set(new["doc_id"])
+        assert 99_000_001 in set(new["doc_id"])
+        assert (new["doc_id"] == moved["doc_id"]).sum() == 1  # replaced, not duplicated
+        assert list(new.columns) == list(old.columns)
+        # the store still reads back through the manifest
+        assert cp.read_checkpointed(out).count() == sum(
+            pq.read_metadata(f).num_rows for f in glob.glob(f"{out}/part=*/data.parquet")
+        )

@@ -204,3 +204,71 @@ class TestReferenceDistanceFixtures:
         for la1, lo1, la2, lo2, exp in cases:
             got = float(geometry.haversine_km(la1, lo1, la2, lo2))
             assert abs(got - exp) < 0.1, (exp, got)
+
+
+class TestMapsKernels:
+    """M10 osm_features + MapView lookups (pkg/geo/parse_osm.go tag ops,
+    pkg/index/indexer.go:1172-1180 feature lists) — VERDICT r01: M10 was
+    implemented but untested."""
+
+    def _tags_batch(self):
+        import pyarrow as pa
+
+        tags = pa.array(
+            [
+                [("amenity", "cafe"), ("name", "Kopi Satu"), ("wifi", "yes")],
+                [("name", "Jalan X"), ("highway", "residential"), ("addr:street", "Jl X")],
+                [("wikidata", "Q1")],  # no whitelisted key
+                [],
+            ],
+            pa.map_(pa.string(), pa.string()),
+        )
+        return pa.table({"id": pa.array([1, 2, 3, 4], pa.int64()), "tags": tags})
+
+    def test_osm_features_whitelist(self):
+        from osm_search_ray.stages import maps
+
+        got = maps.osm_features(self._tags_batch()).to_pylist()
+        assert got == [
+            ["amenity=cafe", "name=Kopi Satu"],  # wifi not whitelisted
+            ["name=Jalan X", "highway=residential", "addr:street=Jl X"],
+            [],
+            [],
+        ]
+
+    def test_map_lookup_first_occurrence_and_membership(self):
+        import pyarrow as pa
+
+        from osm_search_ray.stages import maps
+
+        t = self._tags_batch()
+        assert maps.map_lookup(t.column("tags"), "name").tolist() == ["Kopi Satu", "Jalan X", None, None]
+        assert maps.map_has_any_key(t.column("tags"), maps.VALID_NODE_TAGS).tolist() == [True, True, False, False]
+        # duplicate key keeps the FIRST value
+        dup = pa.table(
+            {"tags": pa.array([[("name", "a"), ("name", "b")]], pa.map_(pa.string(), pa.string()))}
+        )
+        assert maps.map_lookup(dup.column("tags"), "name").tolist() == ["a"]
+
+    def test_view_single_flatten_consistency(self):
+        from osm_search_ray.stages import maps
+
+        t = self._tags_batch()
+        view = maps.MapView(t.column("tags"))
+        assert view.lookup("amenity").tolist() == ["cafe", None, None, None]
+        assert view.has_any(frozenset({"wikidata"})).tolist() == [False, False, True, False]
+        assert view.features(frozenset({"highway"})).to_pylist() == [[], ["highway=residential"], [], []]
+
+
+class TestDestinationPoint:
+    def test_known_destinations(self):
+        """M17 (corrected formula; the reference's is dead code with a typo —
+        SURVEY.md §7.4 deviation 4). Oracle: 111.195 km north = +1° lat;
+        eastward at the equator = +1° lon; round-trip via haversine."""
+        la, lo = geometry.destination_point(0.0, 0.0, 0.0, 111.19492664455873)
+        assert abs(la - 1.0) < 1e-9 and abs(lo) < 1e-9
+        la, lo = geometry.destination_point(0.0, 0.0, 90.0, 111.19492664455873)
+        assert abs(la) < 1e-9 and abs(lo - 1.0) < 1e-9
+        # arbitrary bearing: the haversine distance back to start matches
+        la, lo = geometry.destination_point(-6.2, 106.8, 37.0, 42.0)
+        assert abs(float(geometry.haversine_km(-6.2, 106.8, la, lo)) - 42.0) < 1e-6

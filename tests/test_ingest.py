@@ -38,6 +38,12 @@ def test_docs_contents(ingested):
     # doc ids dense + deterministic
     ids = np.sort(docs["doc_id"].to_numpy())
     assert (ids == np.arange(len(docs))).all()
+    # M10: every doc carries its whitelisted key=value feature list
+    # (';'-joined string form; indexer.go:1172-1180)
+    assert "features" in docs.columns
+    feats = dict(zip(docs["name"], docs["features"]))
+    assert "name=Monumen Nasional" in feats["Monumen Nasional"].split(";")
+    assert all("wikidata" not in (f or "") for f in docs["features"])
 
 
 def test_doc_ids_deterministic(osm_dir, ingested):
