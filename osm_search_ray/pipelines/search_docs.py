@@ -152,9 +152,9 @@ def _scan_matches(sf_dir: str, fields: dict[str, int], qterms: list[str]):
 
 def _df_per_term(matches: "ray.data.Dataset") -> dict[str, int]:
     """df = distinct docs containing the term (across fields). Per-batch
-    partials are exact (a doc is wholly inside one batch); the groupby-sum
-    result is ≤ |query vocab| rows."""
-    from ray.data.aggregate import Sum
+    partials are exact (a doc is wholly inside one batch); the merged dict
+    is ≤ |query vocab| entries, so the partials stream to the driver — no
+    sort-shuffle (its ~1.5 s fixed cost dwarfed this vocab-bounded merge)."""
 
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:  # typed empty block — keeps the union schema stable
@@ -163,13 +163,13 @@ def _df_per_term(matches: "ray.data.Dataset") -> dict[str, int]:
         g = df.groupby("term", sort=False).size().reset_index(name="df")
         return pa.table({"term": pa.array(g["term"], pa.string()), "df": pa.array(g["df"], pa.int64())})
 
-    out = (
-        matches.map_batches(partial, batch_format="pyarrow")
-        .groupby("term")
-        .aggregate(Sum("df", alias_name="df"))
-        .to_pandas()
-    )
-    return dict(zip(out["term"], out["df"].astype(int)))
+    out: dict[str, int] = {}
+    for b in matches.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        for term, n in zip(b.column("term").to_pylist(), b.column("df").to_numpy()):
+            out[term] = out.get(term, 0) + int(n)
+    return out
 
 
 _EMPTY_RESULT = pd.DataFrame(
@@ -183,30 +183,33 @@ _EMPTY_RESULT = pd.DataFrame(
 
 
 def _finalize_topk(scored: "ray.data.Dataset", top_k: int) -> pd.DataFrame:
-    """groupby(query,doc) sum of partial scores → micro-int → per-query
-    top-k (map_groups: #groups == #queries, small by construction)."""
+    """groupby(query,doc) sum of partial scores → micro-int → per-batch
+    PARTIAL top-k (combiner) → final driver merge over ≤ blocks×queries×k
+    rows. One shuffle total (the score aggregation); the per-query top-k
+    needs no second shuffle because the partials are tiny by construction."""
     from ray.data.aggregate import Sum
 
     agg = scored.groupby(["query_id", "doc_id"]).aggregate(Sum("score", alias_name="score"))
 
-    def micro(df: pd.DataFrame) -> pd.DataFrame:
+    def micro_partial_topk(df: pd.DataFrame) -> pd.DataFrame:
         df["score_micro"] = np.rint(df["score"].to_numpy(dtype=np.float64) * 1e6).astype(np.int64)
-        return df[["query_id", "doc_id", "score_micro"]]
+        df = df.sort_values(["score_micro", "doc_id"], ascending=[False, True], kind="mergesort")
+        return df.groupby("query_id", sort=False).head(top_k)[["query_id", "doc_id", "score_micro"]]
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score_micro", "doc_id"], ascending=[False, True], kind="mergesort").head(top_k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    out = (
-        agg.map_batches(micro, batch_format="pandas", batch_size=None)
-        .groupby("query_id")
-        .map_groups(topk, batch_format="pandas")
-        .to_pandas()
-    )
+    parts = [
+        b
+        for b in agg.map_batches(micro_partial_topk, batch_format="pandas", batch_size=None).iter_batches(
+            batch_size=None, batch_format="pandas"
+        )
+    ]
+    if not parts:
+        return _EMPTY_RESULT.copy()
+    out = pd.concat(parts, ignore_index=True)
     if len(out) == 0:
         return _EMPTY_RESULT.copy()
+    out = out.sort_values(["score_micro", "doc_id"], ascending=[False, True], kind="mergesort")
+    out = out.groupby("query_id", sort=False).head(top_k).copy()
+    out["rank"] = out.groupby("query_id", sort=False).cumcount() + 1
     out = out[["query_id", "doc_id", "rank", "score_micro"]].astype(np.int64)
     return out.sort_values(["query_id", "rank"], kind="mergesort").reset_index(drop=True)
 

@@ -151,7 +151,7 @@ class _TermIdMapper:
 def build_text_index_ds(
     docs: "ray.data.Dataset",
     text_cols: dict[str, int] | None = None,
-    mapper_concurrency=(1, 4),
+    mapper_concurrency=2,
 ) -> TextIndexDS:
     """Distributed build: one scan pass (no shuffle), an O(vocab) driver
     term dictionary, a vocab-sized df groupby, and streaming aggregates for
@@ -184,13 +184,18 @@ def build_text_index_ds(
         lambda t: t.filter(pc.greater_equal(t.column("field"), 0)), batch_format="pyarrow"
     )
 
-    n_docs = doc_lens.count()
+    from ray.data.aggregate import Count
+
+    sums = doc_lens.aggregate(
+        Sum("name_len", alias_name="nl"),
+        Sum("address_len", alias_name="al"),
+        Sum("total_len", alias_name="tl"),
+        Count(alias_name="n"),
+    )
+    n_docs = int(sums["n"]) if sums and sums.get("n") else 0
     if n_docs:
-        sums = doc_lens.aggregate(
-            Sum("name_len", alias_name="nl"), Sum("address_len", alias_name="al"), Sum("total_len", alias_name="tl")
-        )
         globals_ = {
-            "docs_count": int(n_docs),
+            "docs_count": n_docs,
             "avg_name_len": float(sums["nl"]) / n_docs,
             "avg_address_len": float(sums["al"]) / n_docs,
             "avg_total_len": float(sums["tl"]) / n_docs,
@@ -243,7 +248,18 @@ def build_text_index(docs: "ray.data.Dataset", text_cols: dict[str, int] | None 
         .sort_values(["field", "term_id", "doc_id"], kind="mergesort")
         .reset_index(drop=True)
     )
-    term_stats = idx.term_stats.to_pandas().sort_values("term_id").reset_index(drop=True)
+    # A8 df computed from the already-collected postings (identical to the
+    # Dataset term_stats, skipping its sort-shuffle — the wrapper is the
+    # serving-size path; the ds path keeps the distributed groupby)
+    term_stats = (
+        postings[["term_id", "doc_id"]]
+        .drop_duplicates()
+        .groupby("term_id")
+        .size()
+        .reset_index(name="df")
+        .sort_values("term_id")
+        .reset_index(drop=True)
+    )
     return TextIndex(terms=idx.terms, postings=postings, term_stats=term_stats, globals=idx.globals)
 
 

@@ -124,10 +124,10 @@ def minhash_lsh_pairs(
             return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64), "doc_b": pd.Series(dtype=np.int64)})
         return pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}).drop_duplicates()
 
-    pairs = banded.groupby("bpart").map_groups(pairs_in_partition, batch_format="pandas")
-    # global pair dedup (a pair can surface in several bands → several
-    # bparts), distributed: hash-partition on the pair key
-    pairs = _dedup_pairs(pairs, ["doc_a", "doc_b"]).materialize()
+    pairs = banded.groupby("bpart").map_groups(pairs_in_partition, batch_format="pandas").materialize()
+    # NOTE: cross-band duplicate pairs survive here; they share doc_a AND
+    # doc_b, so BOTH bucketed joins co-locate them and the verify step
+    # dedups in-block — no extra pair-dedup shuffle needed
     if pairs.count() == 0:
         return ray.data.from_pandas(
             pd.DataFrame({"doc_a": pd.Series(dtype=np.int64), "doc_b": pd.Series(dtype=np.int64), "jaccard_est": pd.Series(dtype=np.float64)})
@@ -183,6 +183,9 @@ def _verify_minhash_pairs(
     j = hash_bucket_join(j, b_side, on="doc_b", num_buckets=num_buckets)
 
     def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        # duplicates of a pair are co-located in this block (same doc_b
+        # bucket) → in-block dedup IS global dedup
+        df = df.drop_duplicates(["doc_a", "doc_b"])
         if len(df) == 0:
             return pd.DataFrame(
                 {"doc_a": pd.Series(dtype=np.int64), "doc_b": pd.Series(dtype=np.int64), "jaccard_est": pd.Series(dtype=np.float64)}
@@ -195,7 +198,9 @@ def _verify_minhash_pairs(
         )
         return out[out["jaccard_est"] >= threshold]
 
-    return j.map_batches(estimate, batch_format="pandas")
+    # batch_size=None → whole join-bucket blocks, preserving pair
+    # co-location for the in-block dedup above
+    return j.map_batches(estimate, batch_format="pandas", batch_size=None)
 
 
 def simhash_near_dups(
