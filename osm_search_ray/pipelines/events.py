@@ -46,6 +46,43 @@ FROM events GROUP BY 1, 2
 """
 
 
+def events_sliding(sf_dir: str, window_hours: int = 3):
+    """SLIDING window per event_type: for each (type, hour) bucket, the
+    event count over that hour and the ``window_hours - 1`` preceding
+    OCCUPIED hour rows (ROWS-frame semantics, not gap-filled — exactly
+    DuckDB's ROWS BETWEEN n PRECEDING AND CURRENT ROW).
+
+    Shape: tumbling hourly partials (the events_hourly combiner — the only
+    pass over the raw log) → per-type ordered moving sum over the TINY
+    aggregated table (#types groups, each |hours| rows).
+
+    Output (event_type, hour_bucket, n_sliding)."""
+    hourly = events_hourly(sf_dir)
+
+    def moving(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hour_bucket", kind="mergesort").copy()
+        g["n_sliding"] = (
+            g["n_events"].rolling(window=window_hours, min_periods=1).sum().astype(np.int64)
+        )
+        return g[["event_type", "hour_bucket", "n_sliding"]]
+
+    return hourly.groupby("event_type").map_groups(moving, batch_format="pandas")
+
+
+SQL_EVENTS_SLIDING = """
+WITH hourly AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour_bucket,
+       CAST(SUM(n_events) OVER (PARTITION BY event_type ORDER BY hour_bucket
+                                ROWS BETWEEN {prev} PRECEDING AND CURRENT ROW) AS BIGINT) AS n_sliding
+FROM hourly
+"""
+
+
 def sessionize(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user: events within ``gap_minutes`` of the
     previous event share a session. groupby(user) + sorted window inside the

@@ -69,6 +69,49 @@ class ImageDecodeFeatures:
         )
 
 
+class ImageResize:
+    """binary image column → resized image payload (nearest-neighbor over
+    the decoded pixel grid) + output dims. The resized BINARY replaces the
+    input payload so block size shrinks through the stage; with a real
+    codec the decode/encode pair loads once per actor (actor-pool stage,
+    same contract as ImageDecodeFeatures)."""
+
+    def __init__(
+        self,
+        codec: str = "fake",
+        bin_col: str = "payload",
+        id_col: str = "item_id",
+        in_hw: tuple = (32, 32),
+        out_hw: tuple = (8, 8),
+    ):
+        if codec == "real":
+            raise NotImplementedError(
+                "no image codec in this environment — install PIL/torchvision and implement real decode/encode here"
+            )
+        self.bin_col, self.id_col = bin_col, id_col
+        self.in_hw, self.out_hw = in_hw, out_hw
+        ih, iw = in_hw
+        oh, ow = out_hw
+        # nearest-neighbor index grid, computed ONCE per actor
+        self._rows = (np.arange(oh) * ih // oh)[:, None]
+        self._cols = (np.arange(ow) * iw // ow)[None, :]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        oh, ow = self.out_hw
+        out = []
+        for payload in batch.column(self.bin_col).to_pylist():
+            px = _fake_pixels(payload or b"", *self.in_hw)
+            out.append(px[self._rows, self._cols].tobytes())
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "height": pa.array(np.full(len(out), oh, np.int32)),
+                "width": pa.array(np.full(len(out), ow, np.int32)),
+                self.bin_col: pa.array(out, pa.binary()),
+            }
+        )
+
+
 class AudioFrameSampler:
     """binary audio column → every k-th 'frame' (fixed-size byte windows) as
     list<binary> + frame count metadata; deterministic, codec-free."""
@@ -100,6 +143,18 @@ def image_feature_stage(ds: "ray.data.Dataset", codec: str = "fake", concurrency
     return ds.map_batches(
         ImageDecodeFeatures,
         fn_constructor_kwargs=dict(codec=codec),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def image_resize_stage(
+    ds: "ray.data.Dataset", codec: str = "fake", out_hw: tuple = (8, 8), concurrency=(1, 8), batch_size: int = 64
+):
+    return ds.map_batches(
+        ImageResize,
+        fn_constructor_kwargs=dict(codec=codec, out_hw=out_hw),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
