@@ -144,8 +144,12 @@ def _scan_matches(sf_dir: str, fields: dict[str, int], qterms: list[str]):
     ).to_pandas()
     n_docs = int(stats["tf"].sum())
     len_sums = {0: int(stats["len0"].sum()), 1: int(stats["len1"].sum())}
+    # batch_size=None (block-preserving) maintains the invariant the
+    # scoring stages rely on: ALL of a doc's match rows live in one block
+    # (each doc was scanned in exactly one batch), so per-(query, doc)
+    # in-batch sums are FINAL — no aggregation shuffle needed downstream
     matches = scanned.map_batches(
-        lambda t: t.filter(pc.greater_equal(t.column("field"), 0)), batch_format="pyarrow"
+        lambda t: t.filter(pc.greater_equal(t.column("field"), 0)), batch_format="pyarrow", batch_size=None
     )
     return matches, n_docs, len_sums
 
@@ -183,22 +187,21 @@ _EMPTY_RESULT = pd.DataFrame(
 
 
 def _finalize_topk(scored: "ray.data.Dataset", top_k: int) -> pd.DataFrame:
-    """groupby(query,doc) sum of partial scores → micro-int → per-batch
-    PARTIAL top-k (combiner) → final driver merge over ≤ blocks×queries×k
-    rows. One shuffle total (the score aggregation); the per-query top-k
-    needs no second shuffle because the partials are tiny by construction."""
-    from ray.data.aggregate import Sum
-
-    agg = scored.groupby(["query_id", "doc_id"]).aggregate(Sum("score", alias_name="score"))
+    """ZERO-shuffle top-k: ``scored`` rows are already FINAL per
+    (query, doc) — each doc's matches are confined to one block (see
+    _scan_matches), so the per-batch (query, doc) sums ARE the totals.
+    micro-int → per-batch PARTIAL top-k (combiner) → final driver merge
+    over ≤ blocks×queries×k rows."""
 
     def micro_partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
         df["score_micro"] = np.rint(df["score"].to_numpy(dtype=np.float64) * 1e6).astype(np.int64)
         df = df.sort_values(["score_micro", "doc_id"], ascending=[False, True], kind="mergesort")
         return df.groupby("query_id", sort=False).head(top_k)[["query_id", "doc_id", "score_micro"]]
 
     parts = [
         b
-        for b in agg.map_batches(micro_partial_topk, batch_format="pandas", batch_size=None).iter_batches(
+        for b in scored.map_batches(micro_partial_topk, batch_format="pandas", batch_size=None).iter_batches(
             batch_size=None, batch_format="pandas"
         )
     ]

@@ -61,6 +61,22 @@ def test_minhash_distributed_verify_equals_driver_oracle():
     assert len(got) == len(got.drop_duplicates(["doc_a", "doc_b"]))
 
 
+def test_minhash_verify_paths_agree(monkeypatch):
+    """The broadcast (small-candidate) and bucketed-join (large-candidate)
+    verify regimes must produce identical pair sets — force the join path
+    by dropping the cutover to 0 and compare against the default."""
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+
+    broadcast = dd.minhash_lsh_pairs(ray.data.from_pandas(docs), threshold=0.5).to_pandas()
+    monkeypatch.setattr(dd, "PAIR_DRIVER_LIMIT", 0)  # force distributed dedup + joins
+    joined = dd.minhash_lsh_pairs(ray.data.from_pandas(docs), threshold=0.5).to_pandas()
+
+    key = ["doc_a", "doc_b"]
+    b = broadcast.sort_values(key).reset_index(drop=True)
+    j = joined.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(b[key + ["jaccard_est"]], j[key + ["jaccard_est"]])
+
+
 def test_simhash_pairs_unique_and_within_hamming():
     docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
     out = dd.simhash_near_dups(ray.data.from_pandas(docs), max_hamming=3).to_pandas()
