@@ -232,25 +232,45 @@ _POSTING_COLS = ["field", "term_id", "doc_id", "tf", "name_len", "address_len", 
 
 
 def build_text_index(docs: "ray.data.Dataset", text_cols: dict[str, int] | None = None) -> TextIndex:
-    """Serving-size in-RAM index (collected from the distributed build)."""
-    idx = build_text_index_ds(docs, text_cols)
-    if len(idx.terms) == 0:
+    """Serving-size in-RAM index: ONE distributed scan pass (tokenize + tf,
+    the expensive part) and ONE collect; vocab/ids/stats finish in pandas on
+    the O(index)-sized frame. The at-scale build is build_text_index_ds
+    (everything Dataset-side, bucketed Parquet out)."""
+    text_cols = text_cols or {"name": FIELD_NAME, "address": FIELD_ADDRESS}
+    raw = docs.map_batches(lambda t: scan_postings(t, text_cols), batch_format="pyarrow").to_pandas()
+    if len(raw) == 0 or "field" not in raw.columns:  # empty corpus → no blocks at all
+        return TextIndex(
+            terms=pd.DataFrame({"term": pd.Series(dtype=str), "term_id": pd.Series(dtype=np.int64)}),
+            postings=pd.DataFrame({c: pd.Series(dtype=np.int64) for c in _POSTING_COLS}),
+            term_stats=pd.DataFrame({"term_id": pd.Series(dtype=np.int64), "df": pd.Series(dtype=np.int64)}),
+            globals={"docs_count": 0, "avg_name_len": 0.0, "avg_address_len": 0.0, "avg_total_len": 0.0},
+        )
+    doclens = raw[raw["field"] == _DOCLEN_FIELD]
+    p = raw[raw["field"] >= 0]
+    n_docs = len(doclens)
+    globals_ = {
+        "docs_count": int(n_docs),
+        "avg_name_len": float(doclens["name_len"].sum()) / n_docs if n_docs else 0.0,
+        "avg_address_len": float(doclens["address_len"].sum()) / n_docs if n_docs else 0.0,
+        "avg_total_len": float(doclens["total_len"].sum()) / n_docs if n_docs else 0.0,
+    }
+    if len(p) == 0:
         empty_postings = pd.DataFrame({c: pd.Series(dtype=np.int64) for c in _POSTING_COLS})
         return TextIndex(
             terms=pd.DataFrame({"term": pd.Series(dtype=str), "term_id": pd.Series(dtype=np.int64)}),
             postings=empty_postings,
             term_stats=pd.DataFrame({"term_id": pd.Series(dtype=np.int64), "df": pd.Series(dtype=np.int64)}),
-            globals=idx.globals,
+            globals=globals_ if n_docs else {"docs_count": 0, "avg_name_len": 0.0, "avg_address_len": 0.0, "avg_total_len": 0.0},
         )
+    terms_sorted = np.sort(p["term"].unique())
+    terms = pd.DataFrame({"term": terms_sorted, "term_id": np.arange(len(terms_sorted), dtype=np.int64)})
+    p = p.assign(term_id=p["term"].map(dict(zip(terms["term"], terms["term_id"]))))
     postings = (
-        idx.postings.to_pandas()[_POSTING_COLS]
-        .astype({"field": np.int64})
+        p[_POSTING_COLS]
+        .astype({"field": np.int64, "term_id": np.int64})
         .sort_values(["field", "term_id", "doc_id"], kind="mergesort")
         .reset_index(drop=True)
     )
-    # A8 df computed from the already-collected postings (identical to the
-    # Dataset term_stats, skipping its sort-shuffle — the wrapper is the
-    # serving-size path; the ds path keeps the distributed groupby)
     term_stats = (
         postings[["term_id", "doc_id"]]
         .drop_duplicates()
@@ -260,7 +280,7 @@ def build_text_index(docs: "ray.data.Dataset", text_cols: dict[str, int] | None 
         .sort_values("term_id")
         .reset_index(drop=True)
     )
-    return TextIndex(terms=idx.terms, postings=postings, term_stats=term_stats, globals=idx.globals)
+    return TextIndex(terms=terms, postings=postings, term_stats=term_stats, globals=globals_)
 
 
 def term_bucket(term_id, n_terms: int, num_buckets: int):

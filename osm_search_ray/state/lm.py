@@ -158,7 +158,10 @@ def build_ngram_lm(docs: "ray.data.Dataset", text_cols: list[str] = ("name", "ad
         docs_tokens = [toks[off[i] : off[i + 1]].tolist() for i in range(len(joined))]
         return pa.table({"tokens": pa.array(docs_tokens, pa.list_(pa.string()))})
 
-    tok_ds = docs.map_batches(tokens_per_doc, batch_format="pyarrow")
+    # materialize: the tokenized corpus is consumed TWICE (word-count pass
+    # for the vocab threshold, then the n-gram pass) — without this each
+    # pass re-runs the tokenizer over the full corpus
+    tok_ds = docs.map_batches(tokens_per_doc, batch_format="pyarrow").materialize()
 
     # A5: word frequency partials → threshold
     def wc_partial(batch: pa.Table) -> pa.Table:
