@@ -97,3 +97,51 @@ class TestHashProperties:
     def test_varint_roundtrip(self, vals):
         arr = np.asarray(vals, dtype=np.uint64)
         assert (hashing.decode_uvarints(hashing.encode_uvarints(arr)) == arr).all()
+
+
+class TestMapViewProperties:
+    @given(
+        st.lists(
+            st.lists(
+                st.tuples(
+                    st.sampled_from(["name", "amenity", "wifi", "highway", "addr:street", "x"]),
+                    st.text(alphabet="abcde ", min_size=0, max_size=6),
+                ),
+                max_size=5,
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_mapview_matches_python_oracle(self, rows):
+        """MapView's Arrow-kernel lookup/has_any/features vs a plain Python
+        dict oracle over arbitrary tag maps (duplicate keys allowed —
+        first occurrence wins, matching Go map-build order semantics)."""
+        import pyarrow as pa
+
+        from osm_search_ray.stages.maps import VALID_SEARCH_TAGS, MapView
+
+        col = pa.array(rows, pa.map_(pa.string(), pa.string()))
+        view = MapView(col)
+        for key in ("name", "amenity", "zzz"):
+            got = view.lookup(key).tolist()
+            want = [next((v for k, v in r if k == key), None) for r in rows]
+            assert got == want, key
+        keyset = frozenset({"name", "wifi"})
+        assert view.has_any(keyset).tolist() == [any(k in keyset for k, _ in r) for r in rows]
+        feats = view.features(VALID_SEARCH_TAGS).to_pylist()
+        want_feats = [[f"{k}={v}" for k, v in r if k in VALID_SEARCH_TAGS] for r in rows]
+        assert feats == want_feats
+
+    @given(st.integers(min_value=1, max_value=5000), st.integers(min_value=1, max_value=64))
+    @settings(max_examples=100, deadline=None)
+    def test_term_bucket_partitions_dense_ids(self, n_terms, num_buckets):
+        """Every dense term_id maps to exactly one bucket in [0, B); buckets
+        are range-contiguous and non-decreasing (K6 sorted-order preserved)."""
+        from osm_search_ray.pipelines.text_index import term_bucket
+
+        ids = np.arange(n_terms, dtype=np.int64)
+        b = term_bucket(ids, n_terms, num_buckets)
+        assert b.min() >= 0 and b.max() < num_buckets
+        assert (np.diff(b) >= 0).all()

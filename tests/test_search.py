@@ -405,3 +405,27 @@ class TestServingSession:
         # the shared-tenancy host stalls
         assert per_call < 2.5, per_call
         sess.stop()
+
+
+class TestWriterParity:
+    def test_ds_and_driver_index_writers_agree(self, index, tmp_path):
+        """The distributed writer (save_text_index_ds over Dataset
+        artifacts) and the driver writer (save_text_index over the in-RAM
+        index) must produce byte-equivalent logical artifacts: same terms,
+        postings, term_stats and globals after load."""
+        ti.save_text_index(index, str(tmp_path / "a"))
+        idx_ds = ti.build_text_index_ds(ray.data.from_pandas(DOCS))
+        ti.save_text_index_ds(idx_ds, str(tmp_path / "b"))
+        a = ti.load_text_index(str(tmp_path / "a"))
+        b = ti.load_text_index(str(tmp_path / "b"))
+        pd.testing.assert_frame_equal(a.terms, b.terms)
+        key = ["field", "term_id", "doc_id"]
+        pd.testing.assert_frame_equal(
+            a.postings.sort_values(key).reset_index(drop=True).astype(np.int64),
+            b.postings.sort_values(key).reset_index(drop=True).astype(np.int64),
+        )
+        pd.testing.assert_frame_equal(
+            a.term_stats.sort_values("term_id").reset_index(drop=True).astype(np.int64),
+            b.term_stats.sort_values("term_id").reset_index(drop=True).astype(np.int64),
+        )
+        assert a.globals == b.globals

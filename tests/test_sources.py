@@ -97,3 +97,58 @@ class TestEmptyInputs:
         index = ti.build_text_index(ray.data.from_pandas(docs))
         assert len(index.terms) == 0 and len(index.postings) == 0
         assert index.globals["docs_count"] == 0
+
+
+class TestPagesTable:
+    """The charter's input_hint table (url, warc_ts, html, text, lang):
+    deterministic extraction, byte-identical text per url, html never read
+    unless extracting and projected away in the extracting batch."""
+
+    def test_extract_text_deterministic_and_clean(self):
+        from osm_search_ray.sources.pages import extract_text
+
+        html = (
+            b"<html><head><title>no</title><script>var x=1;</script></head>"
+            b"<body><h1>Hello &amp; world</h1>\n\n<p>second   line</p></body></html>"
+        )
+        t1 = extract_text(html)
+        t2 = extract_text(html)
+        assert t1 == t2 == "Hello & world second line"
+        assert extract_text(None) == "" and extract_text(b"") == ""
+
+    def test_fixture_invariant_and_pruned_read(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from osm_search_ray.sources.pages import extract_text, make_pages_table, read_pages
+
+        f = str(tmp_path / "pages.parquet")
+        tbl = make_pages_table(64)
+        pq.write_table(tbl, f)
+        # per-row invariant: stored text == extraction of the stored html
+        for h, t in zip(tbl.column("html").to_pylist(), tbl.column("text").to_pylist()):
+            assert extract_text(h) == t
+        # trusted-text read prunes the html binary at the storage layer
+        ds = read_pages(f)
+        assert set(ds.schema().names) == {"url", "warc_ts", "text", "lang"}
+        # extracting read consumes html and emits text WITHOUT the binary
+        out = read_pages(f, extract=True).to_pandas()
+        assert "html" not in out.columns
+        stored = tbl.to_pandas().set_index("url")["text"]
+        got = out.set_index("url")["text"]
+        assert (stored.loc[got.index] == got).all()
+
+    def test_pages_to_geo(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from osm_search_ray.sources.pages import make_pages_table, pages_to_geo, read_pages
+
+        f = str(tmp_path / "pages.parquet")
+        pq.write_table(make_pages_table(64, geo_every=2), f)
+        geo = pages_to_geo(read_pages(f)).to_pandas()
+        assert len(geo) == 32  # every 2nd page carries coordinates
+        assert set(geo.columns) == {"url", "lang", "lat", "lon", "cell_r12"}
+        assert geo["lat"].between(-90, 90).all() and geo["lon"].between(-180, 180).all()
+        from osm_search_ray.functions.cells import RES_COARSE, cell_of
+
+        want = cell_of(geo["lat"].to_numpy(), geo["lon"].to_numpy(), RES_COARSE)
+        assert (geo["cell_r12"].to_numpy() == want).all()
