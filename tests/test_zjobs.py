@@ -75,6 +75,41 @@ def test_build_partial_crash_resume(osm_dir, tmp_path):
     assert os.path.exists(os.path.join(docs_dir, "_STAGE_COMPLETE.json"))
 
 
+def test_ingest_pages_job_crash_resume(tmp_path):
+    """The web-pages flagship job (pages → extract → tile → PIP join →
+    checkpointed cell-partitioned write): a run killed mid-write must, on
+    re-submit, finish ONLY the missing partitions and match a clean build
+    partition-for-partition (the north rule's resumable `ray job submit`)."""
+    import pyarrow.parquet as pq
+
+    from osm_search_ray.sources.pages import make_pages_table
+
+    pages = str(tmp_path / "pages.parquet")
+    pq.write_table(make_pages_table(256, geo_every=1), pages)
+    sf = "/root/testdata/sf0.001"
+
+    ref_out = str(tmp_path / "ref")
+    r0 = _run(["jobs/ingest_pages.py", "--pages", pages, "--sf-dir", sf, "--out", ref_out, "--extract"])
+    assert r0.returncode == 0, r0.stderr[-2000:]
+    assert "INGEST COMPLETE" in r0.stdout
+    ref_counts = _sidecar_rowcounts(os.path.join(ref_out, "geo_pages"))
+    assert len(ref_counts) >= 2
+    victim = sorted(ref_counts)[0]
+
+    out = str(tmp_path / "crash")
+    r1 = _run(
+        ["jobs/ingest_pages.py", "--pages", pages, "--sf-dir", sf, "--out", out, "--extract", "--fail-at", str(victim)]
+    )
+    assert r1.returncode != 0
+    assert "INGEST COMPLETE" not in r1.stdout
+    assert not os.path.exists(os.path.join(out, "geo_pages", "_STAGE_COMPLETE.json"))
+
+    r2 = _run(["jobs/ingest_pages.py", "--pages", pages, "--sf-dir", sf, "--out", out, "--extract"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "INGEST COMPLETE" in r2.stdout
+    assert _sidecar_rowcounts(os.path.join(out, "geo_pages")) == ref_counts
+
+
 def test_build_resume_and_serve(osm_dir, tmp_path):
     out = str(tmp_path / "index")
     r1 = _run(["jobs/build_index.py", "--osm-dir", osm_dir, "--out", out])
