@@ -24,7 +24,8 @@ Artifacts:
 Two build entry points:
   build_text_index_ds  → Dataset-backed artifacts (the 100 TB path); pair
                          with save_text_index_ds, which writes postings as
-                         term_id-RANGE-bucketed Parquet (bucket=K dirs) so
+                         term_id-RANGE-bucketed Parquet (part=K dirs via the
+                         checkpointed sink — resumable, lineage-carrying) so
                          query-time reads prune whole buckets + row groups.
   build_text_index     → small in-RAM TextIndex (pandas) for the serving
                          actors and tests — the reference also serves from
@@ -296,13 +297,17 @@ def save_text_index_ds(
     idx: TextIndexDS, out_dir: str, num_buckets: int = DEFAULT_POSTINGS_BUCKETS
 ) -> None:
     """Write artifacts WITHOUT collecting postings to the driver: postings
-    stream to ``postings/bucket=K/*.parquet`` (term_id-range partitioned, the
-    engine-native form of the reference's per-term offset sidecars,
+    stream through the CHECKPOINTED sink to ``postings/part=K/data.parquet``
+    (term_id-range partitioned with per-partition lineage + row/byte
+    metrics, resumable like every other artifact — the engine-native form
+    of the reference's per-term offset sidecars,
     pkg/index/inverted_index.go:301-414)."""
     import json
     import os
 
     import pyarrow.parquet as pq
+
+    from ..sources import checkpoint as cp
 
     os.makedirs(out_dir, exist_ok=True)
     pq.write_table(pa.Table.from_pandas(idx.terms, preserve_index=False), f"{out_dir}/terms.parquet")
@@ -312,9 +317,12 @@ def save_text_index_ds(
         b = term_bucket(t.column("term_id").to_numpy(), n_terms, num_buckets)
         return t.select(_POSTING_COLS).append_column("bucket", pa.array(b.astype(np.int64)))
 
-    idx.postings.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
-        f"{out_dir}/postings", partition_cols=["bucket"], row_group_size=64 * 1024
-    )
+    pdir = f"{out_dir}/postings"
+    if n_terms:
+        cp.checkpointed_write(
+            idx.postings.map_batches(add_bucket, batch_format="pyarrow"), pdir, "bucket", stage="postings"
+        )
+    cp.mark_stage_complete(pdir, "postings")
     ts = idx.term_stats.to_pandas()  # O(vocab) — same budget as the term dict
     pq.write_table(pa.Table.from_pandas(ts, preserve_index=False), f"{out_dir}/term_stats.parquet")
     with open(f"{out_dir}/globals.json", "w") as f:
@@ -335,7 +343,7 @@ def save_text_index(index: TextIndex, out_dir: str, num_buckets: int = DEFAULT_P
     p = index.postings.copy()
     p["bucket"] = term_bucket(p["term_id"].to_numpy(), n_terms, num_buckets) if len(p) else np.empty(0, np.int64)
     for k, g in p.groupby("bucket") if len(p) else []:
-        pdir = f"{out_dir}/postings/bucket={int(k)}"
+        pdir = f"{out_dir}/postings/part={int(k)}"
         os.makedirs(pdir, exist_ok=True)
         pq.write_table(
             pa.Table.from_pandas(g[_POSTING_COLS], preserve_index=False),
@@ -367,7 +375,7 @@ def postings_files_for_terms(out_dir: str, term_ids) -> list[str]:
     )
     files: list[str] = []
     for b in sorted(buckets):
-        files.extend(sorted(glob.glob(os.path.join(out_dir, "postings", f"bucket={b}", "*.parquet"))))
+        files.extend(sorted(glob.glob(os.path.join(out_dir, "postings", f"part={b}", "*.parquet"))))
     return files
 
 
@@ -378,9 +386,9 @@ def load_text_index(out_dir: str) -> TextIndex:
     import pyarrow.parquet as pq
 
     meta = _load_globals(out_dir)
-    files = sorted(glob.glob(os.path.join(out_dir, "postings", "bucket=*", "*.parquet")))
+    files = sorted(glob.glob(os.path.join(out_dir, "postings", "part=*", "data.parquet")))
     if files:
-        postings = pd.concat([pq.read_table(f).to_pandas() for f in files], ignore_index=True)
+        postings = pd.concat([pq.read_table(f, columns=_POSTING_COLS).to_pandas() for f in files], ignore_index=True)
         postings = postings.sort_values(["field", "term_id", "doc_id"], kind="mergesort").reset_index(drop=True)
     else:
         postings = pd.DataFrame({c: pd.Series(dtype=np.int64) for c in _POSTING_COLS})
@@ -404,7 +412,8 @@ def read_postings_for_terms(index_dir: str, term_ids: list[int]) -> pd.DataFrame
     if not files:
         return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in _POSTING_COLS})
     parts = [
-        pq.read_table(f, filters=[("term_id", "in", list(term_ids))]).to_pandas() for f in files
+        pq.read_table(f, columns=_POSTING_COLS, filters=[("term_id", "in", list(term_ids))]).to_pandas()
+        for f in files
     ]
     return pd.concat(parts, ignore_index=True)
 

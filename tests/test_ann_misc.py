@@ -143,8 +143,8 @@ class TestPushdownAndValidation:
         index = ti.build_text_index(ray.data.from_pandas(docs))
         ti.save_text_index(index, str(tmp_path / "idx"), num_buckets=4)
         vocab = index.vocab()
-        all_files = set(glob.glob(str(tmp_path / "idx" / "postings" / "bucket=*" / "*.parquet")))
-        assert len({f.split("bucket=")[1].split("/")[0] for f in all_files}) == 4
+        all_files = set(glob.glob(str(tmp_path / "idx" / "postings" / "part=*" / "*.parquet")))
+        assert len({f.split("part=")[1].split("/")[0] for f in all_files}) == 4
         want = [vocab["jalan"]]
         pruned = set(ti.postings_files_for_terms(str(tmp_path / "idx"), want))
         assert pruned < all_files  # strict subset — whole buckets skipped
