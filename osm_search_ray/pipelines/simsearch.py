@@ -123,5 +123,10 @@ def ann_ivf_topk(sf_dir: str, k: int = K_DEFAULT, nlist: int = 8, nprobe: int | 
     }
     corpus = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     store = tempfile.mkdtemp(prefix="ivf_store_", dir="/tmp")
-    build_ivf_store(corpus, store, nlist=nlist)
-    return ivf_store_topk(store, queries, k=k, nprobe=nprobe or nlist)
+    try:
+        build_ivf_store(corpus, store, nlist=nlist)
+        return ivf_store_topk(store, queries, k=k, nprobe=nprobe or nlist)
+    finally:
+        import shutil
+
+        shutil.rmtree(store, ignore_errors=True)  # the driver query owns its scratch
