@@ -98,6 +98,49 @@ def write_tiles(sf_dir: str, out_dir: str) -> str:
     return out_dir
 
 
+def _assert_shared_visible(tiles_dir: str) -> None:
+    """Refuse multi-node runs whose ``tiles_dir`` is not a shared mount:
+    drops a token on the driver and probes it from every alive node (one
+    NodeAffinity task each). Single-node clusters pass trivially without
+    spawning anything (ADVICE r02 — the merge tasks do plain local-fs I/O,
+    which silently writes to worker-local disks if the path isn't shared)."""
+    import os
+    import uuid
+
+    import ray
+
+    nodes = [n for n in ray.nodes() if n.get("Alive")]
+    if len(nodes) <= 1:
+        return
+    os.makedirs(tiles_dir, exist_ok=True)
+    token = os.path.join(tiles_dir, f".shared-probe-{uuid.uuid4().hex}")
+    with open(token, "w") as f:
+        f.write("probe")
+    try:
+        from ray.util.scheduling_strategies import NodeAffinitySchedulingStrategy
+
+        @ray.remote(num_cpus=0)
+        def probe(path: str) -> bool:
+            return os.path.exists(path)
+
+        results = ray.get(
+            [
+                probe.options(
+                    scheduling_strategy=NodeAffinitySchedulingStrategy(node_id=n["NodeID"], soft=False)
+                ).remote(token)
+                for n in nodes
+            ]
+        )
+        if not all(results):
+            raise RuntimeError(
+                f"refresh_tiles: {tiles_dir!r} is not visible from every node — "
+                "incremental tile maintenance needs a shared filesystem (NFS / FUSE "
+                "object-store mount) on multi-node clusters"
+            )
+    finally:
+        os.remove(token)
+
+
 def refresh_tiles(
     tiles_dir: str,
     upserts: "ray.data.Dataset | None" = None,
@@ -117,6 +160,16 @@ def refresh_tiles(
     cell is REPLACED (reinsert semantics). ``deletes``: pandas frame with
     (id_col, lat, lon) — the location identifies the cell, exactly like
     the reference's Delete(bbox) API.
+
+    STORAGE REQUIREMENT (ADVICE r02): partition merges run inside Ray
+    workers with plain filesystem I/O against ``tiles_dir``, so the path
+    must be visible AND writable at the same location from every node —
+    a single-node cluster (this sandbox) or a shared filesystem / FUSE
+    mount (NFS, s3fs, GCS-fuse) on multi-node. On a multi-node cluster
+    WITHOUT a shared mount the rewrites would land on each worker's local
+    disk silently; ``_assert_shared_visible`` refuses to run in that case
+    by checking the directory is reachable from the workers that will
+    write it.
     """
     import json
     import os
@@ -164,6 +217,7 @@ def refresh_tiles(
         os.replace(side, os.path.join(pdir, "manifest.json"))
         return row
 
+    _assert_shared_visible(tiles_dir)
     del_ref = ray.put(del_by_cell)
     manifest_rows: list[dict] = []
     upsert_cells: set[int] = set()

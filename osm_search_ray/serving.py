@@ -78,12 +78,33 @@ class QuerySession:
 
 def start_session(index: TextIndex, corrector=None, name: str | None = None) -> QuerySession:
     """Start (or replace) a long-lived query session. With ``name`` the
-    actor is named + detached-scoped to the driver lifetime, so later
-    ``get_session(name)`` calls re-attach without reloading the index."""
-    opts = {}
-    if name is not None:
-        opts = {"name": name, "get_if_exists": False}
-    handle = _QuerySessionActor.options(**opts).remote(index, corrector)
+    actor is a NAMED actor scoped to the driver's lifetime (not detached —
+    it dies with the session that created it); later ``get_session(name)``
+    calls from the same cluster re-attach without reloading the index.
+
+    True replace semantics (ADVICE r02): if the name is already taken, the
+    existing actor is killed and a fresh one started with the new index —
+    a second ``start_session`` never raises on a live name."""
+    import time
+
+    if name is None:
+        handle = _QuerySessionActor.remote(index, corrector)
+    else:
+        try:
+            ray.kill(ray.get_actor(name))
+        except ValueError:
+            pass  # no live actor under this name
+        handle = None
+        last_err: Exception | None = None
+        for _ in range(50):  # the killed actor's name can linger briefly
+            try:
+                handle = _QuerySessionActor.options(name=name).remote(index, corrector)
+                break
+            except ValueError as e:
+                last_err = e
+                time.sleep(0.1)
+        if handle is None:
+            raise last_err  # name never freed — surface the real error
     s = QuerySession(handle)
     s.warmup()
     return s

@@ -104,3 +104,15 @@ def test_ngram_jaccard_cap():
     big = pd.DataFrame({"doc_a": np.arange(200_000), "doc_b": np.arange(200_000) + 1})
     with pytest.raises(ValueError, match="SMALL candidate sets"):
         dd.ngram_jaccard_pairs(None, big)
+
+
+def test_simhash_empty_candidates_typed_schema():
+    """Zero candidate pairs must still yield the typed (doc_a, doc_b,
+    hamming) frame — map_groups over no groups emits a schema-less dataset
+    otherwise (ADVICE r02)."""
+    docs = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64),
+                         "text": ["alpha one", "beta two", "gamma three", "delta four"]})
+    out = dd.simhash_near_dups(ray.data.from_pandas(docs), max_hamming=0)
+    # schema (not to_pandas — Ray 2.49 drops columns of empty datasets there)
+    assert out.schema().names == ["doc_a", "doc_b", "hamming"]
+    assert out.count() == 0

@@ -429,3 +429,18 @@ class TestWriterParity:
             b.term_stats.sort_values("term_id").reset_index(drop=True).astype(np.int64),
         )
         assert a.globals == b.globals
+
+
+class TestSessionReplace:
+    def test_start_session_replaces_live_name(self, index):
+        """A second start_session under the same name must KILL + replace
+        the live actor, never raise (ADVICE r02 — get_if_exists=False made
+        name collisions a ValueError)."""
+        from osm_search_ray import serving
+
+        s1 = serving.start_session(index, name="replace-test")
+        s2 = serving.start_session(index, name="replace-test")  # must not raise
+        s2.warmup()
+        # the registered name now resolves to the NEW actor
+        assert serving.get_session("replace-test")._handle == s2._handle
+        s2.stop()
