@@ -89,7 +89,7 @@ def main() -> None:
             docs_back.map_batches(lambda t: t.select(["doc_id", "name", "address"]), batch_format="pyarrow")
         )
         ti.save_text_index_ds(idx_ds, text_dir)
-        print(f"text stage: {len(idx_ds.terms)} terms")
+        print(f"text stage: {idx_ds.n_terms} terms")
     else:
         print("text stage: already complete")
 

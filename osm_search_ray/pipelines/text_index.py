@@ -8,10 +8,13 @@ map_batches pass with NO all-to-all exchange (VERDICT r01 item 1).
 Artifacts:
   terms      (term, term_id)              — deterministic ids by sorted order
                                             (replaces the mutex'd arrival-order
-                                            IDMap, pkg/util.go:30-43). The term
-                                            dictionary is O(vocab) and held
-                                            driver-side / broadcast — exactly
-                                            the reference's in-RAM termIDMap.
+                                            IDMap, pkg/util.go:30-43). Built as
+                                            a DATASET (build_term_dictionary:
+                                            distinct → sort → row-index zip) —
+                                            never driver-resident; written
+                                            term_id-range-bucketed so lookups
+                                            prune buckets via footer stats
+                                            (read_term_ids).
   postings   (field, term_id, doc_id, tf, name_len, address_len, total_len)
              — one row per (field, term, doc); tf = occurrence count (the
              reference encodes tf by repetition, pkg/index/indexer.go:811-817);
@@ -63,11 +66,15 @@ class TextIndex:
 
 @dataclass
 class TextIndexDS:
-    """Dataset-backed index artifacts (build-at-scale form)."""
+    """Dataset-backed index artifacts (build-at-scale form). ``terms`` is a
+    DATASET (term, term_id) — the dictionary never has to fit on the driver
+    (VERDICT r02 missing item 2); ``n_terms`` is its (cheap, metadata)
+    count, needed for term_id-range bucketing at write time."""
 
     postings: "ray.data.Dataset"  # (field, term, term_id, doc_id, tf, *_len)
     doc_lens: "ray.data.Dataset"  # (doc_id, name_len, address_len, total_len)
-    terms: pd.DataFrame
+    terms: "ray.data.Dataset"  # (term, term_id), sorted by term
+    n_terms: int
     term_stats: "ray.data.Dataset"  # (term_id, df)
     globals: dict
 
@@ -149,31 +156,71 @@ class _TermIdMapper:
         return t.append_column("term_id", pa.array(ids.astype(np.int64)))
 
 
+BROADCAST_TERMS_LIMIT = 2_000_000  # sorted term array ≤ ~100 MB per actor
+
+
+def build_term_dictionary(raw: "ray.data.Dataset") -> tuple["ray.data.Dataset", int]:
+    """The DISTRIBUTED term dictionary (VERDICT r02 missing item 2 — the
+    r02 build collected per-block uniques into a driver Python set, fine
+    for OSM vocab but multi-GB at web-corpus 10⁸⁺ terms):
+
+      per-block unique (combiner: corpus → ≤ blocks×block_vocab rows)
+      → hash-partitioned global distinct (bounded 64-way shuffle of
+        vocab-sized rows only, never corpus-sized)
+      → sort("term")  (range shuffle over the distinct terms)
+      → zip_with_index (dense ids from per-block counts; O(blocks) driver
+        work, no data movement — SURVEY §1.2's sorted-unique → row-index
+        zip plan, replacing the reference's mutex'd arrival-order IDMap,
+        pkg/util.go:30-43, deterministically)
+
+    The dictionary never materializes on the driver. Returns (terms_ds
+    sorted by term with dense term_id, n_terms)."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import hash_partitioned_apply, zip_with_index
+
+    def block_unique(t: pa.Table) -> pa.Table:
+        u = pc.unique(t.column("term"))
+        u = u.filter(pc.not_equal(u, ""))  # doc-length sentinel rows
+        return pa.table({"term": u})
+
+    uniq = hash_partitioned_apply(
+        raw.map_batches(block_unique, batch_format="pyarrow"),
+        "term",
+        lambda df: df.drop_duplicates("term"),
+        num_parts=64,
+    )
+    terms_ds = zip_with_index(uniq.sort("term"), id_col="term_id").materialize()
+    return terms_ds, terms_ds.count()
+
+
 def build_text_index_ds(
     docs: "ray.data.Dataset",
     text_cols: dict[str, int] | None = None,
     mapper_concurrency=2,
+    term_id_strategy: str = "auto",
 ) -> TextIndexDS:
-    """Distributed build: one scan pass (no shuffle), an O(vocab) driver
-    term dictionary, a vocab-sized df groupby, and streaming aggregates for
-    the globals."""
+    """Distributed build: one scan pass (no shuffle), a Dataset-side term
+    dictionary (build_term_dictionary — never driver-resident), a
+    vocab-sized df groupby, and streaming aggregates for the globals.
+
+    ``term_id_strategy`` picks how postings get their term_id:
+      'broadcast' — collect the sorted term array ONCE, ray.put it, map
+                    term → id by searchsorted in an actor pool (zero
+                    shuffle; right whenever the vocab fits a worker heap);
+      'join'      — hash-partitioned string-key join postings × dictionary
+                    (the 10⁸⁺-term regime: nothing vocab-sized ever sits in
+                    one process);
+      'auto'      — broadcast iff n_terms <= BROADCAST_TERMS_LIMIT.
+    Both paths produce identical postings (tested)."""
     from ray.data.aggregate import Sum
 
     text_cols = text_cols or {"name": FIELD_NAME, "address": FIELD_ADDRESS}
     raw = docs.map_batches(lambda t: scan_postings(t, text_cols), batch_format="pyarrow").materialize()
 
-    # vocab: per-block unique terms → driver set. O(vocab), not O(corpus) —
-    # the same budget as the reference's in-RAM termIDMap (pkg/util.go:30-43).
     import pyarrow.compute as pc
 
-    vocab_terms: set[str] = set()
-    for b in raw.map_batches(
-        lambda t: pa.table({"term": pc.unique(t.column("term"))}), batch_format="pyarrow"
-    ).iter_batches(batch_size=None, batch_format="pyarrow"):
-        vocab_terms.update(b.column("term").to_pylist())
-    vocab_terms.discard("")  # doc-length sentinel rows
-    terms_sorted = np.sort(np.asarray(list(vocab_terms), dtype=object))
-    terms = pd.DataFrame({"term": terms_sorted, "term_id": np.arange(len(terms_sorted), dtype=np.int64)})
+    terms_ds, n_terms = build_term_dictionary(raw)
 
     doc_lens = raw.map_batches(
         lambda t: t.filter(pc.equal(t.column("field"), _DOCLEN_FIELD)).select(
@@ -204,13 +251,29 @@ def build_text_index_ds(
     else:
         globals_ = {"docs_count": 0, "avg_name_len": 0.0, "avg_address_len": 0.0, "avg_total_len": 0.0}
 
-    terms_ref = ray.put(terms_sorted)
-    postings = postings_raw.map_batches(
-        _TermIdMapper,
-        fn_constructor_kwargs=dict(terms_ref=terms_ref),
-        batch_format="pyarrow",
-        concurrency=mapper_concurrency,
+    use_broadcast = term_id_strategy == "broadcast" or (
+        term_id_strategy == "auto" and n_terms <= BROADCAST_TERMS_LIMIT
     )
+    if use_broadcast:
+        # broadcast-small-side: ONE O(vocab) pull of the term column,
+        # ray.put once, searchsorted per batch inside the actor pool
+        terms_sorted = np.asarray(
+            terms_ds.to_pandas()["term"].to_numpy(dtype=object) if n_terms else [], dtype=object
+        )
+        terms_ref = ray.put(terms_sorted)
+        postings = postings_raw.map_batches(
+            _TermIdMapper,
+            fn_constructor_kwargs=dict(terms_ref=terms_ref),
+            batch_format="pyarrow",
+            concurrency=mapper_concurrency,
+        )
+    else:
+        # dictionary too large for any single heap → hash-partitioned
+        # string-key join; the only exchange is |postings| + |vocab| rows
+        # bucketed by term hash
+        from ..stages.joins import hash_bucket_join
+
+        postings = hash_bucket_join(postings_raw, terms_ds, on="term", num_buckets=64)
 
     # df partials are exact per batch (a doc is wholly inside one batch);
     # the groupby-sum stream is O(vocab)
@@ -226,7 +289,14 @@ def build_text_index_ds(
         .groupby("term_id")
         .aggregate(Sum("df", alias_name="df"))
     )
-    return TextIndexDS(postings=postings, doc_lens=doc_lens, terms=terms, term_stats=term_stats, globals=globals_)
+    return TextIndexDS(
+        postings=postings,
+        doc_lens=doc_lens,
+        terms=terms_ds,
+        n_terms=n_terms,
+        term_stats=term_stats,
+        globals=globals_,
+    )
 
 
 _POSTING_COLS = ["field", "term_id", "doc_id", "tf", "name_len", "address_len", "total_len"]
@@ -310,8 +380,23 @@ def save_text_index_ds(
     from ..sources import checkpoint as cp
 
     os.makedirs(out_dir, exist_ok=True)
-    pq.write_table(pa.Table.from_pandas(idx.terms, preserve_index=False), f"{out_dir}/terms.parquet")
-    n_terms = len(idx.terms)
+    n_terms = idx.n_terms
+
+    # the dictionary streams out term_id-range-bucketed exactly like the
+    # postings (same bucket fn → a bucket's terms and its postings share a
+    # range): no driver collect, resumable, lineage-carrying; buckets are
+    # lexicographic term ranges (ids are dense in sorted-term order), so
+    # term lookups prune on Parquet footer min/max (read_term_ids)
+    def add_tbucket(t: pa.Table) -> pa.Table:
+        b = term_bucket(t.column("term_id").to_numpy(), n_terms, num_buckets)
+        return t.select(["term", "term_id"]).append_column("bucket", pa.array(b.astype(np.int64)))
+
+    tdir = f"{out_dir}/terms"
+    if n_terms:
+        cp.checkpointed_write(
+            idx.terms.map_batches(add_tbucket, batch_format="pyarrow"), tdir, "bucket", stage="terms"
+        )
+    cp.mark_stage_complete(tdir, "terms")
 
     def add_bucket(t: pa.Table) -> pa.Table:
         b = term_bucket(t.column("term_id").to_numpy(), n_terms, num_buckets)
@@ -338,8 +423,16 @@ def save_text_index(index: TextIndex, out_dir: str, num_buckets: int = DEFAULT_P
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
-    pq.write_table(pa.Table.from_pandas(index.terms, preserve_index=False), f"{out_dir}/terms.parquet")
     n_terms = len(index.terms)
+    t = index.terms.copy()
+    t["bucket"] = term_bucket(t["term_id"].to_numpy(), n_terms, num_buckets) if len(t) else np.empty(0, np.int64)
+    for k, g in t.groupby("bucket") if len(t) else []:
+        tdir = f"{out_dir}/terms/part={int(k)}"
+        os.makedirs(tdir, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(g[["term", "term_id"]], preserve_index=False), f"{tdir}/data.parquet"
+        )
+    os.makedirs(f"{out_dir}/terms", exist_ok=True)
     p = index.postings.copy()
     p["bucket"] = term_bucket(p["term_id"].to_numpy(), n_terms, num_buckets) if len(p) else np.empty(0, np.int64)
     for k, g in p.groupby("bucket") if len(p) else []:
@@ -379,6 +472,55 @@ def postings_files_for_terms(out_dir: str, term_ids) -> list[str]:
     return files
 
 
+def _load_terms(out_dir: str) -> pd.DataFrame:
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(out_dir, "terms", "part=*", "data.parquet")))
+    if files:
+        t = pd.concat([pq.read_table(f, columns=["term", "term_id"]).to_pandas() for f in files], ignore_index=True)
+        return t.sort_values("term_id", kind="mergesort").reset_index(drop=True)
+    legacy = os.path.join(out_dir, "terms.parquet")  # pre-r03 single-file layout
+    if os.path.exists(legacy):
+        return pq.read_table(legacy).to_pandas()
+    return pd.DataFrame({"term": pd.Series(dtype=str), "term_id": pd.Series(dtype=np.int64)})
+
+
+def read_term_ids(index_dir: str, tokens) -> dict[str, int]:
+    """Pruned dictionary lookup: term buckets are LEXICOGRAPHIC ranges (ids
+    are dense in sorted-term order), so a bucket whose Parquet footer
+    [min, max] term statistics exclude every requested token is never read
+    — the dictionary-side analogue of postings_files_for_terms (the
+    reference seeks its FST in RAM; at 10⁸⁺ terms ours stays on disk and
+    this is the point read)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    toks = sorted(set(tokens))
+    if not toks:
+        return {}
+    out: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(index_dir, "terms", "part=*", "data.parquet"))):
+        md = pq.read_metadata(f)
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(0).statistics
+            if st is None or not st.has_min_max:
+                lo = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None and not any(lo <= t <= hi for t in toks):
+            continue  # bucket's term range excludes every token
+        t = pq.read_table(f, columns=["term", "term_id"], filters=[("term", "in", toks)]).to_pandas()
+        out.update(zip(t["term"], t["term_id"].astype(int)))
+    return out
+
+
 def load_text_index(out_dir: str) -> TextIndex:
     import glob
     import os
@@ -393,7 +535,7 @@ def load_text_index(out_dir: str) -> TextIndex:
     else:
         postings = pd.DataFrame({c: pd.Series(dtype=np.int64) for c in _POSTING_COLS})
     return TextIndex(
-        terms=pq.read_table(f"{out_dir}/terms.parquet").to_pandas(),
+        terms=_load_terms(out_dir),
         postings=postings,
         term_stats=pq.read_table(f"{out_dir}/term_stats.parquet").to_pandas(),
         globals={k: v for k, v in meta.items() if k not in ("postings_buckets", "n_terms")},

@@ -34,7 +34,9 @@ def hash_bucket_join(
     right_on: str | None = None,
     use_native: bool = False,
 ) -> "ray.data.Dataset":
-    """Partitioned hash join of two datasets on an int64 key column.
+    """Partitioned hash join of two datasets on an int64 OR string key
+    column (string keys bucket by pandas' deterministic hash — stable
+    across processes, same function grouped_apply_bounded uses).
 
     ``use_native=True`` opts into this Ray version's hash-partitioned
     ``Dataset.join`` — ONLY safe when both inputs have clean flat Arrow
@@ -86,8 +88,13 @@ def hash_bucket_join(
 
     def key_side(side: int, key: str):
         def fn(batch: pa.Table) -> pa.Table:
-            k = batch.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
-            batch = batch.append_column("__bucket", pa.array(k % num_buckets))
+            col = batch.column(key)
+            if pa.types.is_integer(col.type):
+                b = col.to_numpy(zero_copy_only=False).astype(np.int64) % num_buckets
+            else:  # string / other: deterministic cross-process hash
+                h = pd.util.hash_pandas_object(col.to_pandas(), index=False).to_numpy()
+                b = (h % num_buckets).astype(np.int64)
+            batch = batch.append_column("__bucket", pa.array(b))
             return batch.append_column("__side", pa.array(np.full(len(batch), side, dtype=np.int8)))
 
         return fn
@@ -150,6 +157,8 @@ def zip_with_index(ds: "ray.data.Dataset", id_col: str = "row_id") -> "ray.data.
     """
     mat = ds.materialize()
     refs = mat.to_arrow_refs()
+    if not refs:  # zero-block dataset (e.g. empty corpus) — nothing to number
+        return mat
 
     @ray.remote
     def count_block(t: pa.Table) -> int:
