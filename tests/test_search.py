@@ -481,3 +481,25 @@ class TestDistributedTermDictionary:
         got = ti.read_term_ids(out, ["jalan", "ancol", "zzz-not-a-term"])
         vocab = index.vocab()
         assert got == {"jalan": vocab["jalan"], "ancol": vocab["ancol"]}
+
+
+class TestSymSpellDeletesIndex:
+    def test_deletes_index_equals_scan_on_corpus_vocab(self):
+        """The SymSpell deletes-index candidate generation must equal the
+        length-bucketed DP scan exactly (same set, same lexicographic
+        order) over the real sf0.001 corpus vocabulary, for in-vocab words,
+        seeded typos, and OOV garbage, at d=1 and d=2."""
+        import ray.data
+
+        from osm_search_ray.state.lm import build_ngram_lm
+
+        ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"])
+        lm = build_ngram_lm(ds, text_cols=["text"])
+        fast = SpellCorrector.build(lm.full_vocab, lm, use_deletes_index=True)
+        slow = SpellCorrector.build(lm.full_vocab, lm, use_deletes_index=False)
+        assert fast.deletes is not None and slow.deletes is None
+        vocab_list = fast.vocab_sorted
+        probes = vocab_list[:5] + ["jalen", "xqzzy", "a", vocab_list[len(vocab_list) // 2] + "x"]
+        for word in probes:
+            for d in (1, 2):
+                assert fast.word_candidates(word, d) == slow.word_candidates(word, d), (word, d)
