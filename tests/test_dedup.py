@@ -116,3 +116,45 @@ def test_simhash_empty_candidates_typed_schema():
     # schema (not to_pandas — Ray 2.49 drops columns of empty datasets there)
     assert out.schema().names == ["doc_a", "doc_b", "hamming"]
     assert out.count() == 0
+
+
+def test_embedding_near_dups_salted_hot_bucket_bounded():
+    """A degenerate (all-identical-direction) corpus lands every vector in
+    one bucket per band; with max_bucket tiny the bucket is salt-split so
+    no group does more than O(max_bucket^2) work, and the per-band salts
+    still recover pairs across bands. Output must stay a subset of true
+    >=threshold pairs with exact cosines."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    # 30 near-identical vectors (tiny jitter, cosine ~1) + 10 random
+    vecs = np.vstack([base + rng.standard_normal((30, 16)) * 1e-3,
+                      rng.standard_normal((10, 16))])
+    emb = pd.DataFrame({"vec_id": np.arange(40, dtype=np.int64), "embedding": list(vecs)})
+    out = dd.embedding_near_dups(
+        ray.data.from_pandas(emb), threshold=0.999, max_bucket=8, bands=4
+    ).to_pandas()
+    # every reported pair is a true near-dup pair among the planted block
+    assert (out["cosine"] >= 0.999).all()
+    assert ((out["doc_a"] < 30) & (out["doc_b"] < 30)).all()
+    assert len(out) == len(out.drop_duplicates(["doc_a", "doc_b"]))
+    # the capped groups still recover a meaningful share of the 435 true
+    # pairs (~4 salts of ~8 per band × 4 bands; deterministic: 98 here)
+    assert len(out) > 80, len(out)
+
+
+def test_embedding_verify_paths_agree(monkeypatch):
+    """Broadcast and bucketed-join cosine-verify regimes must produce the
+    same pairs and cosines (same forcing trick as the minhash test)."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((20, 16))
+    vecs = np.vstack([base, base[:5] + rng.standard_normal((5, 16)) * 1e-3])
+    emb = pd.DataFrame({"vec_id": np.arange(25, dtype=np.int64), "embedding": list(vecs)})
+    broadcast = dd.embedding_near_dups(ray.data.from_pandas(emb), threshold=0.99).to_pandas()
+    monkeypatch.setattr(dd, "PAIR_DRIVER_LIMIT", 0)
+    joined = dd.embedding_near_dups(ray.data.from_pandas(emb), threshold=0.99).to_pandas()
+    key = ["doc_a", "doc_b"]
+    b = broadcast.sort_values(key).reset_index(drop=True)
+    j = joined.sort_values(key).reset_index(drop=True)
+    assert len(b) >= 5
+    pd.testing.assert_frame_equal(b[key], j[key])
+    np.testing.assert_allclose(b["cosine"].to_numpy(), j["cosine"].to_numpy(), rtol=0, atol=1e-12)
