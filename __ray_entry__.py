@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- text analysis / index stats (M8, A1-A8 analogues + training-data ops) ---
     q["token_counts"] = textops.token_counts
     q["term_doc_freq"] = textops.term_doc_freq
+    q["term_dictionary"] = textops.term_dictionary  # distributed dict build (M9 at scale)
     q["text_quality"] = textops.text_quality
     q["langid"] = textops.langid
     q["bigram_counts"] = textops.bigram_counts
@@ -157,6 +158,7 @@ SELECT query_id, doc_id, rank FROM scored WHERE rank = 1
     sql["doc_lookup"] = relational.SQL_DOC_LOOKUP
     sql["token_counts"] = textops.SQL_TOKEN_COUNTS
     sql["term_doc_freq"] = textops.SQL_TERM_DOC_FREQ
+    sql["term_dictionary"] = textops.SQL_TERM_DICTIONARY
     sql["text_quality"] = textops.SQL_TEXT_QUALITY
     sql["langid"] = textops._sql_langid()
     sql["bigram_counts"] = textops.SQL_BIGRAM_COUNTS

@@ -61,6 +61,31 @@ GROUP BY 1
 """
 
 
+def term_dictionary(sf_dir: str):
+    """(term, term_id) — the DISTRIBUTED term dictionary (M9 at scale;
+    pipelines/text_index.build_term_dictionary: per-block unique →
+    hash-partitioned distinct → sort → dense row-index zip, never
+    driver-resident). Dense ids follow sorted-term order, which the SQL
+    oracle reproduces with ROW_NUMBER() OVER (ORDER BY term) — tokens are
+    [a-z0-9]+ so Python and DuckDB binary collation agree."""
+    from .text_index import build_term_dictionary
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks, _ = tokenize_array(batch.column("text").to_pylist())
+        return pa.table({"term": pa.array(toks.astype(object), pa.string())})
+
+    terms_ds, _ = build_term_dictionary(ds.map_batches(explode, batch_format="pyarrow"))
+    return terms_ds
+
+
+SQL_TERM_DICTIONARY = f"""
+SELECT term, CAST(ROW_NUMBER() OVER (ORDER BY term) - 1 AS BIGINT) AS term_id
+FROM (SELECT DISTINCT unnest({SQL_TOKENIZE.format(col='text')}) AS term FROM documents)
+"""
+
+
 def text_quality(sf_dir: str):
     """Quality-scoring features per document (training-data op): char count,
     token count, mean token length, distinct-token ratio (all exactly
