@@ -560,6 +560,20 @@ def read_postings_for_terms(index_dir: str, term_ids: list[int]) -> pd.DataFrame
     return pd.concat(parts, ignore_index=True)
 
 
+def point_query_store(index_dir: str, tokens) -> tuple[dict[str, int], pd.DataFrame]:
+    """The at-scale point read over the on-disk index — NOTHING index-sized
+    is loaded: tokens resolve through the footer-pruned dictionary buckets
+    (read_term_ids), then only those terms' postings buckets/row-groups are
+    opened (read_postings_for_terms). Returns (term→id for the tokens that
+    exist, their postings frame) — the two reads a resident query server
+    performs per request when the index exceeds RAM (the reference instead
+    seeks an in-RAM FST + mmap'd postings, pkg/searcher/searcher.go)."""
+    ids = read_term_ids(index_dir, tokens)
+    if not ids:
+        return {}, pd.DataFrame({c: pd.Series(dtype=np.int64) for c in _POSTING_COLS})
+    return ids, read_postings_for_terms(index_dir, sorted(ids.values()))
+
+
 def spimi_postings_lists(docs: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"):
     """Single-field posting lists in the reference's on-disk shape:
     term → sorted doc_ids WITH one entry per occurrence (tf by repetition,

@@ -239,3 +239,32 @@ class TestHLL:
         df = pd.DataFrame({"s": [f"user-{i % 500}" for i in range(5000)]})
         est = approx_distinct(ray.data.from_pandas(df), "s", p=12)
         assert abs(est - 500) / 500 < 0.1
+
+
+class TestPointQueryStore:
+    def test_point_query_store_equals_in_ram_restriction(self, tmp_path):
+        """The two-pruned-read point query (dictionary buckets via footer
+        stats, then postings buckets/row-groups) must return exactly the
+        in-RAM index's restriction to the queried tokens — including
+        unknown-token handling."""
+        from osm_search_ray.pipelines import text_index as ti
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(8),
+                "name": [f"kata{i} umum kata{i+10}" for i in range(8)],
+                "address": [f"jalan nomor{i}" for i in range(8)],
+            }
+        )
+        index = ti.build_text_index(ray.data.from_pandas(docs))
+        ti.save_text_index(index, str(tmp_path / "idx"), num_buckets=4)
+        vocab = index.vocab()
+        ids, posts = ti.point_query_store(str(tmp_path / "idx"), ["jalan", "kata3", "zzz-missing"])
+        assert ids == {"jalan": vocab["jalan"], "kata3": vocab["kata3"]}
+        exp = index.postings[index.postings["term_id"].isin(list(ids.values()))]
+        key = ["field", "term_id", "doc_id"]
+        got = posts.sort_values(key).reset_index(drop=True)[list(exp.columns)]
+        pd.testing.assert_frame_equal(got.astype(np.int64), exp.sort_values(key).reset_index(drop=True).astype(np.int64))
+        # all-unknown query -> typed empty
+        ids2, posts2 = ti.point_query_store(str(tmp_path / "idx"), ["zzz"])
+        assert ids2 == {} and len(posts2) == 0 and list(posts2.columns) == list(exp.columns)
