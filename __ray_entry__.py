@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- similarity search ---
     q["ann_cosine_topk"] = simsearch.ann_cosine_topk
     q["ann_ivf_topk"] = simsearch.ann_ivf_topk
+    q["kmeans_clusters"] = simsearch.kmeans_clusters  # iterative distributed Lloyd's (rows-only)
     # --- events (streaming-shaped) ---
     q["events_hourly"] = ev.events_hourly
     q["events_sliding"] = ev.events_sliding  # sliding-window aggregate

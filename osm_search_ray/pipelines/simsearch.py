@@ -130,3 +130,17 @@ def ann_ivf_topk(sf_dir: str, k: int = K_DEFAULT, nlist: int = 8, nprobe: int | 
         import shutil
 
         shutil.rmtree(store, ignore_errors=True)  # the driver query owns its scratch
+
+
+def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5):
+    """Distributed k-means over the embeddings table (training-data
+    clustering operator; stages/annindex.kmeans_fit): per-iteration
+    combiner partials (cluster, count, sum-blob) are the ONLY exchange —
+    O(k·dim·blocks) per pass — then one broadcast scoring pass emits
+    (vec_id, cluster). Iterative and seeded-init → rows-only driver check;
+    the pytest oracle covers planted-cluster recovery and block-order
+    determinism (tests/test_ann_misc.py::TestDistributedKMeans)."""
+    from ..stages.annindex import cluster_assign
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return cluster_assign(emb, k=k, iters=iters)

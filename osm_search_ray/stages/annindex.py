@@ -26,14 +26,24 @@ import ray
 import ray.data
 
 
+def sq_dists(x: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """Squared euclidean distances (n, k) in matmul form:
+    |x|² - 2x·c + |c|². Memory is O(n·k), NOT the O(n·k·dim) of the
+    broadcast-subtract form — at nlist 1024 × dim 64 the latter is GBs per
+    batch; this is the kernel every IVF stage must use at scale."""
+    x = np.asarray(x, dtype=np.float64)
+    cent = np.asarray(cent, dtype=np.float64)
+    d = (x * x).sum(axis=1)[:, None] - 2.0 * (x @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+    return np.maximum(d, 0.0)  # clamp matmul-rounding negatives
+
+
 def kmeans_lite(sample: np.ndarray, nlist: int, iters: int = 8, seed: int = 23) -> np.ndarray:
     """Deterministic seeded Lloyd's over a sample; returns (nlist, dim)."""
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)
     cent = sample[idx].astype(np.float64).copy()
     for _ in range(iters):
-        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
+        assign = sq_dists(sample, cent).argmin(axis=1)
         for c in range(len(cent)):
             members = sample[assign == c]
             if len(members):
@@ -60,8 +70,7 @@ def assign_lists(emb: "ray.data.Dataset", centroids: np.ndarray, vec_col: str) -
         mat = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
         if len(mat) == 0:
             return batch.append_column("list_id", pa.array([], pa.int32()))
-        d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        return batch.append_column("list_id", pa.array(d.argmin(axis=1).astype(np.int32)))
+        return batch.append_column("list_id", pa.array(sq_dists(mat, cent).argmin(axis=1).astype(np.int32)))
 
     return emb.map_batches(fn, batch_format="pyarrow")
 
@@ -143,7 +152,7 @@ def ivf_store_topk(
     centroids = np.load(f"{out_dir}/centroids.npy")
     qm = queries["mat"].astype(np.float64)
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-    qd = ((qm[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    qd = sq_dists(qm, centroids)
     probes = np.argsort(qd, axis=1)[:, :nprobe]
     files = probed_list_files(out_dir, np.unique(probes))
     if not files:
@@ -209,7 +218,7 @@ def ivf_cosine_topk(
 
     qm = queries["mat"].astype(np.float64)
     qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-    qd = ((qm[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    qd = sq_dists(qm, centroids)
     probes = np.argsort(qd, axis=1)[:, :nprobe]  # (Q, nprobe)
     probed_lists = set(np.unique(probes).tolist())
     state_ref = ray.put((queries["vec_id"], qn, probes, probed_lists))
@@ -252,3 +261,93 @@ def ivf_cosine_topk(
         return g[["query_id", id_col, "rank"]]
 
     return partial.groupby("query_id").map_groups(final, batch_format="pandas").to_pandas()
+
+
+def kmeans_fit(
+    emb: "ray.data.Dataset",
+    k: int,
+    vec_col: str = "embedding",
+    iters: int = 5,
+    sample_n: int = 4096,
+    seed: int = 23,
+) -> np.ndarray:
+    """DISTRIBUTED Lloyd's over the FULL dataset (the training-data
+    clustering operator; kmeans_lite trains on a driver-side sample only).
+
+    Each iteration is ONE streaming pass: every batch computes its
+    assignments against the broadcast centroids and emits k partial rows
+    (cluster, count, sum-vector blob) — the classic combiner, so the
+    exchange per iteration is O(k·dim·num_blocks) bytes, independent of
+    corpus size, and nothing row-level ever reaches the driver.
+
+    Determinism: float addition is not associative and Ray block order is
+    not guaranteed, so partials carry a per-batch order key and the driver
+    reduces each cluster's partials in sorted-key order — identical
+    centroids for any block arrival order (tested under different batch
+    sizes)."""
+    cent = train_centroids(emb, vec_col, k, sample_n=sample_n, seed=seed)
+    dim = cent.shape[1]
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            mat = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+            if mat.size == 0:
+                return pa.table(
+                    {"cluster": pa.array([], pa.int32()), "n": pa.array([], pa.int64()),
+                     "vsum": pa.array([], pa.binary()), "okey": pa.array([], pa.int64())}
+                )
+            a = sq_dists(mat, c).argmin(axis=1)
+            sums = np.zeros((len(c), mat.shape[1]))
+            np.add.at(sums, a, mat)
+            counts = np.bincount(a, minlength=len(c)).astype(np.int64)
+            live = np.flatnonzero(counts)
+            # order key: a deterministic function of the batch CONTENT (its
+            # first row), not of arrival order
+            okey = np.int64(np.abs(np.frombuffer(mat[0].tobytes(), dtype=np.int64)).sum() & 0x7FFFFFFFFFFFFFFF)
+            return pa.table(
+                {
+                    "cluster": pa.array(live.astype(np.int32)),
+                    "n": pa.array(counts[live]),
+                    "vsum": pa.array([sums[i].tobytes() for i in live], pa.binary()),
+                    "okey": pa.array(np.full(len(live), okey)),
+                }
+            )
+
+        rows = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+        if len(rows) == 0:
+            break
+        rows = rows.sort_values(["cluster", "okey"], kind="mergesort")
+        new_cent = cent.copy()
+        for cid, g in rows.groupby("cluster", sort=True):
+            total = np.zeros(dim)
+            for blob in g["vsum"]:  # sorted-okey order — deterministic sum
+                total += np.frombuffer(blob, dtype=np.float64)
+            new_cent[int(cid)] = total / g["n"].sum()
+        cent = new_cent
+    return cent
+
+
+def cluster_assign(
+    emb: "ray.data.Dataset",
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 5,
+    seed: int = 23,
+) -> "ray.data.Dataset":
+    """Fit distributed k-means and emit (id, cluster) — one broadcast
+    scoring pass, no shuffle."""
+    cent = kmeans_fit(emb, k, vec_col=vec_col, iters=iters, seed=seed)
+    out = assign_lists(emb, cent, vec_col)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                id_col: t.column(id_col),
+                "cluster": pa.array(t.column("list_id").to_numpy().astype(np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -268,3 +268,34 @@ class TestPointQueryStore:
         # all-unknown query -> typed empty
         ids2, posts2 = ti.point_query_store(str(tmp_path / "idx"), ["zzz"])
         assert ids2 == {} and len(posts2) == 0 and list(posts2.columns) == list(exp.columns)
+
+
+class TestDistributedKMeans:
+    def _sep_data(self, n_per=40, dim=8):
+        rng = np.random.default_rng(11)
+        centers = np.array([[10.0] * dim, [-10.0] * dim, [10.0] * 4 + [-10.0] * 4])
+        vecs = np.vstack([c + rng.standard_normal((n_per, dim)) for c in centers])
+        return pd.DataFrame({"vec_id": np.arange(3 * n_per, dtype=np.int64), "embedding": list(vecs)})
+
+    def test_recovers_planted_clusters(self):
+        from osm_search_ray.stages.annindex import cluster_assign
+
+        df = self._sep_data()
+        out = cluster_assign(ray.data.from_pandas(df), k=3).to_pandas()
+        out = out.sort_values("vec_id").reset_index(drop=True)
+        labels = out["cluster"].to_numpy()
+        # each planted block maps to ONE cluster, and blocks to distinct ones
+        blocks = [set(labels[i * 40 : (i + 1) * 40]) for i in range(3)]
+        assert all(len(b) == 1 for b in blocks), blocks
+        assert len(set().union(*blocks)) == 3
+
+    def test_block_order_independent(self):
+        """Partials are reduced in content-keyed order, so different Ray
+        batching must give identical centroids/assignments."""
+        from osm_search_ray.stages.annindex import kmeans_fit
+
+        df = self._sep_data()
+        a = kmeans_fit(ray.data.from_pandas(df), k=3)
+        ds_small = ray.data.from_pandas(df).map_batches(lambda t: t, batch_format="pyarrow", batch_size=7)
+        b = kmeans_fit(ds_small, k=3)
+        np.testing.assert_array_equal(a, b)
