@@ -98,49 +98,6 @@ def write_tiles(sf_dir: str, out_dir: str) -> str:
     return out_dir
 
 
-def _assert_shared_visible(tiles_dir: str) -> None:
-    """Refuse multi-node runs whose ``tiles_dir`` is not a shared mount:
-    drops a token on the driver and probes it from every alive node (one
-    NodeAffinity task each). Single-node clusters pass trivially without
-    spawning anything (ADVICE r02 — the merge tasks do plain local-fs I/O,
-    which silently writes to worker-local disks if the path isn't shared)."""
-    import os
-    import uuid
-
-    import ray
-
-    nodes = [n for n in ray.nodes() if n.get("Alive")]
-    if len(nodes) <= 1:
-        return
-    os.makedirs(tiles_dir, exist_ok=True)
-    token = os.path.join(tiles_dir, f".shared-probe-{uuid.uuid4().hex}")
-    with open(token, "w") as f:
-        f.write("probe")
-    try:
-        from ray.util.scheduling_strategies import NodeAffinitySchedulingStrategy
-
-        @ray.remote(num_cpus=0)
-        def probe(path: str) -> bool:
-            return os.path.exists(path)
-
-        results = ray.get(
-            [
-                probe.options(
-                    scheduling_strategy=NodeAffinitySchedulingStrategy(node_id=n["NodeID"], soft=False)
-                ).remote(token)
-                for n in nodes
-            ]
-        )
-        if not all(results):
-            raise RuntimeError(
-                f"refresh_tiles: {tiles_dir!r} is not visible from every node — "
-                "incremental tile maintenance needs a shared filesystem (NFS / FUSE "
-                "object-store mount) on multi-node clusters"
-            )
-    finally:
-        os.remove(token)
-
-
 def refresh_tiles(
     tiles_dir: str,
     upserts: "ray.data.Dataset | None" = None,
@@ -167,9 +124,8 @@ def refresh_tiles(
     a single-node cluster (this sandbox) or a shared filesystem / FUSE
     mount (NFS, s3fs, GCS-fuse) on multi-node. On a multi-node cluster
     WITHOUT a shared mount the rewrites would land on each worker's local
-    disk silently; ``_assert_shared_visible`` refuses to run in that case
-    by checking the directory is reachable from the workers that will
-    write it.
+    disk silently; ``sources.checkpoint.assert_shared_visible`` refuses to
+    run in that case by probing the directory from every node.
     """
     import json
     import os
@@ -217,7 +173,9 @@ def refresh_tiles(
         os.replace(side, os.path.join(pdir, "manifest.json"))
         return row
 
-    _assert_shared_visible(tiles_dir)
+    from ..sources.checkpoint import assert_shared_visible
+
+    assert_shared_visible(tiles_dir)
     del_ref = ray.put(del_by_cell)
     manifest_rows: list[dict] = []
     upsert_cells: set[int] = set()

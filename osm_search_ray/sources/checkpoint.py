@@ -53,6 +53,51 @@ def _lineage_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()[:16]
 
 
+def assert_shared_visible(out_dir: str) -> None:
+    """Refuse multi-node runs whose ``out_dir`` is not a shared mount:
+    drops a token on the driver and probes it from every alive node (one
+    NodeAffinity zero-cpu task each). Single-node clusters return without
+    spawning anything. Partition writes happen INSIDE Ray workers with
+    plain filesystem I/O — on a multi-node cluster without a shared
+    filesystem (NFS / FUSE object-store mount) they would land on each
+    worker's local disk silently (ADVICE r02, generalized from
+    refresh_tiles to every checkpointed sink)."""
+    import uuid
+
+    import ray
+
+    nodes = [n for n in ray.nodes() if n.get("Alive")]
+    if len(nodes) <= 1:
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    token = os.path.join(out_dir, f".shared-probe-{uuid.uuid4().hex}")
+    with open(token, "w") as f:
+        f.write("probe")
+    try:
+        from ray.util.scheduling_strategies import NodeAffinitySchedulingStrategy
+
+        @ray.remote(num_cpus=0)
+        def probe(path: str) -> bool:
+            return os.path.exists(path)
+
+        results = ray.get(
+            [
+                probe.options(
+                    scheduling_strategy=NodeAffinitySchedulingStrategy(node_id=n["NodeID"], soft=False)
+                ).remote(token)
+                for n in nodes
+            ]
+        )
+        if not all(results):
+            raise RuntimeError(
+                f"{out_dir!r} is not visible from every node — the checkpointed sink "
+                "needs a shared filesystem (NFS / FUSE object-store mount) on "
+                "multi-node clusters"
+            )
+    finally:
+        os.remove(token)
+
+
 def manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_manifest.jsonl")
 
@@ -113,6 +158,7 @@ def checkpointed_write(
     ``fail_on_keys`` injects a crash after specific partitions — used by the
     kill/resume test to simulate a mid-run failure."""
     os.makedirs(out_dir, exist_ok=True)
+    assert_shared_visible(out_dir)
     done = completed_keys(out_dir)
     done_list = sorted(done)
 

@@ -52,13 +52,18 @@ def kmeans_lite(sample: np.ndarray, nlist: int, iters: int = 8, seed: int = 23) 
 
 
 def train_centroids(emb: "ray.data.Dataset", vec_col: str, nlist: int, sample_n: int = 4096, seed: int = 23) -> np.ndarray:
-    """Sample deterministically (first sample_n by id order of arrival is
-    nondeterministic — use a seeded random_sample then sort) and train."""
+    """Seeded random sample → lexicographic CONTENT sort → Lloyd's. The
+    content sort makes the init independent of Ray's block/arrival order
+    (take_all order is not a contract, and seeded ``rng.choice`` picks
+    POSITIONS); with the same rows sampled, training is then fully
+    deterministic."""
     frac = min(1.0, sample_n / max(1, emb.count()))
     sample_ds = emb.random_sample(frac, seed=seed) if frac < 1.0 else emb
     mat = np.asarray(
         [r[vec_col] for r in sample_ds.take_all()], dtype=np.float64
     )
+    if len(mat):
+        mat = mat[np.lexsort(mat.T[::-1])]
     return kmeans_lite(mat, nlist, seed=seed)
 
 
