@@ -228,3 +228,225 @@ def ngram_counts_table(lm: NGramLM) -> pd.DataFrame:
         for k, v in d.items():
             rows.append((n, " ".join(k), v))
     return pd.DataFrame(rows, columns=["n", "gram", "cnt"])
+
+
+def build_ngram_counts_ds(
+    docs: "ray.data.Dataset",
+    text_cols: list[str] = ("name", "address"),
+    num_parts: int = 64,
+    join_vocab: bool = False,
+):
+    """A5+A6 with EVERY artifact a Dataset — the 100 TB form of
+    ``build_ngram_lm`` (whose threshold vocab and count dicts are
+    driver-resident, the reference's own in-RAM budget but not a web
+    corpus's). Returns (counts_ds, word_counts_ds):
+
+      counts_ds       (n, gram, cnt) — UNK-replaced per the threshold
+                      vocab, per-n padding included; identical multiset to
+                      build_ngram_lm's dicts (equality-tested).
+      word_counts_ds  (word, wcnt) raw corpus word frequencies.
+
+    Shape — no corpus-sized exchange and nothing vocab- or gram-sized on
+    the driver:
+      1. one tokenize pass emits per-batch RAW n-gram count partials →
+         bounded hash-partitioned groupby-sum (distinct-gram-sized).
+      2. word-count partials → groupby-sum; vocab = wcnt >= threshold.
+      3. <UNK> substitution rewrites the GRAM KEYS, not the corpus: each
+         distinct gram explodes into (gram, slot, token) rows, tokens are
+         membership-tested against the vocab (broadcast sorted array by
+         default; ``join_vocab=True`` forces the hash-partitioned
+         string-key join for the 10⁸⁺-word regime), keys are reassembled
+         with <UNK> where absent, and a final groupby-sum merges collided
+         keys. Raw-count-then-replace ≡ replace-then-count because the
+         substitution is per-token and padding tokens pass through.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.tokenize import tokenize_array
+    from ..stages.joins import hash_bucket_join, hash_partitioned_apply
+
+    def tokens_per_doc(batch: pa.Table) -> list[list[str]]:
+        joined = [
+            " ".join(str(batch.column(c)[i].as_py() or "") for c in text_cols) for i in range(len(batch))
+        ]
+        toks, counts = tokenize_array(joined)
+        off = np.concatenate([[0], np.cumsum(counts)])
+        return [toks[off[i] : off[i + 1]].tolist() for i in range(len(joined))]
+
+    def raw_gram_partial(batch: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for toks in tokens_per_doc(batch):
+            count_doc_ngrams(counts, toks)  # RAW tokens — no vocab needed yet
+        ks = list(counts.keys())
+        return pa.table(
+            {
+                "n": pa.array([k[0] for k in ks], pa.int8()),
+                "gram": pa.array([k[1] for k in ks], pa.string()),
+                "cnt": pa.array([counts[k] for k in ks], pa.int64()),
+            }
+        )
+
+    def wc_partial(batch: pa.Table) -> pa.Table:
+        toks = [t for row in tokens_per_doc(batch) for t in row]
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.table({"word": pa.array(u.astype(object), pa.string()), "wcnt": pa.array(c.astype(np.int64))})
+
+    def _sum_group(cols):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby(cols, sort=False, as_index=False)["__v"].sum()
+
+        return fn
+
+    mat = docs.materialize()
+    raw = hash_partitioned_apply(
+        mat.map_batches(raw_gram_partial, batch_format="pyarrow").map_batches(
+            lambda t: t.rename_columns(["n", "gram", "__v"]), batch_format="pyarrow"
+        ),
+        ["n", "gram"],
+        _sum_group(["n", "gram"]),
+        num_parts=num_parts,
+    ).map_batches(lambda df: df.rename(columns={"__v": "cnt"}), batch_format="pandas")
+
+    word_counts = hash_partitioned_apply(
+        mat.map_batches(wc_partial, batch_format="pyarrow").map_batches(
+            lambda t: t.rename_columns(["word", "__v"]), batch_format="pyarrow"
+        ),
+        "word",
+        _sum_group(["word"]),
+        num_parts=num_parts,
+    ).map_batches(lambda df: df.rename(columns={"__v": "wcnt"}), batch_format="pandas")
+    word_counts = word_counts.materialize()
+    vocab_ds = word_counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("wcnt"), COUNT_THRESHOLD)), batch_format="pyarrow"
+    )
+
+    specials = (START_TOKEN, END_TOKEN)
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy()
+        grams = t.column("gram").to_pylist()
+        cnt = t.column("cnt").to_numpy()
+        gn, gg, gc, slot, tok = [], [], [], [], []
+        for i, g in enumerate(grams):
+            parts = g.split("\x1f")
+            for j, p in enumerate(parts):
+                gn.append(int(n[i]))
+                gg.append(g)
+                gc.append(int(cnt[i]))
+                slot.append(j)
+                tok.append(p)
+        return pa.table(
+            {
+                "n": pa.array(gn, pa.int8()),
+                "gram": pa.array(gg, pa.string()),
+                "cnt": pa.array(gc, pa.int64()),
+                "slot": pa.array(slot, pa.int32()),
+                "token": pa.array(tok, pa.string()),
+            }
+        )
+
+    tokens_rows = raw.map_batches(explode, batch_format="pyarrow")
+
+    if join_vocab:
+        vocab_only = vocab_ds.map_batches(lambda t: t.select(["word", "wcnt"]), batch_format="pyarrow")
+        joined = hash_bucket_join(
+            tokens_rows, vocab_only, on="token", right_on="word", how="left", num_buckets=num_parts
+        )
+
+        def mark(df: pd.DataFrame) -> pd.DataFrame:
+            in_vocab = df["wcnt"].notna() | df["token"].isin(specials)
+            df = df.assign(token2=np.where(in_vocab, df["token"], UNKNOWN_TOKEN))
+            return df[["n", "gram", "cnt", "slot", "token2"]]
+
+        marked = joined.map_batches(mark, batch_format="pandas")
+    else:
+        vocab_sorted = np.sort(vocab_ds.to_pandas()["word"].to_numpy(dtype=object))
+        import ray as _ray
+
+        vocab_ref = _ray.put(vocab_sorted)
+
+        def mark_b(t: pa.Table) -> pa.Table:
+            vs = _ray.get(vocab_ref)
+            tok = t.column("token").to_numpy(zero_copy_only=False)
+            if len(vs):
+                pos = np.minimum(np.searchsorted(vs, tok), len(vs) - 1)
+                in_vocab = vs[pos] == tok
+            else:
+                in_vocab = np.zeros(len(tok), dtype=bool)
+            for s in specials:
+                in_vocab |= tok == s
+            t2 = np.where(in_vocab, tok, UNKNOWN_TOKEN)
+            return pa.table(
+                {
+                    "n": t.column("n"),
+                    "gram": t.column("gram"),
+                    "cnt": t.column("cnt"),
+                    "slot": t.column("slot"),
+                    "token2": pa.array(t2.astype(object), pa.string()),
+                }
+            )
+
+        marked = tokens_rows.map_batches(mark_b, batch_format="pyarrow")
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n", "gram", "slot"], kind="mergesort")
+        g = df.groupby(["n", "gram"], sort=False).agg(
+            gram2=("token2", "\x1f".join), cnt=("cnt", "first")
+        ).reset_index()[["n", "gram2", "cnt"]]
+        return g.rename(columns={"gram2": "gram"})
+
+    replaced = hash_partitioned_apply(marked, ["n", "gram"], reassemble, num_parts=num_parts)
+    counts_ds = hash_partitioned_apply(
+        replaced.map_batches(lambda df: df.rename(columns={"cnt": "__v"}), batch_format="pandas"),
+        ["n", "gram"],
+        _sum_group(["n", "gram"]),
+        num_parts=num_parts,
+    ).map_batches(lambda df: df.rename(columns={"__v": "cnt"}), batch_format="pandas")
+    return counts_ds, word_counts
+
+
+def lm_from_counts_ds(counts_ds, word_counts_ds) -> NGramLM:
+    """Collect Dataset counts into the in-RAM serving NGramLM (O(grams) —
+    the reference's own serving budget; at true web scale the counts stay
+    as bucketed Parquet and scorers read only the grams they touch)."""
+    cpd = counts_ds.to_pandas()
+    counts = {(int(r.n), r.gram): int(r.cnt) for r in cpd.itertuples()}
+    wc = word_counts_ds.to_pandas()
+    vocab = set(wc[wc["wcnt"] >= COUNT_THRESHOLD]["word"])
+    lm = lm_from_counts(counts, vocab)
+    lm.full_vocab = set(wc["word"])
+    return lm
+
+
+def save_ngram_counts_ds(counts_ds, word_counts_ds, out_dir: str, num_buckets: int = 16) -> None:
+    """Stream the Dataset LM artifacts to gram-hash-bucketed Parquet through
+    the checkpointed sink (resumable, lineage-carrying — the S9 artifact at
+    scale; the driver-side single-file form is ngram_counts_table)."""
+    from ..sources import checkpoint as cp
+
+    def add_bucket(col):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            h = pd.util.hash_pandas_object(df[col], index=False).to_numpy()
+            return df.assign(bucket=(h % num_buckets).astype(np.int64))
+
+        return fn
+
+    cdir = f"{out_dir}/counts"
+    cp.checkpointed_write(
+        counts_ds.map_batches(add_bucket("gram"), batch_format="pandas"), cdir, "bucket", stage="ngram_counts"
+    )
+    cp.mark_stage_complete(cdir, "ngram_counts")
+    wdir = f"{out_dir}/word_counts"
+    cp.checkpointed_write(
+        word_counts_ds.map_batches(add_bucket("word"), batch_format="pandas"), wdir, "bucket", stage="word_counts"
+    )
+    cp.mark_stage_complete(wdir, "word_counts")
+
+
+def load_ngram_lm_ds(out_dir: str) -> NGramLM:
+    """Load the bucketed Dataset LM artifacts back into the serving NGramLM."""
+    from ..sources import checkpoint as cp
+
+    counts = cp.read_checkpointed(f"{out_dir}/counts", columns=["n", "gram", "cnt"])
+    wc = cp.read_checkpointed(f"{out_dir}/word_counts", columns=["word", "wcnt"])
+    return lm_from_counts_ds(counts, wc)

@@ -503,3 +503,45 @@ class TestSymSpellDeletesIndex:
         for word in probes:
             for d in (1, 2):
                 assert fast.word_candidates(word, d) == slow.word_candidates(word, d), (word, d)
+
+
+class TestDatasetSideLM:
+    def test_counts_ds_equals_in_ram_lm(self):
+        """The all-Dataset LM counting path (raw-gram count → Dataset vocab
+        threshold → distributed <UNK> key rewrite) must yield EXACTLY the
+        in-RAM builder's count dicts, full vocab, and total word freq — in
+        both vocab-membership regimes (broadcast and string-key join)."""
+        from osm_search_ray.state.lm import build_ngram_counts_ds, build_ngram_lm, lm_from_counts_ds
+
+        ram = build_ngram_lm(ray.data.from_pandas(DOCS))
+        for join_vocab in (False, True):
+            counts_ds, wc_ds = build_ngram_counts_ds(
+                ray.data.from_pandas(DOCS), join_vocab=join_vocab
+            )
+            got = lm_from_counts_ds(counts_ds, wc_ds)
+            assert got.unigram == ram.unigram, join_vocab
+            assert got.bigram == ram.bigram
+            assert got.trigram == ram.trigram
+            assert got.quadgram == ram.quadgram
+            assert got.total_word_freq == ram.total_word_freq
+            assert got.vocab == ram.vocab
+            assert got.full_vocab == ram.full_vocab
+
+    def test_counts_ds_roundtrip_through_checkpointed_store(self, tmp_path):
+        """Bucketed-Parquet save/load of the Dataset LM artifacts preserves
+        the model exactly."""
+        from osm_search_ray.state.lm import (
+            build_ngram_counts_ds,
+            build_ngram_lm,
+            load_ngram_lm_ds,
+            save_ngram_counts_ds,
+        )
+
+        counts_ds, wc_ds = build_ngram_counts_ds(ray.data.from_pandas(DOCS))
+        save_ngram_counts_ds(counts_ds, wc_ds, str(tmp_path / "lm"))
+        got = load_ngram_lm_ds(str(tmp_path / "lm"))
+        ram = build_ngram_lm(ray.data.from_pandas(DOCS))
+        assert (got.unigram, got.bigram, got.trigram, got.quadgram) == (
+            ram.unigram, ram.bigram, ram.trigram, ram.quadgram
+        )
+        assert got.vocab == ram.vocab and got.full_vocab == ram.full_vocab
