@@ -47,7 +47,6 @@ def main() -> None:
     from osm_search_ray.pipelines import ingest as ing
     from osm_search_ray.pipelines import text_index as ti
     from osm_search_ray.sources import checkpoint as cp
-    from osm_search_ray.state.lm import build_ngram_lm, ngram_counts_table
 
     nodes = ray.data.read_parquet(f"{args.osm_dir}/nodes.parquet")
     ways = ray.data.read_parquet(f"{args.osm_dir}/ways.parquet")
@@ -93,13 +92,16 @@ def main() -> None:
     else:
         print("text stage: already complete")
 
-    lm_path = os.path.join(args.out, "ngrams.parquet")
-    if not os.path.exists(lm_path):
-        lm = build_ngram_lm(docs_back)
-        pq.write_table(
-            __import__("pyarrow").Table.from_pandas(ngram_counts_table(lm), preserve_index=False), lm_path
-        )
-        print(f"lm stage: {lm.total_word_freq} total word freq")
+    lm_dir = os.path.join(args.out, "ngrams")
+    if not cp.stage_complete(os.path.join(lm_dir, "counts")):
+        # all-Dataset counting (state/lm.build_ngram_counts_ds — nothing
+        # vocab- or gram-sized on the driver) → gram-hash-bucketed
+        # checkpointed store, resumable like every other stage
+        from osm_search_ray.state.lm import build_ngram_counts_ds, save_ngram_counts_ds
+
+        counts_ds, wc_ds = build_ngram_counts_ds(docs_back)
+        save_ngram_counts_ds(counts_ds, wc_ds, lm_dir)
+        print(f"lm stage: {counts_ds.count()} distinct (n, gram) counts")
     else:
         print("lm stage: already complete")
 
