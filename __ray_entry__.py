@@ -55,6 +55,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bigram_counts"] = textops.bigram_counts
     q["postings_lists"] = textops.postings_lists
     q["image_features"] = textops.image_features  # multimodal plumbing (rows-only)
+    # --- training-data prep (deterministic split, sequence packing) ---
+    from osm_search_ray.pipelines import traindata
+
+    q["train_val_split"] = traindata.train_val_split
+    q["pack_sequences"] = traindata.pack_sequences
     # --- full-text search (BM25+ with reference formula quirks) ---
     from osm_search_ray.pipelines import search_docs
 
@@ -160,6 +165,10 @@ SELECT query_id, doc_id, rank FROM scored WHERE rank = 1
     sql["token_counts"] = textops.SQL_TOKEN_COUNTS
     sql["term_doc_freq"] = textops.SQL_TERM_DOC_FREQ
     sql["term_dictionary"] = textops.SQL_TERM_DICTIONARY
+    from osm_search_ray.pipelines import traindata
+
+    sql["train_val_split"] = traindata.SQL_TRAIN_VAL_SPLIT
+    sql["pack_sequences"] = traindata.SQL_PACK_SEQUENCES
     sql["text_quality"] = textops.SQL_TEXT_QUALITY
     sql["langid"] = textops._sql_langid()
     sql["bigram_counts"] = textops.SQL_BIGRAM_COUNTS
