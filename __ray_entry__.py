@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sessionize"] = ev.sessionize
     q["purchase_attribution"] = ev.purchase_attribution
     q["approx_distinct_users"] = ev.approx_distinct_users  # HLL sketch (rows-only)
+    q["events_median"] = ev.events_median  # exact distributed median (bounded-domain histogram)
     # --- geofencing (J6) ---
     from osm_search_ray.pipelines import geofence_pipeline
 
@@ -187,6 +188,7 @@ SELECT query_id, doc_id, rank FROM scored WHERE rank = 1
     sql["events_sliding"] = ev.SQL_EVENTS_SLIDING.format(prev=2)
     sql["sessionize"] = ev.SQL_SESSIONIZE.format(gap=30 * 60)
     sql["purchase_attribution"] = ev.SQL_PURCHASE_ATTRIBUTION
+    sql["events_median"] = ev.SQL_EVENTS_MEDIAN
     from osm_search_ray.pipelines import geofence_pipeline
 
     sql["geofence_status"] = geofence_pipeline.SQL_GEOFENCE_STATUS

@@ -268,3 +268,63 @@ def approx_distinct_users(sf_dir: str, p: int = 12):
     exact_map = dict(zip(exact["event_type"], exact["n"].astype(int)))
     rows = [(et, int(round(hll_estimate(reg))), exact_map.get(et, 0)) for et, reg in sorted(merged.items())]
     return pd.DataFrame(rows, columns=["event_type", "approx_users", "exact_users"])
+
+
+def events_median(sf_dir: str):
+    """(event_type, n_events, median_x10) — EXACT distributed median via
+    bounded-domain histogram counting: per-batch (event_type, scaled-value)
+    count partials → one groupby-sum whose cardinality is |types| ×
+    |distinct scaled values| (domain-bounded, NOT row-bounded — the
+    shape that stays exact at 10¹² rows where sort-based medians
+    cannot), then the interpolated median falls out of the cumulative
+    counts driver-side.
+
+    Float discipline (oracle-float-strategy): values are scaled to int64
+    FIRST (×100, rint), the q=0.5 interpolation over ints is exact in
+    binary (x.0 / x.5 only), and ×10 re-scales to a BIGINT both engines
+    agree on bit-for-bit."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": batch.column("event_type").to_pandas(),
+                "v": np.rint(batch.column("value").to_numpy() * 100).astype(np.int64),
+            }
+        )
+        g = df.groupby(["event_type", "v"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "v": pa.array(g["v"], pa.int64()),
+                "n": pa.array(g["n"], pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # O(types × distinct scaled values) — domain-bounded
+    )
+    rows = []
+    for et, g in hist.groupby("event_type", sort=True):
+        g = g.sort_values("v")
+        v = g["v"].to_numpy()
+        c = np.cumsum(g["n"].to_numpy())
+        n = int(c[-1])
+        pos = (n - 1) * 0.5
+        lo, frac = int(pos), pos - int(pos)
+        vlo = v[np.searchsorted(c, lo + 1)]  # value at sorted index lo
+        vhi = v[np.searchsorted(c, lo + 2)] if frac else vlo
+        med = vlo + (vhi - vlo) * frac  # ints, frac ∈ {0, .5} → exact
+        rows.append((et, n, int(round(med * 10))))
+    return pd.DataFrame(rows, columns=["event_type", "n_events", "median_x10"])
+
+
+SQL_EVENTS_MEDIAN = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(ROUND(quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.5) * 10) AS BIGINT) AS median_x10
+FROM events
+GROUP BY 1
+"""
