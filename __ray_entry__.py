@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["purchase_attribution"] = ev.purchase_attribution
     q["approx_distinct_users"] = ev.approx_distinct_users  # HLL sketch (rows-only)
     q["events_median"] = ev.events_median  # exact distributed median (bounded-domain histogram)
+    q["users_view_no_purchase"] = ev.users_view_no_purchase  # anti-join (NOT EXISTS)
     # --- geofencing (J6) ---
     from osm_search_ray.pipelines import geofence_pipeline
 
@@ -189,6 +190,7 @@ SELECT query_id, doc_id, rank FROM scored WHERE rank = 1
     sql["sessionize"] = ev.SQL_SESSIONIZE.format(gap=30 * 60)
     sql["purchase_attribution"] = ev.SQL_PURCHASE_ATTRIBUTION
     sql["events_median"] = ev.SQL_EVENTS_MEDIAN
+    sql["users_view_no_purchase"] = ev.SQL_USERS_VIEW_NO_PURCHASE
     from osm_search_ray.pipelines import geofence_pipeline
 
     sql["geofence_status"] = geofence_pipeline.SQL_GEOFENCE_STATUS

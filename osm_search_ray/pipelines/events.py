@@ -328,3 +328,54 @@ SELECT event_type, COUNT(*) AS n_events,
 FROM events
 GROUP BY 1
 """
+
+
+BIG_PURCHASE = 200.0
+
+
+def users_view_no_purchase(sf_dir: str):
+    """(user_id) — users with at least one 'view' and NO big purchase
+    (value >= BIG_PURCHASE): the ANTI-join (NOT EXISTS) shape. Per-batch
+    combiner dedups to one (user_id, saw_view, saw_purchase) row per user
+    per batch, so the only shuffle is a user-keyed groupby-max over
+    user-bounded rows — never an events-sized exchange, and no broadcast
+    of either side."""
+    from ray.data.aggregate import Max
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch.column("user_id").to_numpy(),
+                "et": batch.column("event_type").to_pandas(),
+                "value": batch.column("value").to_numpy(),
+            }
+        )
+        g = df.assign(
+            saw_view=(df["et"] == "view").astype(np.int64),
+            saw_purchase=((df["et"] == "purchase") & (df["value"] >= BIG_PURCHASE)).astype(np.int64),
+        ).groupby("user_id", sort=False)[["saw_view", "saw_purchase"]].max().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("saw_view", alias_name="saw_view"), Max("saw_purchase", alias_name="saw_purchase"))
+    )
+    import pyarrow.compute as pc
+
+    return agg.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t.column("saw_view"), 1), pc.equal(t.column("saw_purchase"), 0))
+        ).select(["user_id"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_USERS_VIEW_NO_PURCHASE = """
+SELECT DISTINCT user_id FROM events e
+WHERE event_type = 'view'
+  AND NOT EXISTS (SELECT 1 FROM events p
+                  WHERE p.user_id = e.user_id AND p.event_type = 'purchase' AND p.value >= 200.0)
+"""
