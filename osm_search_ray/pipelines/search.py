@@ -202,3 +202,45 @@ def autocomplete_search(
             )
 
     return queries.map_batches(AutocompleteActor, batch_format="pyarrow", concurrency=concurrency)
+
+
+class DiskSearchCore:
+    """S11 when the index EXCEEDS RAM: nothing index-sized is resident —
+    each request resolves its tokens through the footer-pruned dictionary
+    buckets and reads only those terms' postings buckets/row-groups
+    (text_index.point_query_store); only globals.json (+ an optional
+    corrector) stay loaded. Same scoring kernels as SearchCore, so the
+    two cores are result-identical (tested) — the engine's answer to the
+    reference's mmap'd-index server at web-corpus scale."""
+
+    def __init__(self, index_dir: str, corrector=None):
+        from .text_index import _load_globals
+
+        self.index_dir = index_dir
+        meta = _load_globals(index_dir)
+        self.globals = {k: v for k, v in meta.items() if k not in ("postings_buckets", "n_terms")}
+        self.corrector = corrector
+
+    def search_rows(self, rows: list[dict]) -> pd.DataFrame:
+        from .text_index import point_query_store
+
+        out = []
+        for row in rows:
+            toks = tokenize(row["text"])
+            if self.corrector is not None:
+                toks = self.corrector.correct_query(toks)
+            ids, posts = point_query_store(self.index_dir, toks)
+            tids = [ids[t] for t in toks if t in ids]
+            scoring = row.get("scoring") or "BM25_FIELD"
+            k = int(row.get("top_k") or 10)
+            offset = int(row.get("offset") or 0)
+            if tids:
+                scores = SCORERS[scoring](posts, tids, self.globals)
+                ranked = rank_scores(scores, k, offset)
+            else:
+                ranked = pd.DataFrame({"doc_id": [], "score": [], "rank": []})
+            ranked["query_id"] = row["query_id"]
+            out.append(ranked)
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {"doc_id": [], "score": [], "rank": [], "query_id": []}
+        )

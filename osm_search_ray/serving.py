@@ -113,3 +113,51 @@ def start_session(index: TextIndex, corrector=None, name: str | None = None) -> 
 def get_session(name: str) -> QuerySession:
     """Re-attach to a running named session (no index reload)."""
     return QuerySession(ray.get_actor(name))
+
+
+@ray.remote
+class _DiskQuerySessionActor:
+    """Long-lived session over the ON-DISK index (pipelines/search.
+    DiskSearchCore): per request only the queried terms' dictionary and
+    postings buckets are read — the serving shape when the index exceeds
+    RAM. Requires the index directory on a filesystem visible from the
+    actor's node (single node here; shared mount on multi-node)."""
+
+    def __init__(self, index_dir: str, corrector=None):
+        from .pipelines.search import DiskSearchCore
+
+        self.core = DiskSearchCore(index_dir, corrector)
+
+    def search(self, queries: pd.DataFrame) -> pd.DataFrame:
+        return self.core.search_rows(queries.to_dict("records"))
+
+    def ping(self) -> bool:
+        return True
+
+
+def start_disk_session(index_dir: str, corrector=None, name: str | None = None) -> QuerySession:
+    """Start a long-lived disk-backed query session (same replace
+    semantics as start_session)."""
+    import time
+
+    if name is None:
+        handle = _DiskQuerySessionActor.remote(index_dir, corrector)
+    else:
+        try:
+            ray.kill(ray.get_actor(name))
+        except ValueError:
+            pass
+        handle = None
+        last_err: Exception | None = None
+        for _ in range(50):
+            try:
+                handle = _DiskQuerySessionActor.options(name=name).remote(index_dir, corrector)
+                break
+            except ValueError as e:
+                last_err = e
+                time.sleep(0.1)
+        if handle is None:
+            raise last_err
+    s = QuerySession(handle)
+    s.warmup()
+    return s

@@ -545,3 +545,39 @@ class TestDatasetSideLM:
             ram.unigram, ram.bigram, ram.trigram, ram.quadgram
         )
         assert got.vocab == ram.vocab and got.full_vocab == ram.full_vocab
+
+
+class TestDiskSearchCore:
+    def test_disk_core_equals_in_ram_core(self, index, tmp_path):
+        """The disk-backed core (pruned dictionary + postings point reads
+        per request, nothing index-sized resident) must return exactly the
+        in-RAM SearchCore's results for every scoring mode — including the
+        misspelled-query path through a shared corrector."""
+        from osm_search_ray.pipelines.search import DiskSearchCore, SearchCore
+        from osm_search_ray.serving import start_disk_session
+        from osm_search_ray.state.lm import count_ngrams
+
+        ti.save_text_index(index, str(tmp_path / "idx"), num_buckets=4)
+        from osm_search_ray.functions.tokenize import tokenize
+
+        corpus = [tokenize(f"{n} {a}") for n, a in zip(DOCS["name"], DOCS["address"])]
+        lm = count_ngrams(corpus)
+        sc = SpellCorrector.build(set(index.terms["term"]), lm)
+
+        ram = SearchCore(index, sc)
+        disk = DiskSearchCore(str(tmp_path / "idx"), sc)
+        rows = [
+            {"query_id": 0, "text": "dunia fantasi", "scoring": "BM25_FIELD", "top_k": 5, "offset": 0},
+            {"query_id": 1, "text": "jalan ancol", "scoring": "BM25_PLUS", "top_k": 5, "offset": 0},
+            {"query_id": 2, "text": "kebon jerok", "scoring": "TF_IDF_COSINE", "top_k": 5, "offset": 0},
+            {"query_id": 3, "text": "zzz unknown", "scoring": "BM25_FIELD", "top_k": 5, "offset": 0},
+        ]
+        a = ram.search_rows(rows).reset_index(drop=True)
+        b = disk.search_rows(rows).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+        # and through the long-lived disk session actor
+        sess = start_disk_session(str(tmp_path / "idx"), sc, name="disk-test")
+        c = sess.search(pd.DataFrame(rows)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, c)
+        sess.stop()
