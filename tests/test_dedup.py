@@ -158,3 +158,20 @@ def test_embedding_verify_paths_agree(monkeypatch):
     assert len(b) >= 5
     pd.testing.assert_frame_equal(b[key], j[key])
     np.testing.assert_allclose(b["cosine"].to_numpy(), j["cosine"].to_numpy(), rtol=0, atol=1e-12)
+
+
+def test_ngram_jaccard_distributed_equals_driver():
+    """The distributed bucketed-join n-gram Jaccard verify must reproduce
+    the (capped) driver verifier's exact values on real candidate pairs."""
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    cand = dd.minhash_lsh_pairs(ray.data.from_pandas(docs), threshold=0.5).to_pandas()[["doc_a", "doc_b"]]
+    assert len(cand) > 0
+    driver = dd.ngram_jaccard_pairs(ray.data.from_pandas(docs), cand)
+    dist = dd.ngram_jaccard_pairs_ds(
+        ray.data.from_pandas(docs), ray.data.from_pandas(cand)
+    ).to_pandas()
+    key = ["doc_a", "doc_b"]
+    a = driver.sort_values(key).reset_index(drop=True)
+    b = dist.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[key], b[key])
+    np.testing.assert_allclose(a["jaccard"].to_numpy(), b["jaccard"].to_numpy(), rtol=0, atol=0)
