@@ -1,0 +1,49 @@
+"""Driver-contract invariants for __ray_entry__ — catches a broken oracle
+or dangling query key BEFORE the grading driver does."""
+
+import duckdb
+import pytest
+
+import __ray_entry__ as entrymod
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def test_oracle_keys_subset_of_queries():
+    q = entrymod.queries()
+    sql = entrymod.oracle_sql()
+    assert set(sql) <= set(q), set(sql) - set(q)
+    assert all(callable(f) for f in q.values())
+    # every query key is claimed by SURVEY's checklist philosophy: at least
+    # the oracle-less ones are the documented rows-only set
+    rows_only = set(q) - set(sql)
+    assert rows_only == {
+        "image_features", "spell_search", "autocomplete", "dedup_minhash",
+        "dedup_simhash", "dedup_embedding", "dedup_fingerprint",
+        "approx_distinct_users", "kmeans_clusters",
+    }, rows_only
+
+
+def test_every_oracle_sql_parses(con):
+    for name, sql in entrymod.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as e:  # pragma: no cover
+            raise AssertionError(f"oracle for {name!r} does not parse: {e}") from e
+
+
+def test_entry_returns_rows():
+    res = entrymod.entry()
+    import pandas as pd
+
+    df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    assert len(df) >= 0 and len(df.columns) > 0
