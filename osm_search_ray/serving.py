@@ -76,6 +76,28 @@ class QuerySession:
         ray.kill(self._handle)
 
 
+def _start_named(actor_cls, name, *args):
+    """Create (or kill-and-replace) a named actor — shared by every
+    start_*_session: a second start under a live name never raises
+    (ADVICE r02)."""
+    import time
+
+    if name is None:
+        return actor_cls.remote(*args)
+    try:
+        ray.kill(ray.get_actor(name))
+    except ValueError:
+        pass  # no live actor under this name
+    last_err = None
+    for _ in range(50):  # the killed actor's name can linger briefly
+        try:
+            return actor_cls.options(name=name).remote(*args)
+        except ValueError as e:
+            last_err = e
+            time.sleep(0.1)
+    raise last_err  # name never freed — surface the real error
+
+
 def start_session(index: TextIndex, corrector=None, name: str | None = None) -> QuerySession:
     """Start (or replace) a long-lived query session. With ``name`` the
     actor is a NAMED actor scoped to the driver's lifetime (not detached —
@@ -85,26 +107,7 @@ def start_session(index: TextIndex, corrector=None, name: str | None = None) -> 
     True replace semantics (ADVICE r02): if the name is already taken, the
     existing actor is killed and a fresh one started with the new index —
     a second ``start_session`` never raises on a live name."""
-    import time
-
-    if name is None:
-        handle = _QuerySessionActor.remote(index, corrector)
-    else:
-        try:
-            ray.kill(ray.get_actor(name))
-        except ValueError:
-            pass  # no live actor under this name
-        handle = None
-        last_err: Exception | None = None
-        for _ in range(50):  # the killed actor's name can linger briefly
-            try:
-                handle = _QuerySessionActor.options(name=name).remote(index, corrector)
-                break
-            except ValueError as e:
-                last_err = e
-                time.sleep(0.1)
-        if handle is None:
-            raise last_err  # name never freed — surface the real error
+    handle = _start_named(_QuerySessionActor, name, index, corrector)
     s = QuerySession(handle)
     s.warmup()
     return s
@@ -135,29 +138,56 @@ class _DiskQuerySessionActor:
         return True
 
 
+@ray.remote
+class _AnnSessionActor:
+    """Long-lived ANN session over the on-disk IVF store: centroids + meta
+    load ONCE; each query batch computes its probes and reads ONLY the
+    probed list partitions (stages/annindex.ivf_store_topk semantics,
+    state held warm)."""
+
+    def __init__(self, store_dir: str):
+        import json
+
+        import numpy as np
+
+        self.store_dir = store_dir
+        self.centroids = np.load(f"{store_dir}/centroids.npy")
+        self.meta = json.load(open(f"{store_dir}/meta.json"))
+
+    def topk(self, queries: dict, k: int, nprobe: int = 4) -> pd.DataFrame:
+        from .stages.annindex import ivf_store_topk
+
+        return ivf_store_topk(self.store_dir, queries, k, nprobe=nprobe)
+
+    def ping(self) -> bool:
+        return True
+
+
+class AnnSession:
+    def __init__(self, handle):
+        self._handle = handle
+
+    def topk(self, queries: dict, k: int, nprobe: int = 4) -> pd.DataFrame:
+        return ray.get(self._handle.topk.remote(queries, k, nprobe))
+
+    def warmup(self) -> None:
+        ray.get(self._handle.ping.remote())
+
+    def stop(self) -> None:
+        ray.kill(self._handle)
+
+
+def start_ann_session(store_dir: str, name: str | None = None) -> AnnSession:
+    """Start a long-lived ANN session over an IVF store (same replace
+    semantics as start_session)."""
+    s = AnnSession(_start_named(_AnnSessionActor, name, store_dir))
+    s.warmup()
+    return s
+
+
 def start_disk_session(index_dir: str, corrector=None, name: str | None = None) -> QuerySession:
     """Start a long-lived disk-backed query session (same replace
     semantics as start_session)."""
-    import time
-
-    if name is None:
-        handle = _DiskQuerySessionActor.remote(index_dir, corrector)
-    else:
-        try:
-            ray.kill(ray.get_actor(name))
-        except ValueError:
-            pass
-        handle = None
-        last_err: Exception | None = None
-        for _ in range(50):
-            try:
-                handle = _DiskQuerySessionActor.options(name=name).remote(index_dir, corrector)
-                break
-            except ValueError as e:
-                last_err = e
-                time.sleep(0.1)
-        if handle is None:
-            raise last_err
-    s = QuerySession(handle)
+    s = QuerySession(_start_named(_DiskQuerySessionActor, name, index_dir, corrector))
     s.warmup()
     return s

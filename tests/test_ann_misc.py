@@ -299,3 +299,29 @@ class TestDistributedKMeans:
         ds_small = ray.data.from_pandas(df).map_batches(lambda t: t, batch_format="pyarrow", batch_size=7)
         b = kmeans_fit(ds_small, k=3)
         np.testing.assert_array_equal(a, b)
+
+
+class TestAnnSession:
+    def test_ann_session_equals_direct_store_query(self, tmp_path):
+        """The long-lived ANN session (centroids warm in the actor) must
+        return exactly ivf_store_topk's frame, including replace-on-name
+        semantics shared with the other sessions."""
+        from osm_search_ray.stages.annindex import build_ivf_store, ivf_store_topk
+        from osm_search_ray.serving import start_ann_session
+
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame(
+            {"vec_id": np.arange(200, dtype=np.int64), "embedding": list(rng.standard_normal((200, 16)))}
+        )
+        store = str(tmp_path / "ivf")
+        build_ivf_store(ray.data.from_pandas(df), store, nlist=8)
+        queries = {"vec_id": np.array([0, 50], dtype=np.int64), "mat": np.vstack([df["embedding"][0], df["embedding"][50]])}
+        want = ivf_store_topk(store, queries, k=5, nprobe=3)
+        sess = start_ann_session(store, name="ann-test")
+        got = sess.topk(queries, k=5, nprobe=3)
+        key = ["query_id", "rank"]
+        pd.testing.assert_frame_equal(
+            want.sort_values(key).reset_index(drop=True), got.sort_values(key).reset_index(drop=True)
+        )
+        sess2 = start_ann_session(store, name="ann-test")  # replace, no raise
+        sess2.stop()
