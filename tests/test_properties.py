@@ -145,3 +145,42 @@ class TestMapViewProperties:
         b = term_bucket(ids, n_terms, num_buckets)
         assert b.min() >= 0 and b.max() < num_buckets
         assert (np.diff(b) >= 0).all()
+
+
+class TestSpellProperties:
+    @given(
+        st.sets(st.text(alphabet="abcdef", min_size=1, max_size=7), min_size=1, max_size=40),
+        st.text(alphabet="abcdefg", min_size=1, max_size=8),
+        st.integers(min_value=1, max_value=2),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_symspell_equals_banded_dp_scan(self, vocab, word, d):
+        """SymSpell deletes-index candidates == the banded-DP full scan for
+        ANY vocab/word/distance (same set, same lexicographic order)."""
+        from osm_search_ray.state.lm import count_ngrams
+        from osm_search_ray.state.spell import SpellCorrector
+
+        lm = count_ngrams([sorted(vocab)])
+        fast = SpellCorrector.build(vocab, lm, use_deletes_index=True)
+        slow = SpellCorrector.build(vocab, lm, use_deletes_index=False)
+        assert fast.word_candidates(word, d) == slow.word_candidates(word, d)
+
+    @given(
+        st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=60),
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_histogram_median_equals_numpy(self, values):
+        """The cumulative-count interpolated median (events_median kernel)
+        == numpy's linear-interpolation median on the raw values."""
+        import numpy as np
+
+        v = np.asarray(values, dtype=np.int64)
+        u, c = np.unique(v, return_counts=True)
+        cum = np.cumsum(c)
+        n = len(v)
+        pos = (n - 1) * 0.5
+        lo, frac = int(pos), pos - int(pos)
+        vlo = u[np.searchsorted(cum, lo + 1)]
+        vhi = u[np.searchsorted(cum, lo + 2)] if frac else vlo
+        med = vlo + (vhi - vlo) * frac
+        assert med == np.percentile(v, 50)
