@@ -176,6 +176,33 @@ def _df_per_term(matches: "ray.data.Dataset") -> dict[str, int]:
     return out
 
 
+_LM_STATE_CACHE: dict = {}
+
+
+def _lm_state(sf_dir: str):
+    """(lm, corrector) for a corpus, built once per process — the serving
+    discipline (reference: the server loads the LM/FST once at boot, not
+    per request). spell_search and autocomplete share the SAME corpus
+    state, and repeated driver/bench invocations in one process skip the
+    rebuild. Cache key includes the documents file mtime so a changed
+    corpus invalidates."""
+    import os
+
+    import ray.data
+
+    from ..state.lm import build_ngram_lm
+    from ..state.spell import SpellCorrector
+
+    path = f"{sf_dir}/documents.parquet"
+    key = (sf_dir, os.path.getmtime(path))
+    if key not in _LM_STATE_CACHE:
+        ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+        lm = build_ngram_lm(ds, text_cols=["text"])
+        _LM_STATE_CACHE.clear()  # hold ONE corpus at a time
+        _LM_STATE_CACHE[key] = (lm, SpellCorrector.build(lm.full_vocab, lm))
+    return _LM_STATE_CACHE[key]
+
+
 _EMPTY_RESULT = pd.DataFrame(
     {
         "query_id": pd.Series(dtype=np.int64),
@@ -471,15 +498,12 @@ def spell_search_docs(sf_dir: str):
     the reference fixtures is unit-tested (tests/test_search.py TestSpell).
 
     Output (query_id, doc_id, rank)."""
-    from ..state.lm import build_ngram_lm
-    from ..state.spell import SpellCorrector
     from .search import free_form_search
     from .text_index import build_text_index
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     index = build_text_index(ds, text_cols={"text": 0})
-    lm = build_ngram_lm(ds, text_cols=["text"])
-    sc = SpellCorrector.build(lm.full_vocab, lm)
+    _, sc = _lm_state(sf_dir)
     queries = pd.DataFrame(
         {
             "query_id": [q for q, _ in SPELL_QUERIES],
@@ -510,16 +534,9 @@ def autocomplete_docs(sf_dir: str):
     driver check (the LM ranking is not SQL-expressible); deterministic.
 
     Output (query_id, rank, completion)."""
-    import ray.data
-
-    from ..state.lm import build_ngram_lm
-    from ..state.spell import SpellCorrector
-
     from .search import autocomplete_search
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    lm = build_ngram_lm(ds, text_cols=["text"])
-    sc = SpellCorrector.build(lm.full_vocab, lm)
+    _, sc = _lm_state(sf_dir)
     queries = pd.DataFrame(
         {"query_id": [q for q, _ in AUTOCOMPLETE_PREFIXES], "text": [p for _, p in AUTOCOMPLETE_PREFIXES]}
     )
