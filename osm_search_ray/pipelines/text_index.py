@@ -508,7 +508,15 @@ def read_term_ids(index_dir: str, tokens) -> dict[str, int]:
         md = pq.read_metadata(f)
         lo, hi = None, None
         for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(0).statistics
+            rgm = md.row_group(rg)
+            # locate the term column by NAME — the checkpointed sink may
+            # persist extra columns (e.g. the partition key) in any order
+            st = None
+            for ci in range(rgm.num_columns):
+                col = rgm.column(ci)
+                if col.path_in_schema == "term":
+                    st = col.statistics
+                    break
             if st is None or not st.has_min_max:
                 lo = None
                 break

@@ -581,3 +581,17 @@ class TestDiskSearchCore:
         c = sess.search(pd.DataFrame(rows)).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, c)
         sess.stop()
+
+
+class TestTermLookupOnDsWriter:
+    def test_read_term_ids_on_checkpointed_layout(self, tmp_path):
+        """read_term_ids must also prune/resolve against the DISTRIBUTED
+        writer's layout (checkpointed sink persists the partition column
+        alongside term/term_id)."""
+        idx_ds = ti.build_text_index_ds(ray.data.from_pandas(DOCS))
+        out = str(tmp_path / "ds")
+        ti.save_text_index_ds(idx_ds, out, num_buckets=4)
+        ram = ti.build_text_index(ray.data.from_pandas(DOCS))
+        vocab = ram.vocab()
+        got = ti.read_term_ids(out, ["jalan", "dunia", "zzz"])
+        assert got == {"jalan": vocab["jalan"], "dunia": vocab["dunia"]}
