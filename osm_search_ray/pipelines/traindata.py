@@ -41,7 +41,10 @@ def train_val_split(sf_dir: str):
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy().astype(np.int64)
-        bucket = (ids * SPLIT_MIX) % SPLIT_MOD % 1000
+        # reduce mod 2^31 BEFORE the mix so the product stays inside int64
+        # for ANY doc_id (numpy would wrap silently, DuckDB would error —
+        # either way the two engines diverge without this)
+        bucket = (ids % SPLIT_MOD) * SPLIT_MIX % SPLIT_MOD % 1000
         split = np.where(bucket < TRAIN_PERMILLE, "train", np.where(bucket < VAL_PERMILLE, "val", "test"))
         return pa.table(
             {
@@ -54,11 +57,13 @@ def train_val_split(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+_SQL_BUCKET = f"(doc_id % {SPLIT_MOD}) * {SPLIT_MIX} % {SPLIT_MOD} % 1000"
+
 SQL_TRAIN_VAL_SPLIT = f"""
 SELECT doc_id,
-       (doc_id * {SPLIT_MIX}) % {SPLIT_MOD} % 1000 AS bucket,
-       CASE WHEN (doc_id * {SPLIT_MIX}) % {SPLIT_MOD} % 1000 < {TRAIN_PERMILLE} THEN 'train'
-            WHEN (doc_id * {SPLIT_MIX}) % {SPLIT_MOD} % 1000 < {VAL_PERMILLE} THEN 'val'
+       {_SQL_BUCKET} AS bucket,
+       CASE WHEN {_SQL_BUCKET} < {TRAIN_PERMILLE} THEN 'train'
+            WHEN {_SQL_BUCKET} < {VAL_PERMILLE} THEN 'val'
             ELSE 'test' END AS split
 FROM documents
 """
