@@ -43,19 +43,21 @@ def main() -> None:
     from osm_search_ray.pipelines import search as search_mod
     from osm_search_ray.pipelines.text_index import load_text_index
     from osm_search_ray.sources import checkpoint as cp
-    from osm_search_ray.state.lm import count_ngrams
     from osm_search_ray.state.spell import SpellCorrector
 
     queries = ray.data.read_parquet(args.queries)
 
     if args.kind in ("search", "autocomplete"):
         index = load_text_index(os.path.join(args.index, "text_index"))
-        # rebuild the LM state from the docs artifacts (vocab = index terms)
-        docs_pd = cp.read_checkpointed(os.path.join(args.index, "docs"), columns=["doc_id", "name", "address"]).to_pandas()
-        from osm_search_ray.functions.tokenize import tokenize
+        # rebuild the LM state DISTRIBUTED from the docs artifacts (the old
+        # form collected the whole corpus to the driver and tokenized it in
+        # a Python loop). count_threshold=1 keeps the historical full-vocab
+        # (no-<UNK>) behavior of this job, bit-for-bit.
+        from osm_search_ray.state.lm import build_ngram_counts_ds, lm_from_counts_ds
 
-        corpus = [tokenize(f"{n} {a or ''}") for n, a in zip(docs_pd["name"], docs_pd["address"])]
-        lm = count_ngrams(corpus)
+        docs_ds = cp.read_checkpointed(os.path.join(args.index, "docs"), columns=["doc_id", "name", "address"])
+        counts_ds, wc_ds = build_ngram_counts_ds(docs_ds, count_threshold=1)
+        lm = lm_from_counts_ds(counts_ds, wc_ds, count_threshold=1)
         sc = SpellCorrector.build(set(index.terms["term"]), lm)
         if args.kind == "search":
             queries = search_mod.validate_queries(queries)

@@ -235,6 +235,7 @@ def build_ngram_counts_ds(
     text_cols: list[str] = ("name", "address"),
     num_parts: int = 64,
     join_vocab: bool = False,
+    count_threshold: int = COUNT_THRESHOLD,
 ):
     """A5+A6 with EVERY artifact a Dataset — the 100 TB form of
     ``build_ngram_lm`` (whose threshold vocab and count dicts are
@@ -317,7 +318,7 @@ def build_ngram_counts_ds(
     ).map_batches(lambda df: df.rename(columns={"__v": "wcnt"}), batch_format="pandas")
     word_counts = word_counts.materialize()
     vocab_ds = word_counts.map_batches(
-        lambda t: t.filter(pc.greater_equal(t.column("wcnt"), COUNT_THRESHOLD)), batch_format="pyarrow"
+        lambda t: t.filter(pc.greater_equal(t.column("wcnt"), count_threshold)), batch_format="pyarrow"
     )
 
     specials = (START_TOKEN, END_TOKEN)
@@ -405,14 +406,14 @@ def build_ngram_counts_ds(
     return counts_ds, word_counts
 
 
-def lm_from_counts_ds(counts_ds, word_counts_ds) -> NGramLM:
+def lm_from_counts_ds(counts_ds, word_counts_ds, count_threshold: int = COUNT_THRESHOLD) -> NGramLM:
     """Collect Dataset counts into the in-RAM serving NGramLM (O(grams) —
     the reference's own serving budget; at true web scale the counts stay
     as bucketed Parquet and scorers read only the grams they touch)."""
     cpd = counts_ds.to_pandas()
     counts = {(int(r.n), r.gram): int(r.cnt) for r in cpd.itertuples()}
     wc = word_counts_ds.to_pandas()
-    vocab = set(wc[wc["wcnt"] >= COUNT_THRESHOLD]["word"])
+    vocab = set(wc[wc["wcnt"] >= count_threshold]["word"])
     lm = lm_from_counts(counts, vocab)
     lm.full_vocab = set(wc["word"])
     return lm
