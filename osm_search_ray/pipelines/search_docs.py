@@ -9,10 +9,12 @@ requested terms' postings — re-expressed as a stream):
   1. ONE streaming scan over ``documents`` emits only the postings rows
      whose term is in the broadcast query-term set, with per-doc field
      lengths attached in-batch (a doc's full text lives in one row, so tf
-     and lengths are FINAL per batch — no shuffle), plus one per-batch
-     corpus-stats partial row (doc count, length sums: the BM25 globals).
-  2. df per query term: per-batch distinct-(term,doc) partials →
-     groupby(term) sum — a ≤|query vocab| result.
+     and lengths are FINAL per batch — no shuffle), plus the per-batch
+     partials FOLDED INTO THE SAME OUTPUT (VERDICT r02 item 4): one
+     corpus-stats row (doc count, length sums: the BM25 globals) and the
+     per-term distinct-doc df partials.
+  2. one tiny filtered collect pulls those partial rows (≤ |query vocab|
+     + 1 per batch) — the df table and globals, no second tokenize pass.
   3. scoring: map_batches over the match stream with the broadcast
      (df, avg_len, query→terms) dicts → per-(query,doc) partial scores →
      groupby(query_id, doc_id) sum → per-query top-k via map_groups.
@@ -89,9 +91,26 @@ _MATCH_SCHEMA = pa.schema(
 
 
 def _scan_matches(sf_dir: str, fields: dict[str, int], qterms: list[str]):
-    """One streaming pass over ``documents``: match rows (term in qterms)
-    + per-batch stats partials (field = -1). Returns
-    (matches Dataset, n_docs, {field_id: token_sum})."""
+    """ONE tokenize pass over ``documents`` (VERDICT r02 item 4): each scan
+    batch emits its match rows (term in qterms) PLUS the per-batch partials
+    that used to need their own passes, folded into the same output —
+
+      field = -1   one stats row per batch (doc count, per-field token sums)
+      field = -2   df partials (term, tf=distinct docs in this batch) —
+                   exact per batch because a doc's text lives in one row
+
+    The scan output (match + partial rows only, never the corpus text
+    columns) is materialized ONCE into the object store — spillable,
+    bounded by query-term selectivity — because two consumers need it: one
+    tiny filtered collect (stats + df → the scoring globals) and the
+    streaming scorer. The alternative (no materialize, re-run the scan per
+    consumer) tokenizes the corpus twice — strictly worse; idf/avg_dl are
+    corpus aggregates, so NO single streaming pass can score on the fly.
+    The true at-scale serving form precomputes df/globals in the on-disk
+    index and reads pruned postings with zero corpus scans
+    (text_index.point_query_store / search.StoreSearcher).
+
+    Returns (matches Dataset, n_docs, {field_id: token_sum}, df_map)."""
     cols = ["doc_id"] + list(fields)
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
     qindex = pd.Index(sorted(set(qterms)))  # tiny — broadcast by closure
@@ -120,30 +139,48 @@ def _scan_matches(sf_dir: str, fields: dict[str, int], qterms: list[str]):
             terms = m["term"].to_numpy(dtype=object)
             fieldv = m["field"].to_numpy(dtype=np.int32)
             tfv = m["tf"].to_numpy(dtype=np.int64)
+            # df partial: distinct docs per term in THIS batch (across fields)
+            dfp = m[["pos", "term"]].drop_duplicates().groupby("term", sort=False).size()
+            df_terms = dfp.index.to_numpy(dtype=object)
+            df_counts = dfp.to_numpy(dtype=np.int64)
         else:
             posv = np.empty(0, np.int64)
             terms = np.empty(0, object)
             fieldv = np.empty(0, np.int32)
             tfv = np.empty(0, np.int64)
+            df_terms = np.empty(0, object)
+            df_counts = np.empty(0, np.int64)
+        npart = len(df_terms)
         return pa.table(
             {
-                "term": pa.array(np.append(terms, "").tolist(), pa.string()),
-                "field": pa.array(np.append(fieldv, np.int32(-1))),
-                "doc_id": pa.array(np.append(doc_ids[posv], np.int64(-1))),
-                "tf": pa.array(np.append(tfv, np.int64(nd))),
-                "len0": pa.array(np.append(len0[posv], len0.sum().astype(np.int64))),
-                "len1": pa.array(np.append(len1[posv], len1.sum().astype(np.int64))),
+                "term": pa.array(np.concatenate([terms, df_terms, [""]]).tolist(), pa.string()),
+                "field": pa.array(
+                    np.concatenate([fieldv, np.full(npart, -2, np.int32), [np.int32(-1)]])
+                ),
+                "doc_id": pa.array(
+                    np.concatenate([doc_ids[posv], np.full(npart, -1, np.int64), [np.int64(-1)]])
+                ),
+                "tf": pa.array(np.concatenate([tfv, df_counts, [np.int64(nd)]])),
+                "len0": pa.array(
+                    np.concatenate([len0[posv], np.zeros(npart, np.int64), [len0.sum().astype(np.int64)]])
+                ),
+                "len1": pa.array(
+                    np.concatenate([len1[posv], np.zeros(npart, np.int64), [len1.sum().astype(np.int64)]])
+                ),
             },
             schema=_MATCH_SCHEMA,
         )
 
     scanned = ds.map_batches(scan, batch_format="pyarrow").materialize()
-    # stats partials: exactly one row per scan batch — tiny on the driver
-    stats = scanned.map_batches(
+    # ONE tiny filtered collect: stats rows + df partials together
+    small = scanned.map_batches(
         lambda t: t.filter(pc.less(t.column("field"), 0)), batch_format="pyarrow"
     ).to_pandas()
+    stats = small[small["field"] == -1]
     n_docs = int(stats["tf"].sum())
     len_sums = {0: int(stats["len0"].sum()), 1: int(stats["len1"].sum())}
+    dfp = small[small["field"] == -2]
+    df_map: dict[str, int] = dfp.groupby("term", sort=False)["tf"].sum().astype(int).to_dict()
     # batch_size=None (block-preserving) maintains the invariant the
     # scoring stages rely on: ALL of a doc's match rows live in one block
     # (each doc was scanned in exactly one batch), so per-(query, doc)
@@ -151,29 +188,7 @@ def _scan_matches(sf_dir: str, fields: dict[str, int], qterms: list[str]):
     matches = scanned.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("field"), 0)), batch_format="pyarrow", batch_size=None
     )
-    return matches, n_docs, len_sums
-
-
-def _df_per_term(matches: "ray.data.Dataset") -> dict[str, int]:
-    """df = distinct docs containing the term (across fields). Per-batch
-    partials are exact (a doc is wholly inside one batch); the merged dict
-    is ≤ |query vocab| entries, so the partials stream to the driver — no
-    sort-shuffle (its ~1.5 s fixed cost dwarfed this vocab-bounded merge)."""
-
-    def partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:  # typed empty block — keeps the union schema stable
-            return pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
-        df = t.select(["term", "doc_id"]).to_pandas().drop_duplicates()
-        g = df.groupby("term", sort=False).size().reset_index(name="df")
-        return pa.table({"term": pa.array(g["term"], pa.string()), "df": pa.array(g["df"], pa.int64())})
-
-    out: dict[str, int] = {}
-    for b in matches.map_batches(partial, batch_format="pyarrow").iter_batches(
-        batch_size=None, batch_format="pyarrow"
-    ):
-        for term, n in zip(b.column("term").to_pylist(), b.column("df").to_numpy()):
-            out[term] = out.get(term, 0) + int(n)
-    return out
+    return matches, n_docs, len_sums, df_map
 
 
 _LM_STATE_CACHE: dict = {}
@@ -251,11 +266,10 @@ def bm25_docs_search(sf_dir: str):
     for qid, qtext in QUERIES:
         for t in dict.fromkeys(tokenize(qtext)):  # distinct terms (map-iteration semantics)
             t2q.setdefault(t, []).append(qid)
-    matches, n_docs, len_sums = _scan_matches(sf_dir, {"text": 0}, list(t2q))
+    matches, n_docs, len_sums, df_map = _scan_matches(sf_dir, {"text": 0}, list(t2q))
     if n_docs == 0:
         return _EMPTY_RESULT.copy()
     avg_dl = len_sums[0] / n_docs  # int/int → double, matches SQL SUM/COUNT
-    df_map = _df_per_term(matches)
     n = float(n_docs)
 
     def score_batch(df: pd.DataFrame) -> pd.DataFrame:
@@ -286,12 +300,11 @@ def bm25f_docs_search(sf_dir: str):
     for qid, qtext in FIELD_QUERIES:
         for t in tokenize(qtext):
             t2q.append((t, qid))
-    matches, n_docs, len_sums = _scan_matches(sf_dir, {"text": 0, "source": 1}, [t for t, _ in t2q])
+    matches, n_docs, len_sums, df_map = _scan_matches(sf_dir, {"text": 0, "source": 1}, [t for t, _ in t2q])
     if n_docs == 0:
         return _EMPTY_RESULT.copy()
     avg0 = len_sums[0] / n_docs
     avg1 = len_sums[1] / n_docs
-    df_map = _df_per_term(matches)
     n = float(n_docs)
     t2q_df = pd.DataFrame(t2q, columns=["term", "query_id"])
 
@@ -323,10 +336,9 @@ def tfidf_docs_search(sf_dir: str):
         for t in tokenize(qtext):
             tq[(t, qid)] = tq.get((t, qid), 0) + 1
     tq_df = pd.DataFrame([(t, q, c) for (t, q), c in tq.items()], columns=["term", "query_id", "qcnt"])
-    matches, n_docs, _ = _scan_matches(sf_dir, {"text": 0, "source": 1}, list(tq_df["term"]))
+    matches, n_docs, _, df_map = _scan_matches(sf_dir, {"text": 0, "source": 1}, list(tq_df["term"]))
     if n_docs == 0:
         return _EMPTY_RESULT.copy()
-    df_map = _df_per_term(matches)
     n = float(n_docs)
 
     def score_batch(df: pd.DataFrame) -> pd.DataFrame:

@@ -225,21 +225,43 @@ def fence_status_incremental(
 
     from .joins import grouped_apply_bounded
 
-    out = grouped_apply_bounded(new_points, "point_id", per_point, num_parts=64)
-    out_pd = out.to_pandas()
-    if len(out_pd):
-        updated = (
-            out_pd.groupby("__pid").agg(lat=("__last_lat", "first"), lon=("__last_lon", "first")).reset_index()
-        ).rename(columns={"__pid": "point_id"})
-    else:
+    # materialize once (object store, spillable — an increment is a
+    # micro-batch in this kvdb-analogue flow; the unbounded-log path is
+    # fence_status_flow, which streams) so the status stream and the tiny
+    # last-position side output share ONE group-apply execution
+    out = grouped_apply_bounded(new_points, "point_id", per_point, num_parts=64).materialize()
+    import ray.data as rd
+
+    if out.count() == 0:
         updated = pd.DataFrame({"point_id": pd.Series(dtype=np.int64), "lat": pd.Series(dtype=float), "lon": pd.Series(dtype=float)})
+        if prev_positions is not None and len(prev_positions):
+            updated = prev_positions.copy()
+        return rd.from_pandas(
+            pd.DataFrame({"event_id": pd.Series(dtype=np.int64), "fence_key": pd.Series(dtype=np.int64), "status": pd.Series(dtype=str)})
+        ), updated
+
+    # last positions: 1-row-per-point partials per batch (VERDICT r02 item 8
+    # — only these rows reach the driver; a group split across blocks repeats
+    # the SAME (pid, lat, lon) constant, so the final drop_duplicates is safe)
+    pos_parts = list(
+        out.map_batches(
+            lambda df: df.drop_duplicates("__pid")[["__pid", "__last_lat", "__last_lon"]],
+            batch_format="pandas",
+            batch_size=None,
+        ).iter_batches(batch_size=None, batch_format="pandas")
+    )
+    updated = (
+        pd.concat(pos_parts, ignore_index=True)
+        .drop_duplicates("__pid")
+        .rename(columns={"__pid": "point_id", "__last_lat": "lat", "__last_lon": "lon"})
+        .reset_index(drop=True)
+    )
     # merge with untouched stored positions
     if prev_positions is not None and len(prev_positions):
         untouched = prev_positions[~prev_positions["point_id"].isin(updated["point_id"])]
         updated = pd.concat([untouched, updated], ignore_index=True)
-    statuses = out_pd.drop(columns=["__pid", "__last_lat", "__last_lon"])
-    import ray.data as rd
-
-    return rd.from_pandas(statuses) if len(statuses) else rd.from_pandas(
-        pd.DataFrame({"event_id": pd.Series(dtype=np.int64), "fence_key": pd.Series(dtype=np.int64), "status": pd.Series(dtype=str)})
-    ), updated
+    # statuses STAY a Dataset — the side columns are projected away in-stream
+    statuses = out.map_batches(
+        lambda df: df[["event_id", "fence_key", "status"]], batch_format="pandas", batch_size=None
+    )
+    return statuses, updated
