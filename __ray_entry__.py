@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from osm_search_ray.pipelines import search_docs
 
     q["bm25_search"] = search_docs.bm25_docs_search
+    q["bm25_store_search"] = search_docs.bm25_store_search  # served from the on-disk index
     q["bm25f_search"] = search_docs.bm25f_docs_search
     q["tfidf_search"] = search_docs.tfidf_docs_search
     q["spell_search"] = search_docs.spell_search_docs  # LM ranking (rows-only)
@@ -178,6 +179,7 @@ SELECT query_id, doc_id, rank FROM scored WHERE rank = 1
     from osm_search_ray.pipelines import search_docs
 
     sql["bm25_search"] = search_docs.SQL_BM25_DOCS_SEARCH
+    sql["bm25_store_search"] = search_docs.SQL_BM25_DOCS_SEARCH  # index-backed path, same result
     sql["bm25f_search"] = search_docs.SQL_BM25F_DOCS_SEARCH
     sql["tfidf_search"] = search_docs.SQL_TFIDF_DOCS_SEARCH
     sql["dedup_exact"] = dedup_pipelines.SQL_DEDUP_EXACT

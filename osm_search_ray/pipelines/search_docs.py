@@ -491,6 +491,83 @@ SQL_BM25F_DOCS_SEARCH = _sql_bm25f()
 SQL_TFIDF_DOCS_SEARCH = _sql_tfidf()
 
 
+_STORE_CACHE: dict = {}
+
+
+_STORE_DISTRIBUTED_BYTES = 64 * 1024 * 1024
+
+
+def _text_store_dir(sf_dir: str) -> str:
+    """Build (once per corpus per process) the on-disk text index for
+    ``documents`` and return its directory. Keyed by corpus mtime; reused
+    across queries and bench repetitions.
+
+    Regime-switched like the dedup verifies: corpora under
+    ``_STORE_DISTRIBUTED_BYTES`` use the serving-size builder (ONE
+    distributed scan pass + driver finish — the fixed cost of the
+    multi-execution distributed build dwarfs the work at this size); larger
+    corpora take ``build_text_index_ds`` + ``save_text_index_ds`` (nothing
+    index-sized on the driver). Both emit the SAME bucketed layout
+    (writer-parity unit-tested), so the read path below is regime-blind."""
+    import hashlib
+    import os
+
+    from .text_index import build_text_index, build_text_index_ds, save_text_index, save_text_index_ds
+
+    path = f"{sf_dir}/documents.parquet"
+    mtime = os.path.getmtime(path)
+    key = (sf_dir, mtime)
+    if key not in _STORE_CACHE:
+        tag = hashlib.sha1(f"{sf_dir}:{mtime}".encode()).hexdigest()[:12]
+        out_dir = f"/tmp/osm_search_ray_text_store/{tag}"
+        if not os.path.exists(f"{out_dir}/globals.json"):
+            ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+            if os.path.getsize(path) < _STORE_DISTRIBUTED_BYTES:
+                save_text_index(build_text_index(ds, text_cols={"text": 0}), out_dir)
+            else:
+                save_text_index_ds(build_text_index_ds(ds, text_cols={"text": 0}), out_dir)
+        _STORE_CACHE.clear()  # hold ONE corpus at a time
+        _STORE_CACHE[key] = out_dir
+    return _STORE_CACHE[key]
+
+
+def bm25_store_search(sf_dir: str):
+    """BM25+ served from the ON-DISK index store — the full resident-engine
+    path under the hash oracle: distributed index build (terms/postings
+    term_id-range-bucketed Parquet, save_text_index_ds) → per-query
+    footer-pruned dictionary + postings point reads
+    (text_index.point_query_store — NOTHING index-sized is loaded) →
+    the same BM25+ kernel as the scan path (scoring.score_bm25_plus).
+
+    Result-identical to bm25_docs_search / SQL_BM25_DOCS_SEARCH: df, tf and
+    lengths come from the index instead of a corpus scan, and ranks order
+    by the micro-rounded score then doc_id. Output
+    (query_id, doc_id, rank, score_micro)."""
+    from .scoring import score_bm25_plus
+    from .text_index import _load_globals, point_query_store
+
+    store = _text_store_dir(sf_dir)
+    g = _load_globals(store)
+    out = []
+    for qid, qtext in QUERIES:
+        toks = list(dict.fromkeys(tokenize(qtext)))
+        ids, posts = point_query_store(store, toks)
+        tids = [ids[t] for t in toks if t in ids]
+        if not tids:
+            continue
+        scores = score_bm25_plus(posts, tids, g)
+        df = scores.rename("score").rename_axis("doc_id").reset_index()
+        df["score_micro"] = np.rint(df["score"].to_numpy(dtype=np.float64) * 1e6).astype(np.int64)
+        df = df.sort_values(["score_micro", "doc_id"], ascending=[False, True], kind="mergesort").head(TOP_K)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        df["query_id"] = np.int64(qid)
+        out.append(df[["query_id", "doc_id", "rank", "score_micro"]])
+    if not out:
+        return _EMPTY_RESULT.copy()
+    res = pd.concat(out, ignore_index=True).astype(np.int64)
+    return res.sort_values(["query_id", "rank"], kind="mergesort").reset_index(drop=True)
+
+
 # deliberate 1-2-edit typos of QUERIES terms — the FreeFormQuery
 # OOV→Levenshtein→LM-rank flow (searcher.go:150-246) end-to-end
 SPELL_QUERIES: list[tuple[int, str]] = [
