@@ -342,6 +342,120 @@ ADMIN_LEVEL_FIELD = {
 }
 
 
+class StreetGrid:
+    """Exact 1-NN over street centroids under the reference's equirect
+    ranking metric (functions/geometry.equirect_approx), via a uniform
+    degree grid with conservative ring bounds — the broadcast-side analogue
+    of stages/knn.py's cell-ring kNN (same reachable-latitude cos bound).
+
+    Replaces the O(missing × streets) distance matrix in the J3
+    nearest-street fallback: at 20k streets that matrix costs ~27 s per
+    12.5k-doc batch on this host; the grid is O(missing × local density).
+    Ties (equal metric) resolve to the LOWEST street index, matching
+    np.argmin over the full matrix (parity unit-tested)."""
+
+    def __init__(self, s_lat: np.ndarray, s_lon: np.ndarray, target_per_cell: int = 8):
+        import math
+
+        self.lat = np.asarray(s_lat, np.float64)
+        self.lon = np.asarray(s_lon, np.float64)
+        lat0, lat1 = float(self.lat.min()), float(self.lat.max())
+        lon0, lon1 = float(self.lon.min()), float(self.lon.max())
+        span = max(lat1 - lat0, 1e-9) * max(lon1 - lon0, 1e-9)
+        # 1e-4° (~11 m) floor: a degenerate street set must not shrink the
+        # cell below query-point reach (a tiny cell makes a distant point's
+        # cell index astronomically large and the ring walk unbounded)
+        self.deg = max(math.sqrt(span * target_per_cell / max(len(self.lat), 1)), 1e-4)
+        self.olat, self.olon = lat0, lon0
+        ix = np.floor((self.lat - lat0) / self.deg).astype(np.int64)
+        iy = np.floor((self.lon - lon0) / self.deg).astype(np.int64)
+        self.nx = int(ix.max()) + 1
+        self.ny = int(iy.max()) + 1
+        order = np.argsort(ix * (self.ny + 1) + iy, kind="stable")  # in-cell order stays ascending
+        cells: dict[tuple[int, int], np.ndarray] = {}
+        k_sorted = [(int(ix[i]), int(iy[i])) for i in order]
+        start = 0
+        for i in range(1, len(order) + 1):
+            if i == len(order) or k_sorted[i] != k_sorted[start]:
+                cells[k_sorted[start]] = order[start:i]
+                start = i
+        self.cells = cells
+        self.maxabs_street_lat = max(abs(lat0), abs(lat1))
+
+    def _ring(self, cx: int, cy: int, r: int) -> list[np.ndarray]:
+        """Street-index arrays of every grid cell at Chebyshev distance r,
+        clamped to the occupied grid rectangle (a ring that misses the grid
+        costs O(1) — the query cell may sit far outside the grid)."""
+        out = []
+        if r == 0:
+            a = self.cells.get((cx, cy))
+            return [a] if a is not None else []
+        for dx in range(max(-r, -cx), min(r, self.nx - 1 - cx) + 1):
+            if abs(dx) == r:
+                dys = range(max(-r, -cy), min(r, self.ny - 1 - cy) + 1)
+            else:
+                dys = [d for d in (-r, r) if 0 <= cy + d < self.ny]
+            for dy in dys:
+                a = self.cells.get((cx + dx, cy + dy))
+                if a is not None:
+                    out.append(a)
+        return out
+
+    def nearest(self, plat: np.ndarray, plon: np.ndarray) -> np.ndarray:
+        """Index of the nearest street per point (exact under the metric)."""
+        from ..functions.geometry import EARTH_RADIUS_KM, equirect_approx
+
+        plat = np.asarray(plat, np.float64)
+        plon = np.asarray(plon, np.float64)
+        out = np.empty(len(plat), np.int64)
+        cx = np.floor((plat - self.olat) / self.deg).astype(np.int64)
+        cy = np.floor((plon - self.olon) / self.deg).astype(np.int64)
+        order = np.lexsort((cy, cx))
+        start = 0
+        for i in range(1, len(order) + 1):
+            if i == len(order) or (cx[order[i]], cy[order[i]]) != (cx[order[start]], cy[order[start]]):
+                pts = order[start:i]
+                self._nearest_group(plat, plon, pts, int(cx[pts[0]]), int(cy[pts[0]]), out, EARTH_RADIUS_KM, equirect_approx)
+                start = i
+        return out
+
+    def _nearest_group(self, plat, plon, pts, cgx, cgy, out, R, metric):
+        # every cell is within this Chebyshev radius of the group's cell —
+        # by then the whole grid has been gathered
+        rlimit = max(cgx, self.nx - 1 - cgx, cgy, self.ny - 1 - cgy, 1)
+        # lower bound for anything in ring k: ≥ (k-1) axis-steps away; the
+        # lon axis shrinks by cos(mean lat) — bound it at the most poleward
+        # mean latitude reachable (cf. stages/knn.py reachable-latitude fix)
+        m = min(90.0, max(float(np.abs(plat[pts]).max()), self.maxabs_street_lat))
+        cosb = max(np.cos(np.radians(m)), 1e-9)
+        step = R * self.deg * cosb
+        cand: list[np.ndarray] = []
+        # rings below the Chebyshev distance to the grid rectangle cannot
+        # contain a cell — start the walk where the grid begins
+        r = max(0, -cgx, cgx - (self.nx - 1), -cgy, cgy - (self.ny - 1))
+        r0 = rlimit
+        while r <= rlimit:
+            cand.extend(self._ring(cgx, cgy, r))
+            if cand:
+                r0 = r
+                break
+            r += 1
+        if not cand:  # unreachable when streets is non-empty; be safe
+            cand = [np.arange(len(self.lat), dtype=np.int64)]
+        c = np.sort(np.concatenate(cand))
+        d = metric(plat[pts][:, None], plon[pts][:, None], self.lat[None, c], self.lon[None, c])
+        dmax = float(d.min(axis=1).max())
+        # gather every ring whose lower bound could still beat dmax
+        r_stop = min(int(np.ceil(dmax / step)) + 1, rlimit)
+        extra: list[np.ndarray] = []
+        for rr in range(r0 + 1, r_stop + 1):
+            extra.extend(self._ring(cgx, cgy, rr))
+        if extra:
+            c = np.sort(np.concatenate([c] + extra))
+            d = metric(plat[pts][:, None], plon[pts][:, None], self.lat[None, c], self.lon[None, c])
+        out[pts] = c[np.argmin(d, axis=1)]
+
+
 def enrich_addresses(
     docs: "ray.data.Dataset", boundaries_pd: pd.DataFrame, streets_pd: pd.DataFrame | None = None
 ) -> "ray.data.Dataset":
@@ -377,6 +491,8 @@ def enrich_addresses(
     class Enricher:
         def __init__(self):
             self.by_level, self.meta, self.streets = ray.get(state_ref)
+            # grid built ONCE per actor from the broadcast street table
+            self.street_grid = StreetGrid(self.streets[1], self.streets[2]) if self.streets is not None else None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             lat = batch.column("lat").to_numpy()
@@ -415,23 +531,18 @@ def enrich_addresses(
             street = batch.column("street").to_numpy(zero_copy_only=False).copy()
             # nearest-street fallback (reference indexer.go:1030-1037)
             if self.streets is not None:
-                from ..functions.geometry import equirect_approx as _eq
-
-                s_names, s_lat, s_lon = self.streets
+                s_names = self.streets[0]
                 missing = np.asarray([not s for s in street])
                 midx = np.nonzero(missing)[0]
                 if len(midx):
-                    # one vectorized (missing × streets) distance matrix,
-                    # chunked to ~32 MB per chunk (VERDICT r01 item 9: was a
-                    # per-row Python argmin over every street). Beyond ~10^6
-                    # streets the broadcast table itself outgrows an actor —
-                    # at that scale streets move into the cell-partitioned
-                    # tile store and this becomes a cell_knn lookup.
-                    chunk = max(1, (1 << 22) // max(len(s_lat), 1))
-                    for s in range(0, len(midx), chunk):
-                        rows_c = midx[s : s + chunk]
-                        d = _eq(lat[rows_c][:, None], lon[rows_c][:, None], s_lat[None, :], s_lon[None, :])
-                        street[rows_c] = s_names[np.argmin(d, axis=1)]
+                    # exact grid-bucketed 1-NN (StreetGrid) — O(local
+                    # density) per doc, replacing the (missing × streets)
+                    # distance matrix that cost ~27 s per 12.5k-doc batch
+                    # at 20k streets. Beyond ~10^6 streets the broadcast
+                    # table itself outgrows an actor — at that scale
+                    # streets move into the cell-partitioned tile store
+                    # and this becomes a cell_knn lookup.
+                    street[midx] = s_names[self.street_grid.nearest(lat[midx], lon[midx])]
             housenum = batch.column("house_number").to_numpy(zero_copy_only=False)
             postal = batch.column("postal_code").to_numpy(zero_copy_only=False)
             address = []

@@ -228,3 +228,30 @@ def test_salted_partitioned_join_equals_broadcast():
     pd.testing.assert_frame_equal(
         a[key].sort_values(key).reset_index(drop=True), b[key].sort_values(key).reset_index(drop=True)
     )
+
+
+def test_street_grid_equals_bruteforce():
+    """StreetGrid 1-NN == full (points × streets) argmin under the equirect
+    ranking metric — including tie resolution (lowest street index), points
+    outside the street bbox, and a degenerate all-colocated street set."""
+    from osm_search_ray.functions.geometry import equirect_approx
+    from osm_search_ray.pipelines.ingest import StreetGrid
+
+    rng = np.random.default_rng(11)
+    s_lat = -6.25 + rng.uniform(-0.3, 0.3, 800)
+    s_lon = 106.8 + rng.uniform(-0.3, 0.3, 800)
+    # exact-duplicate street centroids → metric ties; argmin must pick the
+    # lowest index on both paths
+    s_lat[100:110] = s_lat[0]
+    s_lon[100:110] = s_lon[0]
+    p_lat = -6.25 + rng.uniform(-0.5, 0.5, 500)  # beyond the street bbox too
+    p_lon = 106.8 + rng.uniform(-0.5, 0.5, 500)
+    p_lat[0], p_lon[0] = s_lat[0], s_lon[0]  # a point exactly ON the tie group
+    d = equirect_approx(p_lat[:, None], p_lon[:, None], s_lat[None, :], s_lon[None, :])
+    expect = np.argmin(d, axis=1)
+    got = StreetGrid(s_lat, s_lon).nearest(p_lat, p_lon)
+    np.testing.assert_array_equal(got, expect)
+
+    # one street total (1x1 grid), points far away
+    g1 = StreetGrid(s_lat[:1], s_lon[:1])
+    np.testing.assert_array_equal(g1.nearest(p_lat, p_lon), np.zeros(len(p_lat), np.int64))
