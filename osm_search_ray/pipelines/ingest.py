@@ -225,7 +225,10 @@ def ingest_documents(
            src_rank, orig_id) — doc_id dense + deterministic.
     boundaries: relation polygons with centroid/MBR.
     """
-    way_geoms = build_way_geometries(ways, nodes, num_buckets)
+    # materialized ONCE: three consumers below (way docs, boundaries,
+    # streets) would otherwise each re-execute the way-node shuffle join —
+    # the single most expensive ingest exchange (O(ways) rows, spillable)
+    way_geoms = build_way_geometries(ways, nodes, num_buckets).materialize()
 
     # way-side documents: M1 filter → M3/M4 projection → join geometry
     def way_attrs(batch: pa.Table) -> pa.Table:

@@ -266,30 +266,60 @@ def build_ngram_counts_ds(
     from ..functions.tokenize import tokenize_array
     from ..stages.joins import hash_bucket_join, hash_partitioned_apply
 
-    def tokens_per_doc(batch: pa.Table) -> list[list[str]]:
-        joined = [
-            " ".join(str(batch.column(c)[i].as_py() or "") for c in text_cols) for i in range(len(batch))
+    def _doc_tokens(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """(flat tokens, per-doc counts) over the space-joined text cols —
+        Arrow join kernel + the shared vectorized tokenizer (replaces the
+        r02 per-row ``as_py()`` loop)."""
+        cols = [
+            pc.coalesce(pc.cast(batch.column(c), pa.string()), pa.scalar("", pa.string()))
+            for c in text_cols
         ]
-        toks, counts = tokenize_array(joined)
-        off = np.concatenate([[0], np.cumsum(counts)])
-        return [toks[off[i] : off[i + 1]].tolist() for i in range(len(joined))]
+        joined = cols[0] if len(cols) == 1 else pc.binary_join_element_wise(*cols, " ")
+        return tokenize_array(joined.to_pylist())
 
     def raw_gram_partial(batch: pa.Table) -> pa.Table:
-        counts: dict = {}
-        for toks in tokens_per_doc(batch):
-            count_doc_ngrams(counts, toks)  # RAW tokens — no vocab needed yet
-        ks = list(counts.keys())
+        """VECTORIZED n-gram counting — multiset-identical to running
+        ``count_doc_ngrams`` per doc (equality-tested): one flat
+        4-padded token array per batch ([<s>×4, toks…, </s>] per doc;
+        the n<4 paddings are suffixes of it), window gathers by index
+        arithmetic, elementwise '\\x1f' joins, hash-based value_counts."""
+        toks, counts = _doc_tokens(batch)
+        nd = len(counts)
+        if nd == 0:
+            return pa.table({"n": pa.array([], pa.int8()), "gram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+        plens = counts + 5  # 4×<s> + toks + </s>
+        starts = np.concatenate([[0], np.cumsum(plens)[:-1]])
+        pad = np.full(int(plens.sum()), START_TOKEN, dtype=object)
+        if len(toks):
+            doc_idx = np.repeat(np.arange(nd), counts)
+            within = np.arange(len(toks)) - np.repeat(np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+            pad[starts[doc_idx] + 4 + within] = toks
+        pad[starts + plens - 1] = END_TOKEN
+        ns, gs, cs = [], [], []
+        nw = counts + 2  # windows per doc for every n: len(padded_n) - n + 1
+        wdoc = np.repeat(np.arange(nd), nw)
+        wwithin = np.arange(int(nw.sum())) - np.repeat(np.concatenate([[0], np.cumsum(nw)[:-1]]), nw)
+        for n in (1, 2, 3, 4):
+            wstart = starts[wdoc] + (4 - n) + wwithin
+            g = pad[wstart]
+            for j in range(1, n):
+                g = g + "\x1f"
+                g = g + pad[wstart + j]
+            vc = pd.Series(g).value_counts(sort=False)
+            ns.append(np.full(len(vc), n, np.int8))
+            gs.append(vc.index.to_numpy(dtype=object))
+            cs.append(vc.to_numpy(dtype=np.int64))
         return pa.table(
             {
-                "n": pa.array([k[0] for k in ks], pa.int8()),
-                "gram": pa.array([k[1] for k in ks], pa.string()),
-                "cnt": pa.array([counts[k] for k in ks], pa.int64()),
+                "n": pa.array(np.concatenate(ns)),
+                "gram": pa.array(np.concatenate(gs).tolist(), pa.string()),
+                "cnt": pa.array(np.concatenate(cs)),
             }
         )
 
     def wc_partial(batch: pa.Table) -> pa.Table:
-        toks = [t for row in tokens_per_doc(batch) for t in row]
-        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        toks, _ = _doc_tokens(batch)
+        u, c = np.unique(toks, return_counts=True)
         return pa.table({"word": pa.array(u.astype(object), pa.string()), "wcnt": pa.array(c.astype(np.int64))})
 
     def _sum_group(cols):
