@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["reverse_geocode"] = tiling.reverse_geocode
     # --- relational operator coverage (sources, filters, joins, aggs, top-k) ---
     q["agg_pricing"] = relational.agg_pricing
+    q["agg_pricing_rollup"] = relational.agg_pricing_rollup  # grouping sets from ONE corpus pass
     q["join_customer_orders"] = relational.join_customer_orders
     q["topk_orders_per_segment"] = relational.topk_orders_per_segment
     q["filter_project_lineitem"] = relational.filter_project_lineitem
@@ -84,8 +85,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_sliding"] = ev.events_sliding  # sliding-window aggregate
     q["sessionize"] = ev.sessionize
     q["purchase_attribution"] = ev.purchase_attribution
+    q["purchase_view_window"] = ev.purchase_view_window  # interval-predicate range join
     q["approx_distinct_users"] = ev.approx_distinct_users  # HLL sketch (rows-only)
     q["events_median"] = ev.events_median  # exact distributed median (bounded-domain histogram)
+    q["events_quantiles"] = ev.events_quantiles  # exact p50/p90/p99, one histogram pass
     q["users_view_no_purchase"] = ev.users_view_no_purchase  # anti-join (NOT EXISTS)
     # --- geofencing (J6) ---
     from osm_search_ray.pipelines import geofence_pipeline
@@ -160,6 +163,7 @@ scored AS (
 SELECT query_id, doc_id, rank FROM scored WHERE rank = 1
 """
     sql["agg_pricing"] = relational.SQL_AGG_PRICING
+    sql["agg_pricing_rollup"] = relational.SQL_AGG_PRICING_ROLLUP
     sql["join_customer_orders"] = relational.SQL_JOIN_CUSTOMER_ORDERS
     sql["topk_orders_per_segment"] = relational.SQL_TOPK_ORDERS_PER_SEGMENT
     sql["filter_project_lineitem"] = relational.SQL_FILTER_PROJECT_LINEITEM
@@ -191,7 +195,9 @@ SELECT query_id, doc_id, rank FROM scored WHERE rank = 1
     sql["events_sliding"] = ev.SQL_EVENTS_SLIDING.format(prev=2)
     sql["sessionize"] = ev.SQL_SESSIONIZE.format(gap=30 * 60)
     sql["purchase_attribution"] = ev.SQL_PURCHASE_ATTRIBUTION
+    sql["purchase_view_window"] = ev.SQL_PURCHASE_VIEW_WINDOW
     sql["events_median"] = ev.SQL_EVENTS_MEDIAN
+    sql["events_quantiles"] = ev.SQL_EVENTS_QUANTILES
     sql["users_view_no_purchase"] = ev.SQL_USERS_VIEW_NO_PURCHASE
     from osm_search_ray.pipelines import geofence_pipeline
 

@@ -330,6 +330,69 @@ GROUP BY 1
 """
 
 
+def events_quantiles(sf_dir: str):
+    """(event_type, n_events, p50_x1000, p90_x1000, p99_x1000) — exact
+    distributed p50/p90/p99 from the SAME domain-bounded histogram as
+    events_median: ONE corpus pass of count partials + one |types ×
+    distinct-scaled-values| groupby serves every quantile (adding a
+    quantile is free — the shape that stays exact at 10¹² rows).
+
+    Integer-exact interpolation: with values scaled to int64 cents and
+    q = p/100, pos = (n−1)·p/100 is kept as (quotient, remainder), so
+    qv×1000 = vlo×1000 + (vhi−vlo)×rem×10 is pure int64 arithmetic — no
+    float ever enters, and the SQL quantile_cont lands on the same
+    integer (its only error is ~ulp, absorbed by the ROUND)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": batch.column("event_type").to_pandas(),
+                "v": np.rint(batch.column("value").to_numpy() * 100).astype(np.int64),
+            }
+        )
+        g = df.groupby(["event_type", "v"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "v": pa.array(g["v"], pa.int64()),
+                "n": pa.array(g["n"], pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for et, g in hist.groupby("event_type", sort=True):
+        g = g.sort_values("v")
+        v = g["v"].to_numpy()
+        c = np.cumsum(g["n"].to_numpy())
+        n = int(c[-1])
+        qs = []
+        for p in (50, 90, 99):
+            posnum = (n - 1) * p  # pos = posnum / 100, exactly
+            lo, rem = posnum // 100, posnum % 100
+            vlo = int(v[np.searchsorted(c, lo + 1)])
+            vhi = int(v[np.searchsorted(c, lo + 2)]) if rem else vlo
+            qs.append(vlo * 1000 + (vhi - vlo) * rem * 10)  # ×1000, int64-exact
+        rows.append((et, n, *qs))
+    return pd.DataFrame(rows, columns=["event_type", "n_events", "p50_x1000", "p90_x1000", "p99_x1000"])
+
+
+SQL_EVENTS_QUANTILES = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(ROUND(quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.50) * 1000) AS BIGINT) AS p50_x1000,
+       CAST(ROUND(quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.90) * 1000) AS BIGINT) AS p90_x1000,
+       CAST(ROUND(quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.99) * 1000) AS BIGINT) AS p99_x1000
+FROM events
+GROUP BY 1
+"""
+
+
 BIG_PURCHASE = 200.0
 
 
@@ -378,4 +441,51 @@ SELECT DISTINCT user_id FROM events e
 WHERE event_type = 'view'
   AND NOT EXISTS (SELECT 1 FROM events p
                   WHERE p.user_id = e.user_id AND p.event_type = 'purchase' AND p.value >= 200.0)
+"""
+
+VIEW_WINDOW_US = 30 * 60 * 1_000_000  # 30 minutes, integer microseconds
+
+
+def purchase_view_window(sf_dir: str):
+    """RANGE join: for every purchase, the number of 'view' events by the
+    same user with ts in [purchase_ts − 30 min, purchase_ts) — the
+    interval-predicate join shape (vs purchase_attribution's as-of
+    first-match). Partition by user (bounded 64-way — the ONLY exchange),
+    then two vectorized searchsorted calls per group resolve every
+    purchase's window count; exact integer-µs boundaries.
+
+    Output (purchase_event_id, n_views_30m)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"]
+        if len(p) == 0:
+            return pd.DataFrame(
+                {"purchase_event_id": pd.Series(dtype=np.int64), "n_views_30m": pd.Series(dtype=np.int64)}
+            )
+        vts = np.sort(g.loc[g["event_type"] == "view", "ts"].values.astype("datetime64[us]").astype(np.int64))
+        pts = p["ts"].values.astype("datetime64[us]").astype(np.int64)
+        lo = np.searchsorted(vts, pts - VIEW_WINDOW_US, side="left")  # ts >= start inclusive
+        hi = np.searchsorted(vts, pts, side="left")  # ts < purchase_ts exclusive
+        return pd.DataFrame(
+            {
+                "purchase_event_id": p["event_id"].to_numpy(dtype=np.int64),
+                "n_views_30m": (hi - lo).astype(np.int64),
+            }
+        )
+
+    from ..stages.joins import grouped_apply_bounded
+
+    return grouped_apply_bounded(ds, "user_id", per_user, num_parts=64)
+
+
+SQL_PURCHASE_VIEW_WINDOW = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+SELECT p.event_id AS purchase_event_id, COUNT(v.event_id) AS n_views_30m
+FROM p LEFT JOIN v
+  ON v.user_id = p.user_id
+ AND v.ts >= p.ts - INTERVAL 30 MINUTE
+ AND v.ts < p.ts
+GROUP BY 1
 """

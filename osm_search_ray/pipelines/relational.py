@@ -67,6 +67,39 @@ FROM lineitem GROUP BY 1, 2
 """
 
 
+def agg_pricing_rollup(sf_dir: str):
+    """ROLLUP (grouping sets) over the pricing aggregate: (flag, status),
+    (flag), () levels with 'ALL' as the rolled-up key sentinel.
+
+    Scale shape: the corpus is aggregated ONCE at the finest granularity
+    (agg_pricing — per-batch integer partials + one bounded shuffle); the
+    coarser levels re-aggregate that |distinct-keys|-sized result, so a
+    rollup costs exactly one corpus pass regardless of level count."""
+    finest = agg_pricing(sf_dir).to_pandas()  # ≤ |flag × status| rows
+    vals = ["sum_qty", "sum_price", "revenue", "n_rows"]
+    lvl1 = finest.groupby("l_returnflag", as_index=False)[vals].sum()
+    lvl1["l_linestatus"] = "ALL"
+    lvl0 = pd.DataFrame([finest[vals].sum()])
+    lvl0["l_returnflag"] = "ALL"
+    lvl0["l_linestatus"] = "ALL"
+    cols = ["l_returnflag", "l_linestatus"] + vals
+    out = pd.concat([finest[cols], lvl1[cols], lvl0[cols]], ignore_index=True)
+    out[vals] = out[vals].astype(np.int64)
+    return out.sort_values(["l_returnflag", "l_linestatus"], kind="mergesort").reset_index(drop=True)
+
+
+SQL_AGG_PRICING_ROLLUP = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
 def join_customer_orders(sf_dir: str):
     """Broadcast hash join (small dim side shipped once via ray.put) +
     grouped rollup: per (nation, market segment) order count and total price.
