@@ -275,20 +275,33 @@ def build_text_index_ds(
 
         postings = hash_bucket_join(postings_raw, terms_ds, on="term", num_buckets=64)
 
-    # df partials are exact per batch (a doc is wholly inside one batch);
-    # the groupby-sum stream is O(vocab)
+    # df partials are exact per batch (a doc is wholly inside one batch)
+    # and are computed on the MATERIALIZED scan output keyed by the term
+    # STRING, so term_stats is a vocab-sized stream independent of
+    # ``postings`` — consuming it (e.g. save_text_index_ds's to_pandas)
+    # no longer re-executes the term-id mapping chain; the postings write
+    # stays the mapping's only consumer (one execution)
     def df_partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"term_id": pa.array([], pa.int64()), "df": pa.array([], pa.int64())})
-        d = t.select(["term_id", "doc_id"]).to_pandas().drop_duplicates()
-        g = d.groupby("term_id", sort=False).size().reset_index(name="df")
-        return pa.table({"term_id": pa.array(g["term_id"], pa.int64()), "df": pa.array(g["df"], pa.int64())})
+        m = t.filter(pc.greater_equal(t.column("field"), 0))
+        if m.num_rows == 0:
+            return pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+        d = m.select(["term", "doc_id"]).to_pandas().drop_duplicates()
+        g = d.groupby("term", sort=False).size().reset_index(name="df")
+        return pa.table({"term": pa.array(g["term"], pa.string()), "df": pa.array(g["df"], pa.int64())})
 
-    term_stats = (
-        postings.map_batches(df_partial, batch_format="pyarrow")
-        .groupby("term_id")
-        .aggregate(Sum("df", alias_name="df"))
+    df_by_term = (
+        raw.map_batches(df_partial, batch_format="pyarrow").groupby("term").aggregate(Sum("df", alias_name="df"))
     )
+    if use_broadcast:
+        term_stats = df_by_term.map_batches(
+            _TermIdMapper, fn_constructor_kwargs=dict(terms_ref=terms_ref), batch_format="pyarrow", concurrency=1
+        ).map_batches(lambda t: t.select(["term_id", "df"]), batch_format="pyarrow")
+    else:
+        from ..stages.joins import hash_bucket_join as _hbj
+
+        term_stats = _hbj(df_by_term, terms_ds, on="term", num_buckets=64).map_batches(
+            lambda t: t.select(["term_id", "df"]), batch_format="pyarrow"
+        )
     return TextIndexDS(
         postings=postings,
         doc_lens=doc_lens,
