@@ -317,10 +317,6 @@ def build_ngram_counts_ds(
             }
         )
 
-    def wc_partial(batch: pa.Table) -> pa.Table:
-        toks, _ = _doc_tokens(batch)
-        u, c = np.unique(toks, return_counts=True)
-        return pa.table({"word": pa.array(u.astype(object), pa.string()), "wcnt": pa.array(c.astype(np.int64))})
 
     def _sum_group(cols):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -328,30 +324,36 @@ def build_ngram_counts_ds(
 
         return fn
 
-    mat = docs.materialize()
+    specials = (START_TOKEN, END_TOKEN)
+
+    # raw gram counts materialized once (distinct-gram-sized): word counts
+    # and the UNK rewrite below both consume it
     raw = hash_partitioned_apply(
-        mat.map_batches(raw_gram_partial, batch_format="pyarrow").map_batches(
+        docs.map_batches(raw_gram_partial, batch_format="pyarrow").map_batches(
             lambda t: t.rename_columns(["n", "gram", "__v"]), batch_format="pyarrow"
         ),
         ["n", "gram"],
         _sum_group(["n", "gram"]),
         num_parts=num_parts,
-    ).map_batches(lambda df: df.rename(columns={"__v": "cnt"}), batch_format="pandas")
+    ).map_batches(lambda df: df.rename(columns={"__v": "cnt"}), batch_format="pandas").materialize()
 
-    word_counts = hash_partitioned_apply(
-        mat.map_batches(wc_partial, batch_format="pyarrow").map_batches(
-            lambda t: t.rename_columns(["word", "__v"]), batch_format="pyarrow"
-        ),
-        "word",
-        _sum_group(["word"]),
-        num_parts=num_parts,
-    ).map_batches(lambda df: df.rename(columns={"__v": "wcnt"}), batch_format="pandas")
-    word_counts = word_counts.materialize()
+    # word counts DERIVED from the n=1 gram counts: unigram padding adds
+    # exactly one <s> and one </s> per doc, so dropping the specials leaves
+    # the raw corpus word frequencies — the r02 second tokenize pass over
+    # the corpus (wc partials + their own vocab shuffle) is gone
+    def to_wc(t: pa.Table) -> pa.Table:
+        m = t.filter(
+            pc.and_(
+                pc.equal(t.column("n"), 1),
+                pc.invert(pc.is_in(t.column("gram"), value_set=pa.array(list(specials)))),
+            )
+        )
+        return pa.table({"word": m.column("gram"), "wcnt": m.column("cnt")})
+
+    word_counts = raw.map_batches(to_wc, batch_format="pyarrow").materialize()
     vocab_ds = word_counts.map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("wcnt"), count_threshold)), batch_format="pyarrow"
     )
-
-    specials = (START_TOKEN, END_TOKEN)
 
     def explode(t: pa.Table) -> pa.Table:
         n = t.column("n").to_numpy()
