@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["bm25_search"] = search_docs.bm25_docs_search
     q["bm25_store_search"] = search_docs.bm25_store_search  # served from the on-disk index
+    q["bm25f_store_search"] = search_docs.bm25f_store_search  # two-field disk path
+    q["tfidf_store_search"] = search_docs.tfidf_store_search
     q["bm25f_search"] = search_docs.bm25f_docs_search
     q["tfidf_search"] = search_docs.tfidf_docs_search
     q["spell_search"] = search_docs.spell_search_docs  # LM ranking (rows-only)
@@ -184,6 +186,8 @@ SELECT query_id, doc_id, rank FROM scored WHERE rank = 1
 
     sql["bm25_search"] = search_docs.SQL_BM25_DOCS_SEARCH
     sql["bm25_store_search"] = search_docs.SQL_BM25_DOCS_SEARCH  # index-backed path, same result
+    sql["bm25f_store_search"] = search_docs.SQL_BM25F_DOCS_SEARCH
+    sql["tfidf_store_search"] = search_docs.SQL_TFIDF_DOCS_SEARCH
     sql["bm25f_search"] = search_docs.SQL_BM25F_DOCS_SEARCH
     sql["tfidf_search"] = search_docs.SQL_TFIDF_DOCS_SEARCH
     sql["dedup_exact"] = dedup_pipelines.SQL_DEDUP_EXACT

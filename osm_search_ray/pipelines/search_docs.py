@@ -497,10 +497,10 @@ _STORE_CACHE: dict = {}
 _STORE_DISTRIBUTED_BYTES = 64 * 1024 * 1024
 
 
-def _text_store_dir(sf_dir: str) -> str:
-    """Build (once per corpus per process) the on-disk text index for
-    ``documents`` and return its directory. Keyed by corpus mtime; reused
-    across queries and bench repetitions.
+def _text_store_dir(sf_dir: str, text_cols: dict[str, int] | None = None) -> str:
+    """Build (once per corpus × field-set per process) the on-disk text
+    index for ``documents`` and return its directory. Keyed by corpus
+    mtime; reused across queries and bench repetitions.
 
     Regime-switched like the dedup verifies: corpora under
     ``_STORE_DISTRIBUTED_BYTES`` use the serving-size builder (ONE
@@ -514,48 +514,44 @@ def _text_store_dir(sf_dir: str) -> str:
 
     from .text_index import build_text_index, build_text_index_ds, save_text_index, save_text_index_ds
 
+    text_cols = text_cols or {"text": 0}
     path = f"{sf_dir}/documents.parquet"
     mtime = os.path.getmtime(path)
-    key = (sf_dir, mtime)
+    fields_sig = ",".join(f"{c}:{f}" for c, f in sorted(text_cols.items()))
+    key = (sf_dir, mtime, fields_sig)
     if key not in _STORE_CACHE:
-        tag = hashlib.sha1(f"{sf_dir}:{mtime}".encode()).hexdigest()[:12]
+        tag = hashlib.sha1(f"{sf_dir}:{mtime}:{fields_sig}".encode()).hexdigest()[:12]
         out_dir = f"/tmp/osm_search_ray_text_store/{tag}"
         if not os.path.exists(f"{out_dir}/globals.json"):
-            ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+            ds = ray.data.read_parquet(path, columns=["doc_id"] + list(text_cols))
             if os.path.getsize(path) < _STORE_DISTRIBUTED_BYTES:
-                save_text_index(build_text_index(ds, text_cols={"text": 0}), out_dir)
+                save_text_index(build_text_index(ds, text_cols=text_cols), out_dir)
             else:
-                save_text_index_ds(build_text_index_ds(ds, text_cols={"text": 0}), out_dir)
-        _STORE_CACHE.clear()  # hold ONE corpus at a time
+                save_text_index_ds(build_text_index_ds(ds, text_cols=text_cols), out_dir)
+        for k in [k for k in _STORE_CACHE if k[:2] != key[:2]]:
+            del _STORE_CACHE[k]  # hold ONE corpus at a time (any field-sets)
         _STORE_CACHE[key] = out_dir
     return _STORE_CACHE[key]
 
 
-def bm25_store_search(sf_dir: str):
-    """BM25+ served from the ON-DISK index store — the full resident-engine
-    path under the hash oracle: distributed index build (terms/postings
-    term_id-range-bucketed Parquet, save_text_index_ds) → per-query
-    footer-pruned dictionary + postings point reads
-    (text_index.point_query_store — NOTHING index-sized is loaded) →
-    the same BM25+ kernel as the scan path (scoring.score_bm25_plus).
-
-    Result-identical to bm25_docs_search / SQL_BM25_DOCS_SEARCH: df, tf and
-    lengths come from the index instead of a corpus scan, and ranks order
-    by the micro-rounded score then doc_id. Output
-    (query_id, doc_id, rank, score_micro)."""
-    from .scoring import score_bm25_plus
+def _store_search(sf_dir: str, text_cols: dict[str, int], term_lists: list[tuple[int, list[str]]], scorer):
+    """Shared store-backed search: ONE batched footer-pruned read resolves
+    every query's terms (dictionary buckets + postings row groups —
+    NOTHING index-sized is loaded, text_index.point_query_store), then the
+    shared scoring kernel runs per query and ranks by the micro-rounded
+    score then doc_id. Output (query_id, doc_id, rank, score_micro)."""
     from .text_index import _load_globals, point_query_store
 
-    store = _text_store_dir(sf_dir)
+    store = _text_store_dir(sf_dir, text_cols)
     g = _load_globals(store)
+    all_toks = sorted({t for _, ts in term_lists for t in ts})
+    ids, posts = point_query_store(store, all_toks)
     out = []
-    for qid, qtext in QUERIES:
-        toks = list(dict.fromkeys(tokenize(qtext)))
-        ids, posts = point_query_store(store, toks)
-        tids = [ids[t] for t in toks if t in ids]
+    for qid, terms in term_lists:
+        tids = [ids[t] for t in terms if t in ids]
         if not tids:
             continue
-        scores = score_bm25_plus(posts, tids, g)
+        scores = scorer(posts, tids, g)
         df = scores.rename("score").rename_axis("doc_id").reset_index()
         df["score_micro"] = np.rint(df["score"].to_numpy(dtype=np.float64) * 1e6).astype(np.int64)
         df = df.sort_values(["score_micro", "doc_id"], ascending=[False, True], kind="mergesort").head(TOP_K)
@@ -566,6 +562,40 @@ def bm25_store_search(sf_dir: str):
         return _EMPTY_RESULT.copy()
     res = pd.concat(out, ignore_index=True).astype(np.int64)
     return res.sort_values(["query_id", "rank"], kind="mergesort").reset_index(drop=True)
+
+
+def bm25_store_search(sf_dir: str):
+    """BM25+ served from the ON-DISK index store — the full resident-engine
+    path under the hash oracle: index build to the term_id-range-bucketed
+    store → pruned point reads → the same BM25+ kernel as the scan path
+    (scoring.score_bm25_plus). Result-identical to bm25_docs_search /
+    SQL_BM25_DOCS_SEARCH."""
+    from .scoring import score_bm25_plus
+
+    term_lists = [(qid, list(dict.fromkeys(tokenize(qtext)))) for qid, qtext in QUERIES]
+    return _store_search(sf_dir, {"text": 0}, term_lists, score_bm25_plus)
+
+
+def bm25f_store_search(sf_dir: str):
+    """Two-field BM25F from the on-disk store (text→name W=20, source→
+    address W=1; NAME_B-for-both and with-duplicates quirks live in
+    scoring.score_bm25_field). Result-identical to bm25f_docs_search /
+    SQL_BM25F_DOCS_SEARCH — the disk path re-proved on the two-field
+    index layout."""
+    from .scoring import score_bm25_field
+
+    term_lists = [(qid, tokenize(qtext)) for qid, qtext in FIELD_QUERIES]  # duplicates kept
+    return _store_search(sf_dir, {"text": 0, "source": 1}, term_lists, score_bm25_field)
+
+
+def tfidf_store_search(sf_dir: str):
+    """TF-IDF cosine (norms-unused quirk) from the on-disk two-field store;
+    fields merge by tf summation inside scoring.score_tfidf_cosine.
+    Result-identical to tfidf_docs_search / SQL_TFIDF_DOCS_SEARCH."""
+    from .scoring import score_tfidf_cosine
+
+    term_lists = [(qid, tokenize(qtext)) for qid, qtext in FIELD_QUERIES]  # dup terms fold into tf_q
+    return _store_search(sf_dir, {"text": 0, "source": 1}, term_lists, score_tfidf_cosine)
 
 
 # deliberate 1-2-edit typos of QUERIES terms — the FreeFormQuery
