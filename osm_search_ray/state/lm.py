@@ -27,6 +27,7 @@ from dataclasses import dataclass, field
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Sum
 
@@ -111,6 +112,41 @@ def count_doc_ngrams(counts: dict, toks: list[str]) -> None:
             counts[key] = counts.get(key, 0) + 1
 
 
+def windowed_gram_counts(toks: np.ndarray, counts: np.ndarray):
+    """VECTORIZED form of running ``count_doc_ngrams`` over every doc of a
+    batch (multiset-identical — equality-tested): one flat 4-padded token
+    array ([<s>×4, toks…, </s>] per doc; the n<4 paddings are suffixes of
+    it), window gathers by index arithmetic, elementwise '\\x1f' joins,
+    hash-based value_counts. ``toks`` is the batch's flat token array,
+    ``counts[i]`` the token count of doc i. Returns (n, gram, cnt) arrays."""
+    nd = len(counts)
+    if nd == 0:
+        return np.empty(0, np.int8), np.empty(0, object), np.empty(0, np.int64)
+    plens = counts + 5  # 4×<s> + toks + </s>
+    starts = np.concatenate([[0], np.cumsum(plens)[:-1]])
+    pad = np.full(int(plens.sum()), START_TOKEN, dtype=object)
+    if len(toks):
+        doc_idx = np.repeat(np.arange(nd), counts)
+        within = np.arange(len(toks)) - np.repeat(np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+        pad[starts[doc_idx] + 4 + within] = toks
+    pad[starts + plens - 1] = END_TOKEN
+    ns, gs, cs = [], [], []
+    nw = counts + 2  # windows per doc for every n: len(padded_n) - n + 1
+    wdoc = np.repeat(np.arange(nd), nw)
+    wwithin = np.arange(int(nw.sum())) - np.repeat(np.concatenate([[0], np.cumsum(nw)[:-1]]), nw)
+    for n in (1, 2, 3, 4):
+        wstart = starts[wdoc] + (4 - n) + wwithin
+        g = pad[wstart]
+        for j in range(1, n):
+            g = g + "\x1f"
+            g = g + pad[wstart + j]
+        vc = pd.Series(g).value_counts(sort=False)
+        ns.append(np.full(len(vc), n, np.int8))
+        gs.append(vc.index.to_numpy(dtype=object))
+        cs.append(vc.to_numpy(dtype=np.int64))
+    return np.concatenate(ns), np.concatenate(gs), np.concatenate(cs)
+
+
 def lm_from_counts(counts: dict, vocab: set) -> NGramLM:
     lm = NGramLM(vocab=vocab)
     for (n, gram), cnt in counts.items():
@@ -150,12 +186,16 @@ def build_ngram_lm(docs: "ray.data.Dataset", text_cols: list[str] = ("name", "ad
     from ..functions.tokenize import tokenize_array
 
     def tokens_per_doc(batch: pa.Table) -> pa.Table:
-        joined = [
-            " ".join(str(batch.column(c)[i].as_py() or "") for c in text_cols) for i in range(len(batch))
+        import pyarrow.compute as pc
+
+        cols = [
+            pc.coalesce(pc.cast(batch.column(c), pa.string()), pa.scalar("", pa.string()))
+            for c in text_cols
         ]
-        toks, counts = tokenize_array(joined)
+        joined = cols[0] if len(cols) == 1 else pc.binary_join_element_wise(*cols, " ")
+        toks, counts = tokenize_array(joined.to_pylist())
         off = np.concatenate([[0], np.cumsum(counts)])
-        docs_tokens = [toks[off[i] : off[i + 1]].tolist() for i in range(len(joined))]
+        docs_tokens = [toks[off[i] : off[i + 1]].tolist() for i in range(len(counts))]
         return pa.table({"tokens": pa.array(docs_tokens, pa.list_(pa.string()))})
 
     # materialize: the tokenized corpus is consumed TWICE (word-count pass
@@ -187,25 +227,25 @@ def build_ngram_lm(docs: "ray.data.Dataset", text_cols: list[str] = ("name", "ad
     # A6: n-gram count partials per n, with per-n padding, then groupby-sum
     import ray
 
-    vocab_ref = ray.put(vocab)
+    vocab_ref = ray.put(np.sort(np.asarray(list(vocab), dtype=object)))
 
     def ngram_partial(batch: pa.Table) -> pa.Table:
-        v = ray.get(vocab_ref)
+        """UNK-substitute by sorted-vocab searchsorted, then the shared
+        vectorized window counter (== per-doc count_doc_ngrams, tested)."""
+        vs = ray.get(vocab_ref)
         col = batch.column("tokens")
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        counts: dict[tuple, int] = {}
-        for row in col.to_pylist():
-            count_doc_ngrams(counts, [t if t in v else UNKNOWN_TOKEN for t in row])
-        if not counts:
-            return pa.table({"n": pa.array([], pa.int8()), "gram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
-        ks = list(counts.keys())
+        toks = np.asarray(pc.list_flatten(col).to_pylist(), dtype=object)
+        counts = pc.list_value_length(col).to_numpy().astype(np.int64)
+        if len(vs) and len(toks):
+            pos = np.minimum(np.searchsorted(vs, toks), len(vs) - 1)
+            toks = np.where(vs[pos] == toks, toks, UNKNOWN_TOKEN)
+        elif len(toks):
+            toks = np.full(len(toks), UNKNOWN_TOKEN, dtype=object)
+        n_, g_, c_ = windowed_gram_counts(toks, counts)
         return pa.table(
-            {
-                "n": pa.array([k[0] for k in ks], pa.int8()),
-                "gram": pa.array([k[1] for k in ks], pa.string()),
-                "cnt": pa.array([counts[k] for k in ks], pa.int64()),
-            }
+            {"n": pa.array(n_), "gram": pa.array(g_.tolist(), pa.string()), "cnt": pa.array(c_)}
         )
 
     counts: dict = {}
@@ -278,43 +318,10 @@ def build_ngram_counts_ds(
         return tokenize_array(joined.to_pylist())
 
     def raw_gram_partial(batch: pa.Table) -> pa.Table:
-        """VECTORIZED n-gram counting — multiset-identical to running
-        ``count_doc_ngrams`` per doc (equality-tested): one flat
-        4-padded token array per batch ([<s>×4, toks…, </s>] per doc;
-        the n<4 paddings are suffixes of it), window gathers by index
-        arithmetic, elementwise '\\x1f' joins, hash-based value_counts."""
         toks, counts = _doc_tokens(batch)
-        nd = len(counts)
-        if nd == 0:
-            return pa.table({"n": pa.array([], pa.int8()), "gram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
-        plens = counts + 5  # 4×<s> + toks + </s>
-        starts = np.concatenate([[0], np.cumsum(plens)[:-1]])
-        pad = np.full(int(plens.sum()), START_TOKEN, dtype=object)
-        if len(toks):
-            doc_idx = np.repeat(np.arange(nd), counts)
-            within = np.arange(len(toks)) - np.repeat(np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
-            pad[starts[doc_idx] + 4 + within] = toks
-        pad[starts + plens - 1] = END_TOKEN
-        ns, gs, cs = [], [], []
-        nw = counts + 2  # windows per doc for every n: len(padded_n) - n + 1
-        wdoc = np.repeat(np.arange(nd), nw)
-        wwithin = np.arange(int(nw.sum())) - np.repeat(np.concatenate([[0], np.cumsum(nw)[:-1]]), nw)
-        for n in (1, 2, 3, 4):
-            wstart = starts[wdoc] + (4 - n) + wwithin
-            g = pad[wstart]
-            for j in range(1, n):
-                g = g + "\x1f"
-                g = g + pad[wstart + j]
-            vc = pd.Series(g).value_counts(sort=False)
-            ns.append(np.full(len(vc), n, np.int8))
-            gs.append(vc.index.to_numpy(dtype=object))
-            cs.append(vc.to_numpy(dtype=np.int64))
+        n_, g_, c_ = windowed_gram_counts(toks, counts)
         return pa.table(
-            {
-                "n": pa.array(np.concatenate(ns)),
-                "gram": pa.array(np.concatenate(gs).tolist(), pa.string()),
-                "cnt": pa.array(np.concatenate(cs)),
-            }
+            {"n": pa.array(n_), "gram": pa.array(g_.tolist(), pa.string()), "cnt": pa.array(c_)}
         )
 
 
