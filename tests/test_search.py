@@ -595,3 +595,22 @@ class TestTermLookupOnDsWriter:
         vocab = ram.vocab()
         got = ti.read_term_ids(out, ["jalan", "dunia", "zzz"])
         assert got == {"jalan": vocab["jalan"], "dunia": vocab["dunia"]}
+
+
+class TestStoreSearchTwins:
+    def test_store_queries_equal_scan_queries(self):
+        """The three *_store_search driver queries must stay result-identical
+        to their corpus-scan twins (same kernels, df/lengths from the index
+        instead of a scan) — the invariant the shared SQL oracle asserts,
+        pinned here without the driver."""
+        from osm_search_ray.pipelines import search_docs as sd
+
+        sf = "/root/testdata/sf0.001"
+        for scan_fn, store_fn in [
+            (sd.bm25_docs_search, sd.bm25_store_search),
+            (sd.bm25f_docs_search, sd.bm25f_store_search),
+            (sd.tfidf_docs_search, sd.tfidf_store_search),
+        ]:
+            a = scan_fn(sf).reset_index(drop=True)
+            b = store_fn(sf).reset_index(drop=True)
+            pd.testing.assert_frame_equal(a, b)
