@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["train_val_split"] = traindata.train_val_split
     q["pack_sequences"] = traindata.pack_sequences
+    q["sample_weighted"] = traindata.sample_weighted  # deterministic sequential Poisson sample
     # --- full-text search (BM25+ with reference formula quirks) ---
     from osm_search_ray.pipelines import search_docs
 
@@ -178,6 +179,7 @@ SELECT query_id, doc_id, rank FROM scored WHERE rank = 1
 
     sql["train_val_split"] = traindata.SQL_TRAIN_VAL_SPLIT
     sql["pack_sequences"] = traindata.SQL_PACK_SEQUENCES
+    sql["sample_weighted"] = traindata.SQL_SAMPLE_WEIGHTED
     sql["text_quality"] = textops.SQL_TEXT_QUALITY
     sql["langid"] = textops._sql_langid()
     sql["bigram_counts"] = textops.SQL_BIGRAM_COUNTS

@@ -130,3 +130,65 @@ SELECT doc_id, n_tokens, start_off,
        start_off % 256 AS start_in_window
 FROM packed
 """
+
+
+SAMPLE_MIX = 2_246_822_519  # decorrelated from SPLIT_MIX (different prime)
+SAMPLE_K = 100
+
+
+def sample_weighted(sf_dir: str, k: int = SAMPLE_K):
+    """Deterministic WEIGHTED sample of k docs, weight = token count + 1 —
+    sequential Poisson sampling (Ohlsson): rank by u/w ascending where u is
+    a hash-derived uniform, take the k smallest. Inclusion probability is
+    ∝ weight in the threshold regime, the sample is reproducible on every
+    rerun and at any parallelism (no RNG), and the whole thing is a
+    per-batch partial top-k + an O(blocks × k) driver merge — no shuffle.
+
+    Float discipline: u and w are exact int64 (< 2^53), so u/w is ONE
+    correctly-rounded IEEE division — bit-identical between numpy and the
+    SQL oracle — and the rank order (priority, doc_id) cannot diverge.
+
+    Output (doc_id, weight, rank)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        _, counts = tokenize_array(batch.column("text").to_pylist())
+        wt = counts.astype(np.int64) + 1
+        u = (ids % SPLIT_MOD) * SAMPLE_MIX % SPLIT_MOD
+        pr = u.astype(np.float64) / wt
+        order = np.lexsort((ids, pr))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order]),
+                "weight": pa.array(wt[order]),
+                "pr": pa.array(pr[order]),
+            }
+        )
+
+    parts = [
+        b for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pandas"
+        )
+    ]
+    if not parts:
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64), "weight": pd.Series(dtype=np.int64), "rank": pd.Series(dtype=np.int64)})
+    out = pd.concat(parts, ignore_index=True)
+    out = out.sort_values(["pr", "doc_id"], kind="mergesort").head(k).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["doc_id", "weight", "rank"]].astype(np.int64)
+
+
+SQL_SAMPLE_WEIGHTED = f"""
+WITH w AS (
+    SELECT doc_id,
+           {_SQL_NTOK} + 1 AS weight,
+           (doc_id % {SPLIT_MOD}) * {SAMPLE_MIX} % {SPLIT_MOD} AS u
+    FROM documents
+), ranked AS (
+    SELECT doc_id, weight,
+           ROW_NUMBER() OVER (ORDER BY CAST(u AS DOUBLE) / weight, doc_id) AS rank
+    FROM w
+)
+SELECT doc_id, weight, rank FROM ranked WHERE rank <= {SAMPLE_K}
+"""
