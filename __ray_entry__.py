@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bigram_counts"] = textops.bigram_counts
     q["postings_lists"] = textops.postings_lists
     q["image_features"] = textops.image_features  # multimodal plumbing (rows-only)
+    q["contamination_check"] = textops.contamination_check  # benchmark decontamination
     # --- training-data prep (deterministic split, sequence packing) ---
     from osm_search_ray.pipelines import traindata
 
@@ -184,6 +185,7 @@ SELECT query_id, doc_id, rank FROM scored WHERE rank = 1
     sql["langid"] = textops._sql_langid()
     sql["bigram_counts"] = textops.SQL_BIGRAM_COUNTS
     sql["postings_lists"] = textops.SQL_POSTINGS_LISTS
+    sql["contamination_check"] = textops.SQL_CONTAMINATION_CHECK
     from osm_search_ray.pipelines import search_docs
 
     sql["bm25_search"] = search_docs.SQL_BM25_DOCS_SEARCH

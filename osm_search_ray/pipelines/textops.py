@@ -265,3 +265,97 @@ def image_features(sf_dir: str):
         )
 
     return feats.map_batches(summarize, batch_format="pyarrow")
+
+
+EVAL_MOD = 97  # deterministic held-out "benchmark" subset: doc_id % 97 == 0
+CONTAM_N = 3  # shingle width (3 at test scale: synthetic docs share few longer runs)
+
+
+def _shingles(batch: pa.Table, n: int):
+    """(flat shingle strings, per-doc shingle counts) for a docs batch —
+    vectorized window join over the flat token array (same index
+    arithmetic as state/lm.windowed_gram_counts, without padding)."""
+    toks, counts = tokenize_array(batch.column("text").to_pylist())
+    nw = np.maximum(counts - (n - 1), 0)
+    nd = len(counts)
+    if nw.sum() == 0:
+        return np.empty(0, object), nw.astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    wdoc = np.repeat(np.arange(nd), nw)
+    wwithin = np.arange(int(nw.sum())) - np.repeat(np.concatenate([[0], np.cumsum(nw)[:-1]]), nw)
+    wstart = starts[wdoc] + wwithin
+    g = toks[wstart]
+    for j in range(1, n):
+        g = g + " "
+        g = g + toks[wstart + j]
+    return g, nw.astype(np.int64)
+
+
+def contamination_check(sf_dir: str):
+    """Benchmark DECONTAMINATION: for every training doc, how many of its
+    3-token shingle occurrences appear in the held-out eval subset
+    (doc_id % 97 == 0 — the deterministic stand-in for a benchmark suite).
+    Output (doc_id, n_contaminated) for contaminated docs only.
+
+    Shape: eval shingles are collected once (an eval set is small by
+    nature — benchmark suites, not corpora) and broadcast via ray.put as a
+    SORTED array; the training pass is one streaming scan with a
+    searchsorted membership test per batch. No shuffle anywhere."""
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def eval_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        sub = batch.filter(pa.array(ids % EVAL_MOD == 0))
+        g, _ = _shingles(sub, CONTAM_N)
+        return pa.table({"g": pa.array(np.unique(g).astype(object), pa.string())})
+
+    eval_parts = [
+        b.column("g").to_numpy(zero_copy_only=False)
+        for b in ds.map_batches(eval_partial, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    ]
+    eval_sorted = np.unique(np.concatenate(eval_parts)) if eval_parts else np.empty(0, object)
+    eval_ref = ray.put(eval_sorted)
+
+    def check(batch: pa.Table) -> pa.Table:
+        ev = ray.get(eval_ref)
+        ids = batch.column("doc_id").to_numpy()
+        sub = batch.filter(pa.array(ids % EVAL_MOD != 0))
+        sub_ids = sub.column("doc_id").to_numpy().astype(np.int64)
+        g, nw = _shingles(sub, CONTAM_N)
+        if len(g) and len(ev):
+            pos = np.minimum(np.searchsorted(ev, g), len(ev) - 1)
+            hit = (ev[pos] == g).astype(np.int64)
+        else:
+            hit = np.zeros(len(g), np.int64)
+        per_doc = np.add.reduceat(hit, np.concatenate([[0], np.cumsum(nw)[:-1]])) if len(hit) else np.zeros(len(nw), np.int64)
+        per_doc = np.where(nw > 0, per_doc, 0)
+        keep = per_doc > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(sub_ids[keep]),
+                "n_contaminated": pa.array(per_doc[keep].astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(check, batch_format="pyarrow")
+
+
+_SQL_TOKS = SQL_TOKENIZE.format(col="text")
+
+SQL_CONTAMINATION_CHECK = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+grams AS (
+    SELECT doc_id, array_to_string(t[i:i+{CONTAM_N - 1}], ' ') AS g
+    FROM toks, UNNEST(range(1, len(t) - {CONTAM_N - 2})) AS u(i)
+    WHERE len(t) >= {CONTAM_N}
+),
+eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % {EVAL_MOD} = 0)
+SELECT t.doc_id, COUNT(*) AS n_contaminated
+FROM grams t JOIN eval_g e USING (g)
+WHERE t.doc_id % {EVAL_MOD} <> 0
+GROUP BY 1
+"""
