@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["tfidf_search"] = search_docs.tfidf_docs_search
     q["spell_search"] = search_docs.spell_search_docs  # LM ranking (rows-only)
     q["autocomplete"] = search_docs.autocomplete_docs
+    q["lm_doc_scores"] = search_docs.lm_doc_scores  # perplexity quality scoring (rows-only)
     # --- dedup family ---
     q["dedup_exact"] = dedup_pipelines.dedup_exact
     q["dedup_minhash"] = dedup_pipelines.dedup_minhash

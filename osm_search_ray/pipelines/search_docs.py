@@ -637,6 +637,49 @@ def spell_search_docs(sf_dir: str):
     return out.sort_values(["query_id", "rank"], kind="mergesort").reset_index(drop=True)
 
 
+def lm_doc_scores(sf_dir: str):
+    """Per-document 4-gram LM log-probability — the quality-filter-by-
+    perplexity pass of a training-data pipeline, using the corpus's own
+    stupid-backoff LM (T5 kernel). The LM is built once (shared _lm_state
+    cache with spell/autocomplete), broadcast via ray.put, and scoring runs
+    in an actor pool (state loaded once per actor, per ray_guide.md).
+
+    Rows-only driver check (stupid backoff is not SQL-expressible); the
+    distributed path is pinned to driver-side scoring by a unit test.
+    Output (doc_id, n_tokens, logprob_milli, is_finite) — docs containing
+    a below-threshold (<UNK>-trained) word score -inf exactly like the
+    reference (ngram_lm.go:300-318), reported as is_finite=0 with a
+    sentinel logprob."""
+    lm, _ = _lm_state(sf_dir)
+    lm_ref = ray.put(lm)
+    NEG_SENTINEL = -(2**62)
+
+    class Scorer:
+        def __init__(self):
+            self.lm = ray.get(lm_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            toks, counts = tokenize_array(batch.column("text").to_pylist())
+            off = np.concatenate([[0], np.cumsum(counts)])
+            lps = np.array(
+                [self.lm.query_log_prob(toks[off[i] : off[i + 1]].tolist()) for i in range(len(counts))],
+                dtype=np.float64,
+            )
+            finite = np.isfinite(lps)
+            milli = np.where(finite, np.rint(np.where(finite, lps, 0.0) * 1000), NEG_SENTINEL).astype(np.int64)
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "n_tokens": pa.array(counts.astype(np.int64)),
+                    "logprob_milli": pa.array(milli),
+                    "is_finite": pa.array(finite.astype(np.int64)),
+                }
+            )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(Scorer, batch_format="pyarrow", concurrency=(1, 4))
+
+
 AUTOCOMPLETE_PREFIXES: list[tuple[int, str]] = [
     (0, "s"),
     (1, "wind"),

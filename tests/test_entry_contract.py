@@ -29,7 +29,7 @@ def test_oracle_keys_subset_of_queries():
     assert rows_only == {
         "image_features", "spell_search", "autocomplete", "dedup_minhash",
         "dedup_simhash", "dedup_embedding", "dedup_fingerprint",
-        "approx_distinct_users", "kmeans_clusters",
+        "approx_distinct_users", "kmeans_clusters", "lm_doc_scores",
     }, rows_only
 
 

@@ -614,3 +614,30 @@ class TestStoreSearchTwins:
             a = scan_fn(sf).reset_index(drop=True)
             b = store_fn(sf).reset_index(drop=True)
             pd.testing.assert_frame_equal(a, b)
+
+
+class TestLmDocScores:
+    def test_distributed_scores_equal_driver_scoring(self):
+        """The actor-pool LM doc scorer must equal direct driver-side
+        query_log_prob over the same corpus LM (pins the broadcast/actor
+        plumbing; the kernel itself is fixture-tested in TestNgramLM)."""
+        import numpy as np
+
+        from osm_search_ray.functions.tokenize import tokenize
+        from osm_search_ray.pipelines import search_docs as sd
+
+        sf = "/root/testdata/sf0.001"
+        got = sd.lm_doc_scores(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        lm, _ = sd._lm_state(sf)
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+        docs = docs.sort_values("doc_id").reset_index(drop=True)
+        assert list(got["doc_id"]) == list(docs["doc_id"])
+        for i in range(0, len(docs), 97):  # spot-check a deterministic stride
+            lp = lm.query_log_prob(tokenize(docs["text"][i]))
+            if np.isfinite(lp):
+                assert got["is_finite"][i] == 1
+                assert got["logprob_milli"][i] == int(np.rint(lp * 1000))
+            else:
+                assert got["is_finite"][i] == 0
