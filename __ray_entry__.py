@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kmeans_clusters"] = simsearch.kmeans_clusters  # iterative distributed Lloyd's (rows-only)
     # --- events (streaming-shaped) ---
     q["events_hourly"] = ev.events_hourly
+    q["events_pivot"] = ev.events_pivot  # conditional-aggregation pivot
     q["events_sliding"] = ev.events_sliding  # sliding-window aggregate
     q["sessionize"] = ev.sessionize
     q["purchase_attribution"] = ev.purchase_attribution
@@ -201,6 +202,7 @@ SELECT query_id, doc_id, rank FROM scored WHERE rank = 1
     sql["ann_cosine_topk"] = simsearch.SQL_ANN_COSINE_TOPK
     sql["ann_ivf_topk"] = simsearch.SQL_ANN_COSINE_TOPK  # nprobe=nlist → exact
     sql["events_hourly"] = ev.SQL_EVENTS_HOURLY
+    sql["events_pivot"] = ev.SQL_EVENTS_PIVOT
     sql["events_sliding"] = ev.SQL_EVENTS_SLIDING.format(prev=2)
     sql["sessionize"] = ev.SQL_SESSIONIZE.format(gap=30 * 60)
     sql["purchase_attribution"] = ev.SQL_PURCHASE_ATTRIBUTION

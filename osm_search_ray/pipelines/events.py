@@ -489,3 +489,43 @@ FROM p LEFT JOIN v
  AND v.ts < p.ts
 GROUP BY 1
 """
+
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(sf_dir: str):
+    """PIVOT / conditional aggregation: one row per hour with a count
+    column per event type (wide layout for dashboards and feature tables).
+    The pivot happens INSIDE the per-batch partial (one indicator column
+    per type, summed), so the shuffle moves |hours| × |types| integers —
+    adding a type widens rows, it never adds a pass or a shuffle.
+
+    Output (hour_bucket, n_click, n_error, n_purchase, n_signup, n_view)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        hour = ts // 3_600_000_000
+        et = batch.column("event_type").to_pandas().to_numpy()
+        df = pd.DataFrame({"hour_bucket": hour})
+        for t in PIVOT_TYPES:
+            df[f"n_{t}"] = (et == t).astype(np.int64)
+        g = df.groupby("hour_bucket", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("hour_bucket").aggregate(
+        *[Sum(f"n_{t}", alias_name=f"n_{t}") for t in PIVOT_TYPES]
+    )
+
+
+SQL_EVENTS_PIVOT = """
+SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket,
+       COUNT(*) FILTER (event_type = 'click') AS n_click,
+       COUNT(*) FILTER (event_type = 'error') AS n_error,
+       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+       COUNT(*) FILTER (event_type = 'view') AS n_view
+FROM events GROUP BY 1
+"""
