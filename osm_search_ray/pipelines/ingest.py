@@ -383,7 +383,7 @@ class StreetGrid:
                 cells[k_sorted[start]] = order[start:i]
                 start = i
         self.cells = cells
-        self.maxabs_street_lat = max(abs(lat0), abs(lat1))
+        self.street_lat_lo, self.street_lat_hi = lat0, lat1
 
     def _ring(self, cx: int, cy: int, r: int) -> list[np.ndarray]:
         """Street-index arrays of every grid cell at Chebyshev distance r,
@@ -422,16 +422,37 @@ class StreetGrid:
                 start = i
         return out
 
+    @staticmethod
+    def _interval_abs_cos_min(lo: float, hi: float) -> float:
+        """min |cos(v)| over v ∈ [lo, hi] (v in the metric's raw units).
+        Zero iff the interval contains π/2 + kπ for some integer k."""
+        import math
+
+        if hi - lo >= math.pi:
+            return 0.0
+        k_lo = math.ceil((lo - math.pi / 2) / math.pi)
+        if math.pi / 2 + k_lo * math.pi <= hi:
+            return 0.0
+        return min(abs(math.cos(lo)), abs(math.cos(hi)))
+
     def _nearest_group(self, plat, plon, pts, cgx, cgy, out, R, metric):
         # every cell is within this Chebyshev radius of the group's cell —
         # by then the whole grid has been gathered
         rlimit = max(cgx, self.nx - 1 - cgx, cgy, self.ny - 1 - cgy, 1)
-        # lower bound for anything in ring k: ≥ (k-1) axis-steps away; the
-        # lon axis shrinks by cos(mean lat) — bound it at the most poleward
-        # mean latitude reachable (cf. stages/knn.py reachable-latitude fix)
-        m = min(90.0, max(float(np.abs(plat[pts]).max()), self.maxabs_street_lat))
-        cosb = max(np.cos(np.radians(m)), 1e-9)
-        step = R * self.deg * cosb
+        # lower bound for anything in ring k: ≥ (k-1) axis-steps away in
+        # SOME axis. The lat axis contributes R·separation directly; the
+        # lon axis is scaled by the metric's cos(0.5(lat1+lat2)) — which,
+        # per the reference's degrees-into-radians quirk
+        # (functions/geometry.equirect_approx), oscillates with latitude
+        # IN DEGREE UNITS and can reach ZERO near lat ≈ ±(π/2+kπ) degrees
+        # (~±1.57°, ±4.71°, …). Bound |cos| from below over the reachable
+        # mean-lat interval; when the interval straddles a zero the lon
+        # bound vanishes and pruning degrades to the group's full ring
+        # span — correct, just slower for those latitude bands.
+        v_lo = 0.5 * (float(plat[pts].min()) + self.street_lat_lo)
+        v_hi = 0.5 * (float(plat[pts].max()) + self.street_lat_hi)
+        cosb = self._interval_abs_cos_min(v_lo, v_hi)
+        step = R * self.deg * min(1.0, cosb)
         cand: list[np.ndarray] = []
         # rings below the Chebyshev distance to the grid rectangle cannot
         # contain a cell — start the walk where the grid begins
@@ -448,8 +469,9 @@ class StreetGrid:
         c = np.sort(np.concatenate(cand))
         d = metric(plat[pts][:, None], plon[pts][:, None], self.lat[None, c], self.lon[None, c])
         dmax = float(d.min(axis=1).max())
-        # gather every ring whose lower bound could still beat dmax
-        r_stop = min(int(np.ceil(dmax / step)) + 1, rlimit)
+        # gather every ring whose lower bound could still beat dmax; a zero
+        # step (mean-lat interval straddles a cos zero) prunes nothing
+        r_stop = min(int(np.ceil(dmax / step)) + 1, rlimit) if step > 0.0 else rlimit
         extra: list[np.ndarray] = []
         for rr in range(r0 + 1, r_stop + 1):
             extra.extend(self._ring(cgx, cgy, rr))

@@ -331,8 +331,10 @@ def contamination_check(sf_dir: str):
             hit = (ev[pos] == g).astype(np.int64)
         else:
             hit = np.zeros(len(g), np.int64)
-        per_doc = np.add.reduceat(hit, np.concatenate([[0], np.cumsum(nw)[:-1]])) if len(hit) else np.zeros(len(nw), np.int64)
-        per_doc = np.where(nw > 0, per_doc, 0)
+        # bincount, not reduceat: reduceat's offsets go out of bounds when a
+        # trailing doc has zero shingles (offset == len(hit) → IndexError)
+        wdoc = np.repeat(np.arange(len(nw), dtype=np.int64), nw)
+        per_doc = np.bincount(wdoc[hit > 0], minlength=len(nw)).astype(np.int64)
         keep = per_doc > 0
         return pa.table(
             {

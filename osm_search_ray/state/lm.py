@@ -104,7 +104,10 @@ class NGramLM:
 def count_doc_ngrams(counts: dict, toks: list[str]) -> None:
     """Accumulate the reference's 4 counting passes for one doc into a
     {(n, gram_key): cnt} dict — n × <s> prepended, one </s> appended per pass
-    (ngram_lm.go:368-379). Shared by the Ray partial and the unit tests."""
+    (ngram_lm.go:368-379). The readable per-doc form: backs the pure
+    ``count_ngrams`` build (used throughout the unit tests) and serves as
+    the oracle for the vectorized ``windowed_gram_counts`` both Ray LM
+    paths use (parity pinned in tests/test_search.py)."""
     for n in (1, 2, 3, 4):
         padded = [START_TOKEN] * n + toks + [END_TOKEN]
         for i in range(len(padded) - n + 1):
@@ -114,7 +117,9 @@ def count_doc_ngrams(counts: dict, toks: list[str]) -> None:
 
 def windowed_gram_counts(toks: np.ndarray, counts: np.ndarray):
     """VECTORIZED form of running ``count_doc_ngrams`` over every doc of a
-    batch (multiset-identical — equality-tested): one flat 4-padded token
+    batch (multiset-identical — pinned by
+    tests/test_search.py::test_windowed_gram_counts_equals_per_doc): one
+    flat 4-padded token
     array ([<s>×4, toks…, </s>] per doc; the n<4 paddings are suffixes of
     it), window gathers by index arithmetic, elementwise '\\x1f' joins,
     hash-based value_counts. ``toks`` is the batch's flat token array,
@@ -186,8 +191,6 @@ def build_ngram_lm(docs: "ray.data.Dataset", text_cols: list[str] = ("name", "ad
     from ..functions.tokenize import tokenize_array
 
     def tokens_per_doc(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         cols = [
             pc.coalesce(pc.cast(batch.column(c), pa.string()), pa.scalar("", pa.string()))
             for c in text_cols

@@ -255,3 +255,47 @@ def test_street_grid_equals_bruteforce():
     # one street total (1x1 grid), points far away
     g1 = StreetGrid(s_lat[:1], s_lon[:1])
     np.testing.assert_array_equal(g1.nearest(p_lat, p_lon), np.zeros(len(p_lat), np.int64))
+
+
+def test_street_grid_degree_quirk_latitudes():
+    """Regression: the equirect metric feeds DEGREES into cos, so its lon
+    factor cos(0.5(lat1+lat2)) vanishes near lat ≈ ±1.5708° (π/2 in degree
+    units — Singapore/Sumatra band). The ring-pruning bound must not assume
+    cos(radians(lat)) ≈ 1 there, or the walk stops early and returns a
+    non-nearest street (r3 code-review finding, 50/300 wrong at lat 1.5708)."""
+    from osm_search_ray.functions.geometry import equirect_approx
+    from osm_search_ray.pipelines.ingest import StreetGrid
+
+    rng = np.random.default_rng(7)
+    for center in (1.5708, 4.7124, -1.5708, 0.0):  # cos zeros in deg units + equator
+        s_lat = center + rng.uniform(-0.05, 0.05, 2000)
+        s_lon = 103.8 + rng.uniform(-0.5, 0.5, 2000)
+        p_lat = center + rng.uniform(-0.02, 0.02, 300)
+        p_lon = 103.8 + rng.uniform(-0.5, 0.5, 300)
+        d = equirect_approx(p_lat[:, None], p_lon[:, None], s_lat[None, :], s_lon[None, :])
+        expect = np.argmin(d, axis=1)
+        got = StreetGrid(s_lat, s_lon).nearest(p_lat, p_lon)
+        np.testing.assert_array_equal(got, expect, err_msg=f"center lat {center}")
+
+
+def test_interval_abs_cos_min():
+    import math
+
+    from osm_search_ray.pipelines.ingest import StreetGrid
+
+    f = StreetGrid._interval_abs_cos_min
+    assert f(0.0, 0.0) == 1.0
+    assert f(1.0, 2.0) == 0.0  # contains pi/2
+    assert f(4.0, 5.0) == 0.0  # contains 3pi/2
+    assert f(-2.0, -1.0) == 0.0  # contains -pi/2
+    assert f(0.0, 4.0) == 0.0  # wider than pi
+    assert math.isclose(f(0.2, 0.9), min(abs(math.cos(0.2)), abs(math.cos(0.9))))
+    assert math.isclose(f(2.0, 4.0), min(abs(math.cos(2.0)), abs(math.cos(4.0))))  # straddles pi (no zero)
+    # brute-force cross-check on random zero-free and zero-containing intervals
+    rng = np.random.default_rng(3)
+    for _ in range(200):
+        lo = float(rng.uniform(-10, 10))
+        hi = lo + float(rng.uniform(0, 5))
+        grid = np.linspace(lo, hi, 2001)
+        brute = float(np.abs(np.cos(grid)).min())
+        assert f(lo, hi) <= brute + 1e-9

@@ -31,3 +31,33 @@ def test_pack_sequences_invariants():
     # windows are dense from 0
     w = out["window_id"].to_numpy()
     assert w.min() == 0 and set(np.diff(np.unique(w))) <= {1}
+
+
+def test_contamination_check_short_trailing_doc(tmp_path):
+    """Regression (r3 code review): a batch whose LAST doc has <3 tokens
+    (zero shingles) crashed np.add.reduceat with an out-of-bounds offset.
+    Also pins the counting semantics against a hand oracle."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_search_ray.pipelines.textops import contamination_check
+
+    # doc 0 (eval: 0 % 97 == 0) defines the eval shingles; doc 1 overlaps on
+    # one shingle occurring twice; docs 2/3 are short (<3 tokens) and LAST.
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "alpha beta gamma delta",
+                "alpha beta gamma zzz alpha beta gamma",
+                "tiny",
+                "",
+            ],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs), tmp_path / "documents.parquet")
+    out = contamination_check(str(tmp_path)).to_pandas()
+    # doc 1: shingles = [abc, bcz?..] -> 'alpha beta gamma' appears twice and
+    # is in eval; others not. docs 2/3: no shingles -> absent from output.
+    assert out.set_index("doc_id")["n_contaminated"].to_dict() == {1: 2}
