@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bm25f_search"] = search_docs.bm25f_docs_search
     q["tfidf_search"] = search_docs.tfidf_docs_search
     q["spell_search"] = search_docs.spell_search_docs  # LM ranking (rows-only)
+    q["spell_store_search"] = search_docs.spell_store_search  # corrected two-field disk path (rows-only)
     q["autocomplete"] = search_docs.autocomplete_docs
     q["lm_doc_scores"] = search_docs.lm_doc_scores  # perplexity quality scoring (rows-only)
     # --- dedup family ---

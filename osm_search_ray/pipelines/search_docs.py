@@ -292,12 +292,13 @@ def bm25_docs_search(sf_dir: str):
     return _finalize_topk(scored, TOP_K)
 
 
-def bm25f_docs_search(sf_dir: str):
+def bm25f_docs_search(sf_dir: str, queries: list[tuple[int, str]] | None = None):
     """BM25_FIELD over (text→name W=20, source→address W=1); NAME_B for both
     fields (searcher.go:299 quirk); query terms WITH duplicates. Output
-    (query_id, doc_id, rank, score_micro)."""
+    (query_id, doc_id, rank, score_micro). ``queries`` overrides
+    FIELD_QUERIES (used by the spell-store twin test)."""
     t2q: list[tuple[str, int]] = []  # duplicates kept
-    for qid, qtext in FIELD_QUERIES:
+    for qid, qtext in queries if queries is not None else FIELD_QUERIES:
         for t in tokenize(qtext):
             t2q.append((t, qid))
     matches, n_docs, len_sums, df_map = _scan_matches(sf_dir, {"text": 0, "source": 1}, [t for t, _ in t2q])
@@ -511,6 +512,7 @@ def _text_store_dir(sf_dir: str, text_cols: dict[str, int] | None = None) -> str
     (writer-parity unit-tested), so the read path below is regime-blind."""
     import hashlib
     import os
+    import shutil
 
     from .text_index import build_text_index, build_text_index_ds, save_text_index, save_text_index_ds
 
@@ -528,8 +530,14 @@ def _text_store_dir(sf_dir: str, text_cols: dict[str, int] | None = None) -> str
                 save_text_index(build_text_index(ds, text_cols=text_cols), out_dir)
             else:
                 save_text_index_ds(build_text_index_ds(ds, text_cols=text_cols), out_dir)
+        # hold ONE corpus at a time (any field-sets) — and reclaim the
+        # evicted stores' on-disk directories, or stale index trees
+        # (comparable in size to their corpus) pile up under /tmp as test
+        # data is regenerated (r3 code review)
         for k in [k for k in _STORE_CACHE if k[:2] != key[:2]]:
-            del _STORE_CACHE[k]  # hold ONE corpus at a time (any field-sets)
+            if _STORE_CACHE[k] != out_dir:
+                shutil.rmtree(_STORE_CACHE[k], ignore_errors=True)
+            del _STORE_CACHE[k]
         _STORE_CACHE[key] = out_dir
     return _STORE_CACHE[key]
 
@@ -607,6 +615,26 @@ SPELL_QUERIES: list[tuple[int, str]] = [
     (3, "fsst sloow"),
     (4, "batcj stream vectr"),
 ]
+
+
+def spell_store_search(sf_dir: str):
+    """Spell-corrected TWO-FIELD search served from the ON-DISK store — the
+    reference's full resident flow in one pipeline (FreeFormQuery,
+    searcher.go:150-246): typo'd query → OOV Levenshtein candidates ranked
+    by the 4-gram stupid-backoff LM (T4/T5; state built once per process
+    via _lm_state) → BM25F field scoring (text→name W=20, source→address
+    W=1) over pruned point reads from the term-bucketed index store.
+
+    The corrector's vocabulary/LM come from the ``text`` field (the corpus
+    prose); corrected terms then score against BOTH stored fields. Rows-only
+    driver check (LM correction is not SQL-expressible); pinned by unit
+    test to the corpus-scan twin ``bm25f_docs_search`` run on the same
+    corrected queries. Output (query_id, doc_id, rank, score_micro)."""
+    from .scoring import score_bm25_field
+
+    _, sc = _lm_state(sf_dir)
+    term_lists = [(qid, sc.correct_query(tokenize(qtext))) for qid, qtext in SPELL_QUERIES]
+    return _store_search(sf_dir, {"text": 0, "source": 1}, term_lists, score_bm25_field)
 
 
 def spell_search_docs(sf_dir: str):

@@ -133,6 +133,29 @@ class TestScoring:
 
 
 class TestNGramLM:
+    def test_windowed_gram_counts_equals_per_doc(self):
+        """The vectorized window counter both Ray LM paths use must be
+        multiset-identical to the per-doc reference form count_doc_ngrams
+        (r3 code review: the claimed parity had no test). Covers empty docs,
+        1-token docs, repeated tokens, and an all-empty batch."""
+        from osm_search_ray.state.lm import count_doc_ngrams, windowed_gram_counts
+
+        rng = np.random.default_rng(5)
+        vocab = [f"w{i}" for i in range(9)]
+        docs = [list(rng.choice(vocab, size=int(n))) for n in rng.integers(0, 12, 60)]
+        docs += [[], ["solo"], ["a", "a", "a"]]
+        expect: dict = {}
+        for d in docs:
+            count_doc_ngrams(expect, d)
+        flat = np.array([t for d in docs for t in d], dtype=object)
+        counts = np.array([len(d) for d in docs], dtype=np.int64)
+        ns, gs, cs = windowed_gram_counts(flat, counts)
+        got = {(int(n), g): int(c) for n, g, c in zip(ns, gs, cs)}
+        assert got == expect
+        # all-empty batch
+        ns, gs, cs = windowed_gram_counts(np.empty(0, object), np.zeros(0, np.int64))
+        assert len(ns) == 0 and len(gs) == 0 and len(cs) == 0
+
     def test_counts_match_reference_fixture(self):
         """pkg/searcher/ngram_lm_test.go:46-115 with 0→<s>, 1→</s>."""
         docs = [["3", "4", "5"], ["6", "5", "5", "5", "5"], ["11", "12", "6", "6", "6"]]
@@ -614,6 +637,24 @@ class TestStoreSearchTwins:
             a = scan_fn(sf).reset_index(drop=True)
             b = store_fn(sf).reset_index(drop=True)
             pd.testing.assert_frame_equal(a, b)
+
+    def test_spell_store_equals_corrected_scan(self):
+        """spell_store_search (correct → two-field store BM25F) must equal
+        the corpus-scan twin run on the SAME corrected queries — pins the
+        whole corrected-query disk path to an independent implementation
+        (scan + _scan_matches vs store + point_query_store)."""
+        from osm_search_ray.functions.tokenize import tokenize
+        from osm_search_ray.pipelines import search_docs as sd
+
+        sf = "/root/testdata/sf0.001"
+        _, sc = sd._lm_state(sf)
+        corrected = [(qid, " ".join(sc.correct_query(tokenize(q)))) for qid, q in sd.SPELL_QUERIES]
+        # corrections must do something at this corpus (typos are seeded
+        # from in-vocab QUERIES terms) — otherwise the twin test is vacuous
+        assert any(c != q for (_, c), (_, q) in zip(corrected, sd.SPELL_QUERIES))
+        a = sd.bm25f_docs_search(sf, queries=corrected).reset_index(drop=True)
+        b = sd.spell_store_search(sf).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
 
 
 class TestLmDocScores:
