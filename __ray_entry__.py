@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["postings_lists"] = textops.postings_lists
     q["image_features"] = textops.image_features  # multimodal plumbing (rows-only)
     q["contamination_check"] = textops.contamination_check  # benchmark decontamination
+    q["top_terms"] = textops.top_terms_sketch  # Misra-Gries candidates + exact verify pass
     # --- training-data prep (deterministic split, sequence packing) ---
     from osm_search_ray.pipelines import traindata
 
@@ -96,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["approx_distinct_users"] = ev.approx_distinct_users  # HLL sketch (rows-only)
     q["events_median"] = ev.events_median  # exact distributed median (bounded-domain histogram)
     q["events_quantiles"] = ev.events_quantiles  # exact p50/p90/p99, one histogram pass
+    q["price_quantiles_tdigest"] = relational.price_quantiles_tdigest  # t-digest sketch (rows-only)
     q["users_view_no_purchase"] = ev.users_view_no_purchase  # anti-join (NOT EXISTS)
     # --- geofencing (J6) ---
     from osm_search_ray.pipelines import geofence_pipeline
@@ -189,6 +191,7 @@ SELECT query_id, doc_id, rank FROM scored WHERE rank = 1
     sql["bigram_counts"] = textops.SQL_BIGRAM_COUNTS
     sql["postings_lists"] = textops.SQL_POSTINGS_LISTS
     sql["contamination_check"] = textops.SQL_CONTAMINATION_CHECK
+    sql["top_terms"] = textops.SQL_TOP_TERMS
     from osm_search_ray.pipelines import search_docs
 
     sql["bm25_search"] = search_docs.SQL_BM25_DOCS_SEARCH

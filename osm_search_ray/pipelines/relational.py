@@ -274,3 +274,62 @@ def doc_lookup(sf_dir: str):
 SQL_DOC_LOOKUP = """
 SELECT doc_id, lang, n_chars FROM documents WHERE doc_id IN (1, 7, 42, 99, 365)
 """
+
+
+def price_quantiles_tdigest(sf_dir: str, delta: int = 200):
+    """(l_returnflag, n_rows, p50_milli, p90_milli, p99_milli) — APPROXIMATE
+    per-group quantiles of l_extendedprice via mergeable t-digests
+    (stages/sketches.py): one corpus pass emits per-(batch, group) centroid
+    partials (≤ delta rows each), a tiny |groups|-ary groupby merges and
+    reads the quantiles out. CONSTANT sketch size on unbounded/continuous
+    domains — the complement of events.py's exact bounded-domain
+    histograms, which stay exact but grow with |distinct values|.
+
+    Rows-only driver check (the estimate is batch-split-dependent);
+    accuracy (rank error ≤ ~1/delta after merging) and merge-invariance
+    are pinned in tests/test_functions.py."""
+    from ..stages.sketches import tdigest_from_values, tdigest_merge, tdigest_quantiles
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": batch.column("l_returnflag").to_pandas(),
+                "v": batch.column("l_extendedprice").to_numpy(),
+            }
+        )
+        gs, ms, ws = [], [], []
+        for g, sub in df.groupby("g", sort=False):
+            m, w = tdigest_from_values(sub["v"].to_numpy(), delta=delta)
+            gs.append(np.full(len(m), g, dtype=object))
+            ms.append(m)
+            ws.append(w)
+        return pa.table(
+            {
+                "l_returnflag": pa.array(np.concatenate(gs), pa.string()),
+                "mean": pa.array(np.concatenate(ms), pa.float64()),
+                "weight": pa.array(np.concatenate(ws), pa.float64()),
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        m, w = tdigest_merge([(g["mean"].to_numpy(), g["weight"].to_numpy())], delta=delta)
+        q = tdigest_quantiles(m, w, [0.5, 0.9, 0.99])
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "n_rows": np.int64(round(w.sum())),
+                "p50_milli": np.int64(round(q[0] * 1000)),
+                "p90_milli": np.int64(round(q[1] * 1000)),
+                "p99_milli": np.int64(round(q[2] * 1000)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .map_groups(finish, batch_format="pandas")
+    )

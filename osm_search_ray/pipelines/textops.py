@@ -361,3 +361,110 @@ FROM grams t JOIN eval_g e USING (g)
 WHERE t.doc_id % {EVAL_MOD} <> 0
 GROUP BY 1
 """
+
+
+TOP_TERMS_K = 25
+TOP_TERMS_WIDTH = 4096
+
+
+def top_terms_sketch(sf_dir: str, k: int = TOP_TERMS_K, width: int = TOP_TERMS_WIDTH):
+    """(rank, term, n) — EXACT top-k most frequent tokens, found the
+    sketch-first way a 100 TB corpus requires: a Misra-Gries candidate pass
+    (per-batch count summaries reduced to ``width`` entries, merged by
+    groupby-sum + a final reduce — stages/sketches.py mg_*) bounds the
+    candidate set to ≤ width terms, then ONE exact counting pass restricted
+    to the broadcast candidates yields true counts. A direct
+    groupby(term).count() would shuffle |vocab| rows (10⁸⁺ terms at web
+    scale); here the shuffles carry ≤ width·n_batches summary rows and
+    ≤ width final counts.
+
+    The output is provably exact (not approximate): MG guarantees every
+    term with true count > N/(width+1) survives to the candidate set, and
+    the pipeline asserts the k-th candidate count clears that threshold —
+    so no non-candidate can belong in the top-k. Ordered by
+    (n DESC, term ASC); SQL-oracle-checked."""
+    from ..stages.sketches import mg_reduce
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        toks, _ = tokenize_array(batch.column("text").to_pylist())
+        vc = pd.Series(toks).value_counts(sort=False)
+        it, ct = mg_reduce(vc.index.to_numpy(dtype=object), vc.to_numpy(np.int64), width)
+        if len(it) < len(vc):  # reduction happened — flag via the "" sentinel
+            it = np.concatenate([it, [""]])
+            ct = np.concatenate([ct, [1]])
+        return pa.table({"term": pa.array(it.tolist(), pa.string()), "est": pa.array(ct, pa.int64())})
+
+    # survivor-union groupby: cardinality ≤ min(|vocab|, width·n_batches) —
+    # already a tiny fraction of the corpus; the final reduce to ≤ width
+    # entries is a top-(width+1) selection (distributable; driver-side here
+    # because the summed summary is KB-scale)
+    summed = (
+        ds.map_batches(mg_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("est", alias_name="est"))
+        .to_pandas()
+    )
+    reduced = bool((summed["term"] == "").any())  # any per-batch reduction?
+    summed = summed[summed["term"] != ""]
+    reduced = reduced or len(summed) > width
+    cand_terms, _ = mg_reduce(
+        summed["term"].to_numpy(dtype=object), summed["est"].to_numpy(np.int64), width
+    )
+    cand_ref = ray.put(pd.Index(np.sort(cand_terms)))
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        toks, _ = tokenize_array(batch.column("text").to_pylist())
+        n_batch = len(toks)
+        if n_batch:
+            s = pd.Series(toks)
+            vc = s[s.isin(cand)].value_counts(sort=False)
+        else:
+            vc = pd.Series(dtype=np.int64)
+        t = vc.index.to_numpy(dtype=object)
+        return pa.table(
+            {
+                "term": pa.array(np.concatenate([t, [""]]).tolist(), pa.string()),
+                "n": pa.array(np.concatenate([vc.to_numpy(np.int64), [n_batch]])),
+            }
+        )
+
+    counts = (
+        ds.map_batches(exact_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ width + 1 rows
+    )
+    n_total = int(counts.loc[counts["term"] == "", "n"].iloc[0])
+    counts = counts[counts["term"] != ""]
+    top = counts.sort_values(["n", "term"], ascending=[False, True], kind="mergesort").head(k)
+    kth = int(top["n"].iloc[-1]) if len(top) >= k else 0
+    # exactness certificate: valid if NOTHING was ever reduced (candidates
+    # are the full exact vocabulary), or the k-th candidate count beats the
+    # MG survival threshold N/(width+1) every non-candidate is under. A
+    # len(top) < k result after any reduction is NOT certifiable either —
+    # dropped terms could fill the missing places.
+    if reduced and (len(top) < k or kth <= n_total / (width + 1)):
+        raise ValueError(
+            f"top-{k} not certifiably exact: kth count {kth} ≤ N/(width+1) "
+            f"= {n_total / (width + 1):.1f}; increase width"
+        )
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+            "term": top["term"].to_numpy(dtype=object),
+            "n": top["n"].to_numpy(np.int64),
+        }
+    )
+
+
+SQL_TOP_TERMS = f"""
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term ASC) AS BIGINT) AS rank,
+       term, COUNT(*) AS n
+FROM (SELECT unnest({SQL_TOKENIZE.format(col='text')}) AS term FROM documents)
+GROUP BY term
+ORDER BY n DESC, term ASC
+LIMIT {TOP_TERMS_K}
+"""

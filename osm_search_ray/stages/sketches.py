@@ -77,3 +77,97 @@ def approx_distinct(ds: "ray.data.Dataset", col: str, p: int = 12) -> float:
         for s in b.column("sketch").to_pylist():
             merged = hll_merge(merged, np.frombuffer(s, dtype=np.uint8))
     return hll_estimate(merged)
+
+
+# --------------------------------------------------------------------------
+# t-digest (Dunning & Ertl, "Computing extremely accurate quantiles using
+# t-digests") — the merging variant with the k1 scale function, fully
+# vectorized: items are clustered by bucketing their mid-quantiles through
+# k(q) = (delta / 2π) · asin(2q − 1), so tail buckets are narrow (rank error
+# shrinks toward q→0/1) and the digest size is bounded by ~delta centroids.
+# Mergeable: a digest of digests re-buckets the centroid means by the same
+# rule. Unlike the exact bounded-domain histograms (pipelines/events.py),
+# this stays CONSTANT-size on unbounded/continuous domains.
+# --------------------------------------------------------------------------
+
+
+def tdigest_from_values(values: np.ndarray, weights: np.ndarray | None = None, delta: int = 200):
+    """Compress (values, weights) into t-digest centroids (means, weights).
+
+    Vectorized k1 clustering: sort, take each item's mid-quantile
+    q_mid = (cum − w/2) / total, bucket by floor(k1(q_mid)), weighted-mean
+    per bucket. Deterministic for a given input multiset."""
+    v = np.asarray(values, np.float64)
+    w = np.ones(len(v)) if weights is None else np.asarray(weights, np.float64)
+    keep = w > 0
+    v, w = v[keep], w[keep]
+    if len(v) == 0:
+        return np.empty(0, np.float64), np.empty(0, np.float64)
+    order = np.argsort(v, kind="mergesort")
+    v, w = v[order], w[order]
+    total = w.sum()
+    qmid = (np.cumsum(w) - 0.5 * w) / total
+    k = np.floor(delta / (2 * np.pi) * np.arcsin(np.clip(2.0 * qmid - 1.0, -1.0, 1.0)) + delta / 4.0)
+    # group consecutive equal bucket ids (k is non-decreasing)
+    new = np.concatenate([[True], k[1:] != k[:-1]])
+    gid = np.cumsum(new) - 1
+    n = int(gid[-1]) + 1
+    wsum = np.bincount(gid, weights=w, minlength=n)
+    means = np.bincount(gid, weights=v * w, minlength=n) / wsum
+    return means, wsum
+
+
+def tdigest_merge(parts: list[tuple[np.ndarray, np.ndarray]], delta: int = 200):
+    """Merge digests by re-clustering the union of centroids (means carry
+    their weights). Result size stays ≤ ~delta regardless of fan-in."""
+    if not parts:
+        return np.empty(0, np.float64), np.empty(0, np.float64)
+    m = np.concatenate([p[0] for p in parts])
+    w = np.concatenate([p[1] for p in parts])
+    return tdigest_from_values(m, w, delta)
+
+
+def tdigest_quantiles(means: np.ndarray, weights: np.ndarray, qs) -> np.ndarray:
+    """Quantile estimates by linear interpolation between centroid
+    mid-ranks (the standard t-digest read-out)."""
+    qs = np.atleast_1d(np.asarray(qs, np.float64))
+    if len(means) == 0:
+        return np.full(len(qs), np.nan)
+    if len(means) == 1:
+        return np.full(len(qs), means[0])
+    total = weights.sum()
+    mid = np.cumsum(weights) - 0.5 * weights
+    return np.interp(qs * total, mid, means, left=means[0], right=means[-1])
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters — the MERGEABLE-summaries form (Agarwal et al.,
+# "Mergeable summaries", PODS'12): a partial summary is an exact (or
+# already-reduced) count vector; summaries merge by summing counts and
+# reducing back to width w (subtract the (w+1)-th largest count, drop ≤0).
+# Guarantee after any merge tree: every item keeps
+#   true_count ≥ est ≥ true_count − N/(w+1),
+# so every item with true_count > N/(w+1) SURVIVES — the candidate set for
+# an exact second pass.
+# --------------------------------------------------------------------------
+
+
+def mg_reduce(items: np.ndarray, counts: np.ndarray, width: int):
+    """Reduce a count summary to ≤ width entries (Misra-Gries decrement)."""
+    counts = np.asarray(counts, np.int64)
+    if len(items) <= width:
+        return items, counts
+    kth = np.partition(counts, len(counts) - width - 1)[len(counts) - width - 1]
+    c = counts - kth
+    keep = c > 0
+    return items[keep], c[keep]
+
+
+def mg_merge(parts: list[tuple[np.ndarray, np.ndarray]], width: int):
+    """Merge partial summaries: concat → sum per item → reduce to width."""
+    if not parts:
+        return np.empty(0, object), np.empty(0, np.int64)
+    it = np.concatenate([p[0] for p in parts])
+    ct = np.concatenate([p[1] for p in parts])
+    s = pd.Series(ct).groupby(pd.Series(it), sort=False).sum()
+    return mg_reduce(s.index.to_numpy(dtype=object), s.to_numpy(np.int64), width)

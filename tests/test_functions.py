@@ -1,6 +1,7 @@
 """Unit tests for the pure kernels (no Ray needed)."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from osm_search_ray.functions import cells, geometry, hashing, tokenize
@@ -272,3 +273,130 @@ class TestDestinationPoint:
         # arbitrary bearing: the haversine distance back to start matches
         la, lo = geometry.destination_point(-6.2, 106.8, 37.0, 42.0)
         assert abs(float(geometry.haversine_km(-6.2, 106.8, la, lo)) - 42.0) < 1e-6
+
+
+class TestTDigest:
+    def test_accuracy_and_merge_invariance(self):
+        """Rank error of the k1-clustered t-digest stays ≤ ~2/delta at the
+        probed quantiles, on one digest AND on a 37-way merge of per-chunk
+        digests (the map_batches partial → merge shape), with total weight
+        conserved and size bounded."""
+        from osm_search_ray.stages.sketches import (
+            tdigest_from_values,
+            tdigest_merge,
+            tdigest_quantiles,
+        )
+
+        rng = np.random.default_rng(0)
+        x = rng.lognormal(3, 1, 200_000)
+        xs = np.sort(x)
+        qs = np.array([0.01, 0.25, 0.5, 0.75, 0.9, 0.99])
+        for m, w in (
+            tdigest_from_values(x),
+            tdigest_merge([tdigest_from_values(c) for c in np.array_split(x, 37)]),
+        ):
+            assert len(m) <= 220  # ~delta centroids
+            assert w.sum() == pytest.approx(len(x))
+            est = tdigest_quantiles(m, w, qs)
+            rank = np.searchsorted(xs, est) / len(xs)
+            assert np.abs(rank - qs).max() <= 0.01
+
+    def test_degenerate_inputs(self):
+        from osm_search_ray.stages.sketches import tdigest_from_values, tdigest_quantiles
+
+        m, w = tdigest_from_values(np.array([]))
+        assert len(m) == 0 and np.isnan(tdigest_quantiles(m, w, [0.5])[0])
+        m, w = tdigest_from_values(np.array([7.0]))
+        assert tdigest_quantiles(m, w, [0.0, 0.5, 1.0]).tolist() == [7.0, 7.0, 7.0]
+        # all-identical values collapse to few centroids, quantiles exact
+        m, w = tdigest_from_values(np.full(1000, 3.5))
+        assert np.allclose(tdigest_quantiles(m, w, [0.1, 0.9]), 3.5)
+
+
+class TestMisraGries:
+    def test_merge_guarantee(self):
+        """Mergeable-summaries bound: after per-chunk reduce + merge, every
+        item keeps true ≥ est ≥ true − N/(w+1), so all heavy hitters
+        (true > N/(w+1)) survive to the candidate set."""
+        from osm_search_ray.stages.sketches import mg_merge, mg_reduce
+
+        rng = np.random.default_rng(1)
+        p = 1.0 / np.arange(1, 5001) ** 1.1
+        toks = rng.choice([f"t{i}" for i in range(5000)], p=p / p.sum(), size=300_000)
+        true = pd.Series(toks).value_counts()
+        W = 256
+        parts = []
+        for c in np.array_split(toks, 23):
+            vc = pd.Series(c).value_counts(sort=False)
+            parts.append(mg_reduce(vc.index.to_numpy(dtype=object), vc.to_numpy(np.int64), W))
+        it, ct = mg_merge(parts, W)
+        assert len(it) <= W
+        est = pd.Series(ct, index=it)
+        n = len(toks)
+        heavy = set(true[true > n / (W + 1)].index)
+        assert heavy <= set(it)
+        diff = true[est.index] - est
+        assert (diff >= 0).all() and diff.max() <= n / (W + 1)
+
+
+def test_top_terms_sketch_exact_and_certificate(tmp_path):
+    """top_terms_sketch == exact pandas top-k on a skewed corpus (small
+    width exercises real MG reduction), and the exactness certificate
+    raises when width is too small to prove the result."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_search_ray.functions.tokenize import tokenize_array
+    from osm_search_ray.pipelines.textops import top_terms_sketch
+
+    rng = np.random.default_rng(2)
+    p = 1.0 / np.arange(1, 401) ** 1.2
+    vocab = [f"w{i}" for i in range(400)]
+    texts = [" ".join(rng.choice(vocab, p=p / p.sum(), size=40)) for _ in range(300)]
+    pq.write_table(pa.table({"doc_id": pa.array(range(300)), "text": pa.array(texts)}), tmp_path / "documents.parquet")
+    got = top_terms_sketch(str(tmp_path), k=10, width=128)
+    toks, _ = tokenize_array(texts)
+    vc = pd.Series(toks).value_counts()
+    exact = (
+        pd.DataFrame({"term": vc.index, "n": vc.to_numpy()})
+        .sort_values(["n", "term"], ascending=[False, True], kind="mergesort")
+        .head(10)
+        .reset_index(drop=True)
+    )
+    assert got["term"].tolist() == exact["term"].tolist()
+    assert got["n"].tolist() == exact["n"].tolist()
+    assert got["rank"].tolist() == list(range(1, 11))
+    # near-uniform corpus + tiny width → kth count below N/(w+1): must refuse
+    flat = [" ".join(rng.choice([f"u{i}" for i in range(2000)], size=40)) for _ in range(100)]
+    pq.write_table(pa.table({"doc_id": pa.array(range(100)), "text": pa.array(flat)}), tmp_path / "documents.parquet")
+    with pytest.raises(ValueError, match="not certifiably exact"):
+        top_terms_sketch(str(tmp_path), k=10, width=2)
+    # vocab smaller than k and width: nothing reduced → exact short result
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1]), "text": pa.array(["a b a", "b a c"])}),
+        tmp_path / "documents.parquet",
+    )
+    tiny = top_terms_sketch(str(tmp_path), k=10, width=64)
+    assert tiny["term"].tolist() == ["a", "b", "c"] and tiny["n"].tolist() == [3, 2, 1]
+
+
+def test_price_quantiles_tdigest_accuracy():
+    """Rows-only driver query oracle: each group's t-digest estimates must
+    land within rank error 0.01 of the group's exact value distribution."""
+    import pyarrow.parquet as pq
+
+    from osm_search_ray.pipelines.relational import price_quantiles_tdigest
+
+    sf = "/root/testdata/sf0.001"
+    got = price_quantiles_tdigest(sf).to_pandas().set_index("l_returnflag")
+    li = pq.read_table(
+        f"{sf}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    ).to_pandas()
+    for flag, sub in li.groupby("l_returnflag"):
+        xs = np.sort(sub["l_extendedprice"].to_numpy())
+        row = got.loc[flag]
+        assert row["n_rows"] == len(xs)
+        for col, q in (("p50_milli", 0.5), ("p90_milli", 0.9), ("p99_milli", 0.99)):
+            est = row[col] / 1000.0
+            rank = np.searchsorted(xs, est) / len(xs)
+            assert abs(rank - q) <= 0.01, (flag, col, rank)
