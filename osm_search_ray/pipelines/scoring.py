@@ -41,74 +41,132 @@ NAME_B = 0.95
 ADDRESS_B = 0.3  # defined in the reference but unused due to the :299 quirk
 
 
+def _col(p, name: str) -> np.ndarray:
+    """Postings column as numpy — ``p`` is a pandas frame (batch pipelines,
+    store reads) or a dict of numpy arrays (SearchCore's zero-copy serving
+    gather); both carry the same columns in the same row order."""
+    c = p[name]
+    return c if isinstance(c, np.ndarray) else c.to_numpy()
+
+
+def _nrows(p) -> int:
+    return len(p["term_id"]) if isinstance(p, dict) else len(p)
+
+
+def _group_sum_by_doc(doc: np.ndarray, contrib: np.ndarray) -> pd.Series:
+    """groupby(doc).sum() as numpy: groups in ascending doc order, addition
+    within a group in the rows' ORIGINAL order — the exact accumulation
+    order pandas' cython groupby uses, so the float results are
+    bit-identical to the frame form this replaced (serving fast path;
+    gated by the store-search oracle hashes and TestScoring)."""
+    o = np.argsort(doc, kind="stable")
+    d_o, c_o = doc[o], contrib[o]
+    starts = np.concatenate([[0], np.nonzero(d_o[1:] != d_o[:-1])[0] + 1])
+    return pd.Series(np.add.reduceat(c_o, starts), index=pd.Index(d_o[starts], name="doc_id"))
+
+
+def _query_term_counts(query_term_ids: list[int]) -> tuple[np.ndarray, np.ndarray]:
+    qt, qn = np.unique(np.asarray(query_term_ids, dtype=np.int64), return_counts=True)
+    return qt, qn
+
+
 def score_bm25_field(p: pd.DataFrame, query_term_ids: list[int], g: dict) -> pd.Series:
     """p: postings rows for the query's terms. query_term_ids WITH duplicates
     (a repeated query term contributes per occurrence — applied here as a
     multiplicity factor, exact for ×2/×4 and within one ulp otherwise).
-    Fully vectorized: one array pass + one groupby-sum (VERDICT r01: the
-    per-(doc, contrib) dict loops)."""
+    Pure numpy (the serving hot path runs this per request — the pandas
+    small-frame form cost ~5 ms/query in fixed overhead)."""
     n = float(g["docs_count"])
-    if len(p) == 0:
+    if _nrows(p) == 0:
         return pd.Series(dtype=np.float64)
-    qc = pd.Series(query_term_ids).value_counts()
-    rows = p[p["term_id"].isin(qc.index)]
-    if len(rows) == 0:
+    qt, qn = _query_term_counts(query_term_ids)
+    tid_all = _col(p, "term_id")
+    doc_all = _col(p, "doc_id")
+    sel = np.isin(tid_all, qt)
+    if not sel.any():
         return pd.Series(dtype=np.float64)
-    df_by_term = p.groupby("term_id")["doc_id"].nunique()
-    dfv = rows["term_id"].map(df_by_term).to_numpy(dtype=np.float64)
+    # df per term over ALL of p (distinct docs across both fields)
+    po = np.lexsort((doc_all, tid_all))
+    t_s, d_s = tid_all[po], doc_all[po]
+    new_pair = np.concatenate([[1], ((t_s[1:] != t_s[:-1]) | (d_s[1:] != d_s[:-1])).astype(np.int64)])
+    ut, t_start = np.unique(t_s, return_index=True)
+    df_per_t = np.add.reduceat(new_pair, t_start)
+    tid, doc = tid_all[sel], doc_all[sel]
+    dfv = df_per_t[np.searchsorted(ut, tid)].astype(np.float64)
     idf = np.log10(n - dfv + 0.5) - np.log10(dfv + 0.5)
-    is_name = rows["field"].to_numpy() == FIELD_NAME
+    is_name = _col(p, "field")[sel] == FIELD_NAME
     weight = np.where(is_name, NAME_WEIGHT, ADDRESS_WEIGHT)
     avg_len = np.where(is_name, g["avg_name_len"], g["avg_address_len"])
-    flen = np.where(
-        is_name, rows["name_len"].to_numpy(dtype=np.float64), rows["address_len"].to_numpy(dtype=np.float64)
-    )
-    tf = rows["tf"].to_numpy(dtype=np.float64)
+    flen = np.where(is_name, _col(p, "name_len")[sel], _col(p, "address_len")[sel]).astype(np.float64)
+    tf = _col(p, "tf")[sel].astype(np.float64)
     # NAME_B used for BOTH fields (reference searcher.go:299 quirk)
     wtd = weight * (tf / (1.0 + NAME_B * ((flen / avg_len) - 1.0)))
-    contrib = (wtd / (K1_BM25F + wtd)) * idf * rows["term_id"].map(qc).to_numpy(dtype=np.float64)
-    return rows.assign(__c=contrib).groupby("doc_id")["__c"].sum().astype(np.float64)
+    contrib = (wtd / (K1_BM25F + wtd)) * idf * qn[np.searchsorted(qt, tid)].astype(np.float64)
+    return _group_sum_by_doc(doc, contrib)
+
+
+def _merge_fields(p: pd.DataFrame):
+    """p.groupby([term_id, doc_id]) as numpy: returns (tid, doc, tf_sum,
+    total_len_first) in ascending (term_id, doc_id) order — the same row
+    order pandas' sorted groupby emits, so downstream float accumulation
+    order is unchanged. lexsort is stable, so 'first' is the original-order
+    first."""
+    tid_all = _col(p, "term_id")
+    doc_all = _col(p, "doc_id")
+    po = np.lexsort((doc_all, tid_all))
+    t_s, d_s = tid_all[po], doc_all[po]
+    starts = np.concatenate([[0], np.nonzero((t_s[1:] != t_s[:-1]) | (d_s[1:] != d_s[:-1]))[0] + 1])
+    tf_sum = np.add.reduceat(_col(p, "tf")[po], starts)
+    tl_first = _col(p, "total_len")[po][starts]
+    return t_s[starts], d_s[starts], tf_sum, tl_first
+
+
+def _sizes_per_term(m_tid: np.ndarray):
+    """(unique_terms_sorted, group_size) over the merged (tid, doc) rows —
+    df per term when each (term, doc) pair is one row."""
+    ut, t_start = np.unique(m_tid, return_index=True)
+    return ut, np.diff(np.append(t_start, len(m_tid)))
 
 
 def score_bm25_plus(p: pd.DataFrame, query_term_ids: list[int], g: dict) -> pd.Series:
     """Fields merged (D3); distinct query terms only (map-iteration semantics)."""
     n = float(g["docs_count"])
     avg = g["avg_total_len"]
-    merged = (
-        p.groupby(["term_id", "doc_id"])
-        .agg(tf=("tf", "sum"), total_len=("total_len", "first"))
-        .reset_index()
-    )
-    tids = list(dict.fromkeys(query_term_ids))  # dedup (map-iteration semantics)
-    rows = merged[merged["term_id"].isin(tids)]
-    if len(rows) == 0:
+    if _nrows(p) == 0:
         return pd.Series(dtype=np.float64)
-    df_by_term = merged.groupby("term_id").size()
-    dfv = rows["term_id"].map(df_by_term).to_numpy(dtype=np.float64)
+    m_tid, m_doc, m_tf, m_tl = _merge_fields(p)
+    tids = np.asarray(list(dict.fromkeys(query_term_ids)), dtype=np.int64)
+    sel = np.isin(m_tid, tids)
+    if not sel.any():
+        return pd.Series(dtype=np.float64)
+    ut, sizes = _sizes_per_term(m_tid)
+    dfv = sizes[np.searchsorted(ut, m_tid[sel])].astype(np.float64)
     idf = np.log10(n + 1.0) - np.log10(dfv)
-    tf = rows["tf"].to_numpy(dtype=np.float64)
-    dl = rows["total_len"].to_numpy(dtype=np.float64)
+    tf = m_tf[sel].astype(np.float64)
+    dl = m_tl[sel].astype(np.float64)
     # numerator (K1+1)+tf — reproduced as written (searcher.go:339-340)
     contrib = idf * (DELTA + ((K1 + 1.0) + tf) / (K1 * (1.0 - B + B * dl / avg) + tf))
-    return rows.assign(__c=contrib).groupby("doc_id")["__c"].sum().astype(np.float64)
+    return _group_sum_by_doc(m_doc[sel], contrib)
 
 
 def score_tfidf_cosine(p: pd.DataFrame, query_term_ids: list[int], g: dict) -> pd.Series:
     """Norms computed but unused (searcher.go:382-399) — raw dot product."""
     n = float(g["docs_count"])
-    qcount = pd.Series(query_term_ids).value_counts()
-    merged = p.groupby(["term_id", "doc_id"]).agg(tf=("tf", "sum")).reset_index()
-    rows = merged[merged["term_id"].isin(qcount.index)]
-    if len(rows) == 0:
+    if _nrows(p) == 0:
         return pd.Series(dtype=np.float64)
-    df_by_term = merged.groupby("term_id").size()
-    dfv = rows["term_id"].map(df_by_term).to_numpy(dtype=np.float64)
+    qt, qn = _query_term_counts(query_term_ids)
+    m_tid, m_doc, m_tf, _ = _merge_fields(p)
+    sel = np.isin(m_tid, qt)
+    if not sel.any():
+        return pd.Series(dtype=np.float64)
+    ut, sizes = _sizes_per_term(m_tid)
+    dfv = sizes[np.searchsorted(ut, m_tid[sel])].astype(np.float64)
     idf = np.log10(n) - np.log10(dfv)
-    tf_q = 1.0 + np.log10(rows["term_id"].map(qcount).to_numpy(dtype=np.float64))
+    tf_q = 1.0 + np.log10(qn[np.searchsorted(qt, m_tid[sel])].astype(np.float64))
     tfidf_q = tf_q * idf
-    tf_d = 1.0 + np.log10(rows["tf"].to_numpy(dtype=np.float64))
+    tf_d = 1.0 + np.log10(m_tf[sel].astype(np.float64))
     contrib = (tf_d * idf) * tfidf_q
-    return rows.assign(__c=contrib).groupby("doc_id")["__c"].sum().astype(np.float64)
+    return _group_sum_by_doc(m_doc[sel], contrib)
 
 
 SCORERS = {
@@ -119,9 +177,16 @@ SCORERS = {
 
 
 def rank_scores(scores: pd.Series, k: int, offset: int = 0) -> pd.DataFrame:
-    """Descending score, ties by ascending doc_id; slice [offset, offset+k)."""
-    df = scores.rename("score").rename_axis("doc_id").reset_index()
-    df = df.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
-    df = df.iloc[offset : offset + k].reset_index(drop=True)
-    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-    return df
+    """Descending score, ties by ascending doc_id; slice [offset, offset+k).
+    numpy lexsort (score desc via sign flip is exact; the tie-break makes
+    the order total, so it matches the old stable pandas mergesort)."""
+    s = scores.to_numpy(dtype=np.float64)
+    d = scores.index.to_numpy()
+    o = np.lexsort((d, -s))[offset : offset + k]
+    return pd.DataFrame(
+        {
+            "doc_id": d[o],
+            "score": s[o],
+            "rank": np.arange(1, len(o) + 1, dtype=np.int64),
+        }
+    )

@@ -31,11 +31,34 @@ class SearchCore:
     — one scoring implementation, two execution shapes."""
 
     def __init__(self, index: TextIndex, corrector=None):
+        import numpy as np
+
         self.vocab = index.vocab()
         self.postings = index.postings
-        self.by_term = self.postings.groupby("term_id")
         self.globals = index.globals
         self.corrector = corrector
+        # serving gather state: postings columns as numpy arrays, STABLY
+        # sorted by term_id so each term is one contiguous slice (original
+        # row order within a term preserved — float accumulation order in
+        # the scorers is unchanged vs the old get_group+concat form)
+        order = np.argsort(self.postings["term_id"].to_numpy(), kind="stable")
+        self._cols = {
+            c: self.postings[c].to_numpy()[order]
+            for c in ("term_id", "doc_id", "field", "tf", "name_len", "address_len", "total_len")
+        }
+        self._sorted_tids = self._cols["term_id"]
+
+    def _gather(self, tids: list[int]) -> dict:
+        """Postings rows for the query's terms as a dict of numpy arrays —
+        per-term contiguous slices concatenated in first-seen query-term
+        order (exactly the row order of the old per-term concat)."""
+        import numpy as np
+
+        t = np.asarray(list(dict.fromkeys(tids)), dtype=np.int64)
+        lo = np.searchsorted(self._sorted_tids, t, side="left")
+        hi = np.searchsorted(self._sorted_tids, t, side="right")
+        idx = np.concatenate([np.arange(a, b) for a, b in zip(lo, hi)]) if len(t) else np.empty(0, np.int64)
+        return {c: v[idx] for c, v in self._cols.items()}
 
     def _terms_of(self, text: str) -> list[int]:
         toks = tokenize(text)
@@ -53,9 +76,7 @@ class SearchCore:
             k = int(row.get("top_k") or 10)
             offset = int(row.get("offset") or 0)
             if tids:
-                frames = [self.by_term.get_group(t) for t in dict.fromkeys(tids) if t in self.by_term.groups]
-                p = pd.concat(frames) if frames else self.postings.iloc[0:0]
-                scores = SCORERS[scoring](p, tids, self.globals)
+                scores = SCORERS[scoring](self._gather(tids), tids, self.globals)
                 ranked = rank_scores(scores, k, offset)
             else:
                 ranked = pd.DataFrame({"doc_id": [], "score": [], "rank": []})
