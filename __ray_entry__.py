@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_quantiles"] = ev.events_quantiles  # exact p50/p90/p99, one histogram pass
     q["price_quantiles_tdigest"] = relational.price_quantiles_tdigest  # t-digest sketch (rows-only)
     q["users_view_no_purchase"] = ev.users_view_no_purchase  # anti-join (NOT EXISTS)
+    q["events_cumulative"] = ev.events_cumulative  # window functions: running sum + LAG gap
     # --- geofencing (J6) ---
     from osm_search_ray.pipelines import geofence_pipeline
 
@@ -214,6 +215,7 @@ SELECT query_id, doc_id, rank FROM scored WHERE rank = 1
     sql["events_median"] = ev.SQL_EVENTS_MEDIAN
     sql["events_quantiles"] = ev.SQL_EVENTS_QUANTILES
     sql["users_view_no_purchase"] = ev.SQL_USERS_VIEW_NO_PURCHASE
+    sql["events_cumulative"] = ev.SQL_EVENTS_CUMULATIVE
     from osm_search_ray.pipelines import geofence_pipeline
 
     sql["geofence_status"] = geofence_pipeline.SQL_GEOFENCE_STATUS

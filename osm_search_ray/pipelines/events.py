@@ -529,3 +529,44 @@ SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_bucket,
        COUNT(*) FILTER (event_type = 'view') AS n_view
 FROM events GROUP BY 1
 """
+
+
+def events_cumulative(sf_dir: str):
+    """WINDOW FUNCTIONS per user: running value sum and LAG time-gap —
+    SUM(...) OVER (PARTITION BY user ORDER BY ts, event_id) and
+    epoch − LAG(epoch) OVER the same window (−1 for the first event).
+    Shape: user-bucketed bounded groups (stages/joins.grouped_apply_bounded,
+    the sessionize discipline) — each user's history sorts and scans inside
+    one partition; the shuffle moves each event once. Exact: values scale
+    to int64 cents BEFORE the cumsum, gaps are integer µs.
+
+    Output (event_id, user_id, cum_value, prev_gap_us)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        v = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        ep = g["ts"].astype("int64").to_numpy()  # µs since epoch
+        gap = np.concatenate([[-1], ep[1:] - ep[:-1]])
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "cum_value": np.cumsum(v),
+                "prev_gap_us": gap,
+            }
+        )
+
+    from ..stages.joins import grouped_apply_bounded
+
+    return grouped_apply_bounded(ds, "user_id", per_user, num_parts=64)
+
+
+SQL_EVENTS_CUMULATIVE = """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS cum_value,
+       COALESCE(CAST(epoch_us(ts) - LAG(epoch_us(ts))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT), -1) AS prev_gap_us
+FROM events
+"""

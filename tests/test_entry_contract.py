@@ -27,9 +27,10 @@ def test_oracle_keys_subset_of_queries():
     # the oracle-less ones are the documented rows-only set
     rows_only = set(q) - set(sql)
     assert rows_only == {
-        "image_features", "spell_search", "autocomplete", "dedup_minhash",
-        "dedup_simhash", "dedup_embedding", "dedup_fingerprint",
+        "image_features", "spell_search", "spell_store_search", "autocomplete",
+        "dedup_minhash", "dedup_simhash", "dedup_embedding", "dedup_fingerprint",
         "approx_distinct_users", "kmeans_clusters", "lm_doc_scores",
+        "price_quantiles_tdigest",
     }, rows_only
 
 
