@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["image_features"] = textops.image_features  # multimodal plumbing (rows-only)
     q["contamination_check"] = textops.contamination_check  # benchmark decontamination
     q["top_terms"] = textops.top_terms_sketch  # Misra-Gries candidates + exact verify pass
+    q["repetition_stats"] = textops.repetition_stats  # boilerplate/repetition quality signal
     # --- training-data prep (deterministic split, sequence packing) ---
     from osm_search_ray.pipelines import traindata
 
@@ -87,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ann_cosine_topk"] = simsearch.ann_cosine_topk
     q["ann_ivf_topk"] = simsearch.ann_ivf_topk
     q["kmeans_clusters"] = simsearch.kmeans_clusters  # iterative distributed Lloyd's (rows-only)
+    q["ann_quantized_topk"] = simsearch.ann_quantized_topk  # int8-quantized store serving (rows-only)
     # --- events (streaming-shaped) ---
     q["events_hourly"] = ev.events_hourly
     q["events_pivot"] = ev.events_pivot  # conditional-aggregation pivot
@@ -193,6 +195,7 @@ SELECT query_id, doc_id, rank FROM scored WHERE rank = 1
     sql["postings_lists"] = textops.SQL_POSTINGS_LISTS
     sql["contamination_check"] = textops.SQL_CONTAMINATION_CHECK
     sql["top_terms"] = textops.SQL_TOP_TERMS
+    sql["repetition_stats"] = textops.SQL_REPETITION_STATS
     from osm_search_ray.pipelines import search_docs
 
     sql["bm25_search"] = search_docs.SQL_BM25_DOCS_SEARCH

@@ -468,3 +468,41 @@ GROUP BY term
 ORDER BY n DESC, term ASC
 LIMIT {TOP_TERMS_K}
 """
+
+
+def repetition_stats(sf_dir: str):
+    """(doc_id, n_tokens, n_repeats) — the boilerplate/repetition quality
+    signal of web-text filtering (e.g. Gopher/C4-style repetition rules):
+    how many ADJACENT token pairs are equal ("batch batch batch" → 2).
+    One vectorized streaming pass, no shuffle; repeat ratio is
+    n_repeats/n_tokens downstream (kept as two exact ints per the
+    oracle-float rule)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks, counts = tokenize_array(batch.column("text").to_pylist())
+        nd = len(counts)
+        if len(toks) > 1:
+            doc_idx = np.repeat(np.arange(nd), counts)
+            hit = (toks[1:] == toks[:-1]) & (doc_idx[1:] == doc_idx[:-1])
+            n_rep = np.bincount(doc_idx[1:][hit], minlength=nd)
+        else:
+            n_rep = np.zeros(nd, np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(counts.astype(np.int64)),
+                "n_repeats": pa.array(n_rep.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_REPETITION_STATS = f"""
+WITH toks AS (SELECT doc_id, {SQL_TOKENIZE.format(col='text')} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(range(1, len(t)), i -> t[i] = t[i + 1])) AS BIGINT) AS n_repeats
+FROM toks
+"""

@@ -325,3 +325,33 @@ class TestAnnSession:
         )
         sess2 = start_ann_session(store, name="ann-test")  # replace, no raise
         sess2.stop()
+
+
+class TestQuantizedStore:
+    def test_roundtrip_error_bound_and_recall(self, tmp_path):
+        """INT8 quantization: elementwise |x − q·scale| ≤ scale/2 on the real
+        fixture, and quantized brute-force top-k keeps high recall vs the
+        exact float query (the rows-only driver oracle)."""
+        import pyarrow.parquet as pq
+
+        from osm_search_ray.pipelines import simsearch as ss
+
+        sf = "/root/testdata/sf0.001"
+        out = str(tmp_path / "qstore")
+        ss.build_quantized_store(sf, out)
+        orig = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
+        q = pq.read_table(out).to_pandas().set_index("vec_id").loc[orig["vec_id"]]
+        dim = int(q["dim"].iloc[0])
+        q8 = np.frombuffer(b"".join(q["qvec"]), dtype=np.int8).reshape(-1, dim)
+        deq = q8.astype(np.float64) * q["scale"].to_numpy()[:, None]
+        x = np.asarray(list(orig["embedding"]), dtype=np.float64)
+        assert (np.abs(x - deq) <= q["scale"].to_numpy()[:, None] / 2 + 1e-12).all()
+        # storage: int8 payload is exactly 1/4 of the float32 vector bytes
+        assert q8.nbytes * 4 == x.astype(np.float32).nbytes
+
+        exact = ss.ann_cosine_topk(sf, k=5).to_pandas()
+        quant = ss.ann_quantized_topk(sf, k=5).to_pandas()
+        e = exact.groupby("query_id")["vec_id"].apply(set)
+        g = quant.groupby("query_id")["vec_id"].apply(set)
+        recall = np.mean([len(e[k] & g[k]) / len(e[k]) for k in e.index])
+        assert recall >= 0.9, recall
