@@ -235,22 +235,23 @@ class DiskSearchCore:
     reference's mmap'd-index server at web-corpus scale."""
 
     def __init__(self, index_dir: str, corrector=None):
-        from .text_index import _load_globals
+        from .text_index import StoreReader
 
         self.index_dir = index_dir
-        meta = _load_globals(index_dir)
-        self.globals = {k: v for k, v in meta.items() if k not in ("postings_buckets", "n_terms")}
+        # resident handle/footer cache — buckets are opened ONCE per session
+        # (the reference server's one-time mmap analogue); per request only
+        # pruned row groups are read
+        self.reader = StoreReader(index_dir)
+        self.globals = {k: v for k, v in self.reader.meta.items() if k not in ("postings_buckets", "n_terms")}
         self.corrector = corrector
 
     def search_rows(self, rows: list[dict]) -> pd.DataFrame:
-        from .text_index import point_query_store
-
         out = []
         for row in rows:
             toks = tokenize(row["text"])
             if self.corrector is not None:
                 toks = self.corrector.correct_query(toks)
-            ids, posts = point_query_store(self.index_dir, toks)
+            ids, posts = self.reader.point_query(toks)
             tids = [ids[t] for t in toks if t in ids]
             scoring = row.get("scoring") or "BM25_FIELD"
             k = int(row.get("top_k") or 10)

@@ -595,6 +595,160 @@ def point_query_store(index_dir: str, tokens) -> tuple[dict[str, int], pd.DataFr
     return ids, read_postings_for_terms(index_dir, sorted(ids.values()))
 
 
+class StoreReader:
+    """Resident handle + footer cache over an on-disk index store — the
+    engine's analogue of the reference server's one-time mmap of its index
+    files (pkg/searcher/searcher.go opens the FST + postings once and seeks
+    thereafter). The module-level readers above re-open every bucket file
+    and re-decode its footer per call; for a long-lived serving session that
+    fixed cost dominates the few-KB data read. This class opens each bucket
+    ONCE, keeps (ParquetFile handle, per-row-group min/max statistics), and
+    answers a request with only the pruned row-group reads. Results are
+    row-for-row identical to the module-level readers (tested), so scoring
+    float-accumulation order is unchanged.
+
+    A bounded row-group LRU (default 64 MB) sits on top — the analogue of
+    the OS page cache under the reference's mmap: hot dictionary/postings
+    row groups skip the decode, cold ones are read and evicted by recency.
+    Bounded by decoded bytes, so it is never index-sized.
+
+    Single-process state (file handles don't serialize) — construct inside
+    the serving actor, never broadcast."""
+
+    def __init__(self, index_dir: str, cache_bytes: int = 64 << 20):
+        import glob
+        import os
+        from collections import OrderedDict
+
+        import pyarrow.parquet as pq
+
+        self.index_dir = index_dir
+        self.meta = _load_globals(index_dir)
+        self._cache: "OrderedDict[tuple, pa.Table]" = OrderedDict()
+        self._cache_bytes = 0
+        self._cache_cap = int(cache_bytes)
+        # dictionary buckets: (handle, [(min_term, max_term)] per row group,
+        # or None when any row group lacks statistics → never pruned)
+        self._terms: list[tuple] = []
+        for f in sorted(glob.glob(os.path.join(index_dir, "terms", "part=*", "data.parquet"))):
+            pf = pq.ParquetFile(f)
+            self._terms.append((pf, self._rg_stats(pf, "term")))
+        # postings buckets: bucket id → [(handle, [(min_tid, max_tid)])] in
+        # the same file order postings_files_for_terms yields
+        self._postings: dict[int, list[tuple]] = {}
+        for d in sorted(glob.glob(os.path.join(index_dir, "postings", "part=*"))):
+            try:
+                b = int(os.path.basename(d).split("=", 1)[1])
+            except ValueError:
+                continue
+            entries = []
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                pf = pq.ParquetFile(f)
+                entries.append((pf, self._rg_stats(pf, "term_id")))
+            self._postings[b] = entries
+
+    @staticmethod
+    def _rg_stats(pf, column: str):
+        md = pf.metadata
+        out = []
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            st = None
+            for ci in range(rgm.num_columns):
+                col = rgm.column(ci)
+                if col.path_in_schema == column:
+                    st = col.statistics
+                    break
+            if st is None or not st.has_min_max:
+                return None
+            out.append((st.min, st.max))
+        return out
+
+    @staticmethod
+    def _prune(stats, keys) -> list[int]:
+        return [i for i, (lo, hi) in enumerate(stats) if any(lo <= k <= hi for k in keys)]
+
+    def _read(self, pf, rgs: list[int], columns: list[str]) -> pa.Table:
+        """read_row_groups through the bounded LRU. Cache key includes the
+        column tuple so dictionary and postings reads never alias."""
+        key_cols = tuple(columns)
+        parts = []
+        misses = [rg for rg in rgs if (id(pf), rg, key_cols) not in self._cache]
+        if misses:
+            fresh = pf.read_row_groups(misses, columns=columns)
+            # split back per row group to keep eviction granular
+            sizes = [pf.metadata.row_group(rg).num_rows for rg in misses]
+            off = 0
+            for rg, n in zip(misses, sizes):
+                t = fresh.slice(off, n)
+                off += n
+                k = (id(pf), rg, key_cols)
+                self._cache[k] = t
+                self._cache_bytes += t.nbytes
+            while self._cache_bytes > self._cache_cap and len(self._cache) > len(rgs):
+                _, old = self._cache.popitem(last=False)
+                self._cache_bytes -= old.nbytes
+        out = []
+        for rg in rgs:
+            k = (id(pf), rg, key_cols)
+            t = self._cache[k]
+            self._cache.move_to_end(k)
+            out.append(t)
+        return pa.concat_tables(out) if len(out) > 1 else out[0]
+
+    def term_ids(self, tokens) -> dict[str, int]:
+        """read_term_ids over the cached handles (same pruning semantics,
+        row-group-granular instead of whole-file)."""
+        import pyarrow.compute as pc
+
+        toks = sorted(set(tokens))
+        if not toks:
+            return {}
+        out: dict[str, int] = {}
+        tok_set = pa.array(toks, pa.string())
+        for pf, stats in self._terms:
+            rgs = self._prune(stats, toks) if stats is not None else list(range(pf.metadata.num_row_groups))
+            if not rgs:
+                continue
+            t = self._read(pf, rgs, ["term", "term_id"])
+            t = t.filter(pc.is_in(t.column("term"), value_set=tok_set))
+            out.update(zip(t.column("term").to_pylist(), (int(x) for x in t.column("term_id").to_pylist())))
+        return out
+
+    def postings_for_terms(self, term_ids) -> pd.DataFrame:
+        """read_postings_for_terms over the cached handles — identical rows
+        in identical order (bucket-sorted files, in-file order preserved)."""
+        import pyarrow.compute as pc
+
+        tids = sorted(set(int(t) for t in term_ids))
+        if not tids:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in _POSTING_COLS})
+        buckets = set(
+            term_bucket(np.asarray(tids, dtype=np.int64), self.meta["n_terms"], self.meta["postings_buckets"]).tolist()
+        )
+        tid_set = pa.array(tids, pa.int64())
+        parts = []
+        for b in sorted(buckets):
+            for pf, stats in self._postings.get(b, []):
+                rgs = self._prune(stats, tids) if stats is not None else list(range(pf.metadata.num_row_groups))
+                if not rgs:
+                    continue
+                t = self._read(pf, rgs, _POSTING_COLS)
+                t = t.filter(pc.is_in(t.column("term_id"), value_set=tid_set))
+                if t.num_rows:
+                    parts.append(t.to_pandas())
+        if not parts:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in _POSTING_COLS})
+        return pd.concat(parts, ignore_index=True)
+
+    def point_query(self, tokens) -> tuple[dict[str, int], pd.DataFrame]:
+        """point_query_store over the cached handles."""
+        ids = self.term_ids(tokens)
+        if not ids:
+            return {}, pd.DataFrame({c: pd.Series(dtype=np.int64) for c in _POSTING_COLS})
+        return ids, self.postings_for_terms(sorted(ids.values()))
+
+
 def spimi_postings_lists(docs: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"):
     """Single-field posting lists in the reference's on-disk shape:
     term → sorted doc_ids WITH one entry per occurrence (tf by repetition,

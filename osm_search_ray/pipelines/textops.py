@@ -396,22 +396,53 @@ def top_terms_sketch(sf_dir: str, k: int = TOP_TERMS_K, width: int = TOP_TERMS_W
             ct = np.concatenate([ct, [1]])
         return pa.table({"term": pa.array(it.tolist(), pa.string()), "est": pa.array(ct, pa.int64())})
 
-    # survivor-union groupby: cardinality ≤ min(|vocab|, width·n_batches) —
-    # already a tiny fraction of the corpus; the final reduce to ≤ width
-    # entries is a top-(width+1) selection (distributable; driver-side here
-    # because the summed summary is KB-scale)
-    summed = (
+    # survivor-union groupby: cardinality ≤ min(|vocab|, width·n_batches).
+    # The final reduce to ≤ width entries is a top-(width+1) SELECTION, so
+    # it distributes: materialize the summary in the OBJECT STORE (never
+    # the driver — at web-corpus vocab it can be GBs), take per-block
+    # top-(width+1) partials (driver sees n_blocks·(width+1) ints), derive
+    # the MG decrement threshold, then fetch only the ≤ width candidates.
+    summed_ds = (
         ds.map_batches(mg_partial, batch_format="pyarrow")
         .groupby("term")
         .aggregate(Sum("est", alias_name="est"))
-        .to_pandas()
+        .materialize()
     )
-    reduced = bool((summed["term"] == "").any())  # any per-batch reduction?
-    summed = summed[summed["term"] != ""]
-    reduced = reduced or len(summed) > width
-    cand_terms, _ = mg_reduce(
-        summed["term"].to_numpy(dtype=object), summed["est"].to_numpy(np.int64), width
-    )
+
+    def survivor_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sent = int(pc.sum(pc.cast(pc.equal(t.column("term"), ""), pa.int64())).as_py() or 0)
+        est = t.filter(pc.invert(pc.equal(t.column("term"), ""))).column("est").to_numpy()
+        top = np.partition(est, len(est) - (width + 1))[len(est) - (width + 1):] if len(est) > width + 1 else est
+        return pa.table(
+            {
+                "val": pa.array(np.concatenate([top, [len(est)]]).astype(np.int64)),
+                "is_meta": pa.array([False] * len(top) + [True]),
+                "sent": pa.array([0] * len(top) + [sent], pa.int64()),
+            }
+        )
+
+    parts = summed_ds.map_batches(survivor_partial, batch_format="pyarrow").to_pandas()
+    n_rows = int(parts.loc[parts["is_meta"], "val"].sum())
+    reduced = bool(parts["sent"].sum() > 0) or n_rows > width
+    ests = parts.loc[~parts["is_meta"], "val"].to_numpy(np.int64)
+    if n_rows <= width:
+        kth = np.int64(-1)  # no reduction: every survivor is a candidate
+    else:
+        # global (width+1)-th largest ⊆ union of per-block top-(width+1);
+        # identical to mg_reduce's np.partition threshold on the full vector
+        kth = np.sort(ests)[-(width + 1)]
+
+    def cand_filter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.and_(pc.invert(pc.equal(t.column("term"), "")), pc.greater(t.column("est"), int(kth)))
+        return t.filter(keep).select(["term"])
+
+    cand_terms = (
+        summed_ds.map_batches(cand_filter, batch_format="pyarrow").to_pandas()["term"].to_numpy(dtype=object)
+    )  # ≤ width rows by the MG bound
     cand_ref = ray.put(pd.Index(np.sort(cand_terms)))
 
     def exact_partial(batch: pa.Table) -> pa.Table:

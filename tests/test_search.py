@@ -620,6 +620,54 @@ class TestTermLookupOnDsWriter:
         assert got == {"jalan": vocab["jalan"], "dunia": vocab["dunia"]}
 
 
+class TestStoreReaderCache:
+    def test_reader_equals_module_readers_both_layouts(self, index, tmp_path):
+        """StoreReader (resident handle/footer cache, the serving hot path)
+        must return byte-identical frames IN IDENTICAL ROW ORDER to the
+        open-per-call module readers — on both the in-RAM writer's layout
+        and the distributed writer's (which persists extra partition
+        columns). Row order matters: scorer float accumulation follows it."""
+        idx_ds = ti.build_text_index_ds(ray.data.from_pandas(DOCS))
+        ti.save_text_index_ds(idx_ds, str(tmp_path / "ds"), num_buckets=4)
+        ti.save_text_index(index, str(tmp_path / "ram"), num_buckets=4)
+        toks = ["jalan", "dunia", "ancol", "zzz-not-a-term"]
+        for out in (str(tmp_path / "ds"), str(tmp_path / "ram")):
+            rd = ti.StoreReader(out)
+            ids_mod = ti.read_term_ids(out, toks)
+            assert rd.term_ids(toks) == ids_mod and ids_mod
+            tids = sorted(ids_mod.values())
+            pd.testing.assert_frame_equal(
+                rd.postings_for_terms(tids), ti.read_postings_for_terms(out, tids)
+            )
+            ids_pq, posts_pq = ti.point_query_store(out, toks)
+            ids_rd, posts_rd = rd.point_query(toks)
+            assert ids_rd == ids_pq
+            pd.testing.assert_frame_equal(posts_rd, posts_pq)
+            # missing-everything path keeps the typed empty frame
+            ids_rd, posts_rd = rd.point_query(["zzz-not-a-term"])
+            assert ids_rd == {} and list(posts_rd.columns) == ti._POSTING_COLS and len(posts_rd) == 0
+
+    def test_lru_eviction_keeps_results_and_bound(self, index, tmp_path):
+        """A 1-byte cache cap forces eviction on every read; results must
+        stay identical and the tracked byte count must return to the
+        per-call watermark (no leak, no drift)."""
+        ti.save_text_index(index, str(tmp_path / "ram"), num_buckets=4)
+        out = str(tmp_path / "ram")
+        toks = ["jalan", "dunia", "ancol"]
+        big = ti.StoreReader(out)
+        tiny = ti.StoreReader(out, cache_bytes=1)
+        for _ in range(3):  # repeated queries: hit path (big) vs evict path (tiny)
+            a_ids, a_posts = big.point_query(toks)
+            b_ids, b_posts = tiny.point_query(toks)
+            assert a_ids == b_ids
+            pd.testing.assert_frame_equal(a_posts, b_posts)
+        assert big._cache_bytes == sum(t.nbytes for t in big._cache.values())
+        assert tiny._cache_bytes == sum(t.nbytes for t in tiny._cache.values())
+        # tiny keeps at most the working set of the LAST read (eviction
+        # never drops row groups needed by the in-flight call)
+        assert len(tiny._cache) <= len(big._cache)
+
+
 class TestStoreSearchTwins:
     def test_store_queries_equal_scan_queries(self):
         """The three *_store_search driver queries must stay result-identical
