@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["topk_orders_per_segment"] = relational.topk_orders_per_segment
     q["filter_project_lineitem"] = relational.filter_project_lineitem
     q["join_lineitem_orders_bucketed"] = relational.join_lineitem_orders_bucketed
+    q["customer_left_join_orders"] = relational.customer_left_join_orders  # LEFT OUTER + zero-fill
     q["doc_lookup"] = relational.doc_lookup
     # --- text analysis / index stats (M8, A1-A8 analogues + training-data ops) ---
     q["token_counts"] = textops.token_counts
@@ -59,6 +60,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["contamination_check"] = textops.contamination_check  # benchmark decontamination
     q["top_terms"] = textops.top_terms_sketch  # Misra-Gries candidates + exact verify pass
     q["repetition_stats"] = textops.repetition_stats  # boilerplate/repetition quality signal
+    from osm_search_ray.pipelines import curate, pii
+
+    q["pii_redact"] = pii.pii_redact  # vectorized RE2 scrubbing (email/phone/IP)
+    q["curate_corpus"] = curate.curate_corpus  # composed cleaning funnel (per-doc verdict)
     # --- training-data prep (deterministic split, sequence packing) ---
     from osm_search_ray.pipelines import traindata
 
@@ -180,6 +185,7 @@ SELECT query_id, doc_id, rank FROM scored WHERE rank = 1
     sql["topk_orders_per_segment"] = relational.SQL_TOPK_ORDERS_PER_SEGMENT
     sql["filter_project_lineitem"] = relational.SQL_FILTER_PROJECT_LINEITEM
     sql["join_lineitem_orders_bucketed"] = relational.SQL_JOIN_LINEITEM_ORDERS_BUCKETED
+    sql["customer_left_join_orders"] = relational.SQL_CUSTOMER_LEFT_JOIN_ORDERS
     sql["doc_lookup"] = relational.SQL_DOC_LOOKUP
     sql["token_counts"] = textops.SQL_TOKEN_COUNTS
     sql["term_doc_freq"] = textops.SQL_TERM_DOC_FREQ
@@ -196,6 +202,10 @@ SELECT query_id, doc_id, rank FROM scored WHERE rank = 1
     sql["contamination_check"] = textops.SQL_CONTAMINATION_CHECK
     sql["top_terms"] = textops.SQL_TOP_TERMS
     sql["repetition_stats"] = textops.SQL_REPETITION_STATS
+    from osm_search_ray.pipelines import curate, pii
+
+    sql["pii_redact"] = pii.SQL_PII_REDACT
+    sql["curate_corpus"] = curate.SQL_CURATE_CORPUS
     from osm_search_ray.pipelines import search_docs
 
     sql["bm25_search"] = search_docs.SQL_BM25_DOCS_SEARCH

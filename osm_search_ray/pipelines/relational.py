@@ -149,6 +149,60 @@ GROUP BY 1, 2
 """
 
 
+def customer_left_join_orders(sf_dir: str):
+    """LEFT OUTER join coverage: every customer with their order count and
+    total spend, ZERO-filled for customers who never ordered (the rows an
+    inner join silently drops — ~1/3 of TPC-H customers).
+
+    Scale shape: orders are pre-aggregated per custkey (per-batch combiner
+    → groupby-sum, the exchange carries ≤ |customers| rows), then the
+    bounded hash-bucket join (stages/joins.hash_bucket_join, how='left')
+    attaches the aggregate to each customer — the big table is never
+    row-joined. Output (c_custkey, c_mktsegment, n_orders, total_cents)."""
+    from ..stages.joins import hash_bucket_join
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_custkey": batch.column("o_custkey").to_numpy(),
+                "cents": np.rint(batch.column("o_totalprice").to_numpy() * 100).astype(np.int64),
+            }
+        )
+        g = df.groupby("o_custkey", sort=False).agg(n_orders=("cents", "size"), total_cents=("cents", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    aggs = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("total_cents", alias_name="total_cents"))
+    )
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    joined = hash_bucket_join(cust, aggs, on="c_custkey", right_on="o_custkey", how="left", num_buckets=32)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": df["c_custkey"].to_numpy(np.int64),
+                "c_mktsegment": df["c_mktsegment"],
+                "n_orders": df["n_orders"].fillna(0).to_numpy(np.int64),
+                "total_cents": df["total_cents"].fillna(0).to_numpy(np.int64),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+SQL_CUSTOMER_LEFT_JOIN_ORDERS = """
+SELECT c.c_custkey, c.c_mktsegment,
+       CAST(COUNT(o.o_custkey) AS BIGINT) AS n_orders,
+       CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 0) AS BIGINT) AS total_cents
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 def topk_orders_per_segment(sf_dir: str, k: int = 5):
     """Per-group top-k (K1 rank-and-slice analogue): the 3 highest-value
     orders per market segment, deterministic ties by o_orderkey.

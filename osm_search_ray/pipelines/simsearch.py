@@ -36,6 +36,9 @@ class PartialCosineTopK:
             return pa.table({"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())})
         mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
         sims = self.qn @ mn.T  # (Q, B)
+        return self._topk_from_sims(ids, sims)
+
+    def _topk_from_sims(self, ids: np.ndarray, sims: np.ndarray) -> pa.Table:
         out_q, out_v, out_s = [], [], []
         for qi in range(len(self.qids)):
             s = sims[qi]
@@ -210,13 +213,31 @@ def _quant_store_dir(sf_dir: str) -> str:
     return _QUANT_STORE_CACHE[key]
 
 
+def _int8_codes(col, dim: int) -> np.ndarray:
+    """Zero-copy (len, dim) int8 view over a binary column of fixed dim-byte
+    blobs — no per-row Python bytes, no join copy."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if arr.null_count == 0:
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[arr.offset : arr.offset + len(arr) + 1]
+        data = np.frombuffer(arr.buffers()[2], dtype=np.int8)
+        flat = data[offs[0] : offs[-1]]
+        if len(flat) == len(arr) * dim:  # contiguous fixed-width blobs
+            return flat.reshape(len(arr), dim)
+    return np.frombuffer(b"".join(arr.to_pylist()), dtype=np.int8).reshape(-1, dim)
+
+
 def ann_quantized_topk(sf_dir: str, k: int = K_DEFAULT):
-    """Brute-force cosine top-k served from the INT8-quantized store: the
-    float queries are broadcast exactly as in ann_cosine_topk; each corpus
-    batch dequantizes (q·scale) and runs the same matmul partial-top-k.
+    """Brute-force cosine top-k served from the INT8-quantized store
+    WITHOUT dequantizing: the per-vector scale is positive, and cosine is
+    invariant under positive per-vector scaling — cos(s·v, q) = cos(v, q)
+    — so scoring ranks the raw int8 codes directly. The scale column is
+    never read (pruned at the read), the codes go through a zero-copy
+    buffer view, and the matmul runs in float32 (int8 codes are exact in
+    float32; half the float64 memory traffic — this host is DRAM-bound).
     Rows-only driver check (quantization error can legitimately flip
     near-tie ranks vs the float64 SQL oracle); recall vs the exact query
-    is pinned in tests/test_ann_misc.py. Output (query_id, vec_id, rank)."""
+    and scale-cancellation parity are pinned in tests/test_ann_misc.py.
+    Output (query_id, vec_id, rank)."""
     import pyarrow.parquet as pq
 
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -226,16 +247,22 @@ def ann_quantized_topk(sf_dir: str, k: int = K_DEFAULT):
     queries_ref = ray.put({"vec_id": qt.column("vec_id").to_numpy(), "mat": qm})
 
     store = _quant_store_dir(sf_dir)
-    corpus = ray.data.read_parquet(store)
+    corpus = ray.data.read_parquet(store, columns=["vec_id", "qvec", "dim"])
 
     class PartialQuantTopK(PartialCosineTopK):
+        def __init__(self, queries_ref, k: int):
+            super().__init__(queries_ref, k)
+            self.qn32 = self.qn.astype(np.float32)
+
         def __call__(self, batch: pa.Table) -> pa.Table:
             if len(batch) == 0:
                 return pa.table({"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())})
             dim = int(batch.column("dim")[0].as_py())
-            q8 = np.frombuffer(b"".join(batch.column("qvec").to_pylist()), dtype=np.int8).reshape(-1, dim)
-            mat = q8.astype(np.float64) * batch.column("scale").to_numpy()[:, None]
-            return self._score(batch.column("vec_id").to_numpy(), mat)
+            v8 = _int8_codes(batch.column("qvec"), dim)
+            v32 = v8.astype(np.float32)
+            vn = v32 / np.linalg.norm(v32, axis=1, keepdims=True)
+            sims = (self.qn32 @ vn.T).astype(np.float64)
+            return self._topk_from_sims(batch.column("vec_id").to_numpy(), sims)
 
     partial = corpus.map_batches(
         PartialQuantTopK,

@@ -208,3 +208,39 @@ fence_circles AS (
            5.0 AS radius_km
     FROM supplier
 )"""
+
+
+def contact_suffix(doc_id: np.ndarray) -> list[str]:
+    """Deterministic PII-bearing suffix per doc (synthetic email + phone +
+    IPv4 derived from doc_id by integer arithmetic — pure string ops, so
+    the SQL twin is bit-identical). The PII-redaction operator's input."""
+    doc_id = np.asarray(doc_id, dtype=np.int64)
+    return [
+        f" contact u{d}@mail{d % 7}.example or +1-555-{d % 10000:04d} from 10.{d % 256}.{(d // 256) % 256}.{d % 100}"
+        for d in doc_id
+    ]
+
+
+def contact_pages(sf_dir: str) -> "ray.data.Dataset":
+    """documents → (doc_id, raw_text) where raw_text = text + contact_suffix."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        suffix = contact_suffix(batch.column("doc_id").to_numpy(zero_copy_only=False))
+        raw = pc.binary_join_element_wise(batch.column("text"), pa.array(suffix, pa.string()), "")
+        return pa.table({"doc_id": batch.column("doc_id"), "raw_text": raw})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_CONTACT_PAGES = """
+contact_pages AS (
+    SELECT doc_id,
+           text || ' contact u' || CAST(doc_id AS VARCHAR)
+                || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example or +1-555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.' || CAST((doc_id // 256) % 256 AS VARCHAR)
+                || '.' || CAST(doc_id % 100 AS VARCHAR) AS raw_text
+    FROM documents
+)"""

@@ -355,3 +355,30 @@ class TestQuantizedStore:
         g = quant.groupby("query_id")["vec_id"].apply(set)
         recall = np.mean([len(e[k] & g[k]) / len(e[k]) for k in e.index])
         assert recall >= 0.9, recall
+
+    def test_scale_cancellation_and_zero_copy_codes(self, tmp_path):
+        """The no-dequantize scorer relies on cos(s·v, q) = cos(v, q) for
+        s > 0: cosine on raw int8 codes must match cosine on the
+        dequantized float64 vectors to float32 precision. And the
+        zero-copy buffer view over the binary codes column must equal the
+        per-row bytes join it replaced."""
+        import pyarrow as pa
+
+        from osm_search_ray.pipelines.simsearch import _int8_codes
+
+        rng = np.random.default_rng(7)
+        x = rng.normal(size=(64, 16))
+        scale = np.abs(x).max(axis=1) / 127.0
+        v8 = np.rint(x / scale[:, None]).astype(np.int8)
+        q = rng.normal(size=16)
+        deq = v8.astype(np.float64) * scale[:, None]
+        cos_deq = (deq @ q) / (np.linalg.norm(deq, axis=1) * np.linalg.norm(q))
+        v32 = v8.astype(np.float32)
+        cos_raw = (v32 / np.linalg.norm(v32, axis=1, keepdims=True)) @ (q / np.linalg.norm(q))
+        np.testing.assert_allclose(cos_raw, cos_deq, atol=1e-6)
+
+        col = pa.chunked_array([pa.array([r.tobytes() for r in v8[:40]], pa.binary()),
+                                pa.array([r.tobytes() for r in v8[40:]], pa.binary())])
+        np.testing.assert_array_equal(_int8_codes(col, 16), v8)
+        # sliced array (non-zero offset) still decodes correctly
+        np.testing.assert_array_equal(_int8_codes(col.combine_chunks().slice(3, 20), 16), v8[3:23])

@@ -89,3 +89,20 @@ def test_extract_coords_arrow_matches_python():
     la2, lo2, ok2 = extract_coords_arrow(pa.array(texts))
     assert ok1.tolist() == ok2.tolist()
     assert np.array_equal(la1[ok1], la2[ok2]) and np.array_equal(lo1[ok1], lo2[ok2])
+
+
+def test_contact_suffix_identical_to_sql():
+    """The PII-bearing contact suffix must be byte-identical between the
+    Python derivation and the SQL CTE (string concat of integer arithmetic
+    — no float involved, so equality is exact)."""
+    con = _con()
+    sql = con.execute(
+        f"WITH {dv.SQL_CONTACT_PAGES.strip()} SELECT doc_id, raw_text FROM contact_pages ORDER BY doc_id"
+    ).df()
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    py = docs["text"] + dv.contact_suffix(docs["doc_id"].to_numpy())
+    assert (sql["doc_id"].to_numpy() == docs["doc_id"].to_numpy()).all()
+    assert (sql["raw_text"] == py).all()

@@ -400,3 +400,34 @@ def test_price_quantiles_tdigest_accuracy():
             est = row[col] / 1000.0
             rank = np.searchsorted(xs, est) / len(xs)
             assert abs(rank - q) <= 0.01, (flag, col, rank)
+
+
+class TestPiiRedact:
+    def test_redact_batch_edge_cases(self):
+        """Pattern order and counting semantics: emails are consumed before
+        phone/IP (so digits inside an address never double-count), counts
+        are per-class non-overlapping matches, clean rows pass unchanged."""
+        import pyarrow as pa
+
+        from osm_search_ray.pipelines.pii import redact_batch
+
+        rows = [
+            "reach a@b.co or c.d+e@f-g.org now",            # 2 emails
+            "call +1-555-0042 and +44-123-4567",            # 2 phones
+            "hosts 10.0.0.1 and 192.168.255.254.7",         # 2 ips (greedy left)
+            "mixed u9@mail2.example +1-555-0001 10.1.2.3",  # one of each
+            "nothing sensitive here",                       # untouched
+            "",                                             # empty row
+        ]
+        t = pa.table({"doc_id": pa.array(range(len(rows))), "raw_text": pa.array(rows)})
+        out = redact_batch(t)
+        clean = out.column("clean_text").to_pylist()
+        assert clean[0] == "reach <EMAIL> or <EMAIL> now"
+        assert clean[1] == "call <PHONE> and <PHONE>"
+        assert clean[3] == "mixed <EMAIL> <PHONE> <IP>"
+        assert clean[4] == rows[4] and clean[5] == ""
+        assert out.column("n_email").to_pylist() == [2, 0, 0, 1, 0, 0]
+        assert out.column("n_phone").to_pylist() == [0, 2, 0, 1, 0, 0]
+        assert out.column("n_ip").to_pylist()[2] >= 1 and out.column("n_ip").to_pylist()[3] == 1
+        # the email's digits must not leak into phone/ip counts
+        assert out.column("n_ip").to_pylist()[0] == 0 and out.column("n_phone").to_pylist()[0] == 0
