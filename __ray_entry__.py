@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["doc_lookup"] = relational.doc_lookup
     # --- text analysis / index stats (M8, A1-A8 analogues + training-data ops) ---
     q["token_counts"] = textops.token_counts
+    q["token_counts_bpe"] = textops.token_counts_bpe  # BPE-ish pretokenizer budget counts
     q["term_doc_freq"] = textops.term_doc_freq
     q["term_dictionary"] = textops.term_dictionary  # distributed dict build (M9 at scale)
     q["text_quality"] = textops.text_quality
@@ -70,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["train_val_split"] = traindata.train_val_split
     q["pack_sequences"] = traindata.pack_sequences
     q["sample_weighted"] = traindata.sample_weighted  # deterministic sequential Poisson sample
+    q["sample_stratified"] = traindata.sample_stratified  # per-language quota, int-only priorities
     # --- full-text search (BM25+ with reference formula quirks) ---
     from osm_search_ray.pipelines import search_docs
 
@@ -188,6 +190,7 @@ SELECT query_id, doc_id, rank FROM scored WHERE rank = 1
     sql["customer_left_join_orders"] = relational.SQL_CUSTOMER_LEFT_JOIN_ORDERS
     sql["doc_lookup"] = relational.SQL_DOC_LOOKUP
     sql["token_counts"] = textops.SQL_TOKEN_COUNTS
+    sql["token_counts_bpe"] = textops.SQL_TOKEN_COUNTS_BPE
     sql["term_doc_freq"] = textops.SQL_TERM_DOC_FREQ
     sql["term_dictionary"] = textops.SQL_TERM_DICTIONARY
     from osm_search_ray.pipelines import traindata
@@ -195,6 +198,7 @@ SELECT query_id, doc_id, rank FROM scored WHERE rank = 1
     sql["train_val_split"] = traindata.SQL_TRAIN_VAL_SPLIT
     sql["pack_sequences"] = traindata.SQL_PACK_SEQUENCES
     sql["sample_weighted"] = traindata.SQL_SAMPLE_WEIGHTED
+    sql["sample_stratified"] = traindata.SQL_SAMPLE_STRATIFIED
     sql["text_quality"] = textops.SQL_TEXT_QUALITY
     sql["langid"] = textops._sql_langid()
     sql["bigram_counts"] = textops.SQL_BIGRAM_COUNTS

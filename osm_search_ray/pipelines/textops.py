@@ -36,6 +36,35 @@ FROM documents
 """
 
 
+# GPT-2-style pretokenizer, simplified to RE2 (no lookahead): a piece is an
+# optionally-space-prefixed letter run, digit run, or punctuation run.
+# Evaluated by RE2 on BOTH sides (pyarrow.compute and DuckDB), so alternation
+# precedence is engine-identical by construction.
+BPE_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+"
+
+
+def token_counts_bpe(sf_dir: str):
+    """(doc_id, n_bpe_tokens) — subword-ish token counts via the BPE-style
+    pretokenizer regex (the budget number an LLM data pipeline sizes
+    datasets by; the whitespace-word twin is token_counts). Vectorized RE2
+    count per batch, no shuffle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = pc.cast(pc.count_substring_regex(batch.column("text"), BPE_PATTERN), pa.int64())
+        return pa.table({"doc_id": batch.column("doc_id"), "n_bpe_tokens": n})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_TOKEN_COUNTS_BPE = f"""
+SELECT doc_id, CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def term_doc_freq(sf_dir: str):
     """(term, df) document frequency — the A8 ``count_distinct(doc)`` per
     term, built the scalable way: per-batch DISTINCT (term, doc) partials →

@@ -179,6 +179,54 @@ def sample_weighted(sf_dir: str, k: int = SAMPLE_K):
     return out[["doc_id", "weight", "rank"]].astype(np.int64)
 
 
+STRATUM_K = 20
+
+
+def sample_stratified(sf_dir: str, k: int = STRATUM_K):
+    """Deterministic STRATIFIED sample: k docs per language stratum, ranked
+    by the same hash-derived priority as sample_weighted (unweighted within
+    a stratum, so priorities stay pure int64 — no float anywhere; the
+    training-data op for balancing languages/domains in a mixture).
+
+    Per-batch combiner keeps ≤ k rows per stratum before the groupby, so
+    the exchange is O(strata × blocks × k). Output (lang, doc_id, rank)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": batch.column("lang").to_pandas(),
+                "doc_id": batch.column("doc_id").to_numpy().astype(np.int64),
+            }
+        )
+        df["u"] = (df["doc_id"] % SPLIT_MOD) * SAMPLE_MIX % SPLIT_MOD
+        df = df.sort_values(["u", "doc_id"], kind="mergesort")
+        g = df.groupby("lang", sort=False).head(k)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "doc_id"], kind="mergesort").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["lang", "doc_id", "rank"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+SQL_SAMPLE_STRATIFIED = f"""
+WITH ranked AS (
+    SELECT lang, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY (doc_id % {SPLIT_MOD}) * {SAMPLE_MIX} % {SPLIT_MOD}, doc_id) AS rank
+    FROM documents
+)
+SELECT lang, doc_id, rank FROM ranked WHERE rank <= {STRATUM_K}
+"""
+
+
 SQL_SAMPLE_WEIGHTED = f"""
 WITH w AS (
     SELECT doc_id,

@@ -431,3 +431,23 @@ class TestPiiRedact:
         assert out.column("n_ip").to_pylist()[2] >= 1 and out.column("n_ip").to_pylist()[3] == 1
         # the email's digits must not leak into phone/ip counts
         assert out.column("n_ip").to_pylist()[0] == 0 and out.column("n_phone").to_pylist()[0] == 0
+
+
+def test_bpe_pattern_counts_known_cases():
+    """The BPE-ish pretokenizer pattern on hand-checked strings (RE2
+    leftmost-first alternation; space binds to the following run)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from osm_search_ray.pipelines.textops import BPE_PATTERN
+
+    cases = {
+        "hello world": 2,        # " world" is one piece
+        "a1b": 3,                # letter / digit / letter runs split
+        "x, y!": 4,              # "x" "," " y" "!"
+        "2026-08-17": 5,         # digits - digits - digits
+        "": 0,
+        "   ": 0,                # bare whitespace is not a piece
+    }
+    got = pc.count_substring_regex(pa.array(list(cases)), BPE_PATTERN).to_pylist()
+    assert got == list(cases.values())
