@@ -672,8 +672,15 @@ class StoreReader:
         """read_row_groups through the bounded LRU. Cache key includes the
         column tuple so dictionary and postings reads never alias."""
         key_cols = tuple(columns)
-        parts = []
-        misses = [rg for rg in rgs if (id(pf), rg, key_cols) not in self._cache]
+        keys = [(id(pf), rg, key_cols) for rg in rgs]
+        # pin this request's HITS at the MRU end BEFORE any eviction — with
+        # misses appended after, the request's keys are exactly the tail of
+        # the OrderedDict, so the len > len(rgs) guard below can never evict
+        # an entry the output loop is about to read
+        for k in keys:
+            if k in self._cache:
+                self._cache.move_to_end(k)
+        misses = [rg for rg, k in zip(rgs, keys) if k not in self._cache]
         if misses:
             fresh = pf.read_row_groups(misses, columns=columns)
             # split back per row group to keep eviction granular
@@ -682,18 +689,12 @@ class StoreReader:
             for rg, n in zip(misses, sizes):
                 t = fresh.slice(off, n)
                 off += n
-                k = (id(pf), rg, key_cols)
-                self._cache[k] = t
+                self._cache[(id(pf), rg, key_cols)] = t
                 self._cache_bytes += t.nbytes
             while self._cache_bytes > self._cache_cap and len(self._cache) > len(rgs):
                 _, old = self._cache.popitem(last=False)
                 self._cache_bytes -= old.nbytes
-        out = []
-        for rg in rgs:
-            k = (id(pf), rg, key_cols)
-            t = self._cache[k]
-            self._cache.move_to_end(k)
-            out.append(t)
+        out = [self._cache[k] for k in keys]
         return pa.concat_tables(out) if len(out) > 1 else out[0]
 
     def term_ids(self, tokens) -> dict[str, int]:

@@ -189,7 +189,10 @@ def sample_stratified(sf_dir: str, k: int = STRATUM_K):
     training-data op for balancing languages/domains in a mixture).
 
     Per-batch combiner keeps ≤ k rows per stratum before the groupby, so
-    the exchange is O(strata × blocks × k). Output (lang, doc_id, rank)."""
+    the exchange is O(strata × blocks × k). NULL-lang rows are excluded on
+    BOTH sides (pandas groupby would silently drop them while SQL would
+    rank NULL as its own partition — excluding explicitly keeps the two
+    identical by construction). Output (lang, doc_id, rank)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -199,6 +202,7 @@ def sample_stratified(sf_dir: str, k: int = STRATUM_K):
                 "doc_id": batch.column("doc_id").to_numpy().astype(np.int64),
             }
         )
+        df = df[df["lang"].notna()]
         df["u"] = (df["doc_id"] % SPLIT_MOD) * SAMPLE_MIX % SPLIT_MOD
         df = df.sort_values(["u", "doc_id"], kind="mergesort")
         g = df.groupby("lang", sort=False).head(k)
@@ -222,6 +226,7 @@ WITH ranked AS (
            ROW_NUMBER() OVER (PARTITION BY lang
                               ORDER BY (doc_id % {SPLIT_MOD}) * {SAMPLE_MIX} % {SPLIT_MOD}, doc_id) AS rank
     FROM documents
+    WHERE lang IS NOT NULL
 )
 SELECT lang, doc_id, rank FROM ranked WHERE rank <= {STRATUM_K}
 """

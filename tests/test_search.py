@@ -647,6 +647,34 @@ class TestStoreReaderCache:
             ids_rd, posts_rd = rd.point_query(["zzz-not-a-term"])
             assert ids_rd == {} and list(posts_rd.columns) == ti._POSTING_COLS and len(posts_rd) == 0
 
+    def test_lru_never_evicts_current_request_hits(self, tmp_path):
+        """Regression: a request mixing an old cache HIT with a MISS, under
+        a cap that forces eviction, must not evict the hit before the
+        output assembles (was a KeyError: eviction ran before hits were
+        re-pinned; needs multi-row-group files, which the store writers
+        don't produce at test sizes)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        f = str(tmp_path / "multi_rg.parquet")
+        pq.write_table(
+            pa.table({"term": [f"t{i}" for i in range(6)], "term_id": list(range(6))}),
+            f,
+            row_group_size=2,  # 3 row groups
+        )
+        pf = pq.ParquetFile(f)
+        rd = ti.StoreReader.__new__(ti.StoreReader)
+        from collections import OrderedDict
+
+        one_rg = pq.ParquetFile(f).read_row_groups([0], columns=["term", "term_id"])
+        rd._cache, rd._cache_bytes, rd._cache_cap = OrderedDict(), 0, int(one_rg.nbytes * 2.5)
+        rd._read(pf, [0], ["term", "term_id"])
+        rd._read(pf, [1], ["term", "term_id"])
+        got = rd._read(pf, [0, 2], ["term", "term_id"])  # KeyError before the fix
+        assert got.column("term_id").to_pylist() == [0, 1, 4, 5]
+        assert rd._cache_bytes == sum(t.nbytes for t in rd._cache.values())
+        assert rd._cache_bytes <= rd._cache_cap or len(rd._cache) == 2
+
     def test_lru_eviction_keeps_results_and_bound(self, index, tmp_path):
         """A 1-byte cache cap forces eviction on every read; results must
         stay identical and the tracked byte count must return to the
