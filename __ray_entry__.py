@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["filter_project_lineitem"] = relational.filter_project_lineitem
     q["join_lineitem_orders_bucketed"] = relational.join_lineitem_orders_bucketed
     q["customer_left_join_orders"] = relational.customer_left_join_orders  # LEFT OUTER + zero-fill
+    q["corr_price_qty"] = relational.corr_price_qty  # Pearson corr via exact integer moments
     q["doc_lookup"] = relational.doc_lookup
     # --- text analysis / index stats (M8, A1-A8 analogues + training-data ops) ---
     q["token_counts"] = textops.token_counts
@@ -188,6 +189,7 @@ SELECT query_id, doc_id, rank FROM scored WHERE rank = 1
     sql["filter_project_lineitem"] = relational.SQL_FILTER_PROJECT_LINEITEM
     sql["join_lineitem_orders_bucketed"] = relational.SQL_JOIN_LINEITEM_ORDERS_BUCKETED
     sql["customer_left_join_orders"] = relational.SQL_CUSTOMER_LEFT_JOIN_ORDERS
+    sql["corr_price_qty"] = relational.SQL_CORR_PRICE_QTY
     sql["doc_lookup"] = relational.SQL_DOC_LOOKUP
     sql["token_counts"] = textops.SQL_TOKEN_COUNTS
     sql["token_counts_bpe"] = textops.SQL_TOKEN_COUNTS_BPE

@@ -359,6 +359,80 @@ SELECT doc_id, lang, n_chars FROM documents WHERE doc_id IN (1, 7, 42, 99, 365)
 """
 
 
+def corr_price_qty(sf_dir: str):
+    """(l_returnflag, n_rows, corr_x1e9) — per-group Pearson correlation of
+    extended price vs quantity via EXACT sufficient statistics: one corpus
+    pass emits per-(batch, group) int64 partials (n, Σx, Σy, Σxy, Σx²,
+    Σy²) over cent/unit-scaled integers, a |groups×blocks|-sized groupby
+    sums them, and the closed form evaluates once per group.
+
+    Float discipline: partials are exact int64 (batch Σx² ≤ 4·10¹⁷),
+    group totals are summed exactly (Python int on the engine side,
+    HUGEINT in the SQL oracle), and the final formula converts the exact
+    integer moments to float64 in the SAME expression order on both
+    sides — corr_x1e9 is a bit-identical scaled BIGINT."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": batch.column("l_returnflag").to_pandas(),
+                "x": np.rint(batch.column("l_extendedprice").to_numpy() * 100).astype(np.int64),
+                "y": np.rint(batch.column("l_quantity").to_numpy()).astype(np.int64),
+            }
+        )
+        df["xy"] = df["x"] * df["y"]
+        df["xx"] = df["x"] * df["x"]
+        df["yy"] = df["y"] * df["y"]
+        df["n"] = np.int64(1)
+        g = df.groupby("g", sort=False)[["n", "x", "y", "xy", "xx", "yy"]].sum().reset_index()
+        return pa.Table.from_pandas(g.rename(columns={"g": "l_returnflag"}), preserve_index=False)
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    )  # |groups × blocks| rows of int64 moments — O(blocks), never corpus-sized
+
+    rows = []
+    for flag, g in parts.groupby("l_returnflag", sort=True):
+        # exact arbitrary-precision totals (per-block partials are int64-safe;
+        # the grand totals may exceed int64 — Python ints never overflow)
+        n, sx, sy, sxy, sxx, syy = (int(g[c].astype(object).sum()) for c in ("n", "x", "y", "xy", "xx", "yy"))
+        num = float(n * sxy - sx * sy)
+        den = np.sqrt(float(n * sxx - sx * sx)) * np.sqrt(float(n * syy - sy * sy))
+        rows.append(
+            {
+                "l_returnflag": flag,
+                "n_rows": np.int64(n),
+                "corr_x1e9": np.int64(np.rint(num / den * 1e9)),
+            }
+        )
+    return pd.DataFrame(rows, columns=["l_returnflag", "n_rows", "corr_x1e9"])
+
+
+SQL_CORR_PRICE_QTY = """
+WITH m AS (
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS sx,
+           SUM(CAST(CAST(ROUND(l_quantity) AS BIGINT) AS HUGEINT)) AS sy,
+           SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+               * CAST(ROUND(l_quantity) AS BIGINT)) AS sxy,
+           SUM(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS HUGEINT)
+               * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sxx,
+           SUM(CAST(CAST(ROUND(l_quantity) AS BIGINT) AS HUGEINT)
+               * CAST(ROUND(l_quantity) AS BIGINT)) AS syy
+    FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+            * 1000000000) AS BIGINT) AS corr_x1e9
+FROM m
+"""
+
+
 def price_quantiles_tdigest(sf_dir: str, delta: int = 200):
     """(l_returnflag, n_rows, p50_milli, p90_milli, p99_milli) — APPROXIMATE
     per-group quantiles of l_extendedprice via mergeable t-digests

@@ -451,3 +451,23 @@ def test_bpe_pattern_counts_known_cases():
     }
     got = pc.count_substring_regex(pa.array(list(cases)), BPE_PATTERN).to_pylist()
     assert got == list(cases.values())
+
+
+def test_corr_price_qty_matches_numpy():
+    """The exact-integer-moment Pearson correlation must agree with
+    np.corrcoef on the same scaled integers (independent formula path)."""
+    import pyarrow.parquet as pq
+
+    from osm_search_ray.pipelines.relational import corr_price_qty
+
+    sf = "/root/testdata/sf0.001"
+    got = corr_price_qty(sf).set_index("l_returnflag")
+    df = pq.read_table(
+        f"{sf}/lineitem.parquet", columns=["l_returnflag", "l_quantity", "l_extendedprice"]
+    ).to_pandas()
+    df["x"] = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+    df["y"] = np.rint(df["l_quantity"].to_numpy()).astype(np.int64)
+    for flag, g in df.groupby("l_returnflag"):
+        ref = np.corrcoef(g["x"], g["y"])[0, 1]
+        assert abs(got.loc[flag, "corr_x1e9"] / 1e9 - ref) < 1e-6
+        assert got.loc[flag, "n_rows"] == len(g)
