@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["knn_nearest_docs"] = lambda sf: tiling.knn_nearest_docs(sf, k=3)
     q["knn_radius_lang"] = lambda sf: tiling.knn_radius_lang(sf)
     q["reverse_geocode"] = tiling.reverse_geocode
+    q["kring_density"] = tiling.kring_density  # 3x3 cell-ring density (H3 k-ring analogue)
     # --- relational operator coverage (sources, filters, joins, aggs, top-k) ---
     q["agg_pricing"] = relational.agg_pricing
     q["agg_pricing_rollup"] = relational.agg_pricing_rollup  # grouping sets from ONE corpus pass
@@ -66,6 +67,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["pii_redact"] = pii.pii_redact  # vectorized RE2 scrubbing (email/phone/IP)
     q["curate_corpus"] = curate.curate_corpus  # composed cleaning funnel (per-doc verdict)
+    # --- web-corpus maintenance (derived url/domain/warc_ts snapshots) ---
+    from osm_search_ray.pipelines import webcorpus
+
+    q["url_latest"] = webcorpus.url_latest  # crawl-snapshot compaction (CDC upsert)
+    q["domain_stats"] = webcorpus.domain_stats  # per-domain rollup, exact distincts
+    q["domain_cap"] = webcorpus.domain_cap  # deterministic per-domain quota
+    q["chunk_dedup"] = webcorpus.chunk_dedup  # CCNet-style boilerplate chunk removal
+    q["dup_clusters"] = webcorpus.dup_clusters  # connected components via label propagation
     # --- training-data prep (deterministic split, sequence packing) ---
     from osm_search_ray.pipelines import traindata
 
@@ -182,6 +191,18 @@ scored AS (
 )
 SELECT query_id, doc_id, rank FROM scored WHERE rank = 1
 """
+    _n12 = 1 << 12
+    _xe = f"LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * {_n12}) AS BIGINT), 0), {_n12 - 1})"
+    _ye = f"LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * {_n12}) AS BIGINT), 0), {_n12 - 1})"
+    sql["kring_density"] = f"""
+WITH {dv.SQL_GEO_PAGES.strip()},
+pts AS (SELECT {_xe} AS x, {_ye} AS y FROM geo_pages),
+cells AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY 1, 2)
+SELECT c.x * {_n12} + c.y AS cell_r12, c.n AS n_docs, CAST(SUM(m.n) AS BIGINT) AS n_ring
+FROM cells c JOIN cells m
+  ON m.x BETWEEN c.x - 1 AND c.x + 1 AND m.y BETWEEN c.y - 1 AND c.y + 1
+GROUP BY 1, 2
+"""
     sql["agg_pricing"] = relational.SQL_AGG_PRICING
     sql["agg_pricing_rollup"] = relational.SQL_AGG_PRICING_ROLLUP
     sql["join_customer_orders"] = relational.SQL_JOIN_CUSTOMER_ORDERS
@@ -212,6 +233,13 @@ SELECT query_id, doc_id, rank FROM scored WHERE rank = 1
 
     sql["pii_redact"] = pii.SQL_PII_REDACT
     sql["curate_corpus"] = curate.SQL_CURATE_CORPUS
+    from osm_search_ray.pipelines import webcorpus
+
+    sql["url_latest"] = webcorpus.SQL_URL_LATEST
+    sql["domain_stats"] = webcorpus.SQL_DOMAIN_STATS
+    sql["domain_cap"] = webcorpus.SQL_DOMAIN_CAP
+    sql["chunk_dedup"] = webcorpus.SQL_CHUNK_DEDUP
+    sql["dup_clusters"] = webcorpus.SQL_DUP_CLUSTERS
     from osm_search_ray.pipelines import search_docs
 
     sql["bm25_search"] = search_docs.SQL_BM25_DOCS_SEARCH

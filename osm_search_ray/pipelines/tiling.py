@@ -234,3 +234,57 @@ def reverse_geocode(sf_dir: str) -> "ray.data.Dataset":
     return broadcast_knn(geo_pages(sf_dir), knn_query_points(sf_dir), k=1).select_columns(
         ["query_id", "doc_id", "rank"]
     )
+
+
+def kring_density(sf_dir: str, res: int = RES_COARSE):
+    """k-ring neighborhood density (the H3 k-ring analogue on the grid,
+    reference kNN seed pattern /root/reference/pkg/kv/...): for every
+    OCCUPIED res-12 cell, the total docs in its 3x3 cell neighborhood.
+
+    Shape: per-cell counts (tile_counts combiner + one small groupby), then
+    each count row is FANNED OUT to its <=9 neighbor cells (flat-map, x9
+    rows of an already cell-aggregated — i.e. tiny — table) and summed in
+    one cell-keyed exchange; occupied-cell markers ride the same exchange,
+    so unoccupied ring members never produce output rows. No driver state,
+    no polygon broadcast — the ring is pure cell arithmetic."""
+    from ..stages.joins import hash_partitioned_apply
+    import pandas as pd
+
+    n = 1 << res
+    counts = tile_counts(sf_dir)
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell_r12").to_numpy(zero_copy_only=False)
+        cnt = batch.column("n_docs").to_numpy(zero_copy_only=False).astype(np.int64)
+        x, y = cell // n, cell % n
+        cells_out, n_out, side_out = [cell], [cnt], [np.zeros(len(cell), np.int8)]
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nx, ny = x + dx, y + dy
+                m = (nx >= 0) & (nx < n) & (ny >= 0) & (ny < n)
+                cells_out.append((nx * n + ny)[m])
+                n_out.append(cnt[m])
+                side_out.append(np.ones(int(m.sum()), np.int8))
+        return pa.table(
+            {
+                "cell_r12": pa.array(np.concatenate(cells_out)),
+                "n": pa.array(np.concatenate(n_out)),
+                "side": pa.array(np.concatenate(side_out)),
+            }
+        )
+
+    def ring_sum(df: "pd.DataFrame") -> "pd.DataFrame":
+        occ = df[df["side"] == 0][["cell_r12", "n"]].rename(columns={"n": "n_docs"})
+        ring = (
+            df[df["side"] == 1]
+            .groupby("cell_r12", sort=False, as_index=False)["n"]
+            .sum()
+            .rename(columns={"n": "n_ring"})
+        )
+        out = occ.merge(ring, on="cell_r12")  # inner: occupied cells only
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        out["n_ring"] = out["n_ring"].astype(np.int64)
+        return out
+
+    fanned = counts.map_batches(fan_out, batch_format="pyarrow")
+    return hash_partitioned_apply(fanned, "cell_r12", ring_sum, num_parts=16)

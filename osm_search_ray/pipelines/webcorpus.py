@@ -1,0 +1,552 @@
+"""Web-corpus maintenance operators over the derived Common-Crawl-style
+``web_pages`` table (sources/derived.py: url / domain / warc_ts from doc_id
+arithmetic — every pipeline here is oracle-checkable against DuckDB).
+
+Operators (all Ray-Data-first, every exchange is an explicit bounded hash
+partition — no driver-side corpus state):
+
+  * ``url_latest``      — crawl-snapshot compaction: keep the newest
+                          (warc_ts, doc_id) crawl per url. The CDC/upsert
+                          analogue of the reference's doc-store rewrite
+                          (/root/reference/pkg/index/indexer.go builds its
+                          store from the latest extract only).
+  * ``domain_stats``    — per-domain rollup with two exact distinct counts.
+  * ``domain_cap``      — deterministic per-domain document cap (the
+                          RefinedWeb-style anti-spam quota).
+  * ``chunk_dedup``     — CCNet-style boilerplate removal: 5-token chunks
+                          that occur in >= MIN_DOCS distinct docs are
+                          dropped from every doc, text reassembled in chunk
+                          order.
+  * ``dup_clusters``    — connected components over the "docs sharing a
+                          duplicated chunk" graph by iterative min-label
+                          propagation (the distributed union-find analogue;
+                          converges in graph-diameter rounds).
+
+Scale notes (100 TB): the chunk explode is fully vectorized Arrow
+(split_pattern + offset regrouping + binary_join — no per-row Python); doc
+frequencies / anti-join / reassembly are three bounded hash exchanges keyed
+by chunk, chunk, doc_id; label propagation ships only (node, label) pairs
+per round. Hot chunks are capped (MAX_CLIQUE) before pair expansion, the
+same discipline as stages/dedup.py's banded MinHash verify.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..sources import derived as dv
+from ..stages.joins import hash_partitioned_apply
+
+CHUNK_WORDS = 5
+MIN_DOCS = 2  # chunk in >= this many distinct docs -> boilerplate
+MAX_CLIQUE = 10  # dup_clusters: ignore chunks shared by more docs (hub guard)
+DOMAIN_CAP_K = 5
+_SQL_CHUNKS = """
+ws AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+chunklists AS (
+    SELECT doc_id,
+           list_transform(range(0, CAST(ceil(len(words) / 5.0) AS BIGINT)),
+                          j -> array_to_string(words[j*5+1 : j*5+5], ' ')) AS chunks
+    FROM ws),
+chunks AS (
+    SELECT doc_id, unnest(chunks) AS chunk, unnest(range(0, len(chunks))) AS ci
+    FROM chunklists)"""
+
+
+# ------------------------------------------------------------- url snapshots
+
+
+def _latest_combine(df: pd.DataFrame, n_col: str) -> pd.DataFrame:
+    """Keep the max-(warc_ts_us, doc_id) row per url, summing n_col."""
+    df = df.sort_values(["url", "warc_ts_us", "doc_id"], kind="mergesort")
+    keep = df.drop_duplicates("url", keep="last")[["url", "doc_id", "warc_ts_us"]]
+    n = df.groupby("url", sort=False)[n_col].sum()
+    out = keep.merge(n.rename("n_snapshots"), on="url")
+    return pd.DataFrame(
+        {
+            "url": out["url"],
+            "doc_id": out["doc_id"].to_numpy(np.int64),
+            "warc_ts_us": out["warc_ts_us"].to_numpy(np.int64),
+            "n_snapshots": out["n_snapshots"].to_numpy(np.int64),
+        }
+    )
+
+
+def url_latest(sf_dir: str):
+    """Snapshot compaction: one row per url — the crawl with the largest
+    (warc_ts, doc_id) — plus how many snapshots it superseded.
+
+    Shape: per-batch argmax combiner (exchange carries <= |urls-in-batch|
+    rows), then ONE url-hash exchange for the exact argmax + count."""
+    wp = dv.web_pages(sf_dir, columns=["doc_id", "url", "warc_ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "url": batch.column("url").to_pandas(),
+                "doc_id": batch.column("doc_id").to_numpy(zero_copy_only=False),
+                "warc_ts_us": batch.column("warc_ts").cast(pa.int64()).to_numpy(zero_copy_only=False),
+            }
+        )
+        df["n"] = np.ones(len(df), np.int64)
+        return pa.Table.from_pandas(_latest_combine(df, "n"), preserve_index=False)
+
+    partials = wp.map_batches(partial, batch_format="pyarrow")
+    return hash_partitioned_apply(
+        partials, "url", lambda df: _latest_combine(df, "n_snapshots"), num_parts=32
+    )
+
+
+SQL_URL_LATEST = f"""
+WITH {dv.SQL_WEB_PAGES.strip()},
+ranked AS (
+    SELECT url, doc_id, epoch_us(warc_ts) AS warc_ts_us,
+           ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts DESC, doc_id DESC) AS rn,
+           COUNT(*) OVER (PARTITION BY url) AS n_snapshots
+    FROM web_pages)
+SELECT url, doc_id, warc_ts_us, n_snapshots FROM ranked WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------- domain agg
+
+
+def domain_stats(sf_dir: str):
+    """Per-domain rollup: page count, total chars, exact distinct urls and
+    langs. The two distincts are per-batch-deduped combiners feeding bounded
+    hash exchanges (url-keyed and (domain,lang)-keyed), then all three
+    partial streams meet in ONE domain-keyed exchange — no driver sets."""
+    wp = dv.web_pages(sf_dir, columns=["doc_id", "lang", "n_chars", "domain", "url"])
+
+    def partial_pages(batch: pa.Table) -> pa.Table:
+        df = batch.select(["domain", "n_chars"]).to_pandas()
+        g = df.groupby("domain", sort=False)["n_chars"].agg(["size", "sum"]).reset_index()
+        return pa.table(
+            {
+                "domain": pa.array(g["domain"], pa.string()),
+                "n_pages": pa.array(g["size"].to_numpy(np.int64)),
+                "total_chars": pa.array(g["sum"].to_numpy(np.int64)),
+                "n_urls": pa.array(np.zeros(len(g), np.int64)),
+                "n_langs": pa.array(np.zeros(len(g), np.int64)),
+            }
+        )
+
+    def batch_unique(cols):
+        def fn(batch: pa.Table) -> pa.Table:
+            df = batch.select(cols).to_pandas().drop_duplicates(cols)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        return fn
+
+    def count_per_domain(col_out):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            dedup = df.drop_duplicates()
+            g = dedup.groupby("domain", sort=False).size().reset_index(name="k")
+            out = pd.DataFrame(
+                {
+                    "domain": g["domain"],
+                    "n_pages": np.zeros(len(g), np.int64),
+                    "total_chars": np.zeros(len(g), np.int64),
+                    "n_urls": np.zeros(len(g), np.int64),
+                    "n_langs": np.zeros(len(g), np.int64),
+                }
+            )
+            out[col_out] = g["k"].to_numpy(np.int64)
+            return out
+
+        return fn
+
+    pages = wp.map_batches(partial_pages, batch_format="pyarrow")
+    # url determines its domain, so a url-keyed dedup is domain-exact
+    urls = hash_partitioned_apply(
+        wp.map_batches(batch_unique(["domain", "url"]), batch_format="pyarrow"),
+        "url",
+        count_per_domain("n_urls"),
+        num_parts=32,
+    )
+    langs = hash_partitioned_apply(
+        wp.map_batches(batch_unique(["domain", "lang"]), batch_format="pyarrow"),
+        ["domain", "lang"],
+        count_per_domain("n_langs"),
+        num_parts=16,
+    )
+
+    def fuse(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("domain", sort=False, as_index=False)[
+            ["n_pages", "total_chars", "n_urls", "n_langs"]
+        ].sum()
+        for c in ["n_pages", "total_chars", "n_urls", "n_langs"]:
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    return hash_partitioned_apply(pages.union(urls, langs), "domain", fuse, num_parts=16)
+
+
+SQL_DOMAIN_STATS = f"""
+WITH {dv.SQL_WEB_PAGES.strip()}
+SELECT domain,
+       COUNT(*) AS n_pages,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       COUNT(DISTINCT url) AS n_urls,
+       COUNT(DISTINCT lang) AS n_langs
+FROM web_pages GROUP BY 1
+"""
+
+
+def domain_cap(sf_dir: str, k: int = DOMAIN_CAP_K):
+    """Per-domain quota: keep the k lowest-doc_id pages per domain (the
+    deterministic stand-in for a quality-ordered cap). Combiner keeps <= k
+    rows per (batch, domain) before the single domain exchange."""
+    wp = dv.web_pages(sf_dir, columns=["doc_id", "domain"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["domain", "doc_id"]).to_pandas()
+        df = df.sort_values(["domain", "doc_id"], kind="mergesort")
+        return pa.Table.from_pandas(
+            df.groupby("domain", sort=False).head(k), preserve_index=False
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["domain", "doc_id"], kind="mergesort")
+        g = df.groupby("domain", sort=False).head(k).copy()
+        g["rn"] = g.groupby("domain", sort=False).cumcount().to_numpy(np.int64) + 1
+        return g
+
+    partials = wp.map_batches(partial, batch_format="pyarrow")
+    return hash_partitioned_apply(partials, "domain", final, num_parts=16)
+
+
+SQL_DOMAIN_CAP = f"""
+WITH {dv.SQL_WEB_PAGES.strip()},
+ranked AS (
+    SELECT domain, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+    FROM web_pages)
+SELECT domain, doc_id, rn FROM ranked WHERE rn <= {DOMAIN_CAP_K}
+"""
+
+
+# ----------------------------------------------------- chunk explode (Arrow)
+
+
+def explode_chunks(ds: "ray.data.Dataset", chunk_words: int = CHUNK_WORDS):
+    """documents → (doc_id, ci, chunk): consecutive ``chunk_words``-token
+    spans, fully vectorized (split_pattern → offset regrouping →
+    binary_join; the only Python loop is over Arrow chunks)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch.column("text"), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        offsets = words.offsets.to_numpy()
+        w = np.diff(offsets)
+        c = -(-w // chunk_words)  # ceil: chunks per doc
+        tot = int(c.sum())
+        cum = np.concatenate([[0], np.cumsum(c)[:-1]])
+        ci = np.arange(tot, dtype=np.int64) - np.repeat(cum, c)
+        starts = np.repeat(offsets[:-1], c) + ci * chunk_words
+        offs_new = np.concatenate([starts, offsets[-1:]])
+        if pa.types.is_large_list(words.type):
+            chunk_list = pa.LargeListArray.from_arrays(
+                pa.array(offs_new.astype(np.int64), pa.int64()), words.values
+            )
+        else:
+            chunk_list = pa.ListArray.from_arrays(
+                pa.array(offs_new.astype(np.int32), pa.int32()), words.values
+            )
+        chunk_str = pc.binary_join(chunk_list, " ")
+        doc_rep = np.repeat(
+            batch.column("doc_id").to_numpy(zero_copy_only=False), c
+        )
+        return pa.table({"doc_id": pa.array(doc_rep), "ci": pa.array(ci), "chunk": chunk_str})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _chunk_doc_freq(exploded: "ray.data.Dataset"):
+    """(chunk, ndocs distinct) — per-batch (chunk, doc) dedup combiner, then
+    ONE chunk-keyed exchange for the exact distinct count."""
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        df = batch.select(["chunk", "doc_id"]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def count(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.drop_duplicates()
+            .groupby("chunk", sort=False)
+            .size()
+            .reset_index(name="ndocs")
+        )
+        g["ndocs"] = g["ndocs"].astype(np.int64)
+        return g
+
+    return hash_partitioned_apply(
+        exploded.map_batches(combiner, batch_format="pyarrow"), "chunk", count, num_parts=32
+    )
+
+
+def chunk_dedup(sf_dir: str, min_docs: int = MIN_DOCS):
+    """CCNet-style boilerplate removal: drop every 5-token chunk that occurs
+    in >= min_docs distinct documents, reassemble the survivors in order.
+    Docs whose every chunk is boilerplate disappear (both sides).
+
+    Output (doc_id, clean_text, n_kept). Three bounded exchanges:
+    chunk (doc-freq), chunk (anti-join), doc_id (reassembly)."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    exploded = explode_chunks(docs)
+
+    freq = _chunk_doc_freq(exploded).map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("ndocs"), min_docs)),
+        batch_format="pyarrow",
+    )
+
+    def tag_freq(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.full(n, -1, np.int64)),
+                "ci": pa.array(np.full(n, -1, np.int64)),
+                "chunk": batch.column("chunk"),
+                "side": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        return batch.append_column("side", pa.array(np.zeros(len(batch), np.int8)))
+
+    both = exploded.map_batches(tag_rows, batch_format="pyarrow").union(
+        freq.map_batches(tag_freq, batch_format="pyarrow")
+    )
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        bad = set(df.loc[df["side"] == 1, "chunk"])
+        keep = df[(df["side"] == 0) & (~df["chunk"].isin(bad))]
+        return keep[["doc_id", "ci", "chunk"]]
+
+    kept = hash_partitioned_apply(both, "chunk", anti, num_parts=32)
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "ci"], kind="mergesort")
+        g = df.groupby("doc_id", sort=False)["chunk"]
+        out = g.agg(" ".join).reset_index(name="clean_text")
+        out["n_kept"] = g.size().to_numpy(np.int64)
+        out["doc_id"] = out["doc_id"].astype(np.int64)
+        return out
+
+    return hash_partitioned_apply(kept, "doc_id", reassemble, num_parts=32)
+
+
+SQL_CHUNK_DEDUP = f"""
+WITH {_SQL_CHUNKS.strip()},
+freq AS (
+    SELECT chunk FROM chunks GROUP BY chunk
+    HAVING COUNT(DISTINCT doc_id) >= {MIN_DOCS}),
+kept AS (
+    SELECT c.doc_id, c.ci, c.chunk
+    FROM chunks c LEFT JOIN freq f USING (chunk) WHERE f.chunk IS NULL)
+SELECT doc_id, string_agg(chunk, ' ' ORDER BY ci) AS clean_text,
+       COUNT(*) AS n_kept
+FROM kept GROUP BY doc_id
+"""
+
+
+# ------------------------------------------------- duplicate-cluster labels
+
+
+def _local_cc(u: np.ndarray, v: np.ndarray) -> dict:
+    """Union-find over one edge block; returns node → min-node-of-component.
+    Path-halving find, union by min — O(E α(E)) per block."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        return r
+
+    for a, b in zip(u.tolist(), v.tolist()):
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # root at the smaller id so every root IS its component min
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return {x: find(x) for x in parent}
+
+
+def dup_clusters(sf_dir: str, min_docs: int = MIN_DOCS, max_docs: int = MAX_CLIQUE,
+                 max_levels: int = 10):
+    """Connected components over the doc-similarity graph "share a chunk
+    that appears in [min_docs, max_docs] distinct docs"; cluster_id = min
+    doc_id in the component (= the SQL oracle's MIN over reachable nodes).
+
+    Algorithm (contraction CC, the filtering technique of
+    Lattanzi et al., "Filtering: a method for solving graph problems in
+    MapReduce", SPAA'11): each level runs union-find LOCALLY inside every
+    edge block (no exchange), then ONE node-keyed exchange reconciles
+    per-block labels — a node seen with k different block-labels emits k-1
+    contracted edges between those labels — and the next level recurses on
+    the contracted graph, which shrinks geometrically (once it is small it
+    is coalesced into a single block and solved exactly). Final labels are
+    then unwound through the per-level mappings, one bounded exchange per
+    level. Total exchanges ≈ 2 × levels (2-3 levels in practice) versus
+    diameter × 2 for naive min-label propagation. The hub cap bounds pair
+    expansion per chunk at C(max_docs,2), same discipline as the MinHash
+    band verify.
+
+    Output (doc_id, cluster_id) for every doc with at least one edge."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    exploded = explode_chunks(docs)
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        df = batch.select(["chunk", "doc_id"]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates().sort_values(["chunk", "doc_id"], kind="mergesort")
+        sizes = df.groupby("chunk", sort=False)["doc_id"].transform("size")
+        df = df[(sizes >= min_docs) & (sizes <= max_docs)]
+        us, vs = [], []
+        for _, g in df.groupby("chunk", sort=False):
+            ids = g["doc_id"].to_numpy(np.int64)
+            iu, iv = np.triu_indices(len(ids), k=1)
+            us.append(ids[iu])
+            vs.append(ids[iv])
+        if not us:
+            return pd.DataFrame({"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"u": np.concatenate(us), "v": np.concatenate(vs)})
+
+    cand = hash_partitioned_apply(
+        exploded.map_batches(combiner, batch_format="pyarrow"), "chunk", pairs, num_parts=32
+    )
+    # candidate pairs (u < v) are enough — contraction is direction-free
+    g = cand.materialize()
+    if g.count() == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
+
+    def block_cc(batch: pa.Table) -> pa.Table:
+        lab = _local_cc(
+            batch.column("u").to_numpy(zero_copy_only=False),
+            batch.column("v").to_numpy(zero_copy_only=False),
+        )
+        nodes = np.fromiter(lab.keys(), np.int64, len(lab))
+        labels = np.fromiter(lab.values(), np.int64, len(lab))
+        return pa.table({"node": pa.array(nodes), "label": pa.array(labels)})
+
+    def reconcile(df: pd.DataFrame) -> pd.DataFrame:
+        """Per node: mapping row node→min(label); one contracted-edge row
+        (kind=1, node=label_i, label=min) per extra distinct label."""
+        df = df.drop_duplicates().sort_values(["node", "label"], kind="mergesort")
+        lmin = df.groupby("node", sort=False)["label"].transform("min")
+        mapping = df.drop_duplicates("node")[["node"]].copy()
+        mapping["label"] = lmin[mapping.index].to_numpy(np.int64)
+        mapping["kind"] = np.zeros(len(mapping), np.int8)
+        extra = df[df["label"].to_numpy() != lmin.to_numpy()]
+        edges_out = pd.DataFrame(
+            {
+                "node": extra["label"].to_numpy(np.int64),
+                "label": lmin[extra.index].to_numpy(np.int64),
+                "kind": np.ones(len(extra), np.int8),
+            }
+        ).drop_duplicates()
+        return pd.concat([mapping, edges_out], ignore_index=True)
+
+    maps: list = []
+    for level in range(max_levels):
+        m = g.map_batches(block_cc, batch_format="pyarrow", batch_size=None)
+        out = hash_partitioned_apply(m, "node", reconcile, num_parts=32).materialize()
+        maps.append(
+            out.map_batches(
+                lambda b: b.filter(pc.equal(b.column("kind"), 0)).drop_columns(["kind"]),
+                batch_format="pyarrow",
+            ).materialize()
+        )
+        new_edges = out.map_batches(
+            lambda b: pa.table(
+                {
+                    "u": b.filter(pc.equal(b.column("kind"), 1)).column("node"),
+                    "v": b.filter(pc.equal(b.column("kind"), 1)).column("label"),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        n_edges = new_edges.count()
+        if n_edges == 0:
+            break
+        # the contracted graph shrinks geometrically; once small, coalesce
+        # it into one block so the next level solves it exactly
+        g = new_edges.repartition(1) if n_edges < 1_000_000 else new_edges
+    else:
+        raise RuntimeError("dup_clusters: contraction did not converge")
+
+    # unwind: compose final labels back through the earlier mappings.
+    # labels(level k) are node-ids of level k+1; absent keys are final.
+    labels = maps[-1]
+    for mp in reversed(maps[:-1]):
+        tagged_mp = mp.map_batches(
+            lambda b: pa.table(
+                {
+                    "key": b.column("label"),
+                    "node": b.column("node"),
+                    "label": b.column("label"),
+                    "side": pa.array(np.zeros(len(b), np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        tagged_fin = labels.map_batches(
+            lambda b: pa.table(
+                {
+                    "key": b.column("node"),
+                    "node": pa.array(np.full(len(b), -1, np.int64)),
+                    "label": b.column("label"),
+                    "side": pa.array(np.ones(len(b), np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def compose(df: pd.DataFrame) -> pd.DataFrame:
+            fin = df[df["side"] == 1].drop_duplicates("key").set_index("key")["label"]
+            a = df[df["side"] == 0]
+            resolved = a["key"].map(fin).fillna(a["label"]).astype(np.int64)
+            return pd.DataFrame({"node": a["node"].to_numpy(np.int64), "label": resolved.to_numpy()})
+
+        labels = hash_partitioned_apply(tagged_mp.union(tagged_fin), "key", compose, num_parts=32)
+
+    return labels.map_batches(
+        lambda b: pa.table({"doc_id": b.column("node"), "cluster_id": b.column("label")}),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DUP_CLUSTERS = f"""
+WITH {_SQL_CHUNKS.strip()},
+cdocs AS (SELECT chunk, doc_id FROM chunks GROUP BY chunk, doc_id),
+csz AS (SELECT chunk, COUNT(*) AS n FROM cdocs GROUP BY chunk),
+edges0 AS (
+    SELECT a.doc_id AS u, b.doc_id AS v
+    FROM cdocs a JOIN cdocs b USING (chunk) JOIN csz USING (chunk)
+    WHERE csz.n BETWEEN {MIN_DOCS} AND {MAX_CLIQUE} AND a.doc_id < b.doc_id
+    GROUP BY 1, 2),
+edges AS (SELECT u, v FROM edges0 UNION SELECT v AS u, u AS v FROM edges0),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach AS (
+    WITH RECURSIVE r(node, reached) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT r.node, e.v FROM r JOIN edges e ON e.u = r.reached
+    ) SELECT * FROM r)
+SELECT node AS doc_id, MIN(reached) AS cluster_id FROM reach GROUP BY node
+"""

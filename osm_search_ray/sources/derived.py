@@ -244,3 +244,53 @@ contact_pages AS (
                 || '.' || CAST(doc_id % 100 AS VARCHAR) AS raw_text
     FROM documents
 )"""
+
+
+# ------------------------------------------------------------- web snapshots
+# Common-Crawl-style url/domain/crawl-timestamp derivation (input_hint shape).
+# Every doc gets a url; 3 consecutive doc_ids share one url (= 3 crawl
+# snapshots of the same page), 127 synthetic domains. warc_ts advances one
+# hour per doc_id from 2024-01-01 UTC. Integer + string ops only, so the SQL
+# twin below is bit-identical.
+
+_WARC_EPOCH_US = 1704067200000000  # 2024-01-01 00:00:00 UTC in microseconds
+_SNAPSHOTS_PER_URL = 3
+_N_SITES = 127
+
+
+def web_page_columns(batch: pa.Table) -> pa.Table:
+    """documents batch → + (url, domain, warc_ts) columns."""
+    d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    pk = d // _SNAPSHOTS_PER_URL
+    site_s = pc.cast(pa.array(pk % _N_SITES), pa.string())
+    pk_s = pc.cast(pa.array(pk), pa.string())
+    domain = pc.binary_join_element_wise(pa.scalar("site"), site_s, pa.scalar(".example"), pa.scalar(""))
+    url = pc.binary_join_element_wise(pa.scalar("https://"), domain, pa.scalar("/p"), pk_s, pa.scalar(""))
+    ts = pa.array(_WARC_EPOCH_US + d * 3_600_000_000).cast(pa.timestamp("us"))
+    return (
+        batch.append_column("domain", domain)
+        .append_column("url", url)
+        .append_column("warc_ts", ts)
+    )
+
+
+def web_pages(sf_dir: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    """documents → (doc_id, lang, n_chars, domain, url, warc_ts) Dataset."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    ds = ds.map_batches(web_page_columns, batch_format="pyarrow")
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+SQL_WEB_PAGES = """
+web_pages AS (
+    SELECT doc_id, lang, n_chars,
+           'site' || CAST((doc_id // 3) % 127 AS VARCHAR) || '.example' AS domain,
+           'https://site' || CAST((doc_id // 3) % 127 AS VARCHAR) || '.example/p'
+                || CAST(doc_id // 3 AS VARCHAR) AS url,
+           TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 HOUR AS warc_ts
+    FROM documents
+)"""
