@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["join_lineitem_orders_bucketed"] = relational.join_lineitem_orders_bucketed
     q["customer_left_join_orders"] = relational.customer_left_join_orders  # LEFT OUTER + zero-fill
     q["corr_price_qty"] = relational.corr_price_qty  # Pearson corr via exact integer moments
+    q["revenue_by_nation"] = relational.revenue_by_nation  # 3-way join rollup (TPC-H Q5 shape)
+    q["global_rank_chars"] = relational.global_rank_chars  # global sort + zip_with_index rank
     q["doc_lookup"] = relational.doc_lookup
     # --- text analysis / index stats (M8, A1-A8 analogues + training-data ops) ---
     q["token_counts"] = textops.token_counts
@@ -74,7 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["domain_stats"] = webcorpus.domain_stats  # per-domain rollup, exact distincts
     q["domain_cap"] = webcorpus.domain_cap  # deterministic per-domain quota
     q["chunk_dedup"] = webcorpus.chunk_dedup  # CCNet-style boilerplate chunk removal
-    q["dup_clusters"] = webcorpus.dup_clusters  # connected components via label propagation
+    q["dup_clusters"] = webcorpus.dup_clusters  # connected components via contraction CC
     # --- training-data prep (deterministic split, sequence packing) ---
     from osm_search_ray.pipelines import traindata
 
@@ -211,6 +213,8 @@ GROUP BY 1, 2
     sql["join_lineitem_orders_bucketed"] = relational.SQL_JOIN_LINEITEM_ORDERS_BUCKETED
     sql["customer_left_join_orders"] = relational.SQL_CUSTOMER_LEFT_JOIN_ORDERS
     sql["corr_price_qty"] = relational.SQL_CORR_PRICE_QTY
+    sql["revenue_by_nation"] = relational.SQL_REVENUE_BY_NATION
+    sql["global_rank_chars"] = relational.SQL_GLOBAL_RANK_CHARS
     sql["doc_lookup"] = relational.SQL_DOC_LOOKUP
     sql["token_counts"] = textops.SQL_TOKEN_COUNTS
     sql["token_counts_bpe"] = textops.SQL_TOKEN_COUNTS_BPE

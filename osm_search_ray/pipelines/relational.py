@@ -490,3 +490,125 @@ def price_quantiles_tdigest(sf_dir: str, delta: int = 200):
         .groupby("l_returnflag")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+def revenue_by_nation(sf_dir: str):
+    """Three-way join rollup (TPC-H Q5 shape): orders ⋈ customer ⋈ nation →
+    revenue per nation. Scale shape: the order fact stream is pre-aggregated
+    per custkey inside each batch, joined to customers in ONE custkey hash
+    exchange (tagged union, like customer_left_join_orders), re-aggregated
+    per NATION inside the same partition kernel, and only |nations|×parts
+    rows reach the final exchange; the 25-row nation dim rides along as a
+    captured constant (a broadcast in cluster terms).
+
+    Output (n_name, n_orders, revenue_cents)."""
+    from ..stages.joins import hash_partitioned_apply
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    names = dict(zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist()))
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["cents"] = np.rint(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        g = df.groupby("o_custkey", sort=False)["cents"].agg(["size", "sum"]).reset_index()
+        return pa.table(
+            {
+                "key": pa.array(g["o_custkey"].to_numpy(np.int64)),
+                "nationkey": pa.array(np.full(len(g), -1, np.int64)),
+                "n": pa.array(g["size"].to_numpy(np.int64)),
+                "cents": pa.array(g["sum"].to_numpy(np.int64)),
+            }
+        )
+
+    def prep_cust(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "key": batch.column("c_custkey"),
+                "nationkey": batch.column("c_nationkey").cast(pa.int64()),
+                "n": pa.array(np.zeros(n, np.int64)),
+                "cents": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    both = orders.map_batches(prep_orders, batch_format="pyarrow").union(
+        cust.map_batches(prep_cust, batch_format="pyarrow")
+    )
+
+    def fuse(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[df["nationkey"] < 0].groupby("key", sort=False)[["n", "cents"]].sum()
+        c = df[df["nationkey"] >= 0][["key", "nationkey"]]
+        m = c.join(o, on="key", how="inner", lsuffix="_c")
+        g = m.groupby("nationkey", sort=False)[["n", "cents"]].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "nationkey": g["nationkey"].to_numpy(np.int64),
+                "n_orders": g["n"].to_numpy(np.int64),
+                "revenue_cents": g["cents"].to_numpy(np.int64),
+            }
+        )
+
+    per_part = hash_partitioned_apply(both, "key", fuse, num_parts=8)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("nationkey", sort=False)[["n_orders", "revenue_cents"]].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "n_name": g["nationkey"].map(names),
+                "n_orders": g["n_orders"].to_numpy(np.int64),
+                "revenue_cents": g["revenue_cents"].to_numpy(np.int64),
+            }
+        )
+
+    return hash_partitioned_apply(per_part, "nationkey", final, num_parts=4)
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n.n_name,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+
+
+def global_rank_chars(sf_dir: str):
+    """Global total-order enumeration: every document's corpus-wide rank by
+    (n_chars DESC, doc_id) — the range-partitioned sort + zip_with_index
+    pattern (same offsets discipline as traindata.pack_sequences): one
+    range-exchange sort, then per-block row counts (O(blocks) driver ints,
+    zero data movement) give each block its starting rank and one map pass
+    numbers the rows. Output (doc_id, n_chars, rank)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    srt = ds.sort(["n_chars", "doc_id"], descending=[True, False]).materialize()
+    refs = srt.to_arrow_refs()
+
+    @ray.remote
+    def block_rows(t: pa.Table) -> int:
+        return t.num_rows
+
+    rows = ray.get([block_rows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(rows)[:-1]]).astype(np.int64)
+
+    @ray.remote
+    def add_rank(t: pa.Table, off: int) -> pa.Table:
+        return t.append_column(
+            "rank", pa.array(off + 1 + np.arange(t.num_rows, dtype=np.int64))
+        )
+
+    return ray.data.from_arrow_refs(
+        [add_rank.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    )
+
+
+SQL_GLOBAL_RANK_CHARS = """
+SELECT doc_id, n_chars,
+       ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+FROM documents
+"""

@@ -471,3 +471,35 @@ def test_corr_price_qty_matches_numpy():
         ref = np.corrcoef(g["x"], g["y"])[0, 1]
         assert abs(got.loc[flag, "corr_x1e9"] / 1e9 - ref) < 1e-6
         assert got.loc[flag, "n_rows"] == len(g)
+
+
+def test_revenue_by_nation_matches_pandas():
+    """3-way join rollup == pandas merge over the same tables."""
+    import pandas as pd
+    from osm_search_ray.pipelines.relational import revenue_by_nation
+
+    sf = "/root/testdata/sf0.001"
+    got = revenue_by_nation(sf).to_pandas().set_index("n_name").sort_index()
+    o = pd.read_parquet(f"{sf}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    c = pd.read_parquet(f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    n = pd.read_parquet(f"{sf}/nation.parquet", columns=["n_nationkey", "n_name"])
+    o["cents"] = np.rint(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    m = o.merge(c, left_on="o_custkey", right_on="c_custkey").merge(
+        n, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    want = m.groupby("n_name")["cents"].agg(["size", "sum"]).sort_index()
+    assert (got["n_orders"].to_numpy() == want["size"].to_numpy()).all()
+    assert (got["revenue_cents"].to_numpy() == want["sum"].to_numpy()).all()
+
+
+def test_global_rank_chars_is_a_permutation_in_order():
+    import pandas as pd
+    from osm_search_ray.pipelines.relational import global_rank_chars
+
+    sf = "/root/testdata/sf0.001"
+    got = global_rank_chars(sf).to_pandas()
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "n_chars"])
+    want = docs.sort_values(["n_chars", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+    want["rank"] = np.arange(1, len(want) + 1, dtype=np.int64)
+    got = got.sort_values("rank").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["doc_id", "n_chars", "rank"]], want)
