@@ -77,6 +77,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["domain_cap"] = webcorpus.domain_cap  # deterministic per-domain quota
     q["chunk_dedup"] = webcorpus.chunk_dedup  # CCNet-style boilerplate chunk removal
     q["dup_clusters"] = webcorpus.dup_clusters  # connected components via contraction CC
+    from osm_search_ray.pipelines import graph
+
+    q["pagerank_links"] = graph.pagerank_links  # iterative PageRank, integer-exact
     # --- training-data prep (deterministic split, sequence packing) ---
     from osm_search_ray.pipelines import traindata
 
@@ -244,6 +247,9 @@ GROUP BY 1, 2
     sql["domain_cap"] = webcorpus.SQL_DOMAIN_CAP
     sql["chunk_dedup"] = webcorpus.SQL_CHUNK_DEDUP
     sql["dup_clusters"] = webcorpus.SQL_DUP_CLUSTERS
+    from osm_search_ray.pipelines import graph
+
+    sql["pagerank_links"] = graph.SQL_PAGERANK_LINKS
     from osm_search_ray.pipelines import search_docs
 
     sql["bm25_search"] = search_docs.SQL_BM25_DOCS_SEARCH

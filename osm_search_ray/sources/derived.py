@@ -294,3 +294,54 @@ web_pages AS (
            TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 HOUR AS warc_ts
     FROM documents
 )"""
+
+
+# --------------------------------------------------------------- link graph
+# Synthetic hyperlink graph over the (dense 0..N-1) doc_id space: every page
+# links to 3 deterministic targets (quadratic-hash arithmetic, mod N — the
+# square makes the map non-bijective, so in-degrees vary and hub pages
+# emerge; a linear rule with P coprime to N would be a permutation and give
+# every page identical in-degree 3). Multi-edges and self-loops are kept —
+# out-degree is exactly 3 per page on both sides. Integer ops only, so the
+# SQL twin is bit-identical.
+
+_LINK_RULES = ((7919, 1), (104729, 2), (48271, 3))
+
+
+def link_targets(src: np.ndarray, n_docs: int) -> list[np.ndarray]:
+    """Canonical per-rule destination arithmetic: (src² % N * P + k) % N."""
+    src = np.asarray(src, dtype=np.int64)
+    n = np.int64(n_docs)
+    sq = (src * src) % n
+    return [(sq * p + k) % n for p, k in _LINK_RULES]
+
+
+def link_edges(sf_dir: str) -> "ray.data.Dataset":
+    """documents → (src, dst) edge Dataset, 3 out-edges per doc."""
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        src = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        dsts = link_targets(src, n_docs)
+        return pa.table(
+            {
+                "src": pa.array(np.tile(src, len(dsts))),
+                "dst": pa.array(np.concatenate(dsts)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_LINK_EDGES = """
+nn AS (SELECT COUNT(*) AS n FROM documents),
+link_edges AS (
+    SELECT doc_id AS src, (doc_id * doc_id % (SELECT n FROM nn) * 7919 + 1) % (SELECT n FROM nn) AS dst FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id * doc_id % (SELECT n FROM nn) * 104729 + 2) % (SELECT n FROM nn) FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id * doc_id % (SELECT n FROM nn) * 48271 + 3) % (SELECT n FROM nn) FROM documents
+)"""
