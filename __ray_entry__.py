@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["domain_cap"] = webcorpus.domain_cap  # deterministic per-domain quota
     q["chunk_dedup"] = webcorpus.chunk_dedup  # CCNet-style boilerplate chunk removal
     q["dup_clusters"] = webcorpus.dup_clusters  # connected components via contraction CC
+    q["url_history"] = webcorpus.url_history  # SCD-2 snapshot validity intervals (LEAD)
     from osm_search_ray.pipelines import graph
 
     q["pagerank_links"] = graph.pagerank_links  # iterative PageRank, integer-exact
@@ -247,6 +248,7 @@ GROUP BY 1, 2
     sql["domain_cap"] = webcorpus.SQL_DOMAIN_CAP
     sql["chunk_dedup"] = webcorpus.SQL_CHUNK_DEDUP
     sql["dup_clusters"] = webcorpus.SQL_DUP_CLUSTERS
+    sql["url_history"] = webcorpus.SQL_URL_HISTORY
     from osm_search_ray.pipelines import graph
 
     sql["pagerank_links"] = graph.SQL_PAGERANK_LINKS

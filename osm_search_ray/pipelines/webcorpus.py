@@ -230,6 +230,59 @@ SELECT domain, doc_id, rn FROM ranked WHERE rn <= {DOMAIN_CAP_K}
 """
 
 
+# ----------------------------------------------------- SCD-2 url history
+
+
+def url_history(sf_dir: str):
+    """Slowly-changing-dimension (type 2) view of the crawl: every snapshot
+    of every url gets its validity interval [valid_from_us, valid_to_us) —
+    the LEAD window per url — plus its 1-based snapshot_no. The open (latest)
+    interval carries valid_to_us = -1. Complements ``url_latest`` (which
+    keeps only the newest snapshot): this is the temporal-join side table a
+    point-in-time crawl query reads.
+
+    Shape: ONE url-keyed bounded hash exchange; inside each partition the
+    per-url groups are sorted once and LEAD/rank come from a vectorized
+    shift/cumcount — no per-group Python loop, no driver state."""
+    wp = dv.web_pages(sf_dir, columns=["doc_id", "url", "warc_ts"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "doc_id": batch.column("doc_id"),
+                "ts_us": batch.column("warc_ts").cast(pa.int64()),
+            }
+        )
+
+    def per_url(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "ts_us", "doc_id"], kind="mergesort")
+        g = df.groupby("url", sort=False)
+        return pd.DataFrame(
+            {
+                "url": df["url"],
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "valid_from_us": df["ts_us"].to_numpy(np.int64),
+                "valid_to_us": g["ts_us"].shift(-1).fillna(-1).to_numpy(np.int64),
+                "snapshot_no": (g.cumcount() + 1).to_numpy(np.int64),
+            }
+        )
+
+    tagged = wp.map_batches(tag, batch_format="pyarrow")
+    return hash_partitioned_apply(tagged, "url", per_url, num_parts=32)
+
+
+SQL_URL_HISTORY = f"""
+WITH {dv.SQL_WEB_PAGES.strip()}
+SELECT url, doc_id,
+       epoch_us(warc_ts) AS valid_from_us,
+       COALESCE(LEAD(epoch_us(warc_ts))
+                OVER (PARTITION BY url ORDER BY warc_ts, doc_id), -1) AS valid_to_us,
+       ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts, doc_id) AS snapshot_no
+FROM web_pages
+"""
+
+
 # ----------------------------------------------------- chunk explode (Arrow)
 
 

@@ -182,6 +182,30 @@ class TestDomainOps:
         assert (g.groupby("domain")["rn"].apply(lambda s: (s.to_numpy() == np.arange(1, len(s) + 1)).all())).all()
 
 
+class TestUrlHistory:
+    def test_intervals_chain_per_url(self):
+        """Within each url (sorted by snapshot_no): valid_to == next
+        valid_from, the last interval is open (-1), snapshot_no is 1..k,
+        and rows match web_pages exactly."""
+        from osm_search_ray.pipelines import webcorpus as wc
+        from osm_search_ray.sources import derived as dv
+
+        h = wc.url_history(SF).to_pandas().sort_values(["url", "snapshot_no"])
+        wp = dv.web_pages(SF).to_pandas()
+        assert len(h) == len(wp)
+        assert set(h["doc_id"]) == set(wp["doc_id"])
+        for _, g in h.groupby("url"):
+            assert (g["snapshot_no"].to_numpy() == np.arange(1, len(g) + 1)).all()
+            assert (g["valid_to_us"].to_numpy()[:-1] == g["valid_from_us"].to_numpy()[1:]).all()
+            assert g["valid_to_us"].to_numpy()[-1] == -1
+            assert (np.diff(g["valid_from_us"].to_numpy()) > 0).all()
+
+    def test_matches_sql(self):
+        from osm_search_ray.pipelines import webcorpus as wc
+
+        _cmp(wc.url_history(SF), wc.SQL_URL_HISTORY)
+
+
 class TestKRing:
     def test_kring_includes_self_and_dominates(self):
         from osm_search_ray.pipelines import tiling
