@@ -117,73 +117,82 @@ SELECT url, doc_id, warc_ts_us, n_snapshots FROM ranked WHERE rn = 1
 
 def domain_stats(sf_dir: str):
     """Per-domain rollup: page count, total chars, exact distinct urls and
-    langs. The two distincts are per-batch-deduped combiners feeding bounded
-    hash exchanges (url-keyed and (domain,lang)-keyed), then all three
-    partial streams meet in ONE domain-keyed exchange — no driver sets."""
+    langs. The url distinct (unbounded cardinality — a mega-domain can hold
+    10⁹ urls) is a per-batch-deduped combiner feeding a url-keyed bounded
+    exchange so hot domains stay spread; the lang distinct is inherently
+    bounded (≤ |domains| × |langs| pairs per batch), so its per-batch-distinct
+    pairs share ONE corpus scan with the page-count partials and ride the
+    final domain-keyed fuse exchange directly — two corpus reads, two
+    exchanges, no driver sets."""
     wp = dv.web_pages(sf_dir, columns=["doc_id", "lang", "n_chars", "domain", "url"])
 
-    def partial_pages(batch: pa.Table) -> pa.Table:
-        df = batch.select(["domain", "n_chars"]).to_pandas()
-        g = df.groupby("domain", sort=False)["n_chars"].agg(["size", "sum"]).reset_index()
+    def _frame(domain, n_pages, total_chars, n_urls, lang) -> pa.Table:
         return pa.table(
             {
-                "domain": pa.array(g["domain"], pa.string()),
-                "n_pages": pa.array(g["size"].to_numpy(np.int64)),
-                "total_chars": pa.array(g["sum"].to_numpy(np.int64)),
-                "n_urls": pa.array(np.zeros(len(g), np.int64)),
-                "n_langs": pa.array(np.zeros(len(g), np.int64)),
+                "domain": pa.array(domain, pa.string()),
+                "n_pages": pa.array(n_pages),
+                "total_chars": pa.array(total_chars),
+                "n_urls": pa.array(n_urls),
+                "lang": pa.array(lang, pa.string()),
             }
         )
 
-    def batch_unique(cols):
-        def fn(batch: pa.Table) -> pa.Table:
-            df = batch.select(cols).to_pandas().drop_duplicates(cols)
-            return pa.Table.from_pandas(df, preserve_index=False)
+    def partial_pages_langs(batch: pa.Table) -> pa.Table:
+        """One scan serves both fuse-bound streams: per-domain (count, chars)
+        partials AND the per-batch-distinct (domain, lang) pairs."""
+        df = batch.select(["domain", "n_chars", "lang"]).to_pandas()
+        g = df.groupby("domain", sort=False)["n_chars"].agg(["size", "sum"]).reset_index()
+        n = len(g)
+        pages = _frame(
+            g["domain"],
+            g["size"].to_numpy(np.int64),
+            g["sum"].to_numpy(np.int64),
+            np.zeros(n, np.int64),
+            [""] * n,
+        )
+        dl = df[["domain", "lang"]].drop_duplicates()
+        m = len(dl)
+        z = np.zeros(m, np.int64)
+        return pa.concat_tables([pages, _frame(dl["domain"], z, z, z, dl["lang"])])
 
-        return fn
+    def partial_urls(batch: pa.Table) -> pa.Table:
+        df = batch.select(["domain", "url"]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    def count_per_domain(col_out):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            dedup = df.drop_duplicates()
-            g = dedup.groupby("domain", sort=False).size().reset_index(name="k")
-            out = pd.DataFrame(
-                {
-                    "domain": g["domain"],
-                    "n_pages": np.zeros(len(g), np.int64),
-                    "total_chars": np.zeros(len(g), np.int64),
-                    "n_urls": np.zeros(len(g), np.int64),
-                    "n_langs": np.zeros(len(g), np.int64),
-                }
-            )
-            out[col_out] = g["k"].to_numpy(np.int64)
-            return out
+    def count_urls(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates().groupby("domain", sort=False).size().reset_index(name="k")
+        n = len(g)
+        z = np.zeros(n, np.int64)
+        return pd.DataFrame(
+            {
+                "domain": g["domain"],
+                "n_pages": z,
+                "total_chars": z,
+                "n_urls": g["k"].to_numpy(np.int64),
+                "lang": [""] * n,
+            }
+        )
 
-        return fn
-
-    pages = wp.map_batches(partial_pages, batch_format="pyarrow")
+    pages_langs = wp.map_batches(partial_pages_langs, batch_format="pyarrow")
     # url determines its domain, so a url-keyed dedup is domain-exact
     urls = hash_partitioned_apply(
-        wp.map_batches(batch_unique(["domain", "url"]), batch_format="pyarrow"),
-        "url",
-        count_per_domain("n_urls"),
-        num_parts=32,
-    )
-    langs = hash_partitioned_apply(
-        wp.map_batches(batch_unique(["domain", "lang"]), batch_format="pyarrow"),
-        ["domain", "lang"],
-        count_per_domain("n_langs"),
-        num_parts=16,
+        wp.map_batches(partial_urls, batch_format="pyarrow"), "url", count_urls, num_parts=32
     )
 
     def fuse(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("domain", sort=False, as_index=False)[
-            ["n_pages", "total_chars", "n_urls", "n_langs"]
-        ].sum()
+        g = df.groupby("domain", sort=False)[["n_pages", "total_chars", "n_urls"]].sum()
+        nl = (
+            df[df["lang"] != ""]
+            .drop_duplicates(["domain", "lang"])
+            .groupby("domain", sort=False)
+            .size()
+        )
+        out = g.join(nl.rename("n_langs")).reset_index()
         for c in ["n_pages", "total_chars", "n_urls", "n_langs"]:
-            g[c] = g[c].astype(np.int64)
-        return g
+            out[c] = out[c].fillna(0).astype(np.int64)
+        return out
 
-    return hash_partitioned_apply(pages.union(urls, langs), "domain", fuse, num_parts=16)
+    return hash_partitioned_apply(pages_langs.union(urls), "domain", fuse, num_parts=16)
 
 
 SQL_DOMAIN_STATS = f"""
