@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["chunk_dedup"] = webcorpus.chunk_dedup  # CCNet-style boilerplate chunk removal
     q["dup_clusters"] = webcorpus.dup_clusters  # connected components via contraction CC
     q["url_history"] = webcorpus.url_history  # SCD-2 snapshot validity intervals (LEAD)
+    q["visit_snapshots"] = webcorpus.visit_snapshots  # point-in-time join vs SCD-2 history
     from osm_search_ray.pipelines import graph
 
     q["pagerank_links"] = graph.pagerank_links  # iterative PageRank, integer-exact
@@ -249,6 +250,7 @@ GROUP BY 1, 2
     sql["chunk_dedup"] = webcorpus.SQL_CHUNK_DEDUP
     sql["dup_clusters"] = webcorpus.SQL_DUP_CLUSTERS
     sql["url_history"] = webcorpus.SQL_URL_HISTORY
+    sql["visit_snapshots"] = webcorpus.SQL_VISIT_SNAPSHOTS
     from osm_search_ray.pipelines import graph
 
     sql["pagerank_links"] = graph.SQL_PAGERANK_LINKS

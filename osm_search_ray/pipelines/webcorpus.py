@@ -292,6 +292,89 @@ FROM web_pages
 """
 
 
+def visit_snapshots(sf_dir: str):
+    """Point-in-time (temporal) join: each visit in the derived visit log
+    (sources/derived.visit_urls) is joined to the url snapshot that was
+    live at its timestamp — the SCD-2 lookup every crawl-aware analytics
+    query runs against ``url_history``. Visits before a url's first
+    snapshot drop (inner join).
+
+    Shape: snapshots and visits meet in ONE url-keyed bounded exchange; the
+    per-partition kernel is a single vectorized ``pd.merge_asof(by=url)``
+    (backward as-of). Because SCD-2 intervals chain contiguously
+    (valid_to == next valid_from), the backward as-of IS the interval
+    containment test — no post-filter, no per-group loop.
+
+    Output (event_id, url, doc_id, snapshot_no)."""
+    snaps = url_history(sf_dir)
+    visits = dv.visit_urls(sf_dir)
+
+    def tag_snap(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "ts_us": batch.column("valid_from_us"),
+                "a": batch.column("doc_id"),
+                "b": batch.column("snapshot_no"),
+                "side": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    def tag_visit(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "ts_us": batch.column("ts_us"),
+                "a": batch.column("event_id"),
+                "b": pa.array(np.zeros(n, np.int64)),
+                "side": pa.array(np.zeros(n, np.int8)),
+            }
+        )
+
+    both = snaps.map_batches(tag_snap, batch_format="pyarrow").union(
+        visits.map_batches(tag_visit, batch_format="pyarrow")
+    )
+
+    def pit(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[df["side"] == 1].sort_values("ts_us", kind="mergesort")
+        v = df[df["side"] == 0].sort_values("ts_us", kind="mergesort")
+        m = pd.merge_asof(
+            v[["url", "ts_us", "a"]].rename(columns={"a": "event_id"}),
+            s[["url", "ts_us", "a", "b"]].rename(columns={"a": "doc_id", "b": "snapshot_no"}),
+            on="ts_us",
+            by="url",
+            direction="backward",
+        ).dropna(subset=["doc_id"])
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].to_numpy(np.int64),
+                "url": m["url"],
+                "doc_id": m["doc_id"].to_numpy(np.int64),
+                "snapshot_no": m["snapshot_no"].to_numpy(np.int64),
+            }
+        )
+
+    return hash_partitioned_apply(both, "url", pit, num_parts=32)
+
+
+SQL_VISIT_SNAPSHOTS = f"""
+WITH {dv.SQL_WEB_PAGES.strip()},
+history AS (
+    SELECT url, doc_id, epoch_us(warc_ts) AS valid_from_us,
+           COALESCE(LEAD(epoch_us(warc_ts))
+                    OVER (PARTITION BY url ORDER BY warc_ts, doc_id), -1) AS valid_to_us,
+           ROW_NUMBER() OVER (PARTITION BY url ORDER BY warc_ts, doc_id) AS snapshot_no
+    FROM web_pages),
+{dv.SQL_VISITS.strip()}
+SELECT v.event_id, v.url, h.doc_id, h.snapshot_no
+FROM visits v
+JOIN history h ON h.url = v.url
+ AND v.ts_us >= h.valid_from_us AND (v.ts_us < h.valid_to_us OR h.valid_to_us = -1)
+"""
+
+
 # ----------------------------------------------------- chunk explode (Arrow)
 
 

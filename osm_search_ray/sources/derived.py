@@ -296,6 +296,47 @@ web_pages AS (
 )"""
 
 
+# ---------------------------------------------------------------- visit log
+# Synthetic page-visit log: every event visits one url (event_id mod the url
+# count; url string built by the exact web_pages arithmetic). Integer +
+# string ops only — the SQL twin is bit-identical.
+
+
+def visit_urls(sf_dir: str) -> "ray.data.Dataset":
+    """events → (event_id, ts_us, url) visit log."""
+    import pyarrow.parquet as pq
+
+    n_urls = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows // 3
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ev = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = ev % np.int64(n_urls)
+        site_s = pc.cast(pa.array(pk % 127), pa.string())
+        pk_s = pc.cast(pa.array(pk), pa.string())
+        url = pc.binary_join_element_wise(
+            pa.scalar("https://site"), site_s, pa.scalar(".example/p"), pk_s, pa.scalar("")
+        )
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "ts_us": batch.column("ts").cast(pa.int64()),
+                "url": url,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_VISITS = """
+visits AS (
+    SELECT event_id, epoch_us(ts) AS ts_us,
+           'https://site' || CAST((event_id % ((SELECT COUNT(*) FROM documents) // 3)) % 127 AS VARCHAR)
+             || '.example/p' || CAST(event_id % ((SELECT COUNT(*) FROM documents) // 3) AS VARCHAR) AS url
+    FROM events
+)"""
+
+
 # --------------------------------------------------------------- link graph
 # Synthetic hyperlink graph over the (dense 0..N-1) doc_id space: every page
 # links to 3 deterministic targets (quadratic-hash arithmetic, mod N — the

@@ -206,6 +206,37 @@ class TestUrlHistory:
         _cmp(wc.url_history(SF), wc.SQL_URL_HISTORY)
 
 
+class TestVisitSnapshots:
+    def test_point_in_time_semantics_bruteforce(self):
+        """Every output row's snapshot is the LAST snapshot at-or-before the
+        visit ts; visits before a url's first snapshot are absent."""
+        from osm_search_ray.pipelines import webcorpus as wc
+        from osm_search_ray.sources import derived as dv
+
+        got = wc.visit_snapshots(SF).to_pandas()
+        visits = dv.visit_urls(SF).to_pandas()
+        hist = wc.url_history(SF).to_pandas()
+        by_url = {u: g.sort_values("valid_from_us") for u, g in hist.groupby("url")}
+        want = {}
+        for ev, ts, url in visits.itertuples(index=False):
+            g = by_url[url]
+            live = g[g["valid_from_us"] <= ts]
+            if len(live):
+                want[ev] = (live.iloc[-1]["doc_id"], live.iloc[-1]["snapshot_no"])
+        assert set(got["event_id"]) == set(want)
+        for ev, doc, sno in got[["event_id", "doc_id", "snapshot_no"]].itertuples(index=False):
+            assert want[ev] == (doc, sno), ev
+
+    def test_visits_sql_parity(self):
+        from osm_search_ray.sources import derived as dv
+
+        con = _con()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')")
+        got = _canon(dv.visit_urls(SF).to_pandas())
+        want = _canon(con.execute(f"WITH {dv.SQL_VISITS.strip()} SELECT * FROM visits").df())
+        pd.testing.assert_frame_equal(got, want)
+
+
 class TestKRing:
     def test_kring_includes_self_and_dominates(self):
         from osm_search_ray.pipelines import tiling
