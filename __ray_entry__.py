@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["bm25_search"] = search_docs.bm25_docs_search
     q["bm25_store_search"] = search_docs.bm25_store_search  # served from the on-disk index
+    q["segmented_search"] = search_docs.segmented_search  # incremental two-segment index, same result
     q["bm25f_store_search"] = search_docs.bm25f_store_search  # two-field disk path
     q["tfidf_store_search"] = search_docs.tfidf_store_search
     q["bm25f_search"] = search_docs.bm25f_docs_search
@@ -258,6 +259,7 @@ GROUP BY 1, 2
 
     sql["bm25_search"] = search_docs.SQL_BM25_DOCS_SEARCH
     sql["bm25_store_search"] = search_docs.SQL_BM25_DOCS_SEARCH  # index-backed path, same result
+    sql["segmented_search"] = search_docs.SQL_BM25_DOCS_SEARCH  # incremental segments, same result
     sql["bm25f_store_search"] = search_docs.SQL_BM25F_DOCS_SEARCH
     sql["tfidf_store_search"] = search_docs.SQL_TFIDF_DOCS_SEARCH
     sql["bm25f_search"] = search_docs.SQL_BM25F_DOCS_SEARCH

@@ -1,0 +1,237 @@
+"""Segmented (incremental) text-index maintenance — the Lucene-style answer
+to "new documents arrived" that the reference lacks entirely: its indexer
+rebuilds the whole index for any new data (/root/reference/cmd/indexing/
+main.go — one-shot build, no incremental path; SURVEY.md §4). Here new docs
+become a NEW SEGMENT in O(new docs), existing segments' bytes are never
+touched, and queries read across segments with exactly-merged statistics.
+
+Why segments instead of in-place appends: the store's term_ids are dense in
+sorted-term order (term_id-range bucketing is what makes dictionary and
+postings reads prunable, text_index.term_bucket) — inserting one new term
+would renumber every id above it, i.e. rewrite the whole store. Segments
+keep each store immutable; a background ``merge_segments`` compacts them by
+reconstructing the scan-shaped stream from stored artifacts (no
+re-tokenization) and re-running the distributed dictionary/posting build —
+parity-tested byte-equal to a from-scratch index of the union corpus.
+
+Layout: <index_dir>/seg-000/, seg-001/, ... — each a standard
+save_text_index_ds store (terms/, postings/, doclens/, term_stats.parquet,
+globals.json), individually resumable via the checkpointed sink.
+
+Contract: segments hold DISJOINT doc_id sets (the ingest job routes new doc
+ids to the new segment). Cross-segment stats merge exactly: df comes from
+the concatenated postings themselves, docs_count and the average field
+lengths from integer sums persisted in globals.json (float(Σ ints)/Σ count —
+the identical single division the full build performs, so segmented BM25
+scores are bit-equal to a monolithic index's; tests/test_index_segments.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from .text_index import (
+    _DOCLEN_FIELD,
+    _EMPTY_GLOBALS,
+    _POSTING_COLS,
+    _SCAN_SCHEMA,
+    _load_globals,
+    build_text_index_ds,
+    point_query_store,
+    save_text_index_ds,
+)
+
+_SEG_PREFIX = "seg-"
+
+
+def segment_dirs(index_dir: str) -> list[str]:
+    if not os.path.isdir(index_dir):
+        return []
+    return [
+        os.path.join(index_dir, d)
+        for d in sorted(os.listdir(index_dir))
+        if d.startswith(_SEG_PREFIX)
+    ]
+
+
+def add_segment(
+    index_dir: str,
+    docs: "ray.data.Dataset",
+    text_cols: dict[str, int] | None = None,
+    in_ram: bool = False,
+) -> str:
+    """Index ``docs`` as the next segment — O(new docs), existing segments
+    untouched. Default is the standard distributed path (scan → Dataset
+    dictionary → bucketed checkpointed store), so a killed add resumes
+    inside its own segment directory; ``in_ram=True`` takes the driver-side
+    small-corpus writer (same on-disk layout, same reader — the
+    _text_store_dir size switch)."""
+    segs = segment_dirs(index_dir)
+    nxt = os.path.join(index_dir, f"{_SEG_PREFIX}{len(segs):03d}")
+    if in_ram:
+        from .text_index import build_text_index, save_text_index
+
+        save_text_index(build_text_index(docs, text_cols=text_cols), nxt)
+    else:
+        save_text_index_ds(build_text_index_ds(docs, text_cols), nxt)
+    return nxt
+
+
+def merged_globals(seg_dirs: list[str]) -> dict:
+    """Exact cross-segment globals from the persisted integer sums."""
+    n = 0
+    sums = {"sum_name_len": 0, "sum_address_len": 0, "sum_total_len": 0}
+    for seg in seg_dirs:
+        g = _load_globals(seg)
+        n += int(g["docs_count"])
+        for k in sums:
+            sums[k] += int(g[k])
+    if not n:
+        return _EMPTY_GLOBALS.copy()
+    return {
+        "docs_count": n,
+        "avg_name_len": float(sums["sum_name_len"]) / n,
+        "avg_address_len": float(sums["sum_address_len"]) / n,
+        "avg_total_len": float(sums["sum_total_len"]) / n,
+        **sums,
+    }
+
+
+def segmented_point_query(index_dir: str, tokens) -> tuple[dict[str, int], pd.DataFrame, dict]:
+    """The cross-segment point read: per segment the SAME footer-pruned
+    dictionary + postings lookups as a monolithic store
+    (text_index.point_query_store), then each segment's local term_ids are
+    remapped to query-local ids keyed by the term STRING and the postings
+    frames concatenated (doc ids disjoint by contract). Returns
+    (term → query-local id, postings, merged globals) — exactly the triple
+    the scoring kernels consume, so every scorer works unchanged."""
+    segs = segment_dirs(index_dir)
+    toks = sorted({str(t) for t in tokens})
+    qid = {t: i for i, t in enumerate(toks)}
+    found: dict[str, int] = {}
+    frames = []
+    for seg in segs:
+        ids, posts = point_query_store(seg, toks)
+        if not ids:
+            continue
+        inv = {int(tid): qid[t] for t, tid in ids.items()}
+        posts = posts.copy()
+        posts["term_id"] = posts["term_id"].map(inv).astype(np.int64)
+        frames.append(posts)
+        found.update({t: qid[t] for t in ids})
+    if frames:
+        posts_all = pd.concat(frames, ignore_index=True)
+    else:
+        posts_all = pd.DataFrame({c: pd.Series(dtype=np.int64) for c in _POSTING_COLS})
+    return found, posts_all, merged_globals(segs)
+
+
+class _TermUnmapper:
+    """Actor-pool stage: dense term_id → term string by array indexing
+    (term ids are dense in sorted order, so the inverse of _TermIdMapper is
+    one fancy-index per batch)."""
+
+    def __init__(self, terms_ref):
+        self.terms = ray.get(terms_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        tid = t.column("term_id").to_numpy(zero_copy_only=False)
+        return t.append_column("term", pa.array(self.terms[tid].tolist(), pa.string()))
+
+
+def _read_parts(sub_dir: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    """part=K/data.parquet reader serving BOTH store writers: manifest-driven
+    for checkpointed (save_text_index_ds) stores, part-glob for driver-side
+    (save_text_index) stores, which write no manifests."""
+    import glob
+
+    from ..sources.checkpoint import completed_keys
+
+    keys = completed_keys(sub_dir)
+    if keys:
+        files = [os.path.join(sub_dir, f"part={k}", "data.parquet") for k in sorted(keys, key=str)]
+        files = [f for f in files if os.path.exists(f)]
+    else:
+        files = sorted(glob.glob(os.path.join(sub_dir, "part=*", "data.parquet")))
+    return ray.data.read_parquet(files, columns=columns)
+
+
+def _segment_raw(seg_dir: str) -> "ray.data.Dataset":
+    """Reconstruct the scan-shaped (_SCAN_SCHEMA) stream of a stored segment
+    WITHOUT re-tokenizing: postings get their term string back via the
+    segment's own dictionary (dense ids → one broadcast array per segment,
+    the same vocab budget the build's broadcast path uses), doclens rows
+    come from the persisted doclens artifact (they carry the token-less
+    docs a postings-only reconstruction would lose)."""
+    terms_df = _read_parts(f"{seg_dir}/terms").to_pandas()
+    terms_sorted = np.asarray(
+        terms_df.sort_values("term_id")["term"].to_numpy(dtype=object), dtype=object
+    )
+    terms_ref = ray.put(terms_sorted)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "field": t.column("field").cast(pa.int8()),
+                "term": t.column("term"),
+                "doc_id": t.column("doc_id"),
+                "tf": t.column("tf"),
+                "name_len": t.column("name_len"),
+                "address_len": t.column("address_len"),
+                "total_len": t.column("total_len"),
+            },
+            schema=_SCAN_SCHEMA,
+        )
+
+    posts = (
+        _read_parts(f"{seg_dir}/postings", columns=_POSTING_COLS)
+        .map_batches(
+            _TermUnmapper,
+            fn_constructor_kwargs=dict(terms_ref=terms_ref),
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+        .map_batches(project, batch_format="pyarrow")
+    )
+
+    def doclen_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table(
+            {
+                "field": pa.array(np.full(n, _DOCLEN_FIELD, np.int8)),
+                "term": pa.array([""] * n, pa.string()),
+                "doc_id": t.column("doc_id"),
+                "tf": pa.array(np.zeros(n, np.int64)),
+                "name_len": t.column("name_len"),
+                "address_len": t.column("address_len"),
+                "total_len": t.column("total_len"),
+            },
+            schema=_SCAN_SCHEMA,
+        )
+
+    import glob as _glob
+
+    len_files = sorted(_glob.glob(os.path.join(seg_dir, "doclens", "*.parquet")))
+    lens = ray.data.read_parquet(len_files).map_batches(doclen_rows, batch_format="pyarrow")
+    return posts.union(lens)
+
+
+def merge_segments(index_dir: str, out_dir: str) -> None:
+    """Compact every segment into ONE standard store (the background merge):
+    union of the segments' reconstructed scan streams → the SAME distributed
+    dictionary/postings/stats build as from-scratch — so the merged store is
+    content-identical to indexing the union corpus directly (parity-tested),
+    and the merge never re-tokenizes a document."""
+    segs = segment_dirs(index_dir)
+    if not segs:
+        raise ValueError(f"no segments under {index_dir}")
+    raws = [_segment_raw(s) for s in segs]
+    raw = raws[0] if len(raws) == 1 else raws[0].union(*raws[1:])
+    idx = build_text_index_ds(raw=raw)
+    save_text_index_ds(idx, out_dir)

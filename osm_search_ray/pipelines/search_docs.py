@@ -42,6 +42,8 @@ two engines' last-ulp float differences cannot flip a rank.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -554,6 +556,13 @@ def _store_search(sf_dir: str, text_cols: dict[str, int], term_lists: list[tuple
     g = _load_globals(store)
     all_toks = sorted({t for _, ts in term_lists for t in ts})
     ids, posts = point_query_store(store, all_toks)
+    return _rank_queries(ids, posts, g, term_lists, scorer)
+
+
+def _rank_queries(ids: dict, posts, g: dict, term_lists, scorer):
+    """Shared ranking loop over a resolved (term→id, postings, globals)
+    triple — the monolithic store, the segmented store, and the serving
+    actors all feed it."""
     out = []
     for qid, terms in term_lists:
         tids = [ids[t] for t in terms if t in ids]
@@ -582,6 +591,62 @@ def bm25_store_search(sf_dir: str):
 
     term_lists = [(qid, list(dict.fromkeys(tokenize(qtext)))) for qid, qtext in QUERIES]
     return _store_search(sf_dir, {"text": 0}, term_lists, score_bm25_plus)
+
+
+_SEG_STORE_CACHE: dict = {}
+
+
+def _segmented_store_dir(sf_dir: str, text_cols: dict[str, int]) -> str:
+    """Two-segment incremental index over documents (doc_id parity split —
+    the 'first half indexed, second half arrived later' scenario), built via
+    index_segments.add_segment and cached per corpus like _text_store_dir."""
+    import hashlib
+    import shutil
+
+    from .index_segments import add_segment
+
+    path = f"{sf_dir}/documents.parquet"
+    mtime = os.path.getmtime(path)
+    fields_sig = ",".join(f"{c}:{f}" for c, f in sorted(text_cols.items()))
+    key = (sf_dir, mtime, fields_sig)
+    if key not in _SEG_STORE_CACHE:
+        tag = hashlib.sha1(f"seg:{sf_dir}:{mtime}:{fields_sig}".encode()).hexdigest()[:12]
+        out_dir = f"/tmp/osm_search_ray_seg_store/{tag}"
+        if not os.path.exists(f"{out_dir}/seg-001/globals.json"):
+            import pyarrow.compute as pc
+
+            ds = ray.data.read_parquet(path, columns=["doc_id"] + list(text_cols))
+            in_ram = os.path.getsize(path) < _STORE_DISTRIBUTED_BYTES
+            for par in (0, 1):
+                half = ds.map_batches(
+                    lambda t, p=par: t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), p)),
+                    batch_format="pyarrow",
+                )
+                add_segment(out_dir, half, text_cols, in_ram=in_ram)
+        for k in [k for k in _SEG_STORE_CACHE if k[:2] != key[:2]]:
+            if _SEG_STORE_CACHE[k] != out_dir:
+                shutil.rmtree(_SEG_STORE_CACHE[k], ignore_errors=True)
+            del _SEG_STORE_CACHE[k]
+        _SEG_STORE_CACHE[key] = out_dir
+    return _SEG_STORE_CACHE[key]
+
+
+def segmented_search(sf_dir: str):
+    """BM25+ across a two-segment INCREMENTAL index (half the corpus indexed
+    first, the other half added as a second segment without touching the
+    first): per-segment footer-pruned point reads, term-string id remap,
+    exactly-merged globals (index_segments.segmented_point_query) feeding
+    the unchanged BM25+ kernel. Result-identical to bm25_store_search /
+    bm25_docs_search / SQL_BM25_DOCS_SEARCH — the incremental path under
+    the same hash oracle."""
+    from .index_segments import segmented_point_query
+    from .scoring import score_bm25_plus
+
+    store = _segmented_store_dir(sf_dir, {"text": 0})
+    term_lists = [(qid, list(dict.fromkeys(tokenize(qtext)))) for qid, qtext in QUERIES]
+    all_toks = sorted({t for _, ts in term_lists for t in ts})
+    ids, posts, g = segmented_point_query(store, all_toks)
+    return _rank_queries(ids, posts, g, term_lists, score_bm25_plus)
 
 
 def bm25f_store_search(sf_dir: str):

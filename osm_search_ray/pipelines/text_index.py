@@ -59,6 +59,7 @@ class TextIndex:
     postings: pd.DataFrame
     term_stats: pd.DataFrame  # term_id -> df
     globals: dict
+    doc_lens: pd.DataFrame | None = None  # (doc_id, *_len) — segment merges need it
 
     def vocab(self) -> dict[str, int]:
         return dict(zip(self.terms["term"], self.terms["term_id"]))
@@ -78,6 +79,16 @@ class TextIndexDS:
     term_stats: "ray.data.Dataset"  # (term_id, df)
     globals: dict
 
+
+_EMPTY_GLOBALS = {
+    "docs_count": 0,
+    "avg_name_len": 0.0,
+    "avg_address_len": 0.0,
+    "avg_total_len": 0.0,
+    "sum_name_len": 0,
+    "sum_address_len": 0,
+    "sum_total_len": 0,
+}
 
 _SCAN_SCHEMA = pa.schema(
     [
@@ -195,10 +206,11 @@ def build_term_dictionary(raw: "ray.data.Dataset") -> tuple["ray.data.Dataset", 
 
 
 def build_text_index_ds(
-    docs: "ray.data.Dataset",
+    docs: "ray.data.Dataset | None" = None,
     text_cols: dict[str, int] | None = None,
     mapper_concurrency=2,
     term_id_strategy: str = "auto",
+    raw: "ray.data.Dataset | None" = None,
 ) -> TextIndexDS:
     """Distributed build: one scan pass (no shuffle), a Dataset-side term
     dictionary (build_term_dictionary — never driver-resident), a
@@ -212,11 +224,17 @@ def build_text_index_ds(
                     (the 10⁸⁺-term regime: nothing vocab-sized ever sits in
                     one process);
       'auto'      — broadcast iff n_terms <= BROADCAST_TERMS_LIMIT.
-    Both paths produce identical postings (tested)."""
+    Both paths produce identical postings (tested).
+
+    ``raw`` bypasses the scan with an already scan-shaped (_SCAN_SCHEMA)
+    stream — the segment-merge path (pipelines/index_segments.py)
+    reconstructs it from stored segments instead of re-tokenizing docs."""
     from ray.data.aggregate import Sum
 
-    text_cols = text_cols or {"name": FIELD_NAME, "address": FIELD_ADDRESS}
-    raw = docs.map_batches(lambda t: scan_postings(t, text_cols), batch_format="pyarrow").materialize()
+    if raw is None:
+        text_cols = text_cols or {"name": FIELD_NAME, "address": FIELD_ADDRESS}
+        raw = docs.map_batches(lambda t: scan_postings(t, text_cols), batch_format="pyarrow")
+    raw = raw.materialize()
 
     import pyarrow.compute as pc
 
@@ -242,14 +260,20 @@ def build_text_index_ds(
     )
     n_docs = int(sums["n"]) if sums and sums.get("n") else 0
     if n_docs:
+        # integer length sums ride along so multi-segment readers can merge
+        # averages EXACTLY (float(Σ ints) / Σ counts — the same single
+        # division this build performs; see index_segments.merged_globals)
         globals_ = {
             "docs_count": n_docs,
             "avg_name_len": float(sums["nl"]) / n_docs,
             "avg_address_len": float(sums["al"]) / n_docs,
             "avg_total_len": float(sums["tl"]) / n_docs,
+            "sum_name_len": int(sums["nl"]),
+            "sum_address_len": int(sums["al"]),
+            "sum_total_len": int(sums["tl"]),
         }
     else:
-        globals_ = {"docs_count": 0, "avg_name_len": 0.0, "avg_address_len": 0.0, "avg_total_len": 0.0}
+        globals_ = _EMPTY_GLOBALS.copy()
 
     use_broadcast = term_id_strategy == "broadcast" or (
         term_id_strategy == "auto" and n_terms <= BROADCAST_TERMS_LIMIT
@@ -327,7 +351,7 @@ def build_text_index(docs: "ray.data.Dataset", text_cols: dict[str, int] | None 
             terms=pd.DataFrame({"term": pd.Series(dtype=str), "term_id": pd.Series(dtype=np.int64)}),
             postings=pd.DataFrame({c: pd.Series(dtype=np.int64) for c in _POSTING_COLS}),
             term_stats=pd.DataFrame({"term_id": pd.Series(dtype=np.int64), "df": pd.Series(dtype=np.int64)}),
-            globals={"docs_count": 0, "avg_name_len": 0.0, "avg_address_len": 0.0, "avg_total_len": 0.0},
+            globals=_EMPTY_GLOBALS.copy(),
         )
     doclens = raw[raw["field"] == _DOCLEN_FIELD]
     p = raw[raw["field"] >= 0]
@@ -337,6 +361,9 @@ def build_text_index(docs: "ray.data.Dataset", text_cols: dict[str, int] | None 
         "avg_name_len": float(doclens["name_len"].sum()) / n_docs if n_docs else 0.0,
         "avg_address_len": float(doclens["address_len"].sum()) / n_docs if n_docs else 0.0,
         "avg_total_len": float(doclens["total_len"].sum()) / n_docs if n_docs else 0.0,
+        "sum_name_len": int(doclens["name_len"].sum()),
+        "sum_address_len": int(doclens["address_len"].sum()),
+        "sum_total_len": int(doclens["total_len"].sum()),
     }
     if len(p) == 0:
         empty_postings = pd.DataFrame({c: pd.Series(dtype=np.int64) for c in _POSTING_COLS})
@@ -344,7 +371,7 @@ def build_text_index(docs: "ray.data.Dataset", text_cols: dict[str, int] | None 
             terms=pd.DataFrame({"term": pd.Series(dtype=str), "term_id": pd.Series(dtype=np.int64)}),
             postings=empty_postings,
             term_stats=pd.DataFrame({"term_id": pd.Series(dtype=np.int64), "df": pd.Series(dtype=np.int64)}),
-            globals=globals_ if n_docs else {"docs_count": 0, "avg_name_len": 0.0, "avg_address_len": 0.0, "avg_total_len": 0.0},
+            globals=globals_ if n_docs else _EMPTY_GLOBALS.copy(),
         )
     terms_sorted = np.sort(p["term"].unique())
     terms = pd.DataFrame({"term": terms_sorted, "term_id": np.arange(len(terms_sorted), dtype=np.int64)})
@@ -364,7 +391,13 @@ def build_text_index(docs: "ray.data.Dataset", text_cols: dict[str, int] | None 
         .sort_values("term_id")
         .reset_index(drop=True)
     )
-    return TextIndex(terms=terms, postings=postings, term_stats=term_stats, globals=globals_)
+    return TextIndex(
+        terms=terms,
+        postings=postings,
+        term_stats=term_stats,
+        globals=globals_,
+        doc_lens=doclens[["doc_id", "name_len", "address_len", "total_len"]].reset_index(drop=True),
+    )
 
 
 def term_bucket(term_id, n_terms: int, num_buckets: int):
@@ -421,6 +454,19 @@ def save_text_index_ds(
             idx.postings.map_batches(add_bucket, batch_format="pyarrow"), pdir, "bucket", stage="postings"
         )
     cp.mark_stage_complete(pdir, "postings")
+    # per-doc field lengths (incl. token-less docs) — what a segment merge
+    # needs to reconstruct the scan stream without re-tokenizing
+    # (pipelines/index_segments._segment_raw); _SUCCESS-guarded so a resumed
+    # save never double-appends files
+    ldir = f"{out_dir}/doclens"
+    os.makedirs(ldir, exist_ok=True)
+    ok = os.path.join(ldir, "_SUCCESS")
+    if not os.path.exists(ok):
+        for stale in os.listdir(ldir):
+            os.remove(os.path.join(ldir, stale))
+        idx.doc_lens.write_parquet(ldir)
+        with open(ok, "w") as f:
+            f.write("")
     ts = idx.term_stats.to_pandas()  # O(vocab) — same budget as the term dict
     pq.write_table(pa.Table.from_pandas(ts, preserve_index=False), f"{out_dir}/term_stats.parquet")
     with open(f"{out_dir}/globals.json", "w") as f:
@@ -457,6 +503,14 @@ def save_text_index(index: TextIndex, out_dir: str, num_buckets: int = DEFAULT_P
             row_group_size=64 * 1024,
         )
     os.makedirs(f"{out_dir}/postings", exist_ok=True)
+    if index.doc_lens is not None:
+        ldir = f"{out_dir}/doclens"
+        os.makedirs(ldir, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(index.doc_lens, preserve_index=False), f"{ldir}/data.parquet"
+        )
+        with open(f"{ldir}/_SUCCESS", "w") as f:
+            f.write("")
     pq.write_table(
         pa.Table.from_pandas(index.term_stats, preserve_index=False), f"{out_dir}/term_stats.parquet"
     )
