@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["lm_doc_scores"] = search_docs.lm_doc_scores  # perplexity quality scoring (rows-only)
     # --- dedup family ---
     q["dedup_exact"] = dedup_pipelines.dedup_exact
+    q["dedup_substring"] = dedup_pipelines.dedup_substring  # maximal shared token runs (Lee et al.)
     q["dedup_minhash"] = dedup_pipelines.dedup_minhash
     q["dedup_simhash"] = dedup_pipelines.dedup_simhash
     q["dedup_embedding"] = dedup_pipelines.dedup_embedding
@@ -265,6 +266,7 @@ GROUP BY 1, 2
     sql["bm25f_search"] = search_docs.SQL_BM25F_DOCS_SEARCH
     sql["tfidf_search"] = search_docs.SQL_TFIDF_DOCS_SEARCH
     sql["dedup_exact"] = dedup_pipelines.SQL_DEDUP_EXACT
+    sql["dedup_substring"] = dedup_pipelines.SQL_DEDUP_SUBSTRING
     # dedup_minhash / dedup_simhash / dedup_embedding / dedup_fingerprint:
     # LSH bucketing is not SQL-expressible → rows-only driver check
     sql["ann_cosine_topk"] = simsearch.SQL_ANN_COSINE_TOPK

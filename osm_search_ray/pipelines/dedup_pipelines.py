@@ -110,3 +110,144 @@ def dedup_fingerprint(sf_dir: str):
     from ..stages.joins import hash_partitioned_apply
 
     return hash_partitioned_apply(fp, "fingerprint", agg_partition, num_parts=64)
+
+
+# ------------------------------------------------- exact substring dedup
+# The Lee-et-al.-style "deduplicating training data" primitive: every MAXIMAL
+# run of >= SUBSTR_K tokens shared verbatim between two documents. Shape:
+# rolling K-gram explode (one scan) -> gram-keyed bounded exchange emits
+# cross-doc occurrence pairs (per-gram occurrence cap guards hot boilerplate
+# grams at corpus scale) -> (doc_a, doc_b)-keyed exchange merges matches on
+# each positional diagonal into maximal runs (vectorized gaps-and-islands).
+
+SUBSTR_K = 8  # run-detection granularity (tokens)
+SUBSTR_MAX_OCC = 64  # per-gram occurrence cap at scale (never binds at sf<=0.1)
+
+
+def _kgram_explode(batch: pa.Table, k: int) -> pa.Table:
+    """(doc_id, pos, gram): 1-based token position, K tokens joined by ' '.
+    Vectorized: one tokenize pass, K shifted pandas str concats."""
+    from ..functions.tokenize import tokenize_array
+
+    toks, counts = tokenize_array(batch.column("text").to_pylist())
+    nd = len(counts)
+    if len(toks) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "gram": pa.array([], pa.string()),
+            }
+        )
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_idx = np.repeat(np.arange(nd), counts)
+    s = pd.Series(toks, dtype=object)
+    gram = s.str.cat([s.shift(-j) for j in range(1, k)], sep=" ", na_rep="\x00")
+    # a position is valid iff the whole window stays inside one doc
+    same_doc = np.zeros(len(toks), dtype=bool)
+    if len(toks) >= k:
+        same_doc[: len(toks) - k + 1] = doc_idx[: len(toks) - k + 1] == doc_idx[k - 1 :]
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos = np.arange(len(toks), dtype=np.int64) - offsets[doc_idx] + 1
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids[doc_idx[same_doc]]),
+            "pos": pa.array(pos[same_doc]),
+            "gram": pa.array(gram.to_numpy()[same_doc].tolist(), pa.string()),
+        }
+    )
+
+
+def dedup_substring(sf_dir: str, k: int = SUBSTR_K, max_occ: int = SUBSTR_MAX_OCC):
+    """Maximal cross-doc shared token runs of >= k tokens.
+
+    Output (doc_a, doc_b, start_a, start_b, n_tokens) — one row per maximal
+    run (doc_a < doc_b; starts are 1-based token positions)."""
+    import logging
+
+    from ..stages.joins import hash_partitioned_apply
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    grams = ds.map_batches(lambda b: _kgram_explode(b, k), batch_format="pyarrow")
+
+    def gram_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby("gram", sort=False)["doc_id"].transform("size")
+        if (sizes > max_occ).any():
+            dropped = df.loc[sizes > max_occ, "gram"].nunique()
+            logging.getLogger(__name__).warning(
+                "dedup_substring: capping %d hot grams at %d occurrences", dropped, max_occ
+            )
+            df = df[sizes <= max_occ].copy()
+        m = df.merge(df, on="gram", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        return pd.DataFrame(
+            {
+                "doc_a": m["doc_id_a"].to_numpy(np.int64),
+                "doc_b": m["doc_id_b"].to_numpy(np.int64),
+                "pos_a": m["pos_a"].to_numpy(np.int64),
+                "pos_b": m["pos_b"].to_numpy(np.int64),
+            }
+        )
+
+    pairs = hash_partitioned_apply(grams, "gram", gram_pairs, num_parts=32).materialize()
+    if pairs.count() == 0:
+        # typed empty result — a schema-less empty dataset breaks downstream
+        # column access (the simhash lesson, ADVICE r02; from_pandas, not
+        # from_arrow — a 0-row arrow table loses its schema in this Ray)
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {c: pd.Series(dtype=np.int64) for c in ["doc_a", "doc_b", "start_a", "start_b", "n_tokens"]}
+            )
+        )
+
+    def runs(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series(dtype=np.int64) for c in ["doc_a", "doc_b", "start_a", "start_b", "n_tokens"]}
+            )
+        df = df.assign(diag=df["pos_a"] - df["pos_b"]).sort_values(
+            ["doc_a", "doc_b", "diag", "pos_a"], kind="mergesort"
+        )
+        key_change = (
+            (df["doc_a"].diff() != 0)
+            | (df["doc_b"].diff() != 0)
+            | (df["diag"].diff() != 0)
+            | (df["pos_a"].diff() != 1)
+        )
+        run_id = key_change.cumsum()
+        g = df.groupby(run_id, sort=False)
+        out = g.agg(
+            doc_a=("doc_a", "first"),
+            doc_b=("doc_b", "first"),
+            start_a=("pos_a", "min"),
+            start_b=("pos_b", "min"),
+            n_tokens=("pos_a", "size"),
+        ).reset_index(drop=True)
+        out["n_tokens"] = out["n_tokens"].to_numpy(np.int64) + np.int64(k - 1)
+        return out.astype(np.int64)
+
+    return hash_partitioned_apply(pairs, ["doc_a", "doc_b"], runs, num_parts=32)
+
+
+from ..functions.tokenize import SQL_TOKENIZE as _SQL_TOK
+
+SQL_DEDUP_SUBSTRING = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOK.format(col='text')} AS t FROM documents),
+sh AS (
+    SELECT doc_id,
+           unnest(range(1, len(t) - {SUBSTR_K} + 2)) AS pos,
+           unnest(list_transform(range(1, len(t) - {SUBSTR_K} + 2),
+                                 i -> array_to_string(t[i : i + {SUBSTR_K} - 1], ' '))) AS gram
+    FROM toks),
+p AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+    FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+isl AS (
+    SELECT *, pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS grp
+    FROM p)
+SELECT doc_a, doc_b,
+       CAST(MIN(pos_a) AS BIGINT) AS start_a,
+       CAST(MIN(pos_b) AS BIGINT) AS start_b,
+       CAST(COUNT(*) + {SUBSTR_K} - 1 AS BIGINT) AS n_tokens
+FROM isl GROUP BY doc_a, doc_b, pos_a - pos_b, grp
+"""

@@ -175,3 +175,54 @@ def test_ngram_jaccard_distributed_equals_driver():
     b = dist.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a[key], b[key])
     np.testing.assert_allclose(a["jaccard"].to_numpy(), b["jaccard"].to_numpy(), rtol=0, atol=0)
+
+
+class TestSubstringDedup:
+    """Exact-substring (maximal shared token run) dedup."""
+
+    def _run(self, texts, tmp_path, **kw):
+        import pyarrow as pa
+
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        pq.write_table(t, f"{tmp_path}/documents.parquet")
+        from osm_search_ray.pipelines.dedup_pipelines import dedup_substring
+
+        ds = dedup_substring(str(tmp_path), **kw)
+        cols = ["doc_a", "doc_b", "start_a", "start_b", "n_tokens"]
+        assert set(ds.schema().names) == set(cols)  # typed even when empty
+        df = ds.to_pandas()
+        if df.empty:  # Ray 2.49 to_pandas drops columns on 0-row datasets
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+        return df.sort_values(["doc_a", "doc_b", "start_a"]).reset_index(drop=True)
+
+    def test_maximal_run_reported_once(self, tmp_path):
+        """A 12-token shared span with k=8 is ONE maximal run of 12 tokens,
+        not five overlapping 8-token matches."""
+        shared = "a b c d e f g h i j k l"
+        out = self._run([f"x1 y1 {shared} z1", f"x2 q2 w2 {shared} z2 v2"], tmp_path, k=8)
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert (r["doc_a"], r["doc_b"], r["n_tokens"]) == (0, 1, 12)
+        assert (r["start_a"], r["start_b"]) == (3, 4)  # 1-based token positions
+
+    def test_two_disjoint_runs_split(self, tmp_path):
+        s1, s2 = "a b c d e f g h", "p q r s t u v w"
+        out = self._run([f"{s1} GAP1 GAP2 {s2}", f"{s1} other tokens here now {s2}"], tmp_path, k=8)
+        assert len(out) == 2
+        assert sorted(out["n_tokens"]) == [8, 8]
+
+    def test_no_cross_doc_boundary_grams(self, tmp_path):
+        """Tokens at the end of doc i + start of doc i+1 never form a gram."""
+        out = self._run(["a b c d", "e f g h", "a b c d e f g h"], tmp_path, k=8)
+        assert len(out) == 0  # docs 0/1 are shorter than k; no spliced grams
+
+    def test_hot_gram_cap_bounds_work(self, tmp_path):
+        """max_occ=2 on a gram shared by 4 docs: completes with bounded rows
+        (the capped path drops the hot gram, the planted cold run stays)."""
+        hot = "h1 h2 h3 h4 h5 h6 h7 h8"
+        cold = "c1 c2 c3 c4 c5 c6 c7 c8 c9"
+        texts = [f"{hot} pad{i}" for i in range(4)] + [f"lead {cold}", f"{cold} tail"]
+        out = self._run(texts, tmp_path, k=8, max_occ=2)
+        assert set(map(tuple, out[["doc_a", "doc_b"]].to_numpy())) == {(4, 5)}
+        assert out.iloc[0]["n_tokens"] == 9
