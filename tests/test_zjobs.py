@@ -150,3 +150,32 @@ def test_build_resume_and_serve(osm_dir, tmp_path):
     name_of = dict(zip(docs["doc_id"], docs["name"]))
     tops = df[df["rank"] == 1].sort_values("query_id")["doc_id"].tolist()
     assert [name_of[t] for t in tops] == ["Dunia Fantasi", "Dunia Fantasi"]
+
+
+def test_update_index_job_lifecycle(tmp_path):
+    """add -> add -> query -> merge through the CLI, each in its own Ray
+    session; the merged store must equal a from-scratch build of the union
+    corpus (content check via the segments module's own parity machinery is
+    in test_index_segments — here we check the operational surface)."""
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    pq.write_table(docs.slice(0, 250), tmp_path / "a.parquet")
+    pq.write_table(docs.slice(250), tmp_path / "b.parquet")
+    idx = str(tmp_path / "idx")
+
+    for part in ("a", "b"):
+        r = _run(["jobs/update_index.py", "--index", idx, "add",
+                  "--docs", str(tmp_path / f"{part}.parquet")])
+        assert r.returncode == 0, r.stderr[-2000:]
+    assert "2 segments, 500 docs total" in r.stdout
+
+    r = _run(["jobs/update_index.py", "--index", idx, "query", "--tokens", "batch,zzznope"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "1/2 tokens found over 500 docs" in r.stdout
+
+    r = _run(["jobs/update_index.py", "--index", idx, "merge",
+              "--out", str(tmp_path / "merged")])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "merged 2 segments" in r.stdout
+    assert os.path.exists(tmp_path / "merged" / "globals.json")
