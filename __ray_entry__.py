@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["domain_cap"] = webcorpus.domain_cap  # deterministic per-domain quota
     q["chunk_dedup"] = webcorpus.chunk_dedup  # CCNet-style boilerplate chunk removal
     q["dup_clusters"] = webcorpus.dup_clusters  # connected components via contraction CC
+    q["domain_top_lang"] = webcorpus.domain_top_lang  # grouped argmax / deterministic mode
     q["url_history"] = webcorpus.url_history  # SCD-2 snapshot validity intervals (LEAD)
     q["visit_snapshots"] = webcorpus.visit_snapshots  # point-in-time join vs SCD-2 history
     from osm_search_ray.pipelines import graph
@@ -251,6 +252,7 @@ GROUP BY 1, 2
     sql["domain_cap"] = webcorpus.SQL_DOMAIN_CAP
     sql["chunk_dedup"] = webcorpus.SQL_CHUNK_DEDUP
     sql["dup_clusters"] = webcorpus.SQL_DUP_CLUSTERS
+    sql["domain_top_lang"] = webcorpus.SQL_DOMAIN_TOP_LANG
     sql["url_history"] = webcorpus.SQL_URL_HISTORY
     sql["visit_snapshots"] = webcorpus.SQL_VISIT_SNAPSHOTS
     from osm_search_ray.pipelines import graph

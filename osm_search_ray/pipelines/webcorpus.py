@@ -239,6 +239,47 @@ SELECT domain, doc_id, rn FROM ranked WHERE rn <= {DOMAIN_CAP_K}
 """
 
 
+def domain_top_lang(sf_dir: str):
+    """Grouped argmax / deterministic mode: each domain's most frequent
+    language (ties broken by lexicographically smallest lang — exact on both
+    sides, unlike SQL's nondeterministic mode()). Two-level combiner: per-
+    batch (domain, lang) counts → ONE domain-keyed exchange → count merge +
+    vectorized per-domain argmax. Output (domain, top_lang, n_pages)."""
+    wp = dv.web_pages(sf_dir, columns=["doc_id", "lang", "domain"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["domain", "lang"]).to_pandas()
+        g = df.groupby(["domain", "lang"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["domain", "lang"], sort=False, as_index=False)["n"].sum()
+        g = g.sort_values(["domain", "n", "lang"], ascending=[True, False, True], kind="mergesort")
+        top = g.drop_duplicates("domain", keep="first")
+        return pd.DataFrame(
+            {
+                "domain": top["domain"],
+                "top_lang": top["lang"],
+                "n_pages": top["n"].to_numpy(np.int64),
+            }
+        )
+
+    partials = wp.map_batches(partial, batch_format="pyarrow")
+    return hash_partitioned_apply(partials, "domain", final, num_parts=16)
+
+
+SQL_DOMAIN_TOP_LANG = f"""
+WITH {dv.SQL_WEB_PAGES.strip()},
+counts AS (
+    SELECT domain, lang, COUNT(*) AS n FROM web_pages GROUP BY 1, 2),
+ranked AS (
+    SELECT domain, lang, n,
+           ROW_NUMBER() OVER (PARTITION BY domain ORDER BY n DESC, lang) AS rn
+    FROM counts)
+SELECT domain, lang AS top_lang, n AS n_pages FROM ranked WHERE rn = 1
+"""
+
+
 # ----------------------------------------------------- SCD-2 url history
 
 

@@ -182,6 +182,21 @@ class TestDomainOps:
         assert (g.groupby("domain")["rn"].apply(lambda s: (s.to_numpy() == np.arange(1, len(s) + 1)).all())).all()
 
 
+class TestDomainTopLang:
+    def test_matches_sql_and_bruteforce(self):
+        from osm_search_ray.pipelines import webcorpus as wc
+        from osm_search_ray.sources import derived as dv
+
+        _cmp(wc.domain_top_lang(SF), wc.SQL_DOMAIN_TOP_LANG)
+        got = wc.domain_top_lang(SF).to_pandas().set_index("domain")
+        wp = dv.web_pages(SF).to_pandas()
+        for dom, g in wp.groupby("domain"):
+            counts = g.groupby("lang").size()
+            best = counts[counts == counts.max()].index.min()  # smallest lang on ties
+            assert got.loc[dom, "top_lang"] == best, dom
+            assert got.loc[dom, "n_pages"] == counts.max()
+
+
 class TestUrlHistory:
     def test_intervals_chain_per_url(self):
         """Within each url (sorted by snapshot_no): valid_to == next
