@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["corr_price_qty"] = relational.corr_price_qty  # Pearson corr via exact integer moments
     q["revenue_by_nation"] = relational.revenue_by_nation  # 3-way join rollup (TPC-H Q5 shape)
     q["global_rank_chars"] = relational.global_rank_chars  # global sort + zip_with_index rank
+    q["ntile_chars"] = relational.ntile_chars  # global NTILE(4), exact SQL bucket rule
     q["doc_lookup"] = relational.doc_lookup
     # --- text analysis / index stats (M8, A1-A8 analogues + training-data ops) ---
     q["token_counts"] = textops.token_counts
@@ -223,6 +224,7 @@ GROUP BY 1, 2
     sql["corr_price_qty"] = relational.SQL_CORR_PRICE_QTY
     sql["revenue_by_nation"] = relational.SQL_REVENUE_BY_NATION
     sql["global_rank_chars"] = relational.SQL_GLOBAL_RANK_CHARS
+    sql["ntile_chars"] = relational.SQL_NTILE_CHARS
     sql["doc_lookup"] = relational.SQL_DOC_LOOKUP
     sql["token_counts"] = textops.SQL_TOKEN_COUNTS
     sql["token_counts_bpe"] = textops.SQL_TOKEN_COUNTS_BPE

@@ -612,3 +612,44 @@ SELECT doc_id, n_chars,
        ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rank
 FROM documents
 """
+
+
+def ntile_chars(sf_dir: str, k: int = 4):
+    """Global NTILE(k): quartile bucket of every document by
+    (n_chars DESC, doc_id) — the same sort + per-block offsets machinery as
+    global_rank_chars, then the exact SQL NTILE rule (the first N mod k
+    buckets take one extra row) evaluated per row by searchsorted against
+    the k bucket boundaries. Output (doc_id, n_chars, tile)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    srt = ds.sort(["n_chars", "doc_id"], descending=[True, False]).materialize()
+    refs = srt.to_arrow_refs()
+
+    @ray.remote
+    def block_rows(t: pa.Table) -> int:
+        return t.num_rows
+
+    rows = ray.get([block_rows.remote(r) for r in refs])
+    n = int(np.sum(rows))
+    offsets = np.concatenate([[0], np.cumsum(rows)[:-1]]).astype(np.int64)
+    # bucket b (1-based) spans sizes n//k + (1 if b <= n%k) — cumulative
+    # boundaries of the k buckets (exact SQL NTILE semantics)
+    sizes = np.full(k, n // k, np.int64)
+    sizes[: n % k] += 1
+    bounds = np.cumsum(sizes)  # rank <= bounds[b-1]  →  tile b
+
+    @ray.remote
+    def add_tile(t: pa.Table, off: int) -> pa.Table:
+        rank = off + np.arange(t.num_rows, dtype=np.int64)  # 0-based
+        tile = np.searchsorted(bounds, rank, side="right") + 1
+        return t.append_column("tile", pa.array(tile.astype(np.int64)))
+
+    return ray.data.from_arrow_refs(
+        [add_tile.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    )
+
+
+SQL_NTILE_CHARS = """
+SELECT doc_id, n_chars,
+       CAST(NTILE(4) OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS tile
+FROM documents
+"""

@@ -503,3 +503,24 @@ def test_global_rank_chars_is_a_permutation_in_order():
     want["rank"] = np.arange(1, len(want) + 1, dtype=np.int64)
     got = got.sort_values("rank").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["doc_id", "n_chars", "rank"]], want)
+
+
+def test_ntile_exact_sql_rule_nondivisible(tmp_path):
+    """N=10, k=4 → bucket sizes 3,3,2,2 (first N mod k buckets get the
+    extra row) — the exact SQL NTILE rule, checked against DuckDB."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from osm_search_ray.pipelines.relational import ntile_chars, SQL_NTILE_CHARS
+
+    t = pa.table(
+        {"doc_id": pa.array(range(10), pa.int64()),
+         "n_chars": pa.array([90, 80, 70, 60, 50, 40, 30, 20, 10, 5], pa.int64())}
+    )
+    pq.write_table(t, f"{tmp_path}/documents.parquet")
+    got = ntile_chars(str(tmp_path)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')")
+    want = con.execute(SQL_NTILE_CHARS).df().sort_values("doc_id").reset_index(drop=True)
+    assert (got["tile"].to_numpy() == want["tile"].to_numpy()).all()
+    assert got["tile"].value_counts().sort_index().tolist() == [3, 3, 2, 2]
