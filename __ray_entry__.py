@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["postings_lists"] = textops.postings_lists
     q["image_features"] = textops.image_features  # multimodal plumbing (rows-only)
     q["contamination_check"] = textops.contamination_check  # benchmark decontamination
+    q["contamination_bloom"] = textops.contamination_check_bloom  # Bloom-broadcast twin (rows-only)
     q["top_terms"] = textops.top_terms_sketch  # Misra-Gries candidates + exact verify pass
     q["repetition_stats"] = textops.repetition_stats  # boilerplate/repetition quality signal
     from osm_search_ray.pipelines import curate, pii

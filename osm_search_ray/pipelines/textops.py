@@ -392,6 +392,59 @@ GROUP BY 1
 """
 
 
+def contamination_check_bloom(sf_dir: str):
+    """Decontamination with a BLOOM-FILTER broadcast — the at-scale twin of
+    contamination_check: instead of the exact sorted eval-shingle strings
+    (~40 B/key), workers receive 24 bits/key of packed filter (~20× less
+    broadcast traffic; FPR ≈ 1e-5, false negatives impossible — a doc is
+    never cleared wrongly, a ~1e-5 sliver is over-flagged). Rows-only
+    driver check (FPs are not SQL-expressible); unit-tested against the
+    exact path: per-doc hits are a superset, measured FPR bounded.
+
+    Output (doc_id, n_flagged) for flagged training docs."""
+    import ray
+
+    from ..functions.hashing import hash64_str
+    from ..stages.sketches import BLOOM_BITS_PER_KEY, bloom_build, bloom_contains
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def eval_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        sub = batch.filter(pa.array(ids % EVAL_MOD == 0))
+        g, _ = _shingles(sub, CONTAM_N)
+        return pa.table({"h": pa.array(np.unique(hash64_str(np.unique(g))))})
+
+    parts = [
+        b.column("h").to_numpy(zero_copy_only=False)
+        for b in ds.map_batches(eval_partial, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    ]
+    eval_h = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+    m_bits = max(64, BLOOM_BITS_PER_KEY * len(eval_h))
+    bloom_ref = ray.put(bloom_build(eval_h, m_bits))
+
+    def check(batch: pa.Table) -> pa.Table:
+        words = ray.get(bloom_ref)
+        ids = batch.column("doc_id").to_numpy()
+        sub = batch.filter(pa.array(ids % EVAL_MOD != 0))
+        sub_ids = sub.column("doc_id").to_numpy().astype(np.int64)
+        g, nw = _shingles(sub, CONTAM_N)
+        hit = bloom_contains(words, hash64_str(g), m_bits) if len(g) else np.zeros(0, bool)
+        wdoc = np.repeat(np.arange(len(nw), dtype=np.int64), nw)
+        per_doc = np.bincount(wdoc[hit], minlength=len(nw)).astype(np.int64)
+        keep = per_doc > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(sub_ids[keep]),
+                "n_flagged": pa.array(per_doc[keep].astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(check, batch_format="pyarrow")
+
+
 TOP_TERMS_K = 25
 TOP_TERMS_WIDTH = 4096
 

@@ -171,3 +171,45 @@ def mg_merge(parts: list[tuple[np.ndarray, np.ndarray]], width: int):
     ct = np.concatenate([p[1] for p in parts])
     s = pd.Series(ct).groupby(pd.Series(it), sort=False).sum()
     return mg_reduce(s.index.to_numpy(dtype=object), s.to_numpy(np.int64), width)
+
+
+# ----------------------------------------------------------- Bloom filter
+# The at-scale membership sketch: where contamination_check broadcasts the
+# SORTED eval-shingle array (exact, ~40 bytes/key for shingle strings), a
+# Bloom filter carries BLOOM_BITS_PER_KEY bits/key at a provable FPR —
+# ~20× less broadcast traffic per worker for eval sets that reach 10⁸ keys.
+# Double hashing (Kirsch-Mitzenmacher): position_i = h1 + i*h2 mod m, h2
+# forced odd; uint64 wraparound is deterministic on both build and probe.
+
+BLOOM_BITS_PER_KEY = 24
+BLOOM_K = 17  # round(ln 2 * bits_per_key) → FPR ≈ 1.3e-5
+
+
+def bloom_build(hashes: np.ndarray, m_bits: int, k: int = BLOOM_K) -> np.ndarray:
+    """Bit array (packed uint64 words) with all ``hashes`` (uint64) set."""
+    words = np.zeros((m_bits + 63) // 64, dtype=np.uint64)
+    if len(hashes) == 0:
+        return words
+    h1 = hashes.astype(np.uint64)
+    h2 = splitmix64(h1 ^ np.uint64(0xA076_1D64_78BD_642F)) | np.uint64(1)
+    m = np.uint64(m_bits)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % m
+        np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+    return words
+
+
+def bloom_contains(words: np.ndarray, hashes: np.ndarray, m_bits: int, k: int = BLOOM_K) -> np.ndarray:
+    """Vectorized membership probe — one gather per hash function."""
+    if len(hashes) == 0:
+        return np.zeros(0, dtype=bool)
+    h1 = hashes.astype(np.uint64)
+    h2 = splitmix64(h1 ^ np.uint64(0xA076_1D64_78BD_642F)) | np.uint64(1)
+    m = np.uint64(m_bits)
+    out = np.ones(len(h1), dtype=bool)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % m
+        bit = (words[(pos >> np.uint64(6)).astype(np.int64)] >> (pos & np.uint64(63))) & np.uint64(1)
+        out &= bit.astype(bool)
+    return out

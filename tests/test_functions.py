@@ -524,3 +524,21 @@ def test_ntile_exact_sql_rule_nondivisible(tmp_path):
     want = con.execute(SQL_NTILE_CHARS).df().sort_values("doc_id").reset_index(drop=True)
     assert (got["tile"].to_numpy() == want["tile"].to_numpy()).all()
     assert got["tile"].value_counts().sort_index().tolist() == [3, 3, 2, 2]
+
+
+def test_contamination_bloom_superset_of_exact():
+    """Bloom decontamination: never misses an exact hit (no false
+    negatives); over-flagging bounded well under 1% of shingle tests."""
+    import pandas as pd
+    from osm_search_ray.pipelines.textops import contamination_check, contamination_check_bloom
+
+    sf = "/root/testdata/sf0.001"
+    exact = contamination_check(sf).to_pandas().set_index("doc_id")["n_contaminated"]
+    bloom = contamination_check_bloom(sf).to_pandas().set_index("doc_id")["n_flagged"]
+    assert len(exact) > 0
+    assert set(exact.index) <= set(bloom.index)  # every exact-hit doc flagged
+    joined = pd.concat([exact, bloom], axis=1).fillna(0)
+    assert (joined["n_flagged"] >= joined["n_contaminated"]).all()
+    extra = (joined["n_flagged"] - joined["n_contaminated"]).sum()
+    total = joined["n_flagged"].sum()
+    assert extra <= max(2, 0.01 * total), (extra, total)
