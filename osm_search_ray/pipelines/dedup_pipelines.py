@@ -173,9 +173,12 @@ def dedup_substring(sf_dir: str, k: int = SUBSTR_K, max_occ: int = SUBSTR_MAX_OC
     def gram_pairs(df: pd.DataFrame) -> pd.DataFrame:
         sizes = df.groupby("gram", sort=False)["doc_id"].transform("size")
         if (sizes > max_occ).any():
+            # ultra-hot grams are boilerplate (menus, headers) — pair
+            # expansion on them is O(occ²) for near-zero dedup signal, so
+            # they are DROPPED whole (runs crossing them fragment), loudly
             dropped = df.loc[sizes > max_occ, "gram"].nunique()
             logging.getLogger(__name__).warning(
-                "dedup_substring: capping %d hot grams at %d occurrences", dropped, max_occ
+                "dedup_substring: dropping %d grams with > %d occurrences", dropped, max_occ
             )
             df = df[sizes <= max_occ].copy()
         m = df.merge(df, on="gram", suffixes=("_a", "_b"))
