@@ -116,9 +116,11 @@ def dedup_fingerprint(sf_dir: str):
 # The Lee-et-al.-style "deduplicating training data" primitive: every MAXIMAL
 # run of >= SUBSTR_K tokens shared verbatim between two documents. Shape:
 # rolling K-gram explode (one scan) -> gram-keyed bounded exchange emits
-# cross-doc occurrence pairs (per-gram occurrence cap guards hot boilerplate
-# grams at corpus scale) -> (doc_a, doc_b)-keyed exchange merges matches on
-# each positional diagonal into maximal runs (vectorized gaps-and-islands).
+# cross-doc occurrence pairs (grams above the occurrence cap are dropped —
+# O(occ²) boilerplate guard; the SQL oracle mirrors the drop exactly, so the
+# pair stays hash-equal at every scale) -> (doc_a, doc_b)-keyed exchange
+# merges matches on each positional diagonal into maximal runs (vectorized
+# gaps-and-islands).
 
 SUBSTR_K = 8  # run-detection granularity (tokens)
 SUBSTR_MAX_OCC = 64  # per-gram occurrence cap at scale (never binds at sf<=0.1)
@@ -242,9 +244,12 @@ sh AS (
            unnest(list_transform(range(1, len(t) - {SUBSTR_K} + 2),
                                  i -> array_to_string(t[i : i + {SUBSTR_K} - 1], ' '))) AS gram
     FROM toks),
+hot AS (
+    SELECT gram FROM sh GROUP BY gram HAVING COUNT(*) > {SUBSTR_MAX_OCC}),
 p AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
-    FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+    FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    LEFT JOIN hot h ON h.gram = a.gram WHERE h.gram IS NULL),
 isl AS (
     SELECT *, pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS grp
     FROM p)

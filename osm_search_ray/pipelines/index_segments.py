@@ -50,7 +50,13 @@ from .text_index import (
 _SEG_PREFIX = "seg-"
 
 
-def segment_dirs(index_dir: str) -> list[str]:
+def _is_complete(seg_dir: str) -> bool:
+    """globals.json is written LAST by both store writers — it is the
+    segment's commit marker."""
+    return os.path.exists(os.path.join(seg_dir, "globals.json"))
+
+
+def _all_segment_dirs(index_dir: str) -> list[str]:
     if not os.path.isdir(index_dir):
         return []
     return [
@@ -60,6 +66,12 @@ def segment_dirs(index_dir: str) -> list[str]:
     ]
 
 
+def segment_dirs(index_dir: str) -> list[str]:
+    """COMPLETE segments only — readers never see a half-written segment
+    (an in-flight or crashed add leaves a dir without globals.json)."""
+    return [d for d in _all_segment_dirs(index_dir) if _is_complete(d)]
+
+
 def add_segment(
     index_dir: str,
     docs: "ray.data.Dataset",
@@ -67,13 +79,16 @@ def add_segment(
     in_ram: bool = False,
 ) -> str:
     """Index ``docs`` as the next segment — O(new docs), existing segments
-    untouched. Default is the standard distributed path (scan → Dataset
-    dictionary → bucketed checkpointed store), so a killed add resumes
-    inside its own segment directory; ``in_ram=True`` takes the driver-side
-    small-corpus writer (same on-disk layout, same reader — the
-    _text_store_dir size switch)."""
-    segs = segment_dirs(index_dir)
-    nxt = os.path.join(index_dir, f"{_SEG_PREFIX}{len(segs):03d}")
+    untouched. A killed add leaves an UNCOMMITTED dir (no globals.json);
+    re-submitting RESUMES inside that same dir instead of appending a
+    duplicate segment (the distributed writer skips finished partitions via
+    the checkpointed sink; the in-RAM writer just rewrites — idempotent,
+    globals.json last). ``in_ram=True`` takes the driver-side small-corpus
+    writer (same on-disk layout, same reader — the _text_store_dir size
+    switch)."""
+    dirs = _all_segment_dirs(index_dir)
+    incomplete = [d for d in dirs if not _is_complete(d)]
+    nxt = incomplete[0] if incomplete else os.path.join(index_dir, f"{_SEG_PREFIX}{len(dirs):03d}")
     if in_ram:
         from .text_index import build_text_index, save_text_index
 
@@ -156,7 +171,11 @@ def _read_parts(sub_dir: str, columns: list[str] | None = None) -> "ray.data.Dat
     keys = completed_keys(sub_dir)
     if keys:
         files = [os.path.join(sub_dir, f"part={k}", "data.parquet") for k in sorted(keys, key=str)]
-        files = [f for f in files if os.path.exists(f)]
+        missing = [f for f in files if not os.path.exists(f)]
+        if missing:
+            # a manifest-listed part with no data file is corruption — a
+            # silent skip would rebuild an index that quietly lost data
+            raise FileNotFoundError(f"manifest lists parts missing on disk: {missing}")
     else:
         files = sorted(glob.glob(os.path.join(sub_dir, "part=*", "data.parquet")))
     return ray.data.read_parquet(files, columns=columns)
@@ -169,11 +188,15 @@ def _segment_raw(seg_dir: str) -> "ray.data.Dataset":
     the same vocab budget the build's broadcast path uses), doclens rows
     come from the persisted doclens artifact (they carry the token-less
     docs a postings-only reconstruction would lose)."""
-    terms_df = _read_parts(f"{seg_dir}/terms").to_pandas()
-    terms_sorted = np.asarray(
-        terms_df.sort_values("term_id")["term"].to_numpy(dtype=object), dtype=object
-    )
-    terms_ref = ray.put(terms_sorted)
+    import glob as _g
+
+    has_terms = bool(_g.glob(os.path.join(seg_dir, "terms", "part=*", "data.parquet")))
+    if has_terms:
+        terms_df = _read_parts(f"{seg_dir}/terms").to_pandas()
+        terms_sorted = np.asarray(
+            terms_df.sort_values("term_id")["term"].to_numpy(dtype=object), dtype=object
+        )
+        terms_ref = ray.put(terms_sorted)
 
     def project(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -189,16 +212,21 @@ def _segment_raw(seg_dir: str) -> "ray.data.Dataset":
             schema=_SCAN_SCHEMA,
         )
 
-    posts = (
-        _read_parts(f"{seg_dir}/postings", columns=_POSTING_COLS)
-        .map_batches(
-            _TermUnmapper,
-            fn_constructor_kwargs=dict(terms_ref=terms_ref),
-            batch_format="pyarrow",
-            concurrency=2,
+    if has_terms:
+        posts = (
+            _read_parts(f"{seg_dir}/postings", columns=_POSTING_COLS)
+            .map_batches(
+                _TermUnmapper,
+                fn_constructor_kwargs=dict(terms_ref=terms_ref),
+                batch_format="pyarrow",
+                concurrency=2,
+            )
+            .map_batches(project, batch_format="pyarrow")
         )
-        .map_batches(project, batch_format="pyarrow")
-    )
+    else:
+        # segment of token-less docs: no dictionary, no postings — the raw
+        # stream is just the doclen sentinel rows
+        posts = ray.data.from_arrow(_SCAN_SCHEMA.empty_table())
 
     def doclen_rows(t: pa.Table) -> pa.Table:
         n = len(t)

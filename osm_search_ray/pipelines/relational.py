@@ -580,31 +580,20 @@ GROUP BY 1
 
 def global_rank_chars(sf_dir: str):
     """Global total-order enumeration: every document's corpus-wide rank by
-    (n_chars DESC, doc_id) — the range-partitioned sort + zip_with_index
-    pattern (same offsets discipline as traindata.pack_sequences): one
-    range-exchange sort, then per-block row counts (O(blocks) driver ints,
-    zero data movement) give each block its starting rank and one map pass
-    numbers the rows. Output (doc_id, n_chars, rank)."""
+    (n_chars DESC, doc_id) — one range-exchange sort, then
+    stages/joins.zip_with_index numbers the rows from per-block counts
+    (O(blocks) driver ints, zero data re-movement after the sort).
+    Output (doc_id, n_chars, rank)."""
+    from ..stages.joins import zip_with_index
+
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
-    srt = ds.sort(["n_chars", "doc_id"], descending=[True, False]).materialize()
-    refs = srt.to_arrow_refs()
+    srt = ds.sort(["n_chars", "doc_id"], descending=[True, False])
 
-    @ray.remote
-    def block_rows(t: pa.Table) -> int:
-        return t.num_rows
+    def to_rank(t: pa.Table) -> pa.Table:
+        rank = pc.add(t.column("row_id"), 1)
+        return t.drop_columns(["row_id"]).append_column("rank", rank)
 
-    rows = ray.get([block_rows.remote(r) for r in refs])
-    offsets = np.concatenate([[0], np.cumsum(rows)[:-1]]).astype(np.int64)
-
-    @ray.remote
-    def add_rank(t: pa.Table, off: int) -> pa.Table:
-        return t.append_column(
-            "rank", pa.array(off + 1 + np.arange(t.num_rows, dtype=np.int64))
-        )
-
-    return ray.data.from_arrow_refs(
-        [add_rank.remote(r, int(o)) for r, o in zip(refs, offsets)]
-    )
+    return zip_with_index(srt, "row_id").map_batches(to_rank, batch_format="pyarrow")
 
 
 SQL_GLOBAL_RANK_CHARS = """
@@ -616,36 +605,27 @@ FROM documents
 
 def ntile_chars(sf_dir: str, k: int = 4):
     """Global NTILE(k): quartile bucket of every document by
-    (n_chars DESC, doc_id) — the same sort + per-block offsets machinery as
-    global_rank_chars, then the exact SQL NTILE rule (the first N mod k
-    buckets take one extra row) evaluated per row by searchsorted against
-    the k bucket boundaries. Output (doc_id, n_chars, tile)."""
+    (n_chars DESC, doc_id) — sort + stages/joins.zip_with_index, then the
+    exact SQL NTILE rule (the first N mod k buckets take one extra row)
+    evaluated per row by searchsorted against the k bucket boundaries.
+    Output (doc_id, n_chars, tile)."""
+    from ..stages.joins import zip_with_index
+
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
-    srt = ds.sort(["n_chars", "doc_id"], descending=[True, False]).materialize()
-    refs = srt.to_arrow_refs()
-
-    @ray.remote
-    def block_rows(t: pa.Table) -> int:
-        return t.num_rows
-
-    rows = ray.get([block_rows.remote(r) for r in refs])
-    n = int(np.sum(rows))
-    offsets = np.concatenate([[0], np.cumsum(rows)[:-1]]).astype(np.int64)
-    # bucket b (1-based) spans sizes n//k + (1 if b <= n%k) — cumulative
+    n = ds.count()  # parquet metadata, no read
+    srt = ds.sort(["n_chars", "doc_id"], descending=[True, False])
+    # bucket b (1-based) spans n//k + (1 if b <= n%k) rows — cumulative
     # boundaries of the k buckets (exact SQL NTILE semantics)
     sizes = np.full(k, n // k, np.int64)
     sizes[: n % k] += 1
-    bounds = np.cumsum(sizes)  # rank <= bounds[b-1]  →  tile b
+    bounds = np.cumsum(sizes)  # 0-based rank < bounds[b-1]  →  tile b
 
-    @ray.remote
-    def add_tile(t: pa.Table, off: int) -> pa.Table:
-        rank = off + np.arange(t.num_rows, dtype=np.int64)  # 0-based
+    def add_tile(t: pa.Table) -> pa.Table:
+        rank = t.column("row_id").to_numpy(zero_copy_only=False)
         tile = np.searchsorted(bounds, rank, side="right") + 1
-        return t.append_column("tile", pa.array(tile.astype(np.int64)))
+        return t.drop_columns(["row_id"]).append_column("tile", pa.array(tile.astype(np.int64)))
 
-    return ray.data.from_arrow_refs(
-        [add_tile.remote(r, int(o)) for r, o in zip(refs, offsets)]
-    )
+    return zip_with_index(srt, "row_id").map_batches(add_tile, batch_format="pyarrow")
 
 
 SQL_NTILE_CHARS = """

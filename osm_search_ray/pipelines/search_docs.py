@@ -617,7 +617,13 @@ def _segmented_store_dir(sf_dir: str, text_cols: dict[str, int]) -> str:
 
             ds = ray.data.read_parquet(path, columns=["doc_id"] + list(text_cols))
             in_ram = os.path.getsize(path) < _STORE_DISTRIBUTED_BYTES
-            for par in (0, 1):
+            for i, par in enumerate((0, 1)):
+                # idempotent per parity: a crash between the two adds must
+                # not re-add parity 0 as a THIRD segment on retry — skip the
+                # parities whose segment already committed (add_segment
+                # itself resumes an uncommitted dir)
+                if os.path.exists(f"{out_dir}/seg-{i:03d}/globals.json"):
+                    continue
                 half = ds.map_batches(
                     lambda t, p=par: t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), p)),
                     batch_format="pyarrow",

@@ -231,6 +231,7 @@ def build_text_index_ds(
     reconstructs it from stored segments instead of re-tokenizing docs."""
     from ray.data.aggregate import Sum
 
+    raw_input = raw
     if raw is None:
         text_cols = text_cols or {"name": FIELD_NAME, "address": FIELD_ADDRESS}
         raw = docs.map_batches(lambda t: scan_postings(t, text_cols), batch_format="pyarrow")
@@ -299,12 +300,15 @@ def build_text_index_ds(
 
         postings = hash_bucket_join(postings_raw, terms_ds, on="term", num_buckets=64)
 
-    # df partials are exact per batch (a doc is wholly inside one batch)
-    # and are computed on the MATERIALIZED scan output keyed by the term
-    # STRING, so term_stats is a vocab-sized stream independent of
-    # ``postings`` — consuming it (e.g. save_text_index_ds's to_pandas)
-    # no longer re-executes the term-id mapping chain; the postings write
-    # stays the mapping's only consumer (one execution)
+    # df partials are exact per batch ONLY when a doc's rows are wholly
+    # inside one batch — true for the scan path (scan_postings emits a doc's
+    # rows together), NOT guaranteed for a reconstructed ``raw`` (a
+    # two-field doc's rows can split across parquet read batches and be
+    # double-counted). The scan path keeps the cheap batch-final combiner;
+    # the raw path deduplicates exact (term, doc_id) pairs through one
+    # term-keyed bounded exchange instead.
+    df_batch_final = raw_input is None
+
     def df_partial(t: pa.Table) -> pa.Table:
         m = t.filter(pc.greater_equal(t.column("field"), 0))
         if m.num_rows == 0:
@@ -313,9 +317,29 @@ def build_text_index_ds(
         g = d.groupby("term", sort=False).size().reset_index(name="df")
         return pa.table({"term": pa.array(g["term"], pa.string()), "df": pa.array(g["df"], pa.int64())})
 
-    df_by_term = (
-        raw.map_batches(df_partial, batch_format="pyarrow").groupby("term").aggregate(Sum("df", alias_name="df"))
-    )
+    def df_pairs(t: pa.Table) -> pa.Table:
+        m = t.filter(pc.greater_equal(t.column("field"), 0))
+        d = m.select(["term", "doc_id"]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    if df_batch_final:
+        df_by_term = (
+            raw.map_batches(df_partial, batch_format="pyarrow")
+            .groupby("term")
+            .aggregate(Sum("df", alias_name="df"))
+        )
+    else:
+        from ..stages.joins import hash_partitioned_apply
+
+        df_by_term = hash_partitioned_apply(
+            raw.map_batches(df_pairs, batch_format="pyarrow"),
+            "term",
+            lambda df: df.drop_duplicates()
+            .groupby("term", sort=False)
+            .size()
+            .reset_index(name="df"),
+            num_parts=64,
+        )
     if use_broadcast:
         term_stats = df_by_term.map_batches(
             _TermIdMapper, fn_constructor_kwargs=dict(terms_ref=terms_ref), batch_format="pyarrow", concurrency=1
@@ -372,6 +396,9 @@ def build_text_index(docs: "ray.data.Dataset", text_cols: dict[str, int] | None 
             postings=empty_postings,
             term_stats=pd.DataFrame({"term_id": pd.Series(dtype=np.int64), "df": pd.Series(dtype=np.int64)}),
             globals=globals_ if n_docs else _EMPTY_GLOBALS.copy(),
+            # token-less docs still have lengths — a segment merge must not
+            # lose them (doc_lens=None here broke merge_segments)
+            doc_lens=doclens[["doc_id", "name_len", "address_len", "total_len"]].reset_index(drop=True),
         )
     terms_sorted = np.sort(p["term"].unique())
     terms = pd.DataFrame({"term": terms_sorted, "term_id": np.arange(len(terms_sorted), dtype=np.int64)})

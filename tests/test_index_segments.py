@@ -8,6 +8,7 @@ import os
 
 import numpy as np
 import pandas as pd
+import pyarrow.parquet as pq
 import pytest
 import ray.data
 
@@ -122,3 +123,78 @@ def test_add_segment_never_touches_existing(stores):
     g0 = json.load(open(f"{seg_dir}/seg-000/globals.json"))
     g1 = json.load(open(f"{seg_dir}/seg-001/globals.json"))
     assert g0["docs_count"] + g1["docs_count"] == 500
+
+
+def test_add_segment_resumes_incomplete_dir(tmp_path):
+    """A killed add leaves seg-NNN without globals.json: readers must not
+    see it, and a re-submitted add must REUSE that dir, not append a
+    duplicate segment."""
+    from osm_search_ray.pipelines.index_segments import add_segment, segment_dirs
+
+    idx = str(tmp_path / "idx")
+    os.makedirs(f"{idx}/seg-000")  # simulated crash: dir exists, no commit marker
+    assert segment_dirs(idx) == []  # invisible to readers
+    p = add_segment(idx, _half(0), {"text": 0}, in_ram=True)
+    assert p.endswith("seg-000")
+    assert segment_dirs(idx) == [p]
+    p2 = add_segment(idx, _half(1), {"text": 0}, in_ram=True)
+    assert p2.endswith("seg-001")
+
+
+def test_merge_multifield_segments_equals_scratch(tmp_path):
+    """Two-field segments through the DISTRIBUTED writer: the merge path's
+    df must not double-count a doc whose field rows split across read
+    batches (exact-pair exchange, not batch-final partials)."""
+    from osm_search_ray.pipelines.index_segments import add_segment, merge_segments
+    from osm_search_ray.pipelines.text_index import build_text_index_ds, save_text_index_ds
+
+    cols = {"text": 0, "source": 1}
+
+    def docs2():
+        return ray.data.read_parquet(
+            f"{SF}/documents.parquet", columns=["doc_id", "text", "source"]
+        )
+
+    full_dir = str(tmp_path / "full")
+    save_text_index_ds(build_text_index_ds(docs2(), cols), full_dir)
+    idx = str(tmp_path / "seg")
+    import pyarrow.compute as pc
+
+    for par in (0, 1):
+        half = docs2().map_batches(
+            lambda t, p=par: t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), p)),
+            batch_format="pyarrow",
+        )
+        add_segment(idx, half, cols)
+    merged_dir = str(tmp_path / "merged")
+    merge_segments(idx, merged_dir)
+
+    want = pd.read_parquet(f"{full_dir}/term_stats.parquet").sort_values("term_id").reset_index(drop=True)
+    got = pd.read_parquet(f"{merged_dir}/term_stats.parquet").sort_values("term_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype(np.int64), want.astype(np.int64))
+    g_full = json.load(open(f"{full_dir}/globals.json"))
+    g_merged = json.load(open(f"{merged_dir}/globals.json"))
+    assert g_full == g_merged
+
+
+def test_tokenless_segment_merges(tmp_path):
+    """A segment whose docs tokenize to nothing still carries doclens; the
+    merge keeps those docs in docs_count and average lengths."""
+    import pyarrow as pa
+    from osm_search_ray.pipelines.index_segments import add_segment, merge_segments
+
+    d = tmp_path / "data"
+    os.makedirs(d)
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1000, 1001], pa.int64()),
+                  "text": pa.array(["!!! ...", "---"], pa.string())}),
+        f"{d}/documents.parquet",
+    )
+    idx = str(tmp_path / "idx")
+    add_segment(idx, ray.data.read_parquet(f"{d}/documents.parquet"), {"text": 0}, in_ram=True)
+    add_segment(idx, _half(0), {"text": 0}, in_ram=True)
+    merged = str(tmp_path / "merged")
+    merge_segments(idx, merged)
+    g = json.load(open(f"{merged}/globals.json"))
+    n_half0 = 250
+    assert g["docs_count"] == n_half0 + 2  # token-less docs kept
