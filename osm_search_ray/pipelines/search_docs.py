@@ -500,10 +500,36 @@ _STORE_CACHE: dict = {}
 _STORE_DISTRIBUTED_BYTES = 64 * 1024 * 1024
 
 
+def _cached_store_dir(cache: dict, root: str, sf_dir: str, text_cols: dict[str, int], done_marker: str, build) -> str:
+    """Shared per-process store cache: key by (corpus, mtime, field-set),
+    tag the /tmp dir by the same triple, build once (skipped when
+    ``done_marker`` already exists on disk), and hold ONE corpus at a time —
+    evicted stores' directories are reclaimed so stale index trees
+    (comparable in size to their corpus) don't pile up under /tmp as test
+    data is regenerated (r3 code review)."""
+    import hashlib
+    import shutil
+
+    path = f"{sf_dir}/documents.parquet"
+    mtime = os.path.getmtime(path)
+    fields_sig = ",".join(f"{c}:{f}" for c, f in sorted(text_cols.items()))
+    key = (sf_dir, mtime, fields_sig)
+    if key not in cache:
+        tag = hashlib.sha1(f"{sf_dir}:{mtime}:{fields_sig}".encode()).hexdigest()[:12]
+        out_dir = f"{root}/{tag}"
+        if not os.path.exists(f"{out_dir}/{done_marker}"):
+            build(path, out_dir)
+        for k in [k for k in cache if k[:2] != key[:2]]:
+            if cache[k] != out_dir:
+                shutil.rmtree(cache[k], ignore_errors=True)
+            del cache[k]
+        cache[key] = out_dir
+    return cache[key]
+
+
 def _text_store_dir(sf_dir: str, text_cols: dict[str, int] | None = None) -> str:
     """Build (once per corpus × field-set per process) the on-disk text
-    index for ``documents`` and return its directory. Keyed by corpus
-    mtime; reused across queries and bench repetitions.
+    index for ``documents`` and return its directory.
 
     Regime-switched like the dedup verifies: corpora under
     ``_STORE_DISTRIBUTED_BYTES`` use the serving-size builder (ONE
@@ -512,36 +538,20 @@ def _text_store_dir(sf_dir: str, text_cols: dict[str, int] | None = None) -> str
     corpora take ``build_text_index_ds`` + ``save_text_index_ds`` (nothing
     index-sized on the driver). Both emit the SAME bucketed layout
     (writer-parity unit-tested), so the read path below is regime-blind."""
-    import hashlib
-    import os
-    import shutil
-
     from .text_index import build_text_index, build_text_index_ds, save_text_index, save_text_index_ds
 
     text_cols = text_cols or {"text": 0}
-    path = f"{sf_dir}/documents.parquet"
-    mtime = os.path.getmtime(path)
-    fields_sig = ",".join(f"{c}:{f}" for c, f in sorted(text_cols.items()))
-    key = (sf_dir, mtime, fields_sig)
-    if key not in _STORE_CACHE:
-        tag = hashlib.sha1(f"{sf_dir}:{mtime}:{fields_sig}".encode()).hexdigest()[:12]
-        out_dir = f"/tmp/osm_search_ray_text_store/{tag}"
-        if not os.path.exists(f"{out_dir}/globals.json"):
-            ds = ray.data.read_parquet(path, columns=["doc_id"] + list(text_cols))
-            if os.path.getsize(path) < _STORE_DISTRIBUTED_BYTES:
-                save_text_index(build_text_index(ds, text_cols=text_cols), out_dir)
-            else:
-                save_text_index_ds(build_text_index_ds(ds, text_cols=text_cols), out_dir)
-        # hold ONE corpus at a time (any field-sets) — and reclaim the
-        # evicted stores' on-disk directories, or stale index trees
-        # (comparable in size to their corpus) pile up under /tmp as test
-        # data is regenerated (r3 code review)
-        for k in [k for k in _STORE_CACHE if k[:2] != key[:2]]:
-            if _STORE_CACHE[k] != out_dir:
-                shutil.rmtree(_STORE_CACHE[k], ignore_errors=True)
-            del _STORE_CACHE[k]
-        _STORE_CACHE[key] = out_dir
-    return _STORE_CACHE[key]
+
+    def build(path: str, out_dir: str) -> None:
+        ds = ray.data.read_parquet(path, columns=["doc_id"] + list(text_cols))
+        if os.path.getsize(path) < _STORE_DISTRIBUTED_BYTES:
+            save_text_index(build_text_index(ds, text_cols=text_cols), out_dir)
+        else:
+            save_text_index_ds(build_text_index_ds(ds, text_cols=text_cols), out_dir)
+
+    return _cached_store_dir(
+        _STORE_CACHE, "/tmp/osm_search_ray_text_store", sf_dir, text_cols, "globals.json", build
+    )
 
 
 def _store_search(sf_dir: str, text_cols: dict[str, int], term_lists: list[tuple[int, list[str]]], scorer):
@@ -600,41 +610,29 @@ def _segmented_store_dir(sf_dir: str, text_cols: dict[str, int]) -> str:
     """Two-segment incremental index over documents (doc_id parity split —
     the 'first half indexed, second half arrived later' scenario), built via
     index_segments.add_segment and cached per corpus like _text_store_dir."""
-    import hashlib
-    import shutil
-
     from .index_segments import add_segment
 
-    path = f"{sf_dir}/documents.parquet"
-    mtime = os.path.getmtime(path)
-    fields_sig = ",".join(f"{c}:{f}" for c, f in sorted(text_cols.items()))
-    key = (sf_dir, mtime, fields_sig)
-    if key not in _SEG_STORE_CACHE:
-        tag = hashlib.sha1(f"seg:{sf_dir}:{mtime}:{fields_sig}".encode()).hexdigest()[:12]
-        out_dir = f"/tmp/osm_search_ray_seg_store/{tag}"
-        if not os.path.exists(f"{out_dir}/seg-001/globals.json"):
-            import pyarrow.compute as pc
+    def build(path: str, out_dir: str) -> None:
+        import pyarrow.compute as pc
 
-            ds = ray.data.read_parquet(path, columns=["doc_id"] + list(text_cols))
-            in_ram = os.path.getsize(path) < _STORE_DISTRIBUTED_BYTES
-            for i, par in enumerate((0, 1)):
-                # idempotent per parity: a crash between the two adds must
-                # not re-add parity 0 as a THIRD segment on retry — skip the
-                # parities whose segment already committed (add_segment
-                # itself resumes an uncommitted dir)
-                if os.path.exists(f"{out_dir}/seg-{i:03d}/globals.json"):
-                    continue
-                half = ds.map_batches(
-                    lambda t, p=par: t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), p)),
-                    batch_format="pyarrow",
-                )
-                add_segment(out_dir, half, text_cols, in_ram=in_ram)
-        for k in [k for k in _SEG_STORE_CACHE if k[:2] != key[:2]]:
-            if _SEG_STORE_CACHE[k] != out_dir:
-                shutil.rmtree(_SEG_STORE_CACHE[k], ignore_errors=True)
-            del _SEG_STORE_CACHE[k]
-        _SEG_STORE_CACHE[key] = out_dir
-    return _SEG_STORE_CACHE[key]
+        ds = ray.data.read_parquet(path, columns=["doc_id"] + list(text_cols))
+        in_ram = os.path.getsize(path) < _STORE_DISTRIBUTED_BYTES
+        for i, par in enumerate((0, 1)):
+            # idempotent per parity: a crash between the two adds must not
+            # re-add parity 0 as a THIRD segment on retry — skip the
+            # parities whose segment already committed (add_segment itself
+            # resumes an uncommitted dir)
+            if os.path.exists(f"{out_dir}/seg-{i:03d}/globals.json"):
+                continue
+            half = ds.map_batches(
+                lambda t, p=par: t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), p)),
+                batch_format="pyarrow",
+            )
+            add_segment(out_dir, half, text_cols, in_ram=in_ram)
+
+    return _cached_store_dir(
+        _SEG_STORE_CACHE, "/tmp/osm_search_ray_seg_store", sf_dir, text_cols, "seg-001/globals.json", build
+    )
 
 
 def segmented_search(sf_dir: str):
