@@ -266,3 +266,81 @@ class DiskSearchCore:
         return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
             {"doc_id": [], "score": [], "rank": [], "query_id": []}
         )
+
+
+class SegmentedSearchCore:
+    """Serving over a SEGMENTED index (pipelines/index_segments): one
+    resident StoreReader per COMMITTED segment, and ``refresh()`` picks up
+    newly added segments WITHOUT a rebuild or restart — the operational
+    payoff of incremental indexing (the reference must reindex the whole
+    corpus and restart its server for new data, cmd/indexing/main.go).
+
+    Per request: per-segment footer-pruned point reads through the warm
+    readers, local term_ids remapped to query-local ids by term string,
+    globals merged EXACTLY from the persisted integer sums — so scores are
+    bit-identical to a DiskSearchCore over the equivalent monolithic store
+    (tested)."""
+
+    def __init__(self, index_dir: str, corrector=None):
+        self.index_dir = index_dir
+        self.readers: dict = {}
+        self.globals: dict = {}
+        self.corrector = corrector
+        self.refresh()
+
+    def refresh(self) -> int:
+        """Attach readers for any newly committed segments; returns the
+        segment count now being served."""
+        from .index_segments import merged_globals, segment_dirs
+        from .text_index import StoreReader
+
+        segs = segment_dirs(self.index_dir)
+        for s in segs:
+            if s not in self.readers:
+                self.readers[s] = StoreReader(s)
+        self.globals = merged_globals(segs)
+        return len(self.readers)
+
+    def _point_query(self, toks) -> tuple[dict, pd.DataFrame]:
+        from .text_index import _POSTING_COLS
+
+        uniq = sorted(set(toks))
+        qid = {t: i for i, t in enumerate(uniq)}
+        found: dict = {}
+        frames = []
+        for reader in self.readers.values():
+            ids, posts = reader.point_query(uniq)
+            if not ids:
+                continue
+            inv = {int(tid): qid[t] for t, tid in ids.items()}
+            posts = posts.copy()
+            posts["term_id"] = posts["term_id"].map(inv).astype("int64")
+            frames.append(posts)
+            found.update({t: qid[t] for t in ids})
+        if frames:
+            return found, pd.concat(frames, ignore_index=True)
+        import numpy as _np
+
+        return found, pd.DataFrame({c: pd.Series(dtype=_np.int64) for c in _POSTING_COLS})
+
+    def search_rows(self, rows: list[dict]) -> pd.DataFrame:
+        out = []
+        for row in rows:
+            toks = tokenize(row["text"])
+            if self.corrector is not None:
+                toks = self.corrector.correct_query(toks)
+            ids, posts = self._point_query(toks)
+            tids = [ids[t] for t in toks if t in ids]
+            scoring = row.get("scoring") or "BM25_FIELD"
+            k = int(row.get("top_k") or 10)
+            offset = int(row.get("offset") or 0)
+            if tids:
+                scores = SCORERS[scoring](posts, tids, self.globals)
+                ranked = rank_scores(scores, k, offset)
+            else:
+                ranked = pd.DataFrame({"doc_id": [], "score": [], "rank": []})
+            ranked["query_id"] = row["query_id"]
+            out.append(ranked)
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {"doc_id": [], "score": [], "rank": [], "query_id": []}
+        )

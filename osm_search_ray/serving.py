@@ -191,3 +191,51 @@ def start_disk_session(index_dir: str, corrector=None, name: str | None = None) 
     s = QuerySession(_start_named(_DiskQuerySessionActor, name, index_dir, corrector))
     s.warmup()
     return s
+
+
+@ray.remote
+class _SegmentedSessionActor:
+    """Long-lived session over a SEGMENTED index: per-segment StoreReaders
+    stay warm; ``refresh()`` attaches newly committed segments so docs
+    added via jobs/update_index.py become searchable WITHOUT a rebuild or
+    session restart (the reference reindexes + restarts for new data)."""
+
+    def __init__(self, index_dir: str, corrector=None):
+        from .pipelines.search import SegmentedSearchCore
+
+        self.core = SegmentedSearchCore(index_dir, corrector)
+
+    def search(self, queries: pd.DataFrame) -> pd.DataFrame:
+        return self.core.search_rows(queries.to_dict("records"))
+
+    def refresh(self) -> int:
+        return self.core.refresh()
+
+    def ping(self) -> bool:
+        return True
+
+
+class SegmentedSession:
+    def __init__(self, handle):
+        self._h = handle
+
+    def search(self, queries: pd.DataFrame) -> pd.DataFrame:
+        return ray.get(self._h.search.remote(queries))
+
+    def refresh(self) -> int:
+        """Pick up segments committed since the last refresh."""
+        return ray.get(self._h.refresh.remote())
+
+    def warmup(self) -> None:
+        ray.get(self._h.ping.remote())
+
+    def stop(self) -> None:
+        ray.kill(self._h)
+
+
+def start_segmented_session(index_dir: str, corrector=None, name: str | None = None) -> SegmentedSession:
+    """Start a long-lived segmented-index query session (same replace
+    semantics as start_session)."""
+    s = SegmentedSession(_start_named(_SegmentedSessionActor, name, index_dir, corrector))
+    s.warmup()
+    return s

@@ -198,3 +198,51 @@ def test_tokenless_segment_merges(tmp_path):
     g = json.load(open(f"{merged}/globals.json"))
     n_half0 = 250
     assert g["docs_count"] == n_half0 + 2  # token-less docs kept
+
+
+def test_segmented_core_refresh_picks_up_new_segment(tmp_path):
+    """Live incremental serving: a core started on ONE segment serves it;
+    after a second segment is added and refresh() runs, results are
+    bit-identical to a DiskSearchCore over the monolithic full store
+    (exact merged globals ⇒ identical BM25 floats)."""
+    from osm_search_ray.pipelines.index_segments import add_segment
+    from osm_search_ray.pipelines.search import DiskSearchCore, SegmentedSearchCore
+    from osm_search_ray.pipelines.text_index import build_text_index, save_text_index
+
+    idx = str(tmp_path / "idx")
+    add_segment(idx, _half(0), {"text": 0}, in_ram=True)
+    core = SegmentedSearchCore(idx)
+    rows = [
+        {"query_id": 1, "text": "batch stream window", "scoring": "BM25_PLUS", "top_k": 10},
+        {"query_id": 2, "text": "spark key dup", "scoring": "TF_IDF_COSINE", "top_k": 5},
+    ]
+    r1 = core.search_rows(rows)
+    assert core.globals["docs_count"] == 250 and len(r1)
+
+    add_segment(idx, _half(1), {"text": 0}, in_ram=True)
+    assert core.refresh() == 2
+    r2 = core.search_rows(rows)
+
+    full_dir = str(tmp_path / "full")
+    save_text_index(build_text_index(_docs(), text_cols={"text": 0}), full_dir)
+    want = DiskSearchCore(full_dir).search_rows(rows)
+    pd.testing.assert_frame_equal(
+        r2.reset_index(drop=True), want.reset_index(drop=True)
+    )
+
+
+def test_segmented_session_actor_refresh(tmp_path):
+    """The named-actor wrapper: refresh() reaches the resident core."""
+    from osm_search_ray.pipelines.index_segments import add_segment
+    from osm_search_ray.serving import start_segmented_session
+
+    idx = str(tmp_path / "idx")
+    add_segment(idx, _half(0), {"text": 0}, in_ram=True)
+    s = start_segmented_session(idx, name="seg-test-session")
+    q = pd.DataFrame([{"query_id": 7, "text": "batch stream", "scoring": "BM25_PLUS", "top_k": 5}])
+    n1 = len(s.search(q))
+    add_segment(idx, _half(1), {"text": 0}, in_ram=True)
+    assert s.refresh() == 2
+    r = s.search(q)
+    assert len(r) >= n1 and (r["query_id"] == 7).all()
+    s.stop()
