@@ -30,7 +30,7 @@ def test_oracle_keys_subset_of_queries():
         "image_features", "spell_search", "spell_store_search", "autocomplete",
         "dedup_minhash", "dedup_simhash", "dedup_embedding", "dedup_fingerprint",
         "approx_distinct_users", "kmeans_clusters", "lm_doc_scores",
-        "price_quantiles_tdigest", "ann_quantized_topk",
+        "price_quantiles_tdigest", "ann_quantized_topk", "contamination_bloom",
     }, rows_only
 
 
