@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["price_quantiles_tdigest"] = relational.price_quantiles_tdigest  # t-digest sketch (rows-only)
     q["users_view_no_purchase"] = ev.users_view_no_purchase  # anti-join (NOT EXISTS)
     q["events_cumulative"] = ev.events_cumulative  # window functions: running sum + LAG gap
+    q["events_moving_sum"] = ev.events_moving_sum  # window FRAME clause: ROWS N PRECEDING
     # --- geofencing (J6) ---
     from osm_search_ray.pipelines import geofence_pipeline
 
@@ -286,6 +287,7 @@ GROUP BY 1, 2
     sql["events_quantiles"] = ev.SQL_EVENTS_QUANTILES
     sql["users_view_no_purchase"] = ev.SQL_USERS_VIEW_NO_PURCHASE
     sql["events_cumulative"] = ev.SQL_EVENTS_CUMULATIVE
+    sql["events_moving_sum"] = ev.SQL_EVENTS_MOVING_SUM
     from osm_search_ray.pipelines import geofence_pipeline
 
     sql["geofence_status"] = geofence_pipeline.SQL_GEOFENCE_STATUS

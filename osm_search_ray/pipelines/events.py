@@ -570,3 +570,56 @@ SELECT event_id, user_id,
             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT), -1) AS prev_gap_us
 FROM events
 """
+
+
+MOVING_WINDOW_ROWS = 3  # ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+
+
+def events_moving_sum(sf_dir: str, preceding: int = MOVING_WINDOW_ROWS):
+    """Window FRAME clause per user: SUM over a bounded sliding row frame
+    (ROWS BETWEEN ``preceding`` PRECEDING AND CURRENT ROW) — the missing
+    member of the window family next to running SUM (unbounded frame) and
+    LAG. Same shape: user-bucketed bounded groups, one exchange; inside a
+    partition the frame sum is a cumsum difference (cs[i] − cs[i−w], exact
+    int64 cents), vectorized across every user at once via the group-reset
+    trick — no per-group loop.
+
+    Output (event_id, user_id, moving_sum_cents)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"])
+    w = preceding + 1
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["event_id", "user_id", "moving_sum_cents"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        v = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        cs = np.cumsum(v)
+        uid = df["user_id"].to_numpy()
+        # users are contiguous post-sort; run_start[i] = first row of i's user
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        run_start = np.maximum.accumulate(np.where(new_user, np.arange(len(uid)), -1))
+        # frame start index per row: max(run_start, i - w + 1); sum = cs[i] - cs[lo-1]
+        lo = np.maximum(run_start, np.arange(len(uid)) - w + 1)
+        base = np.where(lo > 0, cs[np.maximum(lo - 1, 0)], 0)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "user_id": uid,
+                "moving_sum_cents": cs - base,
+            }
+        )
+
+    from ..stages.joins import hash_partitioned_apply
+
+    return hash_partitioned_apply(ds, "user_id", per_part, num_parts=64)
+
+
+SQL_EVENTS_MOVING_SUM = f"""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN {MOVING_WINDOW_ROWS} PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS moving_sum_cents
+FROM events
+"""

@@ -542,3 +542,23 @@ def test_contamination_bloom_superset_of_exact():
     extra = (joined["n_flagged"] - joined["n_contaminated"]).sum()
     total = joined["n_flagged"].sum()
     assert extra <= max(2, 0.01 * total), (extra, total)
+
+
+def test_events_moving_sum_matches_pandas_rolling():
+    import pandas as pd
+    from osm_search_ray.pipelines.events import events_moving_sum, MOVING_WINDOW_ROWS
+
+    sf = "/root/testdata/sf0.001"
+    got = events_moving_sum(sf).to_pandas().set_index("event_id").sort_index()
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["event_id", "ts", "user_id", "value"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    ev["cents"] = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+    want = (
+        ev.groupby("user_id")["cents"]
+        .rolling(MOVING_WINDOW_ROWS + 1, min_periods=1)
+        .sum()
+        .reset_index(level=0, drop=True)
+    )
+    ev["want"] = want.astype(np.int64)
+    ev = ev.set_index("event_id").sort_index()
+    assert (got["moving_sum_cents"].to_numpy() == ev["want"].to_numpy()).all()
