@@ -37,7 +37,7 @@ def main() -> None:
 
     from osm_search_ray.pipelines import text_index as ti
     from osm_search_ray.pipelines.search_docs import FIELD_QUERIES, SPELL_QUERIES, _lm_state
-    from osm_search_ray.serving import start_disk_session, start_session
+    from osm_search_ray.serving import start_disk_session, start_segmented_session, start_session
 
     t0 = time.perf_counter()
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
@@ -61,9 +61,28 @@ def main() -> None:
     pools = {"invocab": mk_pool(FIELD_QUERIES), "typo": mk_pool(SPELL_QUERIES)}
 
     results: dict = {"sf_dir": sf_dir, "n_requests": n_req, "build_s": round(build_s, 2)}
+    # segmented store: the same corpus as two doc_id-parity segments — the
+    # incremental-index serving shape (per-request point reads hit BOTH
+    # segments' readers; measures the cross-segment overhead vs "disk")
+    import pyarrow.compute as pc
+
+    from osm_search_ray.pipelines.index_segments import add_segment
+
+    seg_dir = "/tmp/osm_search_ray_bench_serving_segstore"
+    import shutil
+
+    shutil.rmtree(seg_dir, ignore_errors=True)
+    for par in (0, 1):
+        half = ds.map_batches(
+            lambda t, p=par: t.filter(pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), p)),
+            batch_format="pyarrow",
+        )
+        add_segment(seg_dir, half, {"text": 0, "source": 1}, in_ram=True)
+
     sessions = {
         "ram": start_session(index, corrector=corrector, name="bench-ram"),
         "disk": start_disk_session(store_dir, corrector, name="bench-disk"),
+        "seg": start_segmented_session(seg_dir, corrector, name="bench-seg"),
     }
     for label, sess in sessions.items():
         results[label] = {}
