@@ -17,33 +17,46 @@ from ..functions.hashing import hash64_str
 
 def dedup_exact(sf_dir: str):
     """Exact content dedup: keep the lowest doc_id per distinct text, report
-    group size. Hash-partitioned: a stable 64-bit content hash is the
-    groupby key (the full text never needs to be compared cross-node unless
-    hashes collide; group members verify text equality inside the group).
+    group size. The exchange carries ONLY (doc_id, h1, h2) — a ~128-bit
+    content identity from two independent 64-bit hash families (crc-based
+    splitmix64 + pandas SipHash) — never the text itself: at corpus scale the
+    one all-to-all here must not move the corpus (VERDICT r03 item 3). Two
+    distinct texts agreeing on BOTH hashes is a ~2^-128 event per pair
+    (~|docs|^2 / 2^129 overall — a non-event at 10^12 docs), so group
+    identity == text identity and no in-group text verification pass is
+    needed.
 
     Output: (doc_id, n_dups) for each kept representative."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        h = hash64_str(batch.column("text").to_pylist())
-        return batch.append_column("content_hash", pa.array(h.astype(np.int64)))
+        texts = batch.column("text").to_pandas()
+        h1 = hash64_str(texts.tolist()).astype(np.int64)
+        h2 = pd.util.hash_pandas_object(texts, index=False).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "h1": pa.array(h1),
+                "h2": pa.array(h2),
+            }
+        )
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
 
-    # hash-partition on content_hash into BOUNDED Ray groups (~one group per
-    # distinct doc would pay map_groups' per-group ms overhead corpus-wide —
-    # VERDICT r01 item 7); the real per-text grouping is one vectorized
-    # pandas groupby per partition (collision-safe: keyed by exact text)
+    # hash-partition on h1 into BOUNDED Ray groups (~one group per distinct
+    # doc would pay map_groups' per-group ms overhead corpus-wide — VERDICT
+    # r01 item 7); the real per-text grouping is one vectorized pandas
+    # groupby per partition, keyed by the 128-bit (h1, h2) identity
     def keep_first_partition(df: pd.DataFrame) -> pd.DataFrame:
         return (
-            df.groupby("text", sort=False)
+            df.groupby(["h1", "h2"], sort=False)
             .agg(doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
             .reset_index(drop=True)
         )
 
     from ..stages.joins import hash_partitioned_apply
 
-    return hash_partitioned_apply(hashed, "content_hash", keep_first_partition, num_parts=64)
+    return hash_partitioned_apply(hashed, "h1", keep_first_partition, num_parts=64)
 
 
 SQL_DEDUP_EXACT = """
@@ -127,8 +140,15 @@ SUBSTR_MAX_OCC = 64  # per-gram occurrence cap at scale (never binds at sf<=0.1)
 
 
 def _kgram_explode(batch: pa.Table, k: int) -> pa.Table:
-    """(doc_id, pos, gram): 1-based token position, K tokens joined by ' '.
-    Vectorized: one tokenize pass, K shifted pandas str concats."""
+    """(doc_id, pos, ghash): 1-based token position, int64 hash of the K
+    tokens joined by ' '. Vectorized: one tokenize pass, K shifted pandas
+    str concats, one vectorized SipHash over the valid windows.
+
+    The gram STRING never leaves this function — downstream only ever joins
+    on gram equality, so the exchange key is its 64-bit hash (VERDICT r03
+    item 4; ~|grams|^2 / 2^65 collision odds, the same bound
+    ngram_jaccard_pairs_ds accepts; a collision could only ADD a spurious
+    pair/fragment, never lose a real run's grams)."""
     from ..functions.tokenize import tokenize_array
 
     toks, counts = tokenize_array(batch.column("text").to_pylist())
@@ -138,7 +158,7 @@ def _kgram_explode(batch: pa.Table, k: int) -> pa.Table:
             {
                 "doc_id": pa.array([], pa.int64()),
                 "pos": pa.array([], pa.int64()),
-                "gram": pa.array([], pa.string()),
+                "ghash": pa.array([], pa.int64()),
             }
         )
     doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -151,11 +171,12 @@ def _kgram_explode(batch: pa.Table, k: int) -> pa.Table:
         same_doc[: len(toks) - k + 1] = doc_idx[: len(toks) - k + 1] == doc_idx[k - 1 :]
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
     pos = np.arange(len(toks), dtype=np.int64) - offsets[doc_idx] + 1
+    ghash = pd.util.hash_pandas_object(gram[same_doc], index=False).to_numpy().astype(np.int64)
     return pa.table(
         {
             "doc_id": pa.array(doc_ids[doc_idx[same_doc]]),
             "pos": pa.array(pos[same_doc]),
-            "gram": pa.array(gram.to_numpy()[same_doc].tolist(), pa.string()),
+            "ghash": pa.array(ghash),
         }
     )
 
@@ -173,17 +194,17 @@ def dedup_substring(sf_dir: str, k: int = SUBSTR_K, max_occ: int = SUBSTR_MAX_OC
     grams = ds.map_batches(lambda b: _kgram_explode(b, k), batch_format="pyarrow")
 
     def gram_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        sizes = df.groupby("gram", sort=False)["doc_id"].transform("size")
+        sizes = df.groupby("ghash", sort=False)["doc_id"].transform("size")
         if (sizes > max_occ).any():
             # ultra-hot grams are boilerplate (menus, headers) — pair
             # expansion on them is O(occ²) for near-zero dedup signal, so
             # they are DROPPED whole (runs crossing them fragment), loudly
-            dropped = df.loc[sizes > max_occ, "gram"].nunique()
+            dropped = df.loc[sizes > max_occ, "ghash"].nunique()
             logging.getLogger(__name__).warning(
                 "dedup_substring: dropping %d grams with > %d occurrences", dropped, max_occ
             )
             df = df[sizes <= max_occ].copy()
-        m = df.merge(df, on="gram", suffixes=("_a", "_b"))
+        m = df.merge(df, on="ghash", suffixes=("_a", "_b"))
         m = m[m["doc_id_a"] < m["doc_id_b"]]
         return pd.DataFrame(
             {
@@ -194,7 +215,7 @@ def dedup_substring(sf_dir: str, k: int = SUBSTR_K, max_occ: int = SUBSTR_MAX_OC
             }
         )
 
-    pairs = hash_partitioned_apply(grams, "gram", gram_pairs, num_parts=32).materialize()
+    pairs = hash_partitioned_apply(grams, "ghash", gram_pairs, num_parts=32).materialize()
     if pairs.count() == 0:
         # typed empty result — a schema-less empty dataset breaks downstream
         # column access (the simhash lesson, ADVICE r02; from_pandas, not

@@ -150,7 +150,10 @@ def domain_stats(sf_dir: str):
             np.zeros(n, np.int64),
             [""] * n,
         )
-        dl = df[["domain", "lang"]].drop_duplicates()
+        # NULL langs are excluded on BOTH sides: SQL's COUNT(DISTINCT lang)
+        # ignores NULLs, while pandas drop_duplicates would keep NaN as a
+        # value (ADVICE r03; sample_stratified's discipline)
+        dl = df.loc[df["lang"].notna(), ["domain", "lang"]].drop_duplicates()
         m = len(dl)
         z = np.zeros(m, np.int64)
         return pa.concat_tables([pages, _frame(dl["domain"], z, z, z, dl["lang"])])
@@ -182,7 +185,7 @@ def domain_stats(sf_dir: str):
     def fuse(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("domain", sort=False)[["n_pages", "total_chars", "n_urls"]].sum()
         nl = (
-            df[df["lang"] != ""]
+            df[(df["lang"] != "") & df["lang"].notna()]
             .drop_duplicates(["domain", "lang"])
             .groupby("domain", sort=False)
             .size()
@@ -248,7 +251,12 @@ def domain_top_lang(sf_dir: str):
     wp = dv.web_pages(sf_dir, columns=["doc_id", "lang", "domain"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        # NULL-lang pages are excluded EXPLICITLY (pandas groupby silently
+        # drops NaN keys while SQL GROUP BY keeps NULL as a group and could
+        # even elect it as top_lang — ADVICE r03; the SQL twin filters
+        # lang IS NOT NULL to match)
         df = batch.select(["domain", "lang"]).to_pandas()
+        df = df[df["lang"].notna()]
         g = df.groupby(["domain", "lang"], sort=False).size().reset_index(name="n")
         return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -271,7 +279,8 @@ def domain_top_lang(sf_dir: str):
 SQL_DOMAIN_TOP_LANG = f"""
 WITH {dv.SQL_WEB_PAGES.strip()},
 counts AS (
-    SELECT domain, lang, COUNT(*) AS n FROM web_pages GROUP BY 1, 2),
+    SELECT domain, lang, COUNT(*) AS n FROM web_pages
+    WHERE lang IS NOT NULL GROUP BY 1, 2),
 ranked AS (
     SELECT domain, lang, n,
            ROW_NUMBER() OVER (PARTITION BY domain ORDER BY n DESC, lang) AS rn
@@ -420,9 +429,14 @@ JOIN history h ON h.url = v.url
 
 
 def explode_chunks(ds: "ray.data.Dataset", chunk_words: int = CHUNK_WORDS):
-    """documents → (doc_id, ci, chunk): consecutive ``chunk_words``-token
-    spans, fully vectorized (split_pattern → offset regrouping →
-    binary_join; the only Python loop is over Arrow chunks)."""
+    """documents → (doc_id, ci, chunk, chash): consecutive
+    ``chunk_words``-token spans, fully vectorized (split_pattern → offset
+    regrouping → binary_join; the only Python loop is over Arrow chunks).
+
+    ``chash`` is a deterministic int64 SipHash of the chunk string —
+    downstream exchanges key on it instead of shipping the string
+    (VERDICT r03 item 2; ~|chunks|²/2⁶⁵ collision odds, the bound
+    ngram_jaccard_pairs_ds already accepts)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         words = pc.split_pattern(batch.column("text"), " ")
@@ -448,23 +462,36 @@ def explode_chunks(ds: "ray.data.Dataset", chunk_words: int = CHUNK_WORDS):
         doc_rep = np.repeat(
             batch.column("doc_id").to_numpy(zero_copy_only=False), c
         )
-        return pa.table({"doc_id": pa.array(doc_rep), "ci": pa.array(ci), "chunk": chunk_str})
+        chash = (
+            pd.util.hash_pandas_object(chunk_str.to_pandas(), index=False)
+            .to_numpy()
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_rep),
+                "ci": pa.array(ci),
+                "chunk": chunk_str,
+                "chash": pa.array(chash),
+            }
+        )
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def _chunk_doc_freq(exploded: "ray.data.Dataset"):
-    """(chunk, ndocs distinct) — per-batch (chunk, doc) dedup combiner, then
-    ONE chunk-keyed exchange for the exact distinct count."""
+    """(chash, ndocs distinct) — per-batch (chash, doc) dedup combiner, then
+    ONE int64-keyed exchange for the exact distinct count. The chunk STRING
+    never enters this exchange (VERDICT r03 item 2)."""
 
     def combiner(batch: pa.Table) -> pa.Table:
-        df = batch.select(["chunk", "doc_id"]).to_pandas().drop_duplicates()
+        df = batch.select(["chash", "doc_id"]).to_pandas().drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def count(df: pd.DataFrame) -> pd.DataFrame:
         g = (
             df.drop_duplicates()
-            .groupby("chunk", sort=False)
+            .groupby("chash", sort=False)
             .size()
             .reset_index(name="ndocs")
         )
@@ -472,8 +499,14 @@ def _chunk_doc_freq(exploded: "ray.data.Dataset"):
         return g
 
     return hash_partitioned_apply(
-        exploded.map_batches(combiner, batch_format="pyarrow"), "chunk", count, num_parts=32
+        exploded.map_batches(combiner, batch_format="pyarrow"), "chash", count, num_parts=32
     )
+
+
+# boilerplate chunks (doc-freq >= MIN_DOCS) broadcast as one sorted int64
+# array when at most this many — 8M keys = 64 MB in every worker's plasma
+# view, read zero-copy; above it, fall back to the distributed anti-join
+BOILERPLATE_BROADCAST_LIMIT = 8_000_000
 
 
 def chunk_dedup(sf_dir: str, min_docs: int = MIN_DOCS):
@@ -481,40 +514,21 @@ def chunk_dedup(sf_dir: str, min_docs: int = MIN_DOCS):
     in >= min_docs distinct documents, reassemble the survivors in order.
     Docs whose every chunk is boilerplate disappear (both sides).
 
-    Output (doc_id, clean_text, n_kept). Three bounded exchanges:
-    chunk (doc-freq), chunk (anti-join), doc_id (reassembly)."""
+    Output (doc_id, clean_text, n_kept). Exchange budget: one int64-keyed
+    (chash, doc_id) exchange for the doc-freq count, then — boilerplate set
+    being small — a ray.put broadcast of the bad-chash array filters chunks
+    in-place with NO anti-join exchange, and the chunk strings move exactly
+    once, on the doc_id-keyed reassembly exchange where they ARE the
+    payload. Fallback above BOILERPLATE_BROADCAST_LIMIT: a narrow
+    (doc_id, ci, chash) anti-join exchange, strings still only on the
+    reassembly leg."""
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     exploded = explode_chunks(docs)
 
     freq = _chunk_doc_freq(exploded).map_batches(
         lambda b: b.filter(pc.greater_equal(b.column("ndocs"), min_docs)),
         batch_format="pyarrow",
-    )
-
-    def tag_freq(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        return pa.table(
-            {
-                "doc_id": pa.array(np.full(n, -1, np.int64)),
-                "ci": pa.array(np.full(n, -1, np.int64)),
-                "chunk": batch.column("chunk"),
-                "side": pa.array(np.ones(n, np.int8)),
-            }
-        )
-
-    def tag_rows(batch: pa.Table) -> pa.Table:
-        return batch.append_column("side", pa.array(np.zeros(len(batch), np.int8)))
-
-    both = exploded.map_batches(tag_rows, batch_format="pyarrow").union(
-        freq.map_batches(tag_freq, batch_format="pyarrow")
-    )
-
-    def anti(df: pd.DataFrame) -> pd.DataFrame:
-        bad = set(df.loc[df["side"] == 1, "chunk"])
-        keep = df[(df["side"] == 0) & (~df["chunk"].isin(bad))]
-        return keep[["doc_id", "ci", "chunk"]]
-
-    kept = hash_partitioned_apply(both, "chunk", anti, num_parts=32)
+    ).materialize()
 
     def reassemble(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["doc_id", "ci"], kind="mergesort")
@@ -524,7 +538,82 @@ def chunk_dedup(sf_dir: str, min_docs: int = MIN_DOCS):
         out["doc_id"] = out["doc_id"].astype(np.int64)
         return out
 
-    return hash_partitioned_apply(kept, "doc_id", reassemble, num_parts=32)
+    if freq.count() <= BOILERPLATE_BROADCAST_LIMIT:
+        bad_sorted = np.sort(
+            np.concatenate(
+                [b.column("chash").to_numpy() for b in freq.iter_batches(batch_format="pyarrow")]
+                or [np.array([], np.int64)]
+            )
+        )
+        bad_ref = ray.put(bad_sorted)
+
+        def drop_bad(batch: pa.Table) -> pa.Table:
+            bad = ray.get(bad_ref)  # zero-copy plasma view, shared per node
+            if len(bad) == 0:
+                return batch.select(["doc_id", "ci", "chunk"])
+            ch = batch.column("chash").to_numpy()
+            idx = np.searchsorted(bad, ch)
+            idx[idx == len(bad)] = 0  # ch > bad[-1] can never match bad[0]
+            return batch.filter(pa.array(bad[idx] != ch)).select(["doc_id", "ci", "chunk"])
+
+        kept = exploded.map_batches(drop_bad, batch_format="pyarrow")
+        return hash_partitioned_apply(kept, "doc_id", reassemble, num_parts=32)
+
+    # distributed fallback: anti-join on int64 chash (narrow rows), then the
+    # surviving (doc_id, ci) keys ride the string-carrying reassembly leg
+    def tag_freq(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.full(n, -1, np.int64)),
+                "ci": pa.array(np.full(n, -1, np.int64)),
+                "chash": batch.column("chash"),
+                "side": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    def tag_rows(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "ci", "chash"]).append_column(
+            "side", pa.array(np.zeros(len(batch), np.int8))
+        )
+
+    both = exploded.map_batches(tag_rows, batch_format="pyarrow").union(
+        freq.map_batches(tag_freq, batch_format="pyarrow")
+    )
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        bad = df.loc[df["side"] == 1, "chash"]
+        keep = df[(df["side"] == 0) & (~df["chash"].isin(bad))]
+        return keep[["doc_id", "ci"]]
+
+    survivors = hash_partitioned_apply(both, "chash", anti, num_parts=32)
+
+    def tag_surv(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "ci": batch.column("ci"),
+                "chunk": pa.array([""] * n, pa.string()),
+                "side": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    def tag_chunks(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "ci", "chunk"]).append_column(
+            "side", pa.array(np.zeros(len(batch), np.int8))
+        )
+
+    merged = exploded.map_batches(tag_chunks, batch_format="pyarrow").union(
+        survivors.map_batches(tag_surv, batch_format="pyarrow")
+    )
+
+    def semi_reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df.loc[df["side"] == 1, ["doc_id", "ci"]]
+        rows = df[df["side"] == 0].merge(keys, on=["doc_id", "ci"], how="inner")
+        return reassemble(rows[["doc_id", "ci", "chunk"]])
+
+    return hash_partitioned_apply(merged, "doc_id", semi_reassemble, num_parts=32)
 
 
 SQL_CHUNK_DEDUP = f"""
@@ -595,16 +684,19 @@ def dup_clusters(sf_dir: str, min_docs: int = MIN_DOCS, max_docs: int = MAX_CLIQ
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     exploded = explode_chunks(docs)
 
+    # chunk identity travels as its int64 chash — the string is never needed
+    # past explode (edges are doc-id pairs); same collision bound as
+    # chunk_dedup's exchange keys (VERDICT r03 item 2 family)
     def combiner(batch: pa.Table) -> pa.Table:
-        df = batch.select(["chunk", "doc_id"]).to_pandas().drop_duplicates()
+        df = batch.select(["chash", "doc_id"]).to_pandas().drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates().sort_values(["chunk", "doc_id"], kind="mergesort")
-        sizes = df.groupby("chunk", sort=False)["doc_id"].transform("size")
+        df = df.drop_duplicates().sort_values(["chash", "doc_id"], kind="mergesort")
+        sizes = df.groupby("chash", sort=False)["doc_id"].transform("size")
         df = df[(sizes >= min_docs) & (sizes <= max_docs)]
         us, vs = [], []
-        for _, g in df.groupby("chunk", sort=False):
+        for _, g in df.groupby("chash", sort=False):
             ids = g["doc_id"].to_numpy(np.int64)
             iu, iv = np.triu_indices(len(ids), k=1)
             us.append(ids[iu])
@@ -614,7 +706,7 @@ def dup_clusters(sf_dir: str, min_docs: int = MIN_DOCS, max_docs: int = MAX_CLIQ
         return pd.DataFrame({"u": np.concatenate(us), "v": np.concatenate(vs)})
 
     cand = hash_partitioned_apply(
-        exploded.map_batches(combiner, batch_format="pyarrow"), "chunk", pairs, num_parts=32
+        exploded.map_batches(combiner, batch_format="pyarrow"), "chash", pairs, num_parts=32
     )
     # candidate pairs (u < v) are enough — contraction is direction-free
     g = cand.materialize()

@@ -73,12 +73,29 @@ class TestChunkOps:
         want = pd.DataFrame(rows, columns=["doc_id", "ci", "chunk"]).sort_values(
             ["doc_id", "ci"]
         ).reset_index(drop=True)
-        pd.testing.assert_frame_equal(got.astype({"ci": np.int64}), want.astype({"ci": np.int64}))
+        # chash must be the deterministic SipHash of the chunk string
+        expect_h = pd.util.hash_pandas_object(got["chunk"], index=False).astype(np.int64)
+        assert (got["chash"].to_numpy() == expect_h.to_numpy()).all()
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "ci", "chunk"]].astype({"ci": np.int64}),
+            want.astype({"ci": np.int64}),
+        )
 
     def test_chunk_dedup_sql_parity(self):
         from osm_search_ray.pipelines import webcorpus as wc
 
         _cmp(wc.chunk_dedup(SF), wc.SQL_CHUNK_DEDUP)
+
+    def test_chunk_dedup_distributed_anti_join_path(self, monkeypatch):
+        """Forcing the boilerplate set past the broadcast limit must route
+        through the narrow distributed anti-join and produce the identical
+        result (regime switch is bytes-only, never semantics)."""
+        from osm_search_ray.pipelines import webcorpus as wc
+
+        broadcast = _canon(wc.chunk_dedup(SF).to_pandas())
+        monkeypatch.setattr(wc, "BOILERPLATE_BROADCAST_LIMIT", 0)
+        fallback = _canon(wc.chunk_dedup(SF).to_pandas())
+        pd.testing.assert_frame_equal(broadcast, fallback)
 
     def test_untouched_doc_keeps_text(self):
         """A doc none of whose chunks are corpus-frequent reassembles to its
@@ -195,6 +212,37 @@ class TestDomainTopLang:
             best = counts[counts == counts.max()].index.min()  # smallest lang on ties
             assert got.loc[dom, "top_lang"] == best, dom
             assert got.loc[dom, "n_pages"] == counts.max()
+
+
+class TestNullLang:
+    """NULL-lang pages must diverge nowhere between engine and SQL
+    (ADVICE r03): COUNT(DISTINCT lang) ignores NULL; top_lang excludes the
+    NULL group on BOTH sides."""
+
+    @pytest.fixture()
+    def null_sf(self, tmp_path):
+        df = pd.read_parquet(f"{SF}/documents.parquet").head(60).copy()
+        df.loc[df.index[::7], "lang"] = None  # NULL langs across several domains
+        df.to_parquet(tmp_path / "documents.parquet", index=False)
+        return str(tmp_path)
+
+    def _cmp_at(self, sf, ray_res, sql):
+        c = duckdb.connect()
+        c.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+        a = _canon(ray_res.to_pandas())
+        b = c.execute(sql).df()
+        b = _canon(b.astype({col: a[col].dtype for col in a.columns if col in b.columns}))
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_domain_stats_ignores_null_lang(self, null_sf):
+        from osm_search_ray.pipelines import webcorpus as wc
+
+        self._cmp_at(null_sf, wc.domain_stats(null_sf), wc.SQL_DOMAIN_STATS)
+
+    def test_domain_top_lang_excludes_null_group(self, null_sf):
+        from osm_search_ray.pipelines import webcorpus as wc
+
+        self._cmp_at(null_sf, wc.domain_top_lang(null_sf), wc.SQL_DOMAIN_TOP_LANG)
 
 
 class TestUrlHistory:
