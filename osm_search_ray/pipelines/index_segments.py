@@ -190,13 +190,24 @@ def _segment_raw(seg_dir: str) -> "ray.data.Dataset":
     docs a postings-only reconstruction would lose)."""
     import glob as _g
 
+    from .text_index import BROADCAST_TERMS_LIMIT
+
     has_terms = bool(_g.glob(os.path.join(seg_dir, "terms", "part=*", "data.parquet")))
+    use_broadcast = False
     if has_terms:
-        terms_df = _read_parts(f"{seg_dir}/terms").to_pandas()
-        terms_sorted = np.asarray(
-            terms_df.sort_values("term_id")["term"].to_numpy(dtype=object), dtype=object
-        )
-        terms_ref = ray.put(terms_sorted)
+        terms_ds = _read_parts(f"{seg_dir}/terms", columns=["term_id", "term"])
+        # broadcast the dense id→term array only within the same vocab budget
+        # the build's broadcast path uses; above it (a segment written under
+        # the bucketed strategy at the 10^8-term regime) nothing vocab-sized
+        # may materialize in one process (ADVICE r03) — remap via a
+        # term_id-bucketed distributed join instead
+        use_broadcast = terms_ds.count() <= BROADCAST_TERMS_LIMIT
+        if use_broadcast:
+            terms_df = terms_ds.to_pandas()
+            terms_sorted = np.asarray(
+                terms_df.sort_values("term_id")["term"].to_numpy(dtype=object), dtype=object
+            )
+            terms_ref = ray.put(terms_sorted)
 
     def project(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -212,7 +223,7 @@ def _segment_raw(seg_dir: str) -> "ray.data.Dataset":
             schema=_SCAN_SCHEMA,
         )
 
-    if has_terms:
+    if has_terms and use_broadcast:
         posts = (
             _read_parts(f"{seg_dir}/postings", columns=_POSTING_COLS)
             .map_batches(
@@ -223,6 +234,15 @@ def _segment_raw(seg_dir: str) -> "ray.data.Dataset":
             )
             .map_batches(project, batch_format="pyarrow")
         )
+    elif has_terms:
+        from ..stages.joins import hash_bucket_join
+
+        posts = hash_bucket_join(
+            _read_parts(f"{seg_dir}/postings", columns=_POSTING_COLS),
+            terms_ds,
+            on="term_id",
+            num_buckets=64,
+        ).map_batches(project, batch_format="pyarrow")
     else:
         # segment of token-less docs: no dictionary, no postings — the raw
         # stream is just the doclen sentinel rows

@@ -289,12 +289,19 @@ class SegmentedSearchCore:
         self.refresh()
 
     def refresh(self) -> int:
-        """Attach readers for any newly committed segments; returns the
-        segment count now being served."""
+        """Attach readers for newly committed segments AND detach readers
+        whose segment dir is gone (out-of-band compaction cleanup) — globals
+        and postings must always cover the SAME segment set, or scores go
+        silently inconsistent (ADVICE r03). Returns the segment count now
+        being served."""
         from .index_segments import merged_globals, segment_dirs
         from .text_index import StoreReader
 
         segs = segment_dirs(self.index_dir)
+        live = set(segs)
+        for s in list(self.readers):
+            if s not in live:
+                del self.readers[s]
         for s in segs:
             if s not in self.readers:
                 self.readers[s] = StoreReader(s)

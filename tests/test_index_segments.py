@@ -231,6 +231,69 @@ def test_segmented_core_refresh_picks_up_new_segment(tmp_path):
     )
 
 
+def test_refresh_detaches_removed_segments(tmp_path):
+    """Out-of-band segment removal (compaction cleanup): refresh() must DROP
+    the dead reader so globals and postings cover the same segment set
+    (ADVICE r03) — results after removal+refresh are bit-identical to a core
+    started fresh on the surviving segment."""
+    import shutil
+
+    from osm_search_ray.pipelines.index_segments import add_segment, segment_dirs
+    from osm_search_ray.pipelines.search import SegmentedSearchCore
+
+    idx = str(tmp_path / "idx")
+    add_segment(idx, _half(0), {"text": 0}, in_ram=True)
+    add_segment(idx, _half(1), {"text": 0}, in_ram=True)
+    core = SegmentedSearchCore(idx)
+    rows = [{"query_id": 1, "text": "batch stream window", "scoring": "BM25_PLUS", "top_k": 10}]
+    assert len(core.readers) == 2 and len(core.search_rows(rows))
+
+    survivor, victim = segment_dirs(idx)[0], segment_dirs(idx)[1]
+    shutil.rmtree(victim)
+    assert core.refresh() == 1
+    assert set(core.readers) == {survivor}
+    fresh = SegmentedSearchCore(idx)
+    pd.testing.assert_frame_equal(
+        core.search_rows(rows).reset_index(drop=True),
+        fresh.search_rows(rows).reset_index(drop=True),
+    )
+    assert core.globals == fresh.globals
+
+
+def test_merge_bucketed_term_remap_equals_broadcast(stores, tmp_path, monkeypatch):
+    """Above the vocab broadcast budget, _segment_raw must remap
+    term_id→term via the distributed bucketed join, never a vocab-sized
+    driver array (ADVICE r03): forcing the limit to 0 routes every segment
+    through that path and the merged store must stay content-identical."""
+    from osm_search_ray.pipelines import text_index as ti
+    from osm_search_ray.pipelines.index_segments import merge_segments
+    from osm_search_ray.pipelines.text_index import _POSTING_COLS
+    from osm_search_ray.sources.checkpoint import read_checkpointed
+
+    _, seg_dir, merged_dir = stores
+    monkeypatch.setattr(ti, "BROADCAST_TERMS_LIMIT", 0)
+    remerged = str(tmp_path / "remerged")
+    merge_segments(seg_dir, remerged)
+
+    def canon(d):
+        terms = (
+            read_checkpointed(f"{d}/terms").to_pandas()[["term", "term_id"]]
+            .sort_values("term_id").reset_index(drop=True)
+        )
+        posts = (
+            read_checkpointed(f"{d}/postings", columns=_POSTING_COLS).to_pandas()
+            .sort_values(_POSTING_COLS, kind="mergesort").reset_index(drop=True)
+        )
+        g = json.load(open(f"{d}/globals.json"))
+        return terms, posts, g
+
+    ta, pa_, ga = canon(merged_dir)
+    tb, pb, gb = canon(remerged)
+    pd.testing.assert_frame_equal(ta, tb)
+    pd.testing.assert_frame_equal(pa_.astype(np.int64), pb.astype(np.int64))
+    assert ga == gb
+
+
 def test_segmented_session_actor_refresh(tmp_path):
     """The named-actor wrapper: refresh() reaches the resident core."""
     from osm_search_ray.pipelines.index_segments import add_segment
