@@ -31,7 +31,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from osm_search_ray.pipelines import tiling, relational, textops, dedup_pipelines, simsearch, events as ev
 
     q: dict[str, Callable[[str], Any]] = {}
-    # --- geospatial core (SURVEY §2: J3, K1-K3, tiling/M-ops) ---
+    # Registry ORDER is part of the driver contract: the driver checks
+    # queries in this order under a wall-clock budget (r03 stopped at #50).
+    # Least-recently-certified first: block A = the 16 queries that had no
+    # driver row in any round, block B = the 18 whose last row is r02,
+    # block C = the 50 green in r03.
+    from osm_search_ray.pipelines import search_docs
+
+    # --- block A: never driver-verified before r04 ---
+    q["segmented_search"] = search_docs.segmented_search  # incremental two-segment index, same result
+    q["bm25f_store_search"] = search_docs.bm25f_store_search  # two-field disk path
+    q["tfidf_store_search"] = search_docs.tfidf_store_search
+    q["spell_store_search"] = search_docs.spell_store_search  # corrected two-field disk path (rows-only)
+    q["lm_doc_scores"] = search_docs.lm_doc_scores  # perplexity quality scoring (rows-only)
+    q["dedup_substring"] = dedup_pipelines.dedup_substring  # maximal shared token runs (Lee et al.)
+    q["events_pivot"] = ev.events_pivot  # conditional-aggregation pivot
+    q["purchase_view_window"] = ev.purchase_view_window  # interval-predicate range join
+    q["events_median"] = ev.events_median  # exact distributed median (bounded-domain histogram)
+    q["events_quantiles"] = ev.events_quantiles  # exact p50/p90/p99, one histogram pass
+    q["users_view_no_purchase"] = ev.users_view_no_purchase  # anti-join (NOT EXISTS)
+    q["events_cumulative"] = ev.events_cumulative  # window functions: running sum + LAG gap
+    q["events_moving_sum"] = ev.events_moving_sum  # window FRAME clause: ROWS N PRECEDING
+    q["kmeans_clusters"] = simsearch.kmeans_clusters  # iterative distributed Lloyd's (rows-only)
+    q["ann_quantized_topk"] = simsearch.ann_quantized_topk  # int8-quantized store serving (rows-only)
+    q["price_quantiles_tdigest"] = relational.price_quantiles_tdigest  # t-digest sketch (rows-only)
+    # --- block B: last driver row is r02 ---
+    q["bm25f_search"] = search_docs.bm25f_docs_search
+    q["tfidf_search"] = search_docs.tfidf_docs_search
+    q["spell_search"] = search_docs.spell_search_docs  # LM ranking (rows-only)
+    q["autocomplete"] = search_docs.autocomplete_docs
+    q["dedup_exact"] = dedup_pipelines.dedup_exact
+    q["dedup_minhash"] = dedup_pipelines.dedup_minhash
+    q["dedup_simhash"] = dedup_pipelines.dedup_simhash
+    q["dedup_embedding"] = dedup_pipelines.dedup_embedding
+    q["dedup_fingerprint"] = dedup_pipelines.dedup_fingerprint
+    q["ann_cosine_topk"] = simsearch.ann_cosine_topk
+    q["ann_ivf_topk"] = simsearch.ann_ivf_topk
+    q["events_hourly"] = ev.events_hourly
+    q["events_sliding"] = ev.events_sliding  # sliding-window aggregate
+    q["sessionize"] = ev.sessionize
+    q["purchase_attribution"] = ev.purchase_attribution
+    q["approx_distinct_users"] = ev.approx_distinct_users  # HLL sketch (rows-only)
+    from osm_search_ray.pipelines import geofence_pipeline, raster_pipeline
+
+    q["geofence_status"] = geofence_pipeline.geofence_status
+    q["raster_coverage"] = raster_pipeline.raster_coverage
+    # --- block C: green in CORRECTNESS_r03 ---
+    # geospatial core (SURVEY §2: J3, K1-K3, tiling/M-ops)
     q["tile_assign"] = lambda sf: tiling.tile_counts(sf)
     q["pip_join"] = lambda sf: tiling.pip_join(sf)
     q["pip_join_partitioned"] = lambda sf: tiling.pip_join(sf, partitioned=True)
@@ -93,53 +139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["sample_weighted"] = traindata.sample_weighted  # deterministic sequential Poisson sample
     q["sample_stratified"] = traindata.sample_stratified  # per-language quota, int-only priorities
     # --- full-text search (BM25+ with reference formula quirks) ---
-    from osm_search_ray.pipelines import search_docs
-
     q["bm25_search"] = search_docs.bm25_docs_search
     q["bm25_store_search"] = search_docs.bm25_store_search  # served from the on-disk index
-    q["segmented_search"] = search_docs.segmented_search  # incremental two-segment index, same result
-    q["bm25f_store_search"] = search_docs.bm25f_store_search  # two-field disk path
-    q["tfidf_store_search"] = search_docs.tfidf_store_search
-    q["bm25f_search"] = search_docs.bm25f_docs_search
-    q["tfidf_search"] = search_docs.tfidf_docs_search
-    q["spell_search"] = search_docs.spell_search_docs  # LM ranking (rows-only)
-    q["spell_store_search"] = search_docs.spell_store_search  # corrected two-field disk path (rows-only)
-    q["autocomplete"] = search_docs.autocomplete_docs
-    q["lm_doc_scores"] = search_docs.lm_doc_scores  # perplexity quality scoring (rows-only)
-    # --- dedup family ---
-    q["dedup_exact"] = dedup_pipelines.dedup_exact
-    q["dedup_substring"] = dedup_pipelines.dedup_substring  # maximal shared token runs (Lee et al.)
-    q["dedup_minhash"] = dedup_pipelines.dedup_minhash
-    q["dedup_simhash"] = dedup_pipelines.dedup_simhash
-    q["dedup_embedding"] = dedup_pipelines.dedup_embedding
-    q["dedup_fingerprint"] = dedup_pipelines.dedup_fingerprint
-    # --- similarity search ---
-    q["ann_cosine_topk"] = simsearch.ann_cosine_topk
-    q["ann_ivf_topk"] = simsearch.ann_ivf_topk
-    q["kmeans_clusters"] = simsearch.kmeans_clusters  # iterative distributed Lloyd's (rows-only)
-    q["ann_quantized_topk"] = simsearch.ann_quantized_topk  # int8-quantized store serving (rows-only)
-    # --- events (streaming-shaped) ---
-    q["events_hourly"] = ev.events_hourly
-    q["events_pivot"] = ev.events_pivot  # conditional-aggregation pivot
-    q["events_sliding"] = ev.events_sliding  # sliding-window aggregate
-    q["sessionize"] = ev.sessionize
-    q["purchase_attribution"] = ev.purchase_attribution
-    q["purchase_view_window"] = ev.purchase_view_window  # interval-predicate range join
-    q["approx_distinct_users"] = ev.approx_distinct_users  # HLL sketch (rows-only)
-    q["events_median"] = ev.events_median  # exact distributed median (bounded-domain histogram)
-    q["events_quantiles"] = ev.events_quantiles  # exact p50/p90/p99, one histogram pass
-    q["price_quantiles_tdigest"] = relational.price_quantiles_tdigest  # t-digest sketch (rows-only)
-    q["users_view_no_purchase"] = ev.users_view_no_purchase  # anti-join (NOT EXISTS)
-    q["events_cumulative"] = ev.events_cumulative  # window functions: running sum + LAG gap
-    q["events_moving_sum"] = ev.events_moving_sum  # window FRAME clause: ROWS N PRECEDING
-    # --- geofencing (J6) ---
-    from osm_search_ray.pipelines import geofence_pipeline
-
-    q["geofence_status"] = geofence_pipeline.geofence_status
-    # --- raster↔vector (north rule) ---
-    from osm_search_ray.pipelines import raster_pipeline
-
-    q["raster_coverage"] = raster_pipeline.raster_coverage
     return q
 
 
@@ -243,6 +244,10 @@ GROUP BY 1, 2
     sql["bigram_counts"] = textops.SQL_BIGRAM_COUNTS
     sql["postings_lists"] = textops.SQL_POSTINGS_LISTS
     sql["contamination_check"] = textops.SQL_CONTAMINATION_CHECK
+    # the Bloom twin and the fake image decode are integer-exact — oracled
+    # via the SQL splitmix64 chain + md5 hash twin (r04; formerly rows-only)
+    sql["contamination_bloom"] = textops.sql_contamination_bloom()
+    sql["image_features"] = textops.sql_image_features()
     sql["top_terms"] = textops.SQL_TOP_TERMS
     sql["repetition_stats"] = textops.SQL_REPETITION_STATS
     from osm_search_ray.pipelines import curate, pii

@@ -39,6 +39,22 @@ def hash64_str(values) -> np.ndarray:
     return splitmix64((hi << np.uint64(32)) | lo)
 
 
+def hash64_md5(values) -> np.ndarray:
+    """Stable 64-bit hash: first 8 bytes (big-endian) of md5(utf-8).
+
+    Slower than hash64_str but SQL-TWINNED: DuckDB computes the identical
+    value as CAST('0x' || substr(md5(s), 1, 16) AS UBIGINT), which is what
+    makes Bloom-filter membership oracle-checkable end-to-end
+    (sources/derived.py SQL_HASH64_MD5)."""
+    import hashlib
+
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        b = v.encode("utf-8", "surrogatepass") if isinstance(v, str) else bytes(v)
+        out[i] = int.from_bytes(hashlib.md5(b).digest()[:8], "big")
+    return out
+
+
 def hash64_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Combine two uint64 hash arrays order-sensitively."""
     with np.errstate(over="ignore"):

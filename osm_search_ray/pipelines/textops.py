@@ -296,6 +296,59 @@ def image_features(sf_dir: str):
     return feats.map_batches(summarize, batch_format="pyarrow")
 
 
+def _sql_image_features() -> str:
+    """Oracle for the deterministic fake image decode (stages/multimodal.py
+    _fake_pixels): per doc, seed = byte length, head = first 8 utf-8 bytes
+    little-endian (hex-parsed), base = splitmix64(seed ^ head), pixel j =
+    splitmix64((j + base) mod 2^64) & 0xFF over the 32×32 grid; feature =
+    16-bin intensity histogram / 1024, reported as rint(max * 1e9). The
+    rint is np.rint (half-to-EVEN) — maxc/1024*1e9 is maxc*976562.5
+    exactly, so the SQL reproduces banker's rounding arithmetically
+    (VERDICT r03 item 5)."""
+    from ..sources.derived import sql_splitmix64_chain
+
+    p64 = 1 << 64
+    b = lambda i: (  # noqa: E731 — byte i (1-based) of the utf-8 payload, 0 past the end
+        f"CASE WHEN len >= {i} THEN CAST('0x' || substr(hx, {2 * i - 1}, 2) AS BIGINT)::HUGEINT"
+        f" ELSE 0::HUGEINT END"
+    )
+    head = " + ".join(f"{b(i)} * {1 << (8 * (i - 1))}::HUGEINT" for i in range(1, 9))
+    # banker's rounding of maxc * 976562.5 (odd maxc ⇒ exact .5 halves)
+    rint = (
+        "CASE WHEN v2 % 2 = 0 THEN v2 // 2"
+        " ELSE (v2 - 1) // 2 + ((v2 - 1) // 2) % 2 END"
+    )
+    return f"""
+WITH raw AS (
+    SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS len
+    FROM documents),
+seeded AS (SELECT doc_id, xor(CAST(len AS UBIGINT), CAST(({head}) AS UBIGINT)) AS s FROM raw),
+{sql_splitmix64_chain('seeded', ['doc_id'], 's', 'base')},
+pixin AS (
+    SELECT b.doc_id, (j.j::HUGEINT + b.x) % {p64} AS v
+    FROM base b, range(0, 1024) j(j)),
+{sql_splitmix64_chain('pixin', ['doc_id'], 'v', 'pix')},
+hist AS (
+    SELECT doc_id, (x % 256) // 16 AS bin, COUNT(*) AS c
+    FROM pix GROUP BY 1, 2),
+mx AS (SELECT doc_id, MAX(c) AS maxc FROM hist GROUP BY 1),
+v AS (SELECT doc_id, maxc * 1953125 AS v2 FROM mx)
+SELECT doc_id AS item_id, CAST(32 AS INTEGER) AS height, CAST(32 AS INTEGER) AS width,
+       CAST({rint} AS BIGINT) AS feat_max_x1e9
+FROM v
+"""
+
+
+SQL_IMAGE_FEATURES = None  # built lazily
+
+
+def sql_image_features() -> str:
+    global SQL_IMAGE_FEATURES
+    if SQL_IMAGE_FEATURES is None:
+        SQL_IMAGE_FEATURES = _sql_image_features()
+    return SQL_IMAGE_FEATURES
+
+
 EVAL_MOD = 97  # deterministic held-out "benchmark" subset: doc_id % 97 == 0
 CONTAM_N = 3  # shingle width (3 at test scale: synthetic docs share few longer runs)
 
@@ -397,14 +450,18 @@ def contamination_check_bloom(sf_dir: str):
     contamination_check: instead of the exact sorted eval-shingle strings
     (~40 B/key), workers receive 24 bits/key of packed filter (~20× less
     broadcast traffic; FPR ≈ 1e-5, false negatives impossible — a doc is
-    never cleared wrongly, a ~1e-5 sliver is over-flagged). Rows-only
-    driver check (FPs are not SQL-expressible); unit-tested against the
-    exact path: per-doc hits are a superset, measured FPR bounded.
+    never cleared wrongly, a ~1e-5 sliver is over-flagged).
+
+    Keys are hash64_md5 (not hash64_str): md5 has a bit-identical DuckDB
+    twin, so the WHOLE sketch — Kirsch-Mitzenmacher positions via the SQL
+    splitmix64 chain, membership as a relational anti-join on set bits —
+    is oracle-checked exactly, false positives included
+    (SQL_CONTAMINATION_BLOOM; VERDICT r03 item 5).
 
     Output (doc_id, n_flagged) for flagged training docs."""
     import ray
 
-    from ..functions.hashing import hash64_str
+    from ..functions.hashing import hash64_md5
     from ..stages.sketches import BLOOM_BITS_PER_KEY, bloom_build, bloom_contains
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -413,7 +470,7 @@ def contamination_check_bloom(sf_dir: str):
         ids = batch.column("doc_id").to_numpy()
         sub = batch.filter(pa.array(ids % EVAL_MOD == 0))
         g, _ = _shingles(sub, CONTAM_N)
-        return pa.table({"h": pa.array(np.unique(hash64_str(np.unique(g))))})
+        return pa.table({"h": pa.array(np.unique(hash64_md5(np.unique(g))))})
 
     parts = [
         b.column("h").to_numpy(zero_copy_only=False)
@@ -431,7 +488,7 @@ def contamination_check_bloom(sf_dir: str):
         sub = batch.filter(pa.array(ids % EVAL_MOD != 0))
         sub_ids = sub.column("doc_id").to_numpy().astype(np.int64)
         g, nw = _shingles(sub, CONTAM_N)
-        hit = bloom_contains(words, hash64_str(g), m_bits) if len(g) else np.zeros(0, bool)
+        hit = bloom_contains(words, hash64_md5(g), m_bits) if len(g) else np.zeros(0, bool)
         wdoc = np.repeat(np.arange(len(nw), dtype=np.int64), nw)
         per_doc = np.bincount(wdoc[hit], minlength=len(nw)).astype(np.int64)
         keep = per_doc > 0
@@ -443,6 +500,63 @@ def contamination_check_bloom(sf_dir: str):
         )
 
     return ds.map_batches(check, batch_format="pyarrow")
+
+
+def _sql_contamination_bloom() -> str:
+    """The Bloom decontamination oracle: same grams CTE as the exact check,
+    keys hashed via md5 (SQL_HASH64_MD5 twin), K-M positions through the
+    SQL splitmix64 chain, membership = 'no probe position unset' anti-join.
+    Reproduces the engine's output EXACTLY, false positives included."""
+    from ..sources.derived import SQL_HASH64_MD5, sql_splitmix64_chain
+    from ..stages.sketches import BLOOM_BITS_PER_KEY, BLOOM_K
+
+    p64 = 1 << 64
+    seed = 0xA076_1D64_78BD_642F
+    h_of_g = SQL_HASH64_MD5.format(col="g")
+    # h2 = splitmix64(h ^ seed) | 1 — the |1 done arithmetically (x - x%2 + 1)
+    km_pos = f"((CAST(h AS HUGEINT) + j.j * (c.x - c.x % 2 + 1)) % {p64}) % (SELECT m FROM mb)"
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+grams AS (
+    SELECT doc_id, array_to_string(t[i:i+{CONTAM_N - 1}], ' ') AS g
+    FROM toks, UNNEST(range(1, len(t) - {CONTAM_N - 2})) AS u(i)
+    WHERE len(t) >= {CONTAM_N}
+),
+eh AS (SELECT DISTINCT {h_of_g} AS h FROM grams WHERE doc_id % {EVAL_MOD} = 0),
+mb AS (SELECT GREATEST(64, {BLOOM_BITS_PER_KEY} * COUNT(*))::HUGEINT AS m FROM eh),
+{sql_splitmix64_chain('eh', ['h'], f'xor(h, {seed}::UBIGINT)', 'eh2')},
+epos AS (
+    SELECT DISTINCT {km_pos} AS pos
+    FROM eh2 c, range(0, {BLOOM_K}) j(j)
+),
+pg AS (SELECT DISTINCT g FROM grams WHERE doc_id % {EVAL_MOD} <> 0),
+pgh AS (SELECT g, {h_of_g} AS h FROM pg),
+{sql_splitmix64_chain('pgh', ['g', 'h'], f'xor(h, {seed}::UBIGINT)', 'pg2')},
+ppos AS (
+    SELECT c.g, {km_pos} AS pos
+    FROM pg2 c, range(0, {BLOOM_K}) j(j)
+),
+miss AS (
+    SELECT DISTINCT p.g
+    FROM ppos p LEFT JOIN epos e USING (pos)
+    WHERE e.pos IS NULL
+),
+member AS (SELECT g FROM pg EXCEPT SELECT g FROM miss)
+SELECT t.doc_id, COUNT(*) AS n_flagged
+FROM grams t JOIN member m2 USING (g)
+WHERE t.doc_id % {EVAL_MOD} <> 0
+GROUP BY 1
+"""
+
+
+SQL_CONTAMINATION_BLOOM = None  # built lazily (imports sketches/derived)
+
+
+def sql_contamination_bloom() -> str:
+    global SQL_CONTAMINATION_BLOOM
+    if SQL_CONTAMINATION_BLOOM is None:
+        SQL_CONTAMINATION_BLOOM = _sql_contamination_bloom()
+    return SQL_CONTAMINATION_BLOOM
 
 
 TOP_TERMS_K = 25

@@ -386,3 +386,46 @@ link_edges AS (
     UNION ALL
     SELECT doc_id, (doc_id * doc_id % (SELECT n FROM nn) * 48271 + 3) % (SELECT n FROM nn) FROM documents
 )"""
+
+
+# -------------------------------------------------- SQL splitmix64 contract
+# functions/hashing.splitmix64 re-expressed as a DuckDB CTE chain: HUGEINT
+# (int128) carries the 64-bit state, wraparound multiplies use the 32-bit
+# split (a*b mod 2^64 = (a_lo*b + ((a_hi*b_lo mod 2^32) << 32)) mod 2^64 —
+# every intermediate fits int128), xors/shifts run in UBIGINT. Bit-identical
+# to the numpy form (tests/test_derived.py), which is what lets the Bloom
+# decontamination and the fake image decode be oracle-checked exactly.
+
+_P64 = 1 << 64
+
+
+def _sql_mulmod64(a: str, c: int) -> str:
+    return (
+        f"((({a}) % 4294967296) * {c}::HUGEINT % {_P64} + "
+        f"((({a}) // 4294967296) * ({c % 4294967296}::HUGEINT)) % 4294967296 * 4294967296) % {_P64}"
+    )
+
+
+def _sql_xorshift(col: str, s: int) -> str:
+    return f"CAST(xor(CAST({col} AS UBIGINT), CAST({col} AS UBIGINT) >> {s}) AS HUGEINT)"
+
+
+def sql_splitmix64_chain(src_cte: str, key_cols: list[str], x_expr: str, out_cte: str) -> str:
+    """CTE steps computing ``x = splitmix64(x_expr)`` (column named x, a
+    HUGEINT in [0, 2^64)) from rows of ``src_cte``, carrying ``key_cols``
+    through. Returns the comma-joined CTE definitions; the final CTE is
+    named ``out_cte``."""
+    keys = ", ".join(key_cols) + (", " if key_cols else "")
+    steps = [
+        f"{out_cte}_a AS (SELECT {keys}(CAST({x_expr} AS HUGEINT) + 11400714819323198485) % {_P64} AS x FROM {src_cte})",
+        f"{out_cte}_b AS (SELECT {keys}{_sql_xorshift('x', 30)} AS x FROM {out_cte}_a)",
+        f"{out_cte}_c AS (SELECT {keys}{_sql_mulmod64('x', 0xBF58476D1CE4E5B9)} AS x FROM {out_cte}_b)",
+        f"{out_cte}_d AS (SELECT {keys}{_sql_xorshift('x', 27)} AS x FROM {out_cte}_c)",
+        f"{out_cte}_e AS (SELECT {keys}{_sql_mulmod64('x', 0x94D049BB133111EB)} AS x FROM {out_cte}_d)",
+        f"{out_cte} AS (SELECT {keys}{_sql_xorshift('x', 31)} AS x FROM {out_cte}_e)",
+    ]
+    return ",\n".join(steps)
+
+
+# hashing.hash64_md5's SQL twin: first 8 bytes of md5, big-endian
+SQL_HASH64_MD5 = "CAST('0x' || substr(md5({col}), 1, 16) AS UBIGINT)"

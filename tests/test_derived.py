@@ -106,3 +106,42 @@ def test_contact_suffix_identical_to_sql():
     py = docs["text"] + dv.contact_suffix(docs["doc_id"].to_numpy())
     assert (sql["doc_id"].to_numpy() == docs["doc_id"].to_numpy()).all()
     assert (sql["raw_text"] == py).all()
+
+
+def test_sql_splitmix64_chain_identical_to_numpy():
+    """The DuckDB splitmix64 CTE chain (HUGEINT state, 32-bit-split
+    wraparound multiplies) must be bit-identical to hashing.splitmix64 —
+    the contract the Bloom and fake-image oracles stand on."""
+    from osm_search_ray.functions.hashing import splitmix64
+
+    rng = np.random.default_rng(17)
+    vals = np.concatenate(
+        [
+            np.array([0, 1, 2**32 - 1, 2**32, 2**63, 2**64 - 1], dtype=np.uint64),
+            rng.integers(0, 2**64, 64, dtype=np.uint64),
+        ]
+    )
+    lst = ", ".join(f"{int(v)}::UBIGINT" for v in vals)
+    sql = (
+        f"WITH src AS (SELECT unnest([{lst}]) AS v),\n"
+        + dv.sql_splitmix64_chain("src", ["v"], "v", "sm")
+        + "\nSELECT v, x FROM sm"
+    )
+    rows = _con().execute(sql).fetchall()
+    got = {int(v): int(x) for v, x in rows}
+    want = splitmix64(vals)
+    for v, w in zip(vals, want):
+        assert got[int(v)] == int(w), v
+
+
+def test_sql_hash64_md5_identical_to_numpy():
+    from osm_search_ray.functions.hashing import hash64_md5
+
+    strs = ["", "a", "hello world", "unicode: héllo ✓", "gram one two"]
+    lst = ", ".join("'" + s.replace("'", "''") + "'" for s in strs)
+    expr = dv.SQL_HASH64_MD5.format(col="s")
+    rows = _con().execute(f"SELECT s, {expr} FROM (SELECT unnest([{lst}]) AS s)").fetchall()
+    got = {s: int(h) for s, h in rows}
+    want = hash64_md5(strs)
+    for s, w in zip(strs, want):
+        assert got[s] == int(w), s
