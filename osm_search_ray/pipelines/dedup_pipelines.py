@@ -147,8 +147,11 @@ def _kgram_explode(batch: pa.Table, k: int) -> pa.Table:
     The gram STRING never leaves this function — downstream only ever joins
     on gram equality, so the exchange key is its 64-bit hash (VERDICT r03
     item 4; ~|grams|^2 / 2^65 collision odds, the same bound
-    ngram_jaccard_pairs_ds accepts; a collision could only ADD a spurious
-    pair/fragment, never lose a real run's grams)."""
+    ngram_jaccard_pairs_ds accepts). A collision merges two grams'
+    occurrence lists: usually that only ADDS a spurious pair, but if the
+    merged list crosses the max_occ cap it is dropped whole, losing the
+    cold gram's real occurrences (and diverging from the per-STRING-capped
+    SQL oracle) — accepted at the same 2^-65 odds."""
     from ..functions.tokenize import tokenize_array
 
     toks, counts = tokenize_array(batch.column("text").to_pylist())

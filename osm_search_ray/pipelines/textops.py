@@ -339,14 +339,9 @@ FROM v
 """
 
 
-SQL_IMAGE_FEATURES = None  # built lazily
+import functools
 
-
-def sql_image_features() -> str:
-    global SQL_IMAGE_FEATURES
-    if SQL_IMAGE_FEATURES is None:
-        SQL_IMAGE_FEATURES = _sql_image_features()
-    return SQL_IMAGE_FEATURES
+sql_image_features = functools.cache(_sql_image_features)
 
 
 EVAL_MOD = 97  # deterministic held-out "benchmark" subset: doc_id % 97 == 0
@@ -488,7 +483,14 @@ def contamination_check_bloom(sf_dir: str):
         sub = batch.filter(pa.array(ids % EVAL_MOD != 0))
         sub_ids = sub.column("doc_id").to_numpy().astype(np.int64)
         g, nw = _shingles(sub, CONTAM_N)
-        hit = bloom_contains(words, hash64_md5(g), m_bits) if len(g) else np.zeros(0, bool)
+        if len(g):
+            # hash each DISTINCT shingle once (hash64_md5 is a per-item
+            # hashlib loop; boilerplate-heavy batches repeat shingles a lot)
+            # and gather per-occurrence hits through the inverse index
+            uniq, inv = np.unique(g, return_inverse=True)
+            hit = bloom_contains(words, hash64_md5(uniq), m_bits)[inv]
+        else:
+            hit = np.zeros(0, bool)
         wdoc = np.repeat(np.arange(len(nw), dtype=np.int64), nw)
         per_doc = np.bincount(wdoc[hit], minlength=len(nw)).astype(np.int64)
         keep = per_doc > 0
@@ -549,14 +551,7 @@ GROUP BY 1
 """
 
 
-SQL_CONTAMINATION_BLOOM = None  # built lazily (imports sketches/derived)
-
-
-def sql_contamination_bloom() -> str:
-    global SQL_CONTAMINATION_BLOOM
-    if SQL_CONTAMINATION_BLOOM is None:
-        SQL_CONTAMINATION_BLOOM = _sql_contamination_bloom()
-    return SQL_CONTAMINATION_BLOOM
+sql_contamination_bloom = functools.cache(_sql_contamination_bloom)
 
 
 TOP_TERMS_K = 25

@@ -560,7 +560,13 @@ def chunk_dedup(sf_dir: str, min_docs: int = MIN_DOCS):
         return hash_partitioned_apply(kept, "doc_id", reassemble, num_parts=32)
 
     # distributed fallback: anti-join on int64 chash (narrow rows), then the
-    # surviving (doc_id, ci) keys ride the string-carrying reassembly leg
+    # surviving (doc_id, ci) keys ride the string-carrying reassembly leg.
+    # exploded feeds TWO more consumers here (anti side + reassembly side) —
+    # materialize so the corpus is read/split/hashed once and reused from
+    # object-store blocks (which spill under pressure) instead of re-running
+    # the explode lineage per consumer
+    exploded = exploded.materialize()
+
     def tag_freq(batch: pa.Table) -> pa.Table:
         n = len(batch)
         return pa.table(

@@ -46,9 +46,12 @@ def vec_matrix(col, dtype=np.float64) -> np.ndarray:
         if mat.dtype == object:
             mat = np.stack(mat.tolist())
         return np.ascontiguousarray(mat).astype(dtype, copy=False).reshape(n, -1)
+    import pyarrow.compute as pc
+
+    lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    if lengths.min() != lengths.max():  # catches ragged rows even when the
+        raise ValueError("ragged embedding column")  # total divides n evenly
     flat = col.flatten().to_numpy(zero_copy_only=False)
-    if flat.size % n:
-        raise ValueError("ragged embedding column")
     return flat.astype(dtype, copy=False).reshape(n, flat.size // n)
 
 

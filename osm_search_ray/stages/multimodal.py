@@ -28,13 +28,35 @@ from ..functions.hashing import splitmix64
 IMAGE_FEATURE_DIM = 16
 
 
+def _fake_bases(payloads: list) -> np.ndarray:
+    """Per-payload stream base for the deterministic fake decode."""
+    n = len(payloads)
+    seed = np.empty(n, dtype=np.uint64)
+    head = np.empty(n, dtype=np.uint64)
+    for i, p in enumerate(payloads):
+        p = p or b""
+        seed[i] = len(p)
+        head[i] = np.frombuffer(p[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
+    return splitmix64(seed ^ head)
+
+
 def _fake_pixels(payload: bytes, h: int, w: int) -> np.ndarray:
     """Deterministic fake decode: seed a counter-based stream from the bytes."""
-    seed = np.uint64(len(payload))
-    head = np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
-    base = splitmix64(np.asarray([seed ^ head], dtype=np.uint64))[0]
+    base = _fake_bases([payload])[0]
     stream = splitmix64(np.arange(h * w, dtype=np.uint64) + base)
     return (stream & np.uint64(0xFF)).astype(np.uint8).reshape(h, w)
+
+
+def _fake_pixels_batch(payloads: list, h: int, w: int) -> np.ndarray:
+    """(n, h*w) uint8 — the whole batch decoded in ONE numpy broadcast
+    (identical values to per-doc _fake_pixels; the per-payload Python work
+    is just the 8-byte header read)."""
+    if not payloads:
+        return np.empty((0, h * w), dtype=np.uint8)
+    base = _fake_bases(payloads)
+    with np.errstate(over="ignore"):
+        stream = splitmix64(np.arange(h * w, dtype=np.uint64)[None, :] + base[:, None])
+    return (stream & np.uint64(0xFF)).astype(np.uint8)
 
 
 class ImageDecodeFeatures:
@@ -51,20 +73,25 @@ class ImageDecodeFeatures:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         h, w = self.hw
-        feats, heights, widths = [], [], []
-        for payload in batch.column(self.bin_col).to_pylist():
-            px = _fake_pixels(payload or b"", h, w)
-            # 16-bin intensity histogram, L1-normalized — a real feature layout
-            hist = np.bincount(px.ravel() >> 4, minlength=IMAGE_FEATURE_DIM).astype(np.float64)
-            feats.append((hist / hist.sum()).tolist())
-            heights.append(h)
-            widths.append(w)
+        payloads = batch.column(self.bin_col).to_pylist()
+        n = len(payloads)
+        px = _fake_pixels_batch(payloads, h, w)
+        # 16-bin intensity histogram per doc, L1-normalized — one bincount
+        # over (doc, bin) flat indices for the whole batch
+        bins = (px >> 4).astype(np.int64)
+        idx = (np.arange(n, dtype=np.int64)[:, None] * IMAGE_FEATURE_DIM + bins).ravel()
+        hist = (
+            np.bincount(idx, minlength=n * IMAGE_FEATURE_DIM)
+            .reshape(n, IMAGE_FEATURE_DIM)
+            .astype(np.float64)
+        )
+        feats = hist / np.maximum(hist.sum(axis=1, keepdims=True), 1.0)
         return pa.table(
             {
                 self.id_col: batch.column(self.id_col),
-                "height": pa.array(heights, pa.int32()),
-                "width": pa.array(widths, pa.int32()),
-                "features": pa.array(feats, pa.list_(pa.float64(), IMAGE_FEATURE_DIM)),
+                "height": pa.array(np.full(n, h, np.int32)),
+                "width": pa.array(np.full(n, w, np.int32)),
+                "features": pa.array(feats.tolist(), pa.list_(pa.float64(), IMAGE_FEATURE_DIM)),
             }
         )
 
