@@ -37,6 +37,7 @@ def main() -> None:
     p_add.add_argument("--text-col", default="text")
     p_merge = sub.add_parser("merge", help="compact all segments into one store")
     p_merge.add_argument("--out", required=True)
+    sub.add_parser("compact", help="IN-PLACE compaction: merge committed segments into one new segment and retire the inputs (crash-safe; live cores pick it up via refresh())")
     p_query = sub.add_parser("query", help="cross-segment point read")
     p_query.add_argument("--tokens", required=True, help="comma-separated tokens")
     args = ap.parse_args()
@@ -65,6 +66,11 @@ def main() -> None:
         g = seg.merged_globals([args.out])
         print(f"merged {len(seg.segment_dirs(args.index))} segments -> {args.out}: "
               f"{g['docs_count']} docs")
+    elif args.cmd == "compact":
+        new_seg = seg.compact_segments(args.index)
+        g = seg.merged_globals(seg.segment_dirs(args.index))
+        print(f"compacted -> {new_seg}; index now: "
+              f"{len(seg.segment_dirs(args.index))} segment(s), {g['docs_count']} docs")
     else:
         toks = [t for t in args.tokens.split(",") if t]
         ids, posts, g = seg.segmented_point_query(args.index, toks)

@@ -88,7 +88,15 @@ def add_segment(
     switch)."""
     dirs = _all_segment_dirs(index_dir)
     incomplete = [d for d in dirs if not _is_complete(d)]
-    nxt = incomplete[0] if incomplete else os.path.join(index_dir, f"{_SEG_PREFIX}{len(dirs):03d}")
+    # next name = max existing number + 1, NOT len(dirs): after a compaction
+    # retires seg-000..seg-k into one higher-numbered segment the numbering
+    # is sparse, and len() would eventually collide with a committed dir
+    nums = [int(os.path.basename(d)[len(_SEG_PREFIX):]) for d in dirs]
+    nxt = (
+        incomplete[0]
+        if incomplete
+        else os.path.join(index_dir, f"{_SEG_PREFIX}{(max(nums) + 1 if nums else 0):03d}")
+    )
     if in_ram:
         from .text_index import build_text_index, save_text_index
 
@@ -270,16 +278,87 @@ def _segment_raw(seg_dir: str) -> "ray.data.Dataset":
     return posts.union(lens)
 
 
-def merge_segments(index_dir: str, out_dir: str) -> None:
-    """Compact every segment into ONE standard store (the background merge):
+def merge_segments(index_dir: str, out_dir: str, seg_dirs: list[str] | None = None) -> None:
+    """Compact segments into ONE standard store (the background merge):
     union of the segments' reconstructed scan streams → the SAME distributed
     dictionary/postings/stats build as from-scratch — so the merged store is
     content-identical to indexing the union corpus directly (parity-tested),
-    and the merge never re-tokenizes a document."""
-    segs = segment_dirs(index_dir)
+    and the merge never re-tokenizes a document. ``seg_dirs`` pins the
+    input set (compact_segments records it so segments added DURING a
+    compaction are never retired by its swap)."""
+    segs = seg_dirs if seg_dirs is not None else segment_dirs(index_dir)
     if not segs:
         raise ValueError(f"no segments under {index_dir}")
     raws = [_segment_raw(s) for s in segs]
     raw = raws[0] if len(raws) == 1 else raws[0].union(*raws[1:])
     idx = build_text_index_ds(raw=raw)
     save_text_index_ds(idx, out_dir)
+
+
+def compact_segments(index_dir: str) -> str:
+    """IN-PLACE compaction: merge the committed segments into one new
+    higher-numbered segment and retire the inputs — the lifecycle move that
+    reclaims SegmentedSearchCore's per-segment read cost without a server
+    restart (refresh() then detaches the retired readers and attaches the
+    compacted one; the reference can only rebuild + restart,
+    /root/reference/cmd/indexing/main.go).
+
+    Crash-safe and re-entrant, one phase marker at a time under
+    ``.compact/`` (invisible to readers — segment_dirs matches ``seg-``):
+
+      1. plan.json records the input segment NAMES (segments added while
+         the merge runs are NOT retired) — written once, atomically.
+      2. the merge writes ``.compact/merged`` through the checkpointed
+         sink; a killed run re-submitted resumes inside it (globals.json
+         is its commit marker, written last).
+      3. target.json records the new segment name; then inputs move to
+         ``.compact/trash`` (consistency over availability: a refresh()
+         in the tiny swap window serves the not-yet-retired remainder —
+         never DOUBLE-counts docs, because the merged segment is renamed
+         in only AFTER every input is out), the merged store is renamed
+         in (atomic; already committed), and trash is deleted.
+
+    Every step is idempotent: re-running after a crash at any point
+    finishes the phase it died in. Returns the new segment dir."""
+    import json
+    import shutil
+
+    comp = os.path.join(index_dir, ".compact")
+    merged = os.path.join(comp, "merged")
+    trash = os.path.join(comp, "trash")
+    plan_f = os.path.join(comp, "plan.json")
+    target_f = os.path.join(comp, "target.json")
+
+    def _write_json_atomic(path: str, obj) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(obj, f)
+        os.replace(tmp, path)
+
+    # phase 1: plan
+    if not os.path.exists(plan_f):
+        segs = segment_dirs(index_dir)
+        if len(segs) < 2:
+            raise ValueError(f"nothing to compact under {index_dir} ({len(segs)} segment(s))")
+        os.makedirs(comp, exist_ok=True)
+        _write_json_atomic(plan_f, [os.path.basename(s) for s in segs])
+    sources = json.load(open(plan_f))
+
+    # phase 2: merge (skipped on resume once merged committed or target chosen)
+    if not os.path.exists(target_f) and not _is_complete(merged):
+        merge_segments(index_dir, merged, seg_dirs=[os.path.join(index_dir, b) for b in sources])
+
+    # phase 3: swap
+    if not os.path.exists(target_f):
+        nums = [int(os.path.basename(d)[len(_SEG_PREFIX):]) for d in _all_segment_dirs(index_dir)]
+        _write_json_atomic(target_f, f"{_SEG_PREFIX}{(max(nums) + 1 if nums else 0):03d}")
+    target = os.path.join(index_dir, json.load(open(target_f)))
+    os.makedirs(trash, exist_ok=True)
+    for b in sources:
+        src = os.path.join(index_dir, b)
+        if os.path.isdir(src):
+            os.rename(src, os.path.join(trash, b))
+    if os.path.isdir(merged):
+        os.rename(merged, target)
+    shutil.rmtree(comp, ignore_errors=True)
+    return target

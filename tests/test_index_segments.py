@@ -294,6 +294,76 @@ def test_merge_bucketed_term_remap_equals_broadcast(stores, tmp_path, monkeypatc
     assert ga == gb
 
 
+def test_compact_segments_inplace_and_live_refresh(tmp_path):
+    """In-place compaction: two segments → one new higher-numbered segment
+    with identical search results; a LIVE core follows via refresh()
+    (detaching the retired readers); a segment added during the merge
+    window is never retired; next add after compaction picks a fresh
+    number (max+1, not len)."""
+    from osm_search_ray.pipelines.index_segments import (
+        add_segment,
+        compact_segments,
+        merged_globals,
+        segment_dirs,
+    )
+    from osm_search_ray.pipelines.search import SegmentedSearchCore
+
+    idx = str(tmp_path / "idx")
+    add_segment(idx, _half(0), {"text": 0}, in_ram=True)
+    add_segment(idx, _half(1), {"text": 0}, in_ram=True)
+    core = SegmentedSearchCore(idx)
+    rows = [{"query_id": 1, "text": "batch stream window", "scoring": "BM25_PLUS", "top_k": 10}]
+    before = core.search_rows(rows)
+    g_before = merged_globals(segment_dirs(idx))
+
+    new_seg = compact_segments(idx)
+    assert segment_dirs(idx) == [new_seg]
+    assert os.path.basename(new_seg) == "seg-002"  # max+1 of the retired pair
+    assert not os.path.exists(os.path.join(idx, ".compact"))
+    assert core.refresh() == 1 and set(core.readers) == {new_seg}
+    after = core.search_rows(rows)
+    pd.testing.assert_frame_equal(before.reset_index(drop=True), after.reset_index(drop=True))
+    assert merged_globals(segment_dirs(idx)) == g_before
+
+    # add after compaction: numbering must not collide with the live segment
+    p = add_segment(idx, _half(1), {"text": 0}, in_ram=True)
+    assert os.path.basename(p) == "seg-003"
+
+
+def test_compact_segments_resumes_after_swap_crash(tmp_path, monkeypatch):
+    """Killed mid-swap (inputs trashed, merged store not yet renamed in):
+    re-running compact_segments finishes the swap instead of re-merging or
+    losing data."""
+    import json
+    import shutil
+
+    from osm_search_ray.pipelines import index_segments as seg
+
+    idx = str(tmp_path / "idx")
+    seg.add_segment(idx, _half(0), {"text": 0}, in_ram=True)
+    seg.add_segment(idx, _half(1), {"text": 0}, in_ram=True)
+    want = seg.merged_globals(seg.segment_dirs(idx))
+
+    # simulate the crash state by hand: plan + committed merge + target
+    # recorded + inputs trashed, merged NOT yet renamed in
+    comp = os.path.join(idx, ".compact")
+    os.makedirs(os.path.join(comp, "trash"))
+    sources = [os.path.basename(s) for s in seg.segment_dirs(idx)]
+    json.dump(sources, open(os.path.join(comp, "plan.json"), "w"))
+    seg.merge_segments(idx, os.path.join(comp, "merged"))
+    json.dump("seg-002", open(os.path.join(comp, "target.json"), "w"))
+    for b in sources:
+        os.rename(os.path.join(idx, b), os.path.join(comp, "trash", b))
+    assert seg.segment_dirs(idx) == []  # the documented empty swap window
+
+    new_seg = seg.compact_segments(idx)
+    assert os.path.basename(new_seg) == "seg-002"
+    assert seg.segment_dirs(idx) == [new_seg]
+    assert not os.path.exists(comp)
+    assert seg.merged_globals([new_seg]) == want
+    shutil.rmtree(idx)
+
+
 def test_segmented_session_actor_refresh(tmp_path):
     """The named-actor wrapper: refresh() reaches the resident core."""
     from osm_search_ray.pipelines.index_segments import add_segment
