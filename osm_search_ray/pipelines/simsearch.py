@@ -14,6 +14,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..functions.arrowutil import vec_matrix
+
 K_DEFAULT = 5
 QUERY_STRIDE = 100  # vec_id % 100 == 0 rows are the query set (deterministic)
 
@@ -28,7 +30,7 @@ class PartialCosineTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy()
-        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = vec_matrix(batch.column("embedding"))
         return self._score(ids, mat)
 
     def _score(self, ids: np.ndarray, mat: np.ndarray) -> pa.Table:
@@ -68,7 +70,7 @@ def ann_cosine_topk(sf_dir: str, k: int = K_DEFAULT):
     qmask = (qt.column("vec_id").to_numpy() % QUERY_STRIDE) == 0
     qt = qt.filter(pa.array(qmask))
     queries_ref = ray.put(
-        {"vec_id": qt.column("vec_id").to_numpy(), "mat": np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)}
+        {"vec_id": qt.column("vec_id").to_numpy(), "mat": vec_matrix(qt.column("embedding"))}
     )
 
     corpus = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -125,7 +127,7 @@ def ann_ivf_topk(sf_dir: str, k: int = K_DEFAULT, nlist: int = 8, nprobe: int | 
     qt = qt.filter(pa.array(qmask))
     queries = {
         "vec_id": qt.column("vec_id").to_numpy(),
-        "mat": np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64),
+        "mat": vec_matrix(qt.column("embedding")),
     }
     corpus = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     store = tempfile.mkdtemp(prefix="ivf_store_", dir="/tmp")
@@ -166,7 +168,7 @@ def build_quantized_store(sf_dir: str, out_dir: str) -> None:
 
     def quantize(batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy()
-        mat = np.asarray(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = vec_matrix(batch.column("embedding"))
         if len(ids) == 0:
             return pa.table(
                 {
@@ -243,7 +245,7 @@ def ann_quantized_topk(sf_dir: str, k: int = K_DEFAULT):
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qmask = (qt.column("vec_id").to_numpy() % QUERY_STRIDE) == 0
     qt = qt.filter(pa.array(qmask))
-    qm = np.asarray(qt.column("embedding").to_pylist(), dtype=np.float64)
+    qm = vec_matrix(qt.column("embedding"))
     queries_ref = ray.put({"vec_id": qt.column("vec_id").to_numpy(), "mat": qm})
 
     store = _quant_store_dir(sf_dir)

@@ -25,6 +25,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..functions.arrowutil import vec_matrix
+
 
 def sq_dists(x: np.ndarray, cent: np.ndarray) -> np.ndarray:
     """Squared euclidean distances (n, k) in matmul form:
@@ -72,7 +74,7 @@ def assign_lists(emb: "ray.data.Dataset", centroids: np.ndarray, vec_col: str) -
 
     def fn(batch: pa.Table) -> pa.Table:
         cent = ray.get(cent_ref)
-        mat = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        mat = vec_matrix(batch.column(vec_col))
         if len(mat) == 0:
             return batch.append_column("list_id", pa.array([], pa.int32()))
         return batch.append_column("list_id", pa.array(sq_dists(mat, cent).argmin(axis=1).astype(np.int32)))
@@ -105,7 +107,7 @@ def build_ivf_store(
     listed = assign_lists(emb, centroids, vec_col)
 
     def pack(t: pa.Table) -> pa.Table:
-        mat = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        mat = vec_matrix(t.column(vec_col))
         blobs = [row.tobytes() for row in mat] if len(mat) else []
         return pa.table(
             {
@@ -237,7 +239,7 @@ def ivf_cosine_topk(
             return pa.table({"query_id": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())})
         ids = t.column(id_col).to_numpy()
         lids = t.column("list_id").to_numpy()
-        mat = np.asarray(t.column(vec_col).to_pylist(), dtype=np.float64)
+        mat = vec_matrix(t.column(vec_col))
         mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         sims = qn_ @ mn.T
         out_q, out_v, out_s = [], [], []
@@ -298,7 +300,7 @@ def kmeans_fit(
 
         def partial(batch: pa.Table) -> pa.Table:
             c = ray.get(cent_ref)
-            mat = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+            mat = vec_matrix(batch.column(vec_col))
             if mat.size == 0:
                 return pa.table(
                     {"cluster": pa.array([], pa.int32()), "n": pa.array([], pa.int64()),

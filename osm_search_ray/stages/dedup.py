@@ -29,30 +29,8 @@ from ..functions.hashing import (
     perm_coeffs,
     simhash64,
 )
+from ..functions.arrowutil import vec_matrix  # noqa: F401 (public re-export)
 from ..functions.tokenize import tokenize
-
-
-def vec_matrix(col, dtype=np.float64) -> np.ndarray:
-    """(n, dim) matrix from an Arrow list<float> column WITHOUT a Python
-    list round-trip: flatten() is zero-copy for non-null uniform lists, so
-    the only copy is the dtype cast (VERDICT r03 nit 4)."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    n = len(col)
-    if n == 0:
-        return np.empty((0, 0), dtype=dtype)
-    if isinstance(col, pa.ExtensionArray):  # Ray's ArrowTensorArray et al.
-        mat = col.to_numpy(zero_copy_only=False)
-        if mat.dtype == object:
-            mat = np.stack(mat.tolist())
-        return np.ascontiguousarray(mat).astype(dtype, copy=False).reshape(n, -1)
-    import pyarrow.compute as pc
-
-    lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
-    if lengths.min() != lengths.max():  # catches ragged rows even when the
-        raise ValueError("ragged embedding column")  # total divides n evenly
-    flat = col.flatten().to_numpy(zero_copy_only=False)
-    return flat.astype(dtype, copy=False).reshape(n, flat.size // n)
 
 
 def char_shingles(text: str, k: int = 5) -> list[str]:
