@@ -184,3 +184,41 @@ class TestSpellProperties:
         vhi = u[np.searchsorted(cum, lo + 2)] if frac else vlo
         med = vlo + (vhi - vlo) * frac
         assert med == np.percentile(v, 50)
+
+
+class TestVecMatrix:
+    @given(
+        st.integers(min_value=1, max_value=8),  # dim
+        st.lists(st.floats(allow_nan=False, allow_infinity=False, width=32), min_size=1, max_size=64),
+        st.integers(min_value=0, max_value=10),  # slice offset
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_matches_pylist_form_including_slices(self, dim, flat, off):
+        """vec_matrix == the old np.asarray(to_pylist()) on uniform list
+        columns — including SLICED arrays, where flatten() must respect the
+        offset, and chunked columns."""
+        import pyarrow as pa
+
+        from osm_search_ray.functions.arrowutil import vec_matrix
+
+        n = len(flat)
+        vals = np.asarray((flat * dim)[: n * dim], dtype=np.float64)
+        arr = pa.FixedSizeListArray.from_arrays(pa.array(vals), dim)
+        off = min(off, n - 1)
+        for col in [arr, arr.slice(off, n - off), pa.chunked_array([arr.slice(0, max(1, n // 2)), arr.slice(max(1, n // 2))])]:
+            want = np.asarray(col.to_pylist(), dtype=np.float64)
+            got = vec_matrix(col)
+            assert got.shape == want.shape and np.array_equal(got, want)
+
+    def test_variable_list_and_ragged(self):
+        import pyarrow as pa
+        import pytest as _pytest
+
+        from osm_search_ray.functions.arrowutil import vec_matrix
+
+        uniform = pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]])
+        assert np.array_equal(vec_matrix(uniform), [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]])
+        assert np.array_equal(vec_matrix(uniform.slice(1)), [[3.0, 4.0], [5.0, 6.0]])
+        ragged = pa.array([[1.0], [2.0, 3.0], [4.0, 5.0, 6.0]])  # total divides n
+        with _pytest.raises(ValueError):
+            vec_matrix(ragged)
