@@ -278,8 +278,10 @@ GROUP BY 1, 2
     sql["tfidf_search"] = search_docs.SQL_TFIDF_DOCS_SEARCH
     sql["dedup_exact"] = dedup_pipelines.SQL_DEDUP_EXACT
     sql["dedup_substring"] = dedup_pipelines.SQL_DEDUP_SUBSTRING
-    # dedup_minhash / dedup_simhash / dedup_embedding / dedup_fingerprint:
-    # LSH bucketing is not SQL-expressible → rows-only driver check
+    sql["dedup_simhash"] = dedup_pipelines.sql_dedup_simhash()  # r04: md5-twin sigs → exact
+    # dedup_minhash / dedup_embedding / dedup_fingerprint: the LSH
+    # permutations / hyperplanes / rolling hash are not SQL-expressible →
+    # rows-only driver check
     sql["ann_cosine_topk"] = simsearch.SQL_ANN_COSINE_TOPK
     sql["ann_ivf_topk"] = simsearch.SQL_ANN_COSINE_TOPK  # nprobe=nlist → exact
     sql["events_hourly"] = ev.SQL_EVENTS_HOURLY

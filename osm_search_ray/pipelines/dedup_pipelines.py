@@ -87,6 +87,51 @@ def dedup_simhash(sf_dir: str):
     return simhash_near_dups(ds, max_hamming=3)
 
 
+def _sql_dedup_simhash(max_hamming: int = 3) -> str:
+    """Exact oracle for dedup_simhash (r04): token hashes via the md5
+    hash64 twin, per-bit majority as an integer sign-sum (64 rows/token,
+    GROUP BY doc,bit), signature assembled from 2^bit terms in HUGEINT,
+    4×16-bit block buckets, Hamming via bit_count(xor). Token-less docs
+    keep the engine's sig=0 through the LEFT JOIN."""
+    from ..functions.tokenize import SQL_TOKENIZE
+    from ..sources.derived import SQL_HASH64_MD5
+
+    h = SQL_HASH64_MD5.format(col="tok")
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({SQL_TOKENIZE.format(col='text')}) AS tok FROM documents),
+th AS (SELECT doc_id, {h} AS h FROM toks),
+bitscore AS (
+    SELECT doc_id, j.j AS bit,
+           SUM(CASE WHEN ((h >> CAST(j.j AS INTEGER)) & 1::UBIGINT) = 1::UBIGINT
+               THEN 1 ELSE -1 END) AS score
+    FROM th, range(0, 64) j(j) GROUP BY 1, 2),
+sigs0 AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN score > 0 THEN (1::HUGEINT << CAST(bit AS INTEGER))
+                    ELSE 0::HUGEINT END) AS UBIGINT) AS sig
+    FROM bitscore GROUP BY 1),
+sigs AS (
+    SELECT d.doc_id, COALESCE(s.sig, 0::UBIGINT) AS sig
+    FROM documents d LEFT JOIN sigs0 s USING (doc_id)),
+blocks AS (
+    SELECT doc_id, sig, j.j AS block,
+           (sig >> CAST(16 * j.j AS INTEGER)) & 65535::UBIGINT AS key
+    FROM sigs, range(0, 4) j(j)),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.sig, b.sig)) AS hamming
+    FROM blocks a JOIN blocks b ON a.block = b.block AND a.key = b.key
+                                AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
+import functools
+
+sql_dedup_simhash = functools.cache(_sql_dedup_simhash)
+
+
 def dedup_embedding(sf_dir: str):
     """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only check)."""
     import ray.data

@@ -22,6 +22,7 @@ import ray
 import ray.data
 
 from ..functions.hashing import (
+    hash64_md5,
     hash64_str,
     hamming64,
     minhash_signature,
@@ -296,7 +297,11 @@ def simhash_near_dups(
         sigs = np.empty(len(ids), dtype=np.uint64)
         for i, text in enumerate(batch.column(text_col).to_pylist()):
             toks = tokenize(text or "")
-            sigs[i] = simhash64(hash64_str(toks)) if toks else np.uint64(0)
+            # hash64_md5, not hash64_str: md5 has a bit-identical DuckDB
+            # twin, which makes the WHOLE simhash pipeline (bit-majority
+            # signature, block buckets, Hamming verify) exactly
+            # SQL-oracle-checkable (r04; see SQL_DEDUP_SIMHASH)
+            sigs[i] = simhash64(hash64_md5(toks)) if toks else np.uint64(0)
         n = len(ids)
         blocks = np.tile(np.arange(4, dtype=np.int32), n)
         sig_rep = np.repeat(sigs, 4)
