@@ -279,9 +279,10 @@ GROUP BY 1, 2
     sql["dedup_exact"] = dedup_pipelines.SQL_DEDUP_EXACT
     sql["dedup_substring"] = dedup_pipelines.SQL_DEDUP_SUBSTRING
     sql["dedup_simhash"] = dedup_pipelines.sql_dedup_simhash()  # r04: md5-twin sigs → exact
-    # dedup_minhash / dedup_embedding / dedup_fingerprint: the LSH
-    # permutations / hyperplanes / rolling hash are not SQL-expressible →
-    # rows-only driver check
+    sql["dedup_fingerprint"] = dedup_pipelines.sql_dedup_fingerprint()  # r04: Karp-Rabin in SQL
+    # dedup_minhash / dedup_embedding: 128 MinHash permutations over char
+    # shingles / numpy-RNG hyperplanes are not practically SQL-expressible
+    # → rows-only driver check (unit oracles in tests/test_dedup.py)
     sql["ann_cosine_topk"] = simsearch.SQL_ANN_COSINE_TOPK
     sql["ann_ivf_topk"] = simsearch.SQL_ANN_COSINE_TOPK  # nprobe=nlist → exact
     sql["events_hourly"] = ev.SQL_EVENTS_HOURLY

@@ -109,12 +109,15 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
 
 
-def rolling_fingerprint(text: str, window: int = 16, mod: int = 1 << 61) -> int:
-    """Karp–Rabin rolling-hash document fingerprint: min rolling hash over
-    byte windows — a cheap content fingerprint for exact-ish dedup."""
+def rolling_fingerprint(text: str, window: int = 16) -> int:
+    """Karp–Rabin rolling-hash document fingerprint: min over byte windows
+    of splitmix64(Σ byte·257^k mod 2^64) — a cheap content fingerprint for
+    exact-ish dedup. Every operation (polynomial window hash, splitmix64,
+    md5-hash64 short-text fallback) has a bit-identical DuckDB twin, so the
+    dedup_fingerprint driver query is oracle-checked exactly (r04)."""
     data = text.encode("utf-8", "surrogatepass")
     if len(data) < window:
-        return int(zlib.crc32(data))
+        return int(hash64_md5([text])[0])
     arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
     base = np.uint64(257)
     # hash of every window via prefix powers (vectorized)

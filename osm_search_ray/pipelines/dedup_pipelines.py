@@ -142,10 +142,56 @@ def dedup_embedding(sf_dir: str):
     return embedding_near_dups(ds, threshold=0.35)
 
 
+def _sql_dedup_fingerprint(window: int = 16) -> str:
+    """Exact oracle for dedup_fingerprint (r04): per byte-window the
+    Karp–Rabin polynomial Σ byte·257^(w-1-o) mod 2^64 (hex-parsed bytes,
+    power constants as a VALUES join, HUGEINT accumulation), then the SQL
+    splitmix64 chain and a per-doc MIN; texts shorter than the window take
+    the md5-hash64 fallback — all bit-identical to
+    functions/hashing.rolling_fingerprint. Fingerprints are re-signed to
+    the engine's int64 view before grouping."""
+    from ..sources.derived import SQL_HASH64_MD5, sql_splitmix64_chain
+
+    p64 = 1 << 64
+    pows = [pow(257, window - 1 - o, p64) for o in range(window)]
+    pow_rows = ", ".join(f"({o}, {p}::HUGEINT)" for o, p in enumerate(pows))
+    byte_at = "CAST('0x' || substr(hx, 2 * (ws.s + o.o) - 1, 2) AS BIGINT)::HUGEINT"
+    md5h = SQL_HASH64_MD5.format(col="text")
+    signed = "CASE WHEN fp >= 9223372036854775808::HUGEINT THEN fp - 18446744073709551616::HUGEINT ELSE fp END"
+    return f"""
+WITH raw AS (
+    SELECT doc_id, text, hex(encode(text)) AS hx,
+           octet_length(encode(text)) AS len
+    FROM documents),
+pw(o, p) AS (VALUES {pow_rows}),
+ws AS (
+    SELECT doc_id, hx, unnest(range(1, len - {window} + 2)) AS s
+    FROM raw WHERE len >= {window}),
+wh AS (
+    SELECT ws.doc_id, ws.s AS s,
+           SUM({byte_at} * pw.p) % {p64} AS v
+    FROM ws, range(0, {window}) o(o)
+    JOIN pw ON pw.o = o.o
+    GROUP BY 1, 2),
+{sql_splitmix64_chain('wh', ['doc_id'], 'v', 'sm')},
+fp_long AS (SELECT doc_id, MIN(x) AS fp FROM sm GROUP BY 1),
+fp_all AS (
+    SELECT r.doc_id,
+           COALESCE(f.fp, CAST({md5h} AS HUGEINT)) AS fp
+    FROM raw r LEFT JOIN fp_long f USING (doc_id)),
+fp_signed AS (SELECT doc_id, CAST({signed} AS BIGINT) AS fingerprint FROM fp_all)
+SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+FROM fp_signed GROUP BY 1
+"""
+
+
+sql_dedup_fingerprint = functools.cache(_sql_dedup_fingerprint)
+
+
 def dedup_fingerprint(sf_dir: str):
     """Rolling-hash fingerprint per doc + exact dedup on the fingerprint:
-    output (fingerprint, n_docs, min_doc_id) (rows-only check — the hash is
-    engine-specific)."""
+    output (fingerprint, n_docs, min_doc_id) — oracle-checked exactly via
+    SQL_DEDUP_FINGERPRINT (r04)."""
     import pandas as pd
     import ray.data
 
