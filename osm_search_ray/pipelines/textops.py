@@ -282,7 +282,9 @@ def image_features(sf_dir: str):
     feats = image_feature_stage(ds.map_batches(to_binary, batch_format="pyarrow"))
 
     def summarize(batch: pa.Table) -> pa.Table:
-        f = np.asarray(batch.column("features").to_pylist(), dtype=np.float64)
+        from ..functions.arrowutil import vec_matrix
+
+        f = vec_matrix(batch.column("features"))
         s = np.rint(f.max(axis=1) * 1e9).astype(np.int64) if len(f) else np.empty(0, np.int64)
         return pa.table(
             {
