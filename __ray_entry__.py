@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["spell_store_search"] = search_docs.spell_store_search  # corrected two-field disk path (rows-only)
     q["lm_doc_scores"] = search_docs.lm_doc_scores  # perplexity quality scoring (rows-only)
     q["dedup_substring"] = dedup_pipelines.dedup_substring  # maximal shared token runs (Lee et al.)
+    q["dedup_ngram"] = dedup_pipelines.dedup_ngram  # exact n-gram Jaccard pairs, integer micro output (new r04)
     q["events_pivot"] = ev.events_pivot  # conditional-aggregation pivot
     q["purchase_view_window"] = ev.purchase_view_window  # interval-predicate range join
     q["events_median"] = ev.events_median  # exact distributed median (bounded-domain histogram)
@@ -278,6 +279,7 @@ GROUP BY 1, 2
     sql["tfidf_search"] = search_docs.SQL_TFIDF_DOCS_SEARCH
     sql["dedup_exact"] = dedup_pipelines.SQL_DEDUP_EXACT
     sql["dedup_substring"] = dedup_pipelines.SQL_DEDUP_SUBSTRING
+    sql["dedup_ngram"] = dedup_pipelines.sql_dedup_ngram()  # integer-only jaccard_micro
     sql["dedup_simhash"] = dedup_pipelines.sql_dedup_simhash()  # r04: md5-twin sigs → exact
     sql["dedup_fingerprint"] = dedup_pipelines.sql_dedup_fingerprint()  # r04: Karp-Rabin in SQL
     # dedup_minhash / dedup_embedding: 128 MinHash permutations over char

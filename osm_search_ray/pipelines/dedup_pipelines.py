@@ -216,6 +216,168 @@ def dedup_fingerprint(sf_dir: str):
     return hash_partitioned_apply(fp, "fingerprint", agg_partition, num_parts=64)
 
 
+# ----------------------------------------------------- n-gram Jaccard dedup
+
+NGRAM_N = 3
+NGRAM_THRESHOLD_MICRO = 500_000  # keep pairs with jaccard >= 0.5
+NGRAM_MAX_OCC = 64  # per-gram distinct-doc cap (boilerplate guard, SQL-mirrored)
+NGRAM_SIZES_BROADCAST_LIMIT = 4_000_000  # per-doc size table broadcast cutover
+
+
+def dedup_ngram(
+    sf_dir: str,
+    n: int = NGRAM_N,
+    threshold_micro: int = NGRAM_THRESHOLD_MICRO,
+    max_occ: int = NGRAM_MAX_OCC,
+):
+    """Token-n-gram Jaccard near-dup pairs over the DISTINCT-gram sets:
+    jaccard(a, b) = |A∩B| / (|A|+|B|-|A∩B|), computed exactly and
+    distributed — no LSH, no sampling. Grams in more than ``max_occ``
+    distinct docs are boilerplate and dropped from BOTH the intersection
+    and the per-doc set sizes (the SQL oracle mirrors the drop exactly,
+    like dedup_substring's cap).
+
+    Integer-only output: jaccard_micro = round-half-up(jaccard * 1e6)
+    computed as (2·i·10⁶ + den) // (2·den) — no float appears on either
+    side, so the oracle hash-matches bit-for-bit.
+
+    Shape: distinct (doc, gram-hash) explode → ONE gram-keyed exchange
+    emits per-gram pair rows + surviving-gram marker rows → pair-keyed /
+    doc-keyed counting exchanges → two doc_id-bucketed joins attach set
+    sizes. Every exchanged row is int64s; gram strings never leave the
+    explode (2⁻⁶⁴ hash-collision bound, as dedup_substring)."""
+    from ..stages.joins import hash_bucket_join, hash_partitioned_apply
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    grams = ds.map_batches(
+        lambda b: _kgram_explode(b, n), batch_format="pyarrow"
+    ).map_batches(
+        lambda b: pa.Table.from_pandas(
+            b.select(["doc_id", "ghash"]).to_pandas().drop_duplicates(), preserve_index=False
+        ),
+        batch_format="pyarrow",
+    )
+
+    def gram_partition(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized pair expansion (self-merge, the dedup_substring shape) —
+        # a per-gram Python loop here costs ~ms × |distinct grams| and
+        # dominated the first version of this query
+        df = df.drop_duplicates()
+        sizes = df.groupby("ghash", sort=False)["doc_id"].transform("size")
+        df = df[sizes <= max_occ]
+        m = df.merge(df, on="ghash")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        pairs = pd.DataFrame(
+            {
+                "doc_a": m["doc_id_x"].to_numpy(np.int64),
+                "doc_b": m["doc_id_y"].to_numpy(np.int64),
+            }
+        )
+        # surviving-gram markers ride the same output (doc_b = -1)
+        marks = pd.DataFrame({"doc_a": df["doc_id"].to_numpy(np.int64)})
+        marks["doc_b"] = np.int64(-1)
+        return pd.concat([pairs, marks], ignore_index=True)
+
+    rows = hash_partitioned_apply(grams, "ghash", gram_partition, num_parts=32)
+
+    def count_partition(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["doc_a", "doc_b"], sort=False).size().reset_index(name="cnt")
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    counted = hash_partitioned_apply(rows, ["doc_a", "doc_b"], count_partition, num_parts=32).materialize()
+
+    def split(kind: int):
+        def fn(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            if kind == 0:  # pairs
+                t = b.filter(pc.greater_equal(b.column("doc_b"), 0))
+                return pa.table(
+                    {"doc_a": t.column("doc_a"), "doc_b": t.column("doc_b"), "i": t.column("cnt")}
+                )
+            t = b.filter(pc.less(b.column("doc_b"), 0))  # per-doc set sizes
+            return pa.table({"doc": t.column("doc_a"), "n_grams": t.column("cnt")})
+
+        return fn
+
+    pairs = counted.map_batches(split(0), batch_format="pyarrow")
+    sizes = counted.map_batches(split(1), batch_format="pyarrow")
+    if pairs.count() == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame({c: pd.Series(dtype=np.int64) for c in ["doc_a", "doc_b", "jaccard_micro"]})
+        )
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in ["doc_a", "doc_b", "jaccard_micro"]})
+        i = df["i"].to_numpy(np.int64)
+        den = df["na"].to_numpy(np.int64) + df["nb"].to_numpy(np.int64) - i
+        jm = (2 * i * 1_000_000 + den) // (2 * den)
+        out = pd.DataFrame(
+            {"doc_a": df["doc_a"].to_numpy(np.int64), "doc_b": df["doc_b"].to_numpy(np.int64), "jaccard_micro": jm}
+        )
+        return out[out["jaccard_micro"] >= threshold_micro]
+
+    # regime switch (the minhash-verify discipline): the per-doc set-size
+    # table is one int per doc — broadcast it while it fits (zero extra
+    # exchanges); the two doc_id-bucketed joins are the 10^12-doc path
+    if sizes.count() <= NGRAM_SIZES_BROADCAST_LIMIT:
+        sz = sizes.to_pandas()
+        order = np.argsort(sz["doc"].to_numpy(np.int64), kind="mergesort")
+        ref = ray.put((sz["doc"].to_numpy(np.int64)[order], sz["n_grams"].to_numpy(np.int64)[order]))
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            docs_sorted, ngs = ray.get(ref)
+            df = df.copy()
+            df["na"] = ngs[np.searchsorted(docs_sorted, df["doc_a"].to_numpy(np.int64))]
+            df["nb"] = ngs[np.searchsorted(docs_sorted, df["doc_b"].to_numpy(np.int64))]
+            return _finish(df)
+
+        return pairs.map_batches(attach, batch_format="pandas")
+
+    a_side = sizes.map_batches(
+        lambda t: pa.table({"doc_a": t.column("doc"), "na": t.column("n_grams")}),
+        batch_format="pyarrow",
+    )
+    b_side = sizes.map_batches(
+        lambda t: pa.table({"doc_b": t.column("doc"), "nb": t.column("n_grams")}),
+        batch_format="pyarrow",
+    )
+    j = hash_bucket_join(pairs, a_side, on="doc_a", num_buckets=16)
+    j = hash_bucket_join(j, b_side, on="doc_b", num_buckets=16)
+    return j.map_batches(_finish, batch_format="pandas")
+
+
+def _sql_dedup_ngram(n: int = NGRAM_N, threshold_micro: int = NGRAM_THRESHOLD_MICRO, max_occ: int = NGRAM_MAX_OCC) -> str:
+    from ..functions.tokenize import SQL_TOKENIZE
+
+    tok = SQL_TOKENIZE.format(col="text")
+    return f"""
+WITH toks AS (SELECT doc_id, {tok} AS t FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, len(t) - {n} + 2),
+                                 i -> array_to_string(t[i : i + {n} - 1], ' '))) AS g
+    FROM toks WHERE len(t) >= {n}),
+hot AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) > {max_occ}),
+surv AS (SELECT s.doc_id, s.g FROM sh s LEFT JOIN hot h USING (g) WHERE h.g IS NULL),
+counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ng FROM surv GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS i
+    FROM surv a JOIN surv b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       (2 * i * 1000000 + (ca.ng + cb.ng - i)) // (2 * (ca.ng + cb.ng - i)) AS jaccard_micro
+FROM inter JOIN counts ca ON ca.doc_id = doc_a
+           JOIN counts cb ON cb.doc_id = doc_b
+WHERE (2 * i * 1000000 + (ca.ng + cb.ng - i)) // (2 * (ca.ng + cb.ng - i)) >= {threshold_micro}
+"""
+
+
+sql_dedup_ngram = functools.cache(_sql_dedup_ngram)
+
+
 # ------------------------------------------------- exact substring dedup
 # The Lee-et-al.-style "deduplicating training data" primitive: every MAXIMAL
 # run of >= SUBSTR_K tokens shared verbatim between two documents. Shape:

@@ -110,6 +110,38 @@ def test_minhash_verify_dedup_survives_block_splits(monkeypatch):
     )
 
 
+def test_dedup_ngram_planted_duplicates_score_million(tmp_path):
+    """Identical docs share every gram → jaccard_micro == 1_000_000; a doc
+    pair with half-overlapping gram sets lands at the integer
+    round-half-up of the true ratio."""
+    base = " ".join(f"w{i}" for i in range(20))
+    other = " ".join(f"w{i}" for i in range(10, 30))
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(3, dtype=np.int64), "text": [base, base, other]}
+    )
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+    from osm_search_ray.pipelines.dedup_pipelines import dedup_ngram
+
+    out = dedup_ngram(str(tmp_path), threshold_micro=1).to_pandas().set_index(["doc_a", "doc_b"])
+    assert out.loc[(0, 1), "jaccard_micro"] == 1_000_000
+    # docs 0/2: grams are 18 3-grams each, overlap = grams fully inside
+    # w10..w29 ∩ w0..w19 = windows starting at w10..w17 → 8 shared
+    i, na, nb = 8, 18, 18
+    want = (2 * i * 1_000_000 + (na + nb - i)) // (2 * (na + nb - i))
+    assert out.loc[(0, 2), "jaccard_micro"] == want
+
+
+def test_dedup_ngram_regimes_agree(monkeypatch):
+    """Broadcast size-lookup and distributed bucketed-join regimes of
+    dedup_ngram must produce the identical pair set."""
+    from osm_search_ray.pipelines import dedup_pipelines as dp
+
+    a = dp.dedup_ngram(SF).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    monkeypatch.setattr(dp, "NGRAM_SIZES_BROADCAST_LIMIT", 0)
+    b = dp.dedup_ngram(SF).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+
 def test_simhash_pairs_unique_and_within_hamming():
     docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
     out = dd.simhash_near_dups(ray.data.from_pandas(docs), max_hamming=3).to_pandas()
