@@ -554,17 +554,26 @@ def revenue_by_nation(sf_dir: str):
 
     per_part = hash_partitioned_apply(both, "key", fuse, num_parts=8)
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("nationkey", sort=False)[["n_orders", "revenue_cents"]].sum().reset_index()
-        return pd.DataFrame(
-            {
-                "n_name": g["nationkey"].map(names),
-                "n_orders": g["n_orders"].to_numpy(np.int64),
-                "revenue_cents": g["revenue_cents"].to_numpy(np.int64),
-            }
-        )
-
-    return hash_partitioned_apply(per_part, "nationkey", final, num_parts=4)
+    # final rollup input is PROVABLY |nations| × num_parts rows (≤ 200) —
+    # a second sort-shuffle would pay this host's ~5 s fixed exchange cost
+    # to move a few hundred ints, so combine driver-side (the documented
+    # bounded-result pattern, BENCH/BASELINE.md 'Known single-node costs')
+    parts = [
+        b for b in per_part.iter_batches(batch_size=None, batch_format="pandas")
+    ]
+    df = (
+        pd.concat(parts, ignore_index=True)
+        if parts
+        else pd.DataFrame({c: pd.Series(dtype=np.int64) for c in ["nationkey", "n_orders", "revenue_cents"]})
+    )
+    g = df.groupby("nationkey", sort=False)[["n_orders", "revenue_cents"]].sum().reset_index()
+    return pd.DataFrame(
+        {
+            "n_name": g["nationkey"].map(names),
+            "n_orders": g["n_orders"].to_numpy(np.int64),
+            "revenue_cents": g["revenue_cents"].to_numpy(np.int64),
+        }
+    )
 
 
 SQL_REVENUE_BY_NATION = """
