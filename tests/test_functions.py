@@ -479,7 +479,7 @@ def test_revenue_by_nation_matches_pandas():
     from osm_search_ray.pipelines.relational import revenue_by_nation
 
     sf = "/root/testdata/sf0.001"
-    got = revenue_by_nation(sf).to_pandas().set_index("n_name").sort_index()
+    got = revenue_by_nation(sf).set_index("n_name").sort_index()  # returns a pandas frame (r04)
     o = pd.read_parquet(f"{sf}/orders.parquet", columns=["o_custkey", "o_totalprice"])
     c = pd.read_parquet(f"{sf}/customer.parquet", columns=["c_custkey", "c_nationkey"])
     n = pd.read_parquet(f"{sf}/nation.parquet", columns=["n_nationkey", "n_name"])
