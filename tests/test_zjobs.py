@@ -179,3 +179,14 @@ def test_update_index_job_lifecycle(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert "merged 2 segments" in r.stdout
     assert os.path.exists(tmp_path / "merged" / "globals.json")
+
+    # in-place compaction through the CLI: two segments retire into one
+    # (seg-002), cross-segment queries keep answering identically
+    r = _run(["jobs/update_index.py", "--index", idx, "compact"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "1 segment(s), 500 docs" in r.stdout
+    assert os.path.isdir(os.path.join(idx, "seg-002"))
+    assert not os.path.isdir(os.path.join(idx, "seg-000"))
+    r = _run(["jobs/update_index.py", "--index", idx, "query", "--tokens", "batch,zzznope"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "1/2 tokens found over 500 docs" in r.stdout
