@@ -1,11 +1,18 @@
 """Deduplication pipelines over ``documents`` (training-data operators +
 the reference's D1 near-dup suppression analogue).
 
-Exact dedup here; MinHash-LSH / SimHash / n-gram-Jaccard / embedding-cosine
-near-dup live in stages/dedup.py (driver check is rows-only for those — the
-LSH bucketing is not SQL-expressible)."""
+Exact / exact-substring / n-gram-Jaccard dedup live here, each with an
+EXACT SQL oracle (as do simhash and fingerprint, oracled since r04 via
+the md5-hash64 twin + SQL splitmix64 chain in sources/derived.py).
+MinHash-LSH / SimHash / embedding-cosine near-dup STAGES live in
+stages/dedup.py; of the driver queries only dedup_minhash and
+dedup_embedding remain rows-only (128 universal-hash permutations and
+numpy-RNG hyperplanes are not practically SQL-expressible — unit oracles
+in tests/test_dedup.py)."""
 
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 import pandas as pd
@@ -78,7 +85,7 @@ def dedup_minhash(sf_dir: str):
 
 
 def dedup_simhash(sf_dir: str):
-    """SimHash near-dup pairs (rows-only driver check)."""
+    """SimHash near-dup pairs — exact-oracled since r04 (SQL_DEDUP_SIMHASH)."""
     import ray.data
 
     from ..stages.dedup import simhash_near_dups
@@ -126,8 +133,6 @@ SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
 FROM pairs WHERE hamming <= {max_hamming}
 """
 
-
-import functools
 
 sql_dedup_simhash = functools.cache(_sql_dedup_simhash)
 

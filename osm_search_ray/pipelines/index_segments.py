@@ -56,14 +56,42 @@ def _is_complete(seg_dir: str) -> bool:
     return os.path.exists(os.path.join(seg_dir, "globals.json"))
 
 
+def _is_segment_name(name: str) -> bool:
+    suffix = name[len(_SEG_PREFIX):]
+    return name.startswith(_SEG_PREFIX) and suffix.isdigit()
+
+
 def _all_segment_dirs(index_dir: str) -> list[str]:
     if not os.path.isdir(index_dir):
         return []
     return [
         os.path.join(index_dir, d)
         for d in sorted(os.listdir(index_dir))
-        if d.startswith(_SEG_PREFIX)
+        # strict seg-NNN DIRECTORIES only: a stray 'seg-000.bak' file must
+        # not crash the int() suffix parse in add/compact
+        if _is_segment_name(d) and os.path.isdir(os.path.join(index_dir, d))
     ]
+
+
+def _reserved_segment_numbers(index_dir: str) -> list[int]:
+    """Every seg-NNN number that may NOT be reused for a new segment:
+    live dirs, plus — while a compaction is planned/in flight — its
+    retired-inputs trash, its recorded plan sources, and its chosen target
+    (names recycled across a compaction would let a crash-resume retire or
+    overwrite a FRESH segment that took a dead segment's name)."""
+    import json as _json
+
+    nums = [int(os.path.basename(d)[len(_SEG_PREFIX):]) for d in _all_segment_dirs(index_dir)]
+    comp = os.path.join(index_dir, ".compact")
+    trash = os.path.join(comp, "trash")
+    if os.path.isdir(trash):
+        nums += [int(d[len(_SEG_PREFIX):]) for d in os.listdir(trash) if _is_segment_name(d)]
+    for f, pick in ((os.path.join(comp, "plan.json"), None), (os.path.join(comp, "target.json"), None)):
+        if os.path.exists(f):
+            val = _json.load(open(f))
+            names = val if isinstance(val, list) else [val]
+            nums += [int(n[len(_SEG_PREFIX):]) for n in names if _is_segment_name(n)]
+    return nums
 
 
 def segment_dirs(index_dir: str) -> list[str]:
@@ -88,10 +116,12 @@ def add_segment(
     switch)."""
     dirs = _all_segment_dirs(index_dir)
     incomplete = [d for d in dirs if not _is_complete(d)]
-    # next name = max existing number + 1, NOT len(dirs): after a compaction
+    # next name = max RESERVED number + 1, NOT len(dirs): after a compaction
     # retires seg-000..seg-k into one higher-numbered segment the numbering
-    # is sparse, and len() would eventually collide with a committed dir
-    nums = [int(os.path.basename(d)[len(_SEG_PREFIX):]) for d in dirs]
+    # is sparse, and len() would eventually collide with a committed dir.
+    # Reserved includes an in-flight compaction's trash/plan/target so a
+    # crash-resume can never confuse a fresh segment with a retired one.
+    nums = _reserved_segment_numbers(index_dir)
     nxt = (
         incomplete[0]
         if incomplete
@@ -311,15 +341,25 @@ def compact_segments(index_dir: str) -> str:
       2. the merge writes ``.compact/merged`` through the checkpointed
          sink; a killed run re-submitted resumes inside it (globals.json
          is its commit marker, written last).
-      3. target.json records the new segment name; then inputs move to
-         ``.compact/trash`` (consistency over availability: a refresh()
-         in the tiny swap window serves the not-yet-retired remainder —
-         never DOUBLE-counts docs, because the merged segment is renamed
-         in only AFTER every input is out), the merged store is renamed
-         in (atomic; already committed), and trash is deleted.
+      3. target.json records the new segment name (drawn from the RESERVED
+         number space — live dirs + trash + plan + target — which
+         add_segment also respects, so segment names are never recycled
+         across a compaction and a crash-resume can never retire or
+         overwrite a segment committed after the plan); then inputs move
+         to ``.compact/trash``, the merged store is renamed in (atomic;
+         already committed), and trash is deleted.
+
+    Swap-window semantics — consistency over availability: a refresh()
+    while inputs are being retired serves the not-yet-retired remainder,
+    and in the two-rename window after the LAST retire and before the
+    merged rename it serves an EMPTY index (never a double count; the
+    alternative order would silently double every retired doc's stats).
+    Admin operations (add / compact) are single-writer by contract —
+    run one at a time per index.
 
     Every step is idempotent: re-running after a crash at any point
-    finishes the phase it died in. Returns the new segment dir."""
+    finishes the phase it died in (a source already in trash is skipped,
+    a target already renamed in is kept). Returns the new segment dir."""
     import json
     import shutil
 
@@ -350,13 +390,15 @@ def compact_segments(index_dir: str) -> str:
 
     # phase 3: swap
     if not os.path.exists(target_f):
-        nums = [int(os.path.basename(d)[len(_SEG_PREFIX):]) for d in _all_segment_dirs(index_dir)]
+        nums = _reserved_segment_numbers(index_dir)
         _write_json_atomic(target_f, f"{_SEG_PREFIX}{(max(nums) + 1 if nums else 0):03d}")
     target = os.path.join(index_dir, json.load(open(target_f)))
     os.makedirs(trash, exist_ok=True)
     for b in sources:
         src = os.path.join(index_dir, b)
-        if os.path.isdir(src):
+        # skip sources already retired by a crashed earlier attempt — with
+        # reserved numbering a root dir of this name can only BE the source
+        if os.path.isdir(src) and not os.path.isdir(os.path.join(trash, b)):
             os.rename(src, os.path.join(trash, b))
     if os.path.isdir(merged):
         os.rename(merged, target)

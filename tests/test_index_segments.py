@@ -364,6 +364,44 @@ def test_compact_segments_resumes_after_swap_crash(tmp_path, monkeypatch):
     shutil.rmtree(idx)
 
 
+def test_add_between_compact_crash_and_resume_is_never_retired(tmp_path):
+    """Reserved numbering across a compaction: after a mid-swap crash (all
+    inputs trashed), an add_segment must NOT recycle a retired segment's
+    name — and the resumed compaction must keep the fresh segment alive
+    alongside the compacted one."""
+    import json
+
+    from osm_search_ray.pipelines import index_segments as seg
+
+    idx = str(tmp_path / "idx")
+    seg.add_segment(idx, _half(0), {"text": 0}, in_ram=True)
+    seg.add_segment(idx, _half(1), {"text": 0}, in_ram=True)
+    want_total = seg.merged_globals(seg.segment_dirs(idx))["docs_count"]
+
+    # hand-build the crash state: plan + committed merge + target recorded
+    # + inputs trashed, merged not yet renamed in
+    comp = os.path.join(idx, ".compact")
+    os.makedirs(os.path.join(comp, "trash"))
+    sources = [os.path.basename(s) for s in seg.segment_dirs(idx)]
+    json.dump(sources, open(os.path.join(comp, "plan.json"), "w"))
+    seg.merge_segments(idx, os.path.join(comp, "merged"))
+    json.dump("seg-002", open(os.path.join(comp, "target.json"), "w"))
+    for b in sources:
+        os.rename(os.path.join(idx, b), os.path.join(comp, "trash", b))
+
+    # an add lands BETWEEN crash and resume: it must pick seg-003, not
+    # reuse seg-000/001 (trashed) or seg-002 (the recorded target)
+    fresh = seg.add_segment(idx, _half(1), {"text": 0}, in_ram=True)
+    assert os.path.basename(fresh) == "seg-003"
+    fresh_docs = seg.merged_globals([fresh])["docs_count"]
+
+    new_seg = seg.compact_segments(idx)
+    assert os.path.basename(new_seg) == "seg-002"
+    assert sorted(os.path.basename(s) for s in seg.segment_dirs(idx)) == ["seg-002", "seg-003"]
+    g = seg.merged_globals(seg.segment_dirs(idx))
+    assert g["docs_count"] == want_total + fresh_docs  # nothing lost, nothing doubled
+
+
 def test_segmented_session_actor_refresh(tmp_path):
     """The named-actor wrapper: refresh() reaches the resident core."""
     from osm_search_ray.pipelines.index_segments import add_segment
