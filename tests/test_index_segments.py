@@ -402,6 +402,57 @@ def test_add_between_compact_crash_and_resume_is_never_retired(tmp_path):
     assert g["docs_count"] == want_total + fresh_docs  # nothing lost, nothing doubled
 
 
+def test_compact_swap_crash_injection_every_rename(tmp_path, monkeypatch):
+    """Kill the swap at EVERY os.rename it performs (one run per crash
+    point, restored from a snapshot of the committed-merge state) and
+    verify an un-injected re-run always converges to the same compacted
+    index with exact doc counts — the 'idempotent at any crash point'
+    claim, tested rather than asserted."""
+    import json
+    import shutil
+
+    from osm_search_ray.pipelines import index_segments as seg
+
+    base = str(tmp_path / "base")
+    seg.add_segment(base, _half(0), {"text": 0}, in_ram=True)
+    seg.add_segment(base, _half(1), {"text": 0}, in_ram=True)
+    want = seg.merged_globals(seg.segment_dirs(base))
+    # reach the committed-merge, pre-swap state once (the expensive part)
+    comp = os.path.join(base, ".compact")
+    os.makedirs(comp)
+    sources = [os.path.basename(s) for s in seg.segment_dirs(base)]
+    json.dump(sources, open(os.path.join(comp, "plan.json"), "w"))
+    seg.merge_segments(base, os.path.join(comp, "merged"))
+
+    real_rename = os.rename
+    for crash_at in range(1, 5):  # swap performs 3 renames; 4th never fires
+        idx = str(tmp_path / f"idx{crash_at}")
+        shutil.copytree(base, idx)
+        calls = {"n": 0}
+
+        def boom(src, dst, _c=calls, _k=crash_at):
+            _c["n"] += 1
+            if _c["n"] == _k:
+                raise RuntimeError("injected crash")
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(os, "rename", boom)
+        try:
+            seg.compact_segments(idx)
+            crashed = False
+        except RuntimeError:
+            crashed = True
+        finally:
+            monkeypatch.setattr(os, "rename", real_rename)
+        assert crashed == (crash_at <= 3), crash_at
+        if crashed:
+            seg.compact_segments(idx)  # resume
+        live = seg.segment_dirs(idx)
+        assert [os.path.basename(s) for s in live] == ["seg-002"], crash_at
+        assert seg.merged_globals(live) == want, crash_at
+        assert not os.path.exists(os.path.join(idx, ".compact")), crash_at
+
+
 def test_segmented_session_actor_refresh(tmp_path):
     """The named-actor wrapper: refresh() reaches the resident core."""
     from osm_search_ray.pipelines.index_segments import add_segment
