@@ -282,9 +282,9 @@ GROUP BY 1, 2
     sql["dedup_ngram"] = dedup_pipelines.sql_dedup_ngram()  # integer-only jaccard_micro
     sql["dedup_simhash"] = dedup_pipelines.sql_dedup_simhash()  # r04: md5-twin sigs → exact
     sql["dedup_fingerprint"] = dedup_pipelines.sql_dedup_fingerprint()  # r04: Karp-Rabin in SQL
-    # dedup_minhash / dedup_embedding: 128 MinHash permutations over char
-    # shingles / numpy-RNG hyperplanes are not practically SQL-expressible
-    # → rows-only driver check (unit oracles in tests/test_dedup.py)
+    sql["dedup_minhash"] = dedup_pipelines.sql_dedup_minhash()  # r04: full MinHash-LSH in SQL
+    # dedup_embedding: numpy-RNG hyperplanes + float sign sums are not
+    # SQL-reproducible → rows-only driver check (unit oracle in tests)
     sql["ann_cosine_topk"] = simsearch.SQL_ANN_COSINE_TOPK
     sql["ann_ivf_topk"] = simsearch.SQL_ANN_COSINE_TOPK  # nprobe=nlist → exact
     sql["events_hourly"] = ev.SQL_EVENTS_HOURLY

@@ -5,10 +5,11 @@ Exact / exact-substring / n-gram-Jaccard dedup live here, each with an
 EXACT SQL oracle (as do simhash and fingerprint, oracled since r04 via
 the md5-hash64 twin + SQL splitmix64 chain in sources/derived.py).
 MinHash-LSH / SimHash / embedding-cosine near-dup STAGES live in
-stages/dedup.py; of the driver queries only dedup_minhash and
-dedup_embedding remain rows-only (128 universal-hash permutations and
-numpy-RNG hyperplanes are not practically SQL-expressible — unit oracles
-in tests/test_dedup.py)."""
+stages/dedup.py; MinHash gained its exact oracle too (sql_dedup_minhash —
+the seed-derived permutation coefficients embed as SQL literals), so of
+the dedup driver queries only dedup_embedding remains rows-only
+(numpy-RNG hyperplanes + float sign sums are not SQL-reproducible — unit
+oracle in tests/test_dedup.py)."""
 
 from __future__ import annotations
 
@@ -73,15 +74,99 @@ FROM documents GROUP BY text
 
 
 def dedup_minhash(sf_dir: str):
-    """MinHash-LSH near-dup candidate pairs over documents (rows-only driver
-    check; the MinHash estimator itself is unit-tested against exact Jaccard
-    in tests/test_functions.py)."""
+    """MinHash-LSH near-dup candidate pairs over documents — exact-oracled
+    since r04 (sql_dedup_minhash reproduces signatures, band buckets and
+    the jaccard estimate bit-for-bit; the estimator is also unit-tested
+    against exact Jaccard in tests/test_functions.py)."""
     import ray.data
 
     from ..stages.dedup import minhash_lsh_pairs
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return minhash_lsh_pairs(ds, threshold=0.5)
+
+
+def _sql_dedup_minhash(
+    num_perm: int = 128, bands: int = 32, shingle_k: int = 5, seed: int = 7, threshold: float = 0.5
+) -> str:
+    """Exact oracle for dedup_minhash (r04): the ENTIRE MinHash-LSH
+    pipeline reproduced relationally, bit-for-bit against
+    functions/hashing.minhash_signature_batch —
+
+      * normalized text = tokens joined by ' ', utf-8 bytes hex-parsed,
+        short rows null-padded to one shingle window (engine ljust twin);
+      * window hash = splitmix64(Σ byte·257^j mod 2^64) via the SQL chain;
+      * 128 universal-hash permutations min-folded per doc — the (a_p, b_p)
+        coefficients are seed-derived CONSTANTS (perm_coeffs), embedded as
+        a VALUES table, with the wraparound a·x multiply 32-bit-split;
+      * band buckets = bit_xor of (sig · 2654435761 mod 2^64) over each
+        band's rows, sign bit masked — the engine's band_rows math;
+      * candidate pairs share any band bucket; jaccard_est = eq/128.0 is
+        an exact dyadic double on both sides, so even the float column
+        hash-matches.
+
+    The threshold filter compares the integer match count (eq >= τ·128),
+    identical to the engine's est >= τ at τ = 0.5."""
+    from ..functions.hashing import perm_coeffs
+    from ..functions.tokenize import SQL_TOKENIZE
+    from ..sources.derived import sql_splitmix64_chain
+
+    p64 = 1 << 64
+    a, b = perm_coeffs(num_perm, seed)
+    perm_rows = ", ".join(
+        f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)" for p in range(num_perm)
+    )
+    pows = [pow(257, j, p64) for j in range(shingle_k)]  # ascending j (unreversed)
+    pow_rows = ", ".join(f"({o}, {p}::HUGEINT)" for o, p in enumerate(pows))
+    byte_at = "CAST('0x' || substr(hx, 2 * (ws.s + o.o) - 1, 2) AS BIGINT)::HUGEINT"
+    mul_ax = (
+        f"((pc.a % 4294967296) * u.x % {p64} + "
+        f"((pc.a // 4294967296) * (u.x % 4294967296)) % 4294967296 * 4294967296) % {p64}"
+    )
+    tok = SQL_TOKENIZE.format(col="text")
+    return f"""
+WITH norm AS (SELECT doc_id, array_to_string({tok}, ' ') AS nt FROM documents),
+raw AS (
+    SELECT doc_id,
+           hex(encode(nt)) || repeat('00', GREATEST(0, {shingle_k} - octet_length(encode(nt)))) AS hx,
+           GREATEST(octet_length(encode(nt)), {shingle_k}) AS len
+    FROM norm),
+pw(o, p) AS (VALUES {pow_rows}),
+pc(p, a, b) AS (VALUES {perm_rows}),
+ws AS (SELECT doc_id, hx, unnest(range(1, len - {shingle_k} + 2)) AS s FROM raw),
+wh AS (
+    SELECT ws.doc_id, ws.s AS s, SUM({byte_at} * pw.p) % {p64} AS v
+    FROM ws, range(0, {shingle_k}) o(o) JOIN pw ON pw.o = o.o
+    GROUP BY 1, 2),
+wd AS (SELECT DISTINCT doc_id, v FROM wh),
+{sql_splitmix64_chain('wd', ['doc_id'], 'v', 'sm')},
+u AS (SELECT DISTINCT doc_id, x FROM sm),
+sig AS (
+    SELECT u.doc_id, pc.p, MIN(({mul_ax} + pc.b) % {p64}) AS sig
+    FROM u, pc GROUP BY 1, 2),
+banded AS (
+    SELECT doc_id, p // {num_perm // bands} AS band,
+           CAST((sig * 2654435761::HUGEINT) % {p64} AS UBIGINT) AS m
+    FROM sig),
+buckets AS (
+    SELECT doc_id, band, bit_xor(m) & 9223372036854775807::UBIGINT AS bucket
+    FROM banded GROUP BY 1, 2),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                                  AND a.doc_id < b.doc_id),
+est AS (
+    SELECT c.doc_a, c.doc_b, SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS eq
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b AND sb.p = sa.p
+    GROUP BY 1, 2)
+SELECT doc_a, doc_b, eq / {num_perm}.0 AS jaccard_est
+FROM est WHERE eq >= {int(threshold * num_perm)}
+"""
+
+
+sql_dedup_minhash = functools.cache(_sql_dedup_minhash)
 
 
 def dedup_simhash(sf_dir: str):

@@ -31,7 +31,7 @@ def test_oracle_keys_subset_of_queries():
     # hash twin + Karp-Rabin polynomial) and left this set
     assert rows_only == {
         "spell_search", "spell_store_search", "autocomplete",
-        "dedup_minhash", "dedup_embedding",
+        "dedup_embedding",
         "approx_distinct_users", "kmeans_clusters", "lm_doc_scores",
         "price_quantiles_tdigest", "ann_quantized_topk",
     }, rows_only
