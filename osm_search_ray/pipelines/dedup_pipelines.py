@@ -14,6 +14,7 @@ oracle in tests/test_dedup.py)."""
 from __future__ import annotations
 
 import functools
+import math
 
 import numpy as np
 import pandas as pd
@@ -105,8 +106,9 @@ def _sql_dedup_minhash(
         an exact dyadic double on both sides, so even the float column
         hash-matches.
 
-    The threshold filter compares the integer match count (eq >= τ·128),
-    identical to the engine's est >= τ at τ = 0.5."""
+    The threshold filter compares the integer match count
+    (eq >= ceil(τ·num_perm)), which is exactly the engine's est >= τ for
+    EVERY τ — eq/num_perm >= τ ⟺ eq >= ceil(τ·num_perm)."""
     from ..functions.hashing import perm_coeffs
     from ..functions.tokenize import SQL_TOKENIZE
     from ..sources.derived import sql_splitmix64_chain
@@ -162,7 +164,7 @@ est AS (
     JOIN sig sb ON sb.doc_id = c.doc_b AND sb.p = sa.p
     GROUP BY 1, 2)
 SELECT doc_a, doc_b, eq / {num_perm}.0 AS jaccard_est
-FROM est WHERE eq >= {int(threshold * num_perm)}
+FROM est WHERE eq >= {math.ceil(threshold * num_perm)}
 """
 
 

@@ -86,7 +86,7 @@ def _reserved_segment_numbers(index_dir: str) -> list[int]:
     trash = os.path.join(comp, "trash")
     if os.path.isdir(trash):
         nums += [int(d[len(_SEG_PREFIX):]) for d in os.listdir(trash) if _is_segment_name(d)]
-    for f, pick in ((os.path.join(comp, "plan.json"), None), (os.path.join(comp, "target.json"), None)):
+    for f in (os.path.join(comp, "plan.json"), os.path.join(comp, "target.json")):
         if os.path.exists(f):
             val = _json.load(open(f))
             names = val if isinstance(val, list) else [val]
@@ -364,10 +364,14 @@ def compact_segments(index_dir: str) -> str:
     import shutil
 
     comp = os.path.join(index_dir, ".compact")
+    tomb = comp + ".done"
     merged = os.path.join(comp, "merged")
     trash = os.path.join(comp, "trash")
     plan_f = os.path.join(comp, "plan.json")
     target_f = os.path.join(comp, "target.json")
+    # a tombstone is a fully-finished compaction whose delete was cut short
+    # — harmless, reclaim it
+    shutil.rmtree(tomb, ignore_errors=True)
 
     def _write_json_atomic(path: str, obj) -> None:
         tmp = path + ".tmp"
@@ -402,5 +406,11 @@ def compact_segments(index_dir: str) -> str:
             os.rename(src, os.path.join(trash, b))
     if os.path.isdir(merged):
         os.rename(merged, target)
-    shutil.rmtree(comp, ignore_errors=True)
+    # cleanup must be ATOMIC as seen by a future compaction: deleting
+    # .compact file-by-file could leave target.json without plan.json, and
+    # a next run would then skip its merge and retire live segments against
+    # the stale target. Rename the whole dir away first (atomic), then
+    # delete the tombstone at leisure.
+    os.rename(comp, tomb)
+    shutil.rmtree(tomb, ignore_errors=True)
     return target

@@ -425,7 +425,8 @@ def test_compact_swap_crash_injection_every_rename(tmp_path, monkeypatch):
     seg.merge_segments(base, os.path.join(comp, "merged"))
 
     real_rename = os.rename
-    for crash_at in range(1, 5):  # swap performs 3 renames; 4th never fires
+    # swap performs 4 renames (2 trash moves, merged→target, .compact→tombstone)
+    for crash_at in range(1, 6):
         idx = str(tmp_path / f"idx{crash_at}")
         shutil.copytree(base, idx)
         calls = {"n": 0}
@@ -444,13 +445,21 @@ def test_compact_swap_crash_injection_every_rename(tmp_path, monkeypatch):
             crashed = True
         finally:
             monkeypatch.setattr(os, "rename", real_rename)
-        assert crashed == (crash_at <= 3), crash_at
+        assert crashed == (crash_at <= 4), crash_at
         if crashed:
             seg.compact_segments(idx)  # resume
         live = seg.segment_dirs(idx)
         assert [os.path.basename(s) for s in live] == ["seg-002"], crash_at
         assert seg.merged_globals(live) == want, crash_at
         assert not os.path.exists(os.path.join(idx, ".compact")), crash_at
+        assert not os.path.exists(os.path.join(idx, ".compact.done")), crash_at
+        # a SECOND compaction must refuse cleanly (one segment), never
+        # retire live data against stale state — the review-found hazard
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            seg.compact_segments(idx)
+        assert seg.segment_dirs(idx) == live, crash_at
 
 
 def test_segmented_session_actor_refresh(tmp_path):
