@@ -38,6 +38,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # block C = the 50 green in r03.
     from osm_search_ray.pipelines import search_docs
 
+    # --- block A0: new this round (never driver-verified) ---
+    q["boolean_search"] = search_docs.boolean_docs_search  # full AND/OR/NOT algebra (ref parses, never implements)
     # --- block A: never driver-verified before r04 ---
     q["segmented_search"] = search_docs.segmented_search  # incremental two-segment index, same result
     q["bm25f_store_search"] = search_docs.bm25f_store_search  # two-field disk path
@@ -270,6 +272,7 @@ GROUP BY 1, 2
     sql["pagerank_links"] = graph.SQL_PAGERANK_LINKS
     from osm_search_ray.pipelines import search_docs
 
+    sql["boolean_search"] = search_docs.SQL_BOOLEAN_DOCS_SEARCH
     sql["bm25_search"] = search_docs.SQL_BM25_DOCS_SEARCH
     sql["bm25_store_search"] = search_docs.SQL_BM25_DOCS_SEARCH  # index-backed path, same result
     sql["segmented_search"] = search_docs.SQL_BM25_DOCS_SEARCH  # incremental segments, same result

@@ -362,6 +362,95 @@ def tfidf_docs_search(sf_dir: str):
     return _finalize_topk(scored, TOP_K)
 
 
+# Boolean OR/NOT retrieval. The reference's query parser ACCEPTS the full
+# AND/OR/NOT algebra but the engine path returns "not implemented" for
+# OR and NOT (/root/reference/pkg/searcher/searcher.go:664-670 — only the
+# implicit-AND intersection at :572-630 exists). This operator implements
+# the whole algebra: a doc qualifies for a query iff it contains EVERY
+# ``must`` term, AT LEAST ONE ``should`` term (when any are given), and
+# NONE of the ``must_not`` terms. Every query must carry at least one
+# positive (must or should) term — pure-NOT queries are rejected, the
+# same contract a posting-driven engine would need (NOT alone means a
+# full-corpus complement).
+BOOL_QUERIES: list[tuple[int, str, str, str]] = [
+    (0, "spark join", "", ""),  # plain AND — the reference-parity case
+    (1, "customer", "data table", ""),  # AND (a OR b)
+    (2, "window", "", "sort"),  # AND NOT
+    (3, "", "stream batch vector", "merge"),  # (a OR b OR c) NOT d
+    (4, "data", "fast slow", "customer"),  # all three clauses at once
+]
+
+
+def _bool_terms(q: tuple[int, str, str, str]) -> tuple[list[str], list[str], list[str]]:
+    """Distinct tokenized clause terms (dedup keeps first-seen order)."""
+    _, must, should, must_not = q
+    return (
+        list(dict.fromkeys(tokenize(must))),
+        list(dict.fromkeys(tokenize(should))),
+        list(dict.fromkeys(tokenize(must_not))),
+    )
+
+
+def boolean_docs_search(sf_dir: str):
+    """Boolean must/should/must_not retrieval as ONE streaming corpus scan:
+    per batch, a (docs × query-vocab) presence matrix is built vectorized
+    from the shared tokenizer, and each query's clause masks reduce over
+    its columns — no shuffle, no per-row loop, output bounded by match
+    selectivity. The serving twin would intersect/union pruned postings
+    from the on-disk index (point_query_store); this is the batch form.
+
+    Output: (query_id, doc_id) — every qualifying pair."""
+    specs = []
+    vocab: dict[str, int] = {}
+    for q in BOOL_QUERIES:
+        must, should, must_not = _bool_terms(q)
+        if not must and not should:
+            raise ValueError(f"query {q[0]}: pure-NOT queries are not retrievable")
+        for t in must + should + must_not:
+            vocab.setdefault(t, len(vocab))
+        specs.append(
+            (
+                q[0],
+                np.array([vocab[t] for t in must], np.int64),
+                np.array([vocab[t] for t in should], np.int64),
+                np.array([vocab[t] for t in must_not], np.int64),
+            )
+        )
+    qindex = pd.Index(list(vocab))
+    nv = len(vocab)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy()
+        nd = len(doc_ids)
+        toks, counts = tokenize_array(batch.column("text").to_pylist())
+        present = np.zeros((nd, nv), dtype=bool)
+        if len(toks):
+            col = qindex.get_indexer(toks)  # -1 for non-query terms
+            hit = col >= 0
+            if hit.any():
+                present[np.repeat(np.arange(nd), counts)[hit], col[hit]] = True
+        out_q: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        for qid, must, should, must_not in specs:
+            sel = present[:, must].all(axis=1)
+            if len(should):
+                sel &= present[:, should].any(axis=1)
+            sel &= ~present[:, must_not].any(axis=1)
+            ids = doc_ids[sel]
+            out_q.append(np.full(len(ids), qid, np.int64))
+            out_d.append(ids.astype(np.int64))
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q) if out_q else [], pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_d) if out_d else [], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- SQL oracles
 
 
@@ -489,9 +578,52 @@ SELECT query_id, doc_id, rank, score_micro FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+def _sql_boolean() -> str:
+    """Relational twin of boolean_docs_search: distinct (doc, term) pairs
+    joined to the clause-term literals; a doc qualifies when its distinct
+    must-hit count equals the query's must arity, it has a should hit (or
+    the clause is empty), and it has zero must_not hits. The literals are
+    generated from BOOL_QUERIES through the same tokenizer+dedup, so both
+    sides see identical clause term sets."""
+    rows = []
+    meta = []
+    for q in BOOL_QUERIES:
+        must, should, must_not = _bool_terms(q)
+        meta.append(f"({q[0]}, {len(must)}, {len(should)})")
+        rows += [f"({q[0]}, 'must', '{t}')" for t in must]
+        rows += [f"({q[0]}, 'should', '{t}')" for t in should]
+        rows += [f"({q[0]}, 'not', '{t}')" for t in must_not]
+    toks = SQL_TOKENIZE.format(col="text")
+    return f"""
+WITH toksd AS (
+    SELECT DISTINCT doc_id, term
+    FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+),
+q(query_id, kind, term) AS (VALUES {', '.join(rows)}),
+meta(query_id, n_must, n_should) AS (VALUES {', '.join(meta)}),
+hits AS (
+    SELECT q.query_id, t.doc_id, q.kind, q.term
+    FROM q JOIN toksd t ON t.term = q.term
+),
+agg AS (
+    SELECT query_id, doc_id,
+           COUNT(CASE WHEN kind = 'must' THEN 1 END) AS n_must_hit,
+           COUNT(CASE WHEN kind = 'should' THEN 1 END) AS n_should_hit,
+           COUNT(CASE WHEN kind = 'not' THEN 1 END) AS n_not_hit
+    FROM hits GROUP BY 1, 2
+)
+SELECT a.query_id, a.doc_id
+FROM agg a JOIN meta m ON a.query_id = m.query_id
+WHERE a.n_must_hit = m.n_must
+  AND (m.n_should = 0 OR a.n_should_hit > 0)
+  AND a.n_not_hit = 0
+"""
+
+
 SQL_BM25_DOCS_SEARCH = _sql_bm25()
 SQL_BM25F_DOCS_SEARCH = _sql_bm25f()
 SQL_TFIDF_DOCS_SEARCH = _sql_tfidf()
+SQL_BOOLEAN_DOCS_SEARCH = _sql_boolean()
 
 
 _STORE_CACHE: dict = {}

@@ -758,3 +758,45 @@ class TestLmDocScores:
                 assert got["logprob_milli"][i] == int(np.rint(lp * 1000))
             else:
                 assert got["is_finite"][i] == 0
+
+
+class TestBooleanSearch:
+    def test_matches_bruteforce_set_semantics(self):
+        """boolean_docs_search (vectorized presence-matrix scan) must equal
+        a row-at-a-time set evaluation of the same must/should/must_not
+        semantics over the corpus."""
+        import pyarrow.parquet as pq
+
+        from osm_search_ray.functions.tokenize import tokenize
+        from osm_search_ray.pipelines import search_docs as sd
+
+        sf = "/root/testdata/sf0.001"
+        got = sd.boolean_docs_search(sf).to_pandas()
+        got_pairs = set(zip(got["query_id"], got["doc_id"]))
+
+        docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+        want = set()
+        for qid, must, should, must_not in sd.BOOL_QUERIES:
+            m, s, n = set(tokenize(must)), set(tokenize(should)), set(tokenize(must_not))
+            for doc_id, text in zip(docs["doc_id"], docs["text"]):
+                toks = set(tokenize(text))
+                if m <= toks and (not s or s & toks) and not (n & toks):
+                    want.add((qid, doc_id))
+        assert got_pairs == want
+        assert len(want) > 0  # fixture must exercise the operator
+        # every clause shape must actually select something at this corpus
+        hit_qids = {q for q, _ in want}
+        assert hit_qids == {q[0] for q in sd.BOOL_QUERIES}
+
+    def test_pure_not_query_rejected(self):
+        from osm_search_ray.pipelines import search_docs as sd
+
+        orig = sd.BOOL_QUERIES
+        sd.BOOL_QUERIES = [(0, "", "", "spark")]
+        try:
+            import pytest as _pytest
+
+            with _pytest.raises(ValueError):
+                sd.boolean_docs_search("/root/testdata/sf0.001")
+        finally:
+            sd.BOOL_QUERIES = orig
