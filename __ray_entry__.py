@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- block A0: new this round (never driver-verified) ---
     q["boolean_search"] = search_docs.boolean_docs_search  # full AND/OR/NOT algebra (ref parses, never implements)
+    q["dedup_incremental"] = dedup_pipelines.dedup_incremental  # new-crawl batch vs persisted LSH store
     # --- block A: never driver-verified before r04 ---
     q["segmented_search"] = search_docs.segmented_search  # incremental two-segment index, same result
     q["bm25f_store_search"] = search_docs.bm25f_store_search  # two-field disk path
@@ -286,6 +287,7 @@ GROUP BY 1, 2
     sql["dedup_simhash"] = dedup_pipelines.sql_dedup_simhash()  # r04: md5-twin sigs → exact
     sql["dedup_fingerprint"] = dedup_pipelines.sql_dedup_fingerprint()  # r04: Karp-Rabin in SQL
     sql["dedup_minhash"] = dedup_pipelines.sql_dedup_minhash()  # r04: full MinHash-LSH in SQL
+    sql["dedup_incremental"] = dedup_pipelines.sql_dedup_incremental()  # same LSH SQL, new×old pair pred
     # dedup_embedding: numpy-RNG hyperplanes + float sign sums are not
     # SQL-reproducible → rows-only driver check (unit oracle in tests)
     sql["ann_cosine_topk"] = simsearch.SQL_ANN_COSINE_TOPK

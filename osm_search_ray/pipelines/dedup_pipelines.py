@@ -88,7 +88,14 @@ def dedup_minhash(sf_dir: str):
 
 
 def _sql_dedup_minhash(
-    num_perm: int = 128, bands: int = 32, shingle_k: int = 5, seed: int = 7, threshold: float = 0.5
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+    seed: int = 7,
+    threshold: float = 0.5,
+    pair_pred: str = "a.doc_id < b.doc_id",
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
 ) -> str:
     """Exact oracle for dedup_minhash (r04): the ENTIRE MinHash-LSH
     pipeline reproduced relationally, bit-for-bit against
@@ -156,19 +163,85 @@ buckets AS (
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
-                                  AND a.doc_id < b.doc_id),
+                                  AND {pair_pred}),
 est AS (
     SELECT c.doc_a, c.doc_b, SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS eq
     FROM cand c
     JOIN sig sa ON sa.doc_id = c.doc_a
     JOIN sig sb ON sb.doc_id = c.doc_b AND sb.p = sa.p
     GROUP BY 1, 2)
-SELECT doc_a, doc_b, eq / {num_perm}.0 AS jaccard_est
+SELECT doc_a AS {out_a}, doc_b AS {out_b}, eq / {num_perm}.0 AS jaccard_est
 FROM est WHERE eq >= {math.ceil(threshold * num_perm)}
 """
 
 
 sql_dedup_minhash = functools.cache(_sql_dedup_minhash)
+
+
+# ------------------------------------------- incremental dedup vs a store
+
+INCR_NEW_MOD = 10  # doc_id % 10 == 0 → the deterministic "new crawl" batch
+
+_MINHASH_STORE_CACHE: dict = {}
+
+
+def _mod_split(new: bool):
+    """Batch filter selecting the deterministic corpus split: the 'new
+    crawl' half (doc_id % INCR_NEW_MOD == 0) or the stored-corpus rest."""
+
+    def f(t: pa.Table) -> pa.Table:
+        mod = t.column("doc_id").to_numpy() % INCR_NEW_MOD
+        return t.filter(pa.array(mod == 0 if new else mod != 0))
+
+    return f
+
+
+def _minhash_store_dir(sf_dir: str) -> str:
+    """Build (once per corpus per process) the persisted LSH store for the
+    OLD portion of the corpus (doc_id % INCR_NEW_MOD != 0) and return its
+    directory — the search-store cache discipline (_cached_store_dir)."""
+    from ..stages.dedup import build_minhash_store
+    from .search_docs import _cached_store_dir
+
+    def build(path: str, out_dir: str) -> None:
+        ds = ray.data.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+            _mod_split(new=False), batch_format="pyarrow"
+        )
+        build_minhash_store(ds, out_dir)
+
+    return _cached_store_dir(
+        _MINHASH_STORE_CACHE, "/tmp/osm_search_ray_minhash_store", sf_dir, {"text": 0}, "meta.json", build
+    )
+
+
+def dedup_incremental(sf_dir: str):
+    """Incremental MinHash dedup against a PERSISTED corpus LSH store — the
+    continuous-crawl operator: the corpus split doc_id % 10 != 0 is signed,
+    banded and written to disk ONCE per process (checkpointed, partitioned
+    by bucket/id hash), then the 'new crawl' split doc_id % 10 == 0 is
+    deduped against it by probing only the touched partitions
+    (stages/dedup.minhash_store_new_pairs) — the old corpus is never
+    re-processed. Output (doc_new, doc_old, jaccard_est); exact-oracled by
+    the same SQL LSH pipeline with the pair predicate restricted to
+    new×old (sql_dedup_incremental)."""
+    from ..stages.dedup import minhash_store_new_pairs
+
+    store = _minhash_store_dir(sf_dir)
+    new_docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+        _mod_split(new=True), batch_format="pyarrow"
+    )
+    return minhash_store_new_pairs(new_docs, store, threshold=0.5)
+
+
+def _sql_dedup_incremental() -> str:
+    return _sql_dedup_minhash(
+        pair_pred=f"a.doc_id % {INCR_NEW_MOD} = 0 AND b.doc_id % {INCR_NEW_MOD} <> 0",
+        out_a="doc_new",
+        out_b="doc_old",
+    )
+
+
+sql_dedup_incremental = functools.cache(_sql_dedup_incremental)
 
 
 def dedup_simhash(sf_dir: str):

@@ -47,6 +47,43 @@ def jaccard(a: set, b: set) -> float:
     return len(a & b) / len(a | b)
 
 
+def band_buckets(sigs_u64: np.ndarray, bands: int) -> np.ndarray:
+    """(N, bands) int64 LSH bucket keys from an (N, num_perm) uint64
+    signature matrix — the one band hash shared by the in-RAM pipeline,
+    the on-disk store build, and the incremental probe (and reproduced
+    bit-for-bit by the SQL oracle's bit_xor form)."""
+    n, num_perm = sigs_u64.shape
+    rows_per_band = num_perm // bands
+    with np.errstate(over="ignore"):
+        banded = sigs_u64.reshape(n, bands, rows_per_band) * np.uint64(2654435761)
+    return (np.bitwise_xor.reduce(banded, axis=2) & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+
+
+def minhash_signatures(
+    docs: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    shingle_k: int = 5,
+) -> "ray.data.Dataset":
+    """(id, sig fixed-list<int64, num_perm>) — batch-vectorized signatures
+    (functions/hashing.py reduceat kernel) over the NORMALIZED text
+    (tokenize-join, as char_shingles does)."""
+
+    def signatures(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        norm = [" ".join(tokenize(t or "")) for t in batch.column(text_col).to_pylist()]
+        sigs = minhash_signature_batch(norm, num_perm, shingle_k)  # (N, P)
+        return pa.table(
+            {
+                id_col: pa.array(ids.astype(np.int64)),
+                "sig": pa.array(sigs.astype(np.int64).tolist(), pa.list_(pa.int64(), num_perm)),
+            }
+        )
+
+    return docs.map_batches(signatures, batch_format="pyarrow")
+
+
 def minhash_lsh_pairs(
     docs: "ray.data.Dataset",
     text_col: str = "text",
@@ -61,20 +98,7 @@ def minhash_lsh_pairs(
     doc_a < doc_b, deduplicated."""
     rows_per_band = num_perm // bands
 
-    def signatures(batch: pa.Table) -> pa.Table:
-        # batch-vectorized signatures (functions/hashing.py reduceat kernel)
-        # over the NORMALIZED text (tokenize-join, as char_shingles does)
-        ids = batch.column(id_col).to_numpy()
-        norm = [" ".join(tokenize(t or "")) for t in batch.column(text_col).to_pylist()]
-        sigs = minhash_signature_batch(norm, num_perm, shingle_k)  # (N, P)
-        return pa.table(
-            {
-                id_col: pa.array(ids.astype(np.int64)),
-                "sig": pa.array(sigs.astype(np.int64).tolist(), pa.list_(pa.int64(), num_perm)),
-            }
-        )
-
-    sig_ds = docs.map_batches(signatures, batch_format="pyarrow")
+    sig_ds = minhash_signatures(docs, text_col, id_col, num_perm, shingle_k)
 
     # band rows carry ONLY (band, bucket, doc_id) — signatures are NOT
     # replicated through the shuffle; the candidate pairs are verified
@@ -86,13 +110,11 @@ def minhash_lsh_pairs(
         n = len(ids)
         if n == 0:
             return pa.table({"band": pa.array([], pa.int32()), "bucket": pa.array([], pa.int64()), id_col: pa.array([], pa.int64())})
-        with np.errstate(over="ignore"):
-            banded = sigs.reshape(n, bands, rows_per_band) * np.uint64(2654435761)
-        buckets = np.bitwise_xor.reduce(banded, axis=2) & np.uint64(0x7FFFFFFFFFFFFFFF)
+        buckets = band_buckets(sigs, bands)
         return pa.table(
             {
                 "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
-                "bucket": pa.array(buckets.reshape(-1).astype(np.int64)),
+                "bucket": pa.array(buckets.reshape(-1)),
                 id_col: pa.array(np.repeat(ids.astype(np.int64), bands)),
             }
         )
@@ -276,6 +298,264 @@ def _verify_minhash_pairs(
     # batch_size=None → whole join-bucket blocks, preserving pair
     # co-location for the in-block dedup above
     return j.map_batches(estimate, batch_format="pandas", batch_size=None)
+
+
+# ------------------------------------------------ persisted LSH store
+# The continuous-crawl form of MinHash dedup: the corpus's LSH state is
+# PERSISTED once (bucket rows partitioned by bucket hash, signature blobs
+# partitioned by doc hash, both through the checkpointed resumable sink),
+# and each incremental batch of new documents is deduped AGAINST the store
+# by probing only the partitions its band buckets touch — the old corpus
+# is never re-shingled, re-signed, or re-shuffled. This is the operator a
+# 100 TB crawl actually runs daily; the one-shot `minhash_lsh_pairs` is
+# its bootstrap.
+
+MINHASH_STORE_PARTS = 32  # bucket/sig partition fanout (≈2^12 at corpus scale)
+NEW_BAND_BROADCAST_LIMIT = 2_000_000  # new-batch band rows ≤ ~48 MB broadcast
+
+
+def build_minhash_store(
+    docs: "ray.data.Dataset",
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+    num_parts: int = MINHASH_STORE_PARTS,
+) -> None:
+    """Materialize the corpus LSH state on disk (the IVF-store discipline,
+    stages/annindex.build_ivf_store): ``buckets/part=*`` holds
+    (band, bucket, id) rows hash-partitioned by bucket, ``sigs/part=*``
+    holds fixed-width signature blobs hash-partitioned by id. Both writes
+    are checkpointed (resumable; crash-safe completion markers)."""
+    import json
+    import os
+
+    from ..sources import checkpoint as cp
+
+    sig_ds = minhash_signatures(docs, text_col, id_col, num_perm, shingle_k).materialize()
+
+    def banded(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        n = len(ids)
+        if n == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int32()),
+                    "bucket": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int64()),
+                }
+            )
+        sigs = vec_matrix(batch.column("sig"), dtype=np.int64).astype(np.uint64)
+        buckets = band_buckets(sigs, bands).reshape(-1)
+        return pa.table(
+            {
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                "bucket": pa.array(buckets),
+                id_col: pa.array(np.repeat(ids, bands)),
+                "part": pa.array(buckets % num_parts),
+            }
+        )
+
+    def packed(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        sigs = vec_matrix(batch.column("sig"), dtype=np.int64)
+        blobs = [row.tobytes() for row in sigs] if len(sigs) else []
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "sigblob": pa.array(blobs, pa.binary()),
+                "part": pa.array(ids % num_parts),
+            }
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    bdir, sdir = f"{out_dir}/buckets", f"{out_dir}/sigs"
+    cp.checkpointed_write(sig_ds.map_batches(banded, batch_format="pyarrow"), bdir, "part", stage="mh_buckets")
+    cp.mark_stage_complete(bdir, "mh_buckets")
+    cp.checkpointed_write(sig_ds.map_batches(packed, batch_format="pyarrow"), sdir, "part", stage="mh_sigs")
+    cp.mark_stage_complete(sdir, "mh_sigs")
+    meta = {
+        "num_perm": num_perm,
+        "bands": bands,
+        "shingle_k": shingle_k,
+        "num_parts": num_parts,
+        "id_col": id_col,
+    }
+    tmp = f"{out_dir}/.tmp-meta.json"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, f"{out_dir}/meta.json")
+
+
+def _store_part_files(store_dir: str, sub: str, parts) -> list[str]:
+    """Pruned read set: partition files of touched parts only (the
+    annindex.probed_list_files discipline)."""
+    import os
+
+    files = []
+    for p in sorted(int(x) for x in parts):
+        f = os.path.join(store_dir, sub, f"part={p}", "data.parquet")
+        if os.path.exists(f):
+            files.append(f)
+    return files
+
+
+def minhash_store_new_pairs(
+    new_docs: "ray.data.Dataset",
+    store_dir: str,
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> "ray.data.Dataset":
+    """Near-dup pairs between a NEW batch and the stored corpus: sign and
+    band ONLY the new docs, read ONLY the store bucket partitions their
+    bands touch, verify candidates against signatures read from ONLY the
+    touched signature partitions. Output (doc_new, doc_old, jaccard_est).
+
+    Regimes: the new batch's band rows broadcast while they fit
+    (incremental batches are small by construction — zero shuffles on the
+    probe path); past NEW_BAND_BROADCAST_LIMIT both sides exchange on the
+    bucket key (one bounded all-to-all, the minhash_lsh_pairs shape).
+    In-batch (new×new) duplicates are the existing one-shot operator's
+    job — this operator's contract is strictly new-vs-corpus."""
+    import json
+
+    from .joins import hash_partitioned_apply
+
+    meta = json.load(open(f"{store_dir}/meta.json"))
+    num_perm, bands = meta["num_perm"], meta["bands"]
+    num_parts, id_col = meta["num_parts"], meta["id_col"]
+
+    _empty = pd.DataFrame(
+        {
+            "doc_new": pd.Series(dtype=np.int64),
+            "doc_old": pd.Series(dtype=np.int64),
+            "jaccard_est": pd.Series(dtype=np.float64),
+        }
+    )
+
+    sig_new = minhash_signatures(new_docs, text_col, id_col, num_perm, meta["shingle_k"]).materialize()
+
+    def banded(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        n = len(ids)
+        if n == 0:
+            return pa.table({"band": pa.array([], pa.int32()), "bucket": pa.array([], pa.int64()), "doc_new": pa.array([], pa.int64())})
+        sigs = vec_matrix(batch.column("sig"), dtype=np.int64).astype(np.uint64)
+        buckets = band_buckets(sigs, bands).reshape(-1)
+        return pa.table(
+            {
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                "bucket": pa.array(buckets),
+                "doc_new": pa.array(np.repeat(ids, bands)),
+            }
+        )
+
+    new_banded = sig_new.map_batches(banded, batch_format="pyarrow").materialize()
+
+    # touched bucket partitions: ≤ num_parts ints per batch reach the driver
+    tp = new_banded.map_batches(
+        lambda t: pa.table({"part": pa.array(np.unique(t.column("bucket").to_numpy() % num_parts))}),
+        batch_format="pyarrow",
+    ).to_pandas()
+    # (0-row to_pandas drops columns in this Ray — guard before indexing)
+    touched = tp["part"].unique() if len(tp) else np.empty(0, np.int64)
+    bucket_files = _store_part_files(store_dir, "buckets", touched)
+    if not bucket_files:
+        return ray.data.from_pandas(_empty)
+    old_buckets = ray.data.read_parquet(bucket_files, columns=["band", "bucket", id_col])
+
+    n_new_rows = new_banded.count()
+    if n_new_rows <= NEW_BAND_BROADCAST_LIMIT:
+        new_pd = new_banded.to_pandas()
+        new_ref = ray.put(new_pd)
+
+        def probe(df: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(new_ref).merge(df, on=["band", "bucket"])
+            return pd.DataFrame(
+                {"doc_new": m["doc_new"].to_numpy(np.int64), "doc_old": m[id_col].to_numpy(np.int64)}
+            ).drop_duplicates()
+
+        pairs = old_buckets.map_batches(probe, batch_format="pandas")
+    else:
+        tagged_new = new_banded.map_batches(
+            lambda t: pa.table(
+                {"band": t.column("band"), "bucket": t.column("bucket"), "doc_new": t.column("doc_new"),
+                 "doc_old": pa.array(np.full(t.num_rows, -1, np.int64))}
+            ),
+            batch_format="pyarrow",
+        )
+        tagged_old = old_buckets.map_batches(
+            lambda t: pa.table(
+                {"band": t.column("band"), "bucket": t.column("bucket"),
+                 "doc_new": pa.array(np.full(t.num_rows, -1, np.int64)), "doc_old": t.column(id_col)}
+            ),
+            batch_format="pyarrow",
+        )
+
+        def pair_partition(df: pd.DataFrame) -> pd.DataFrame:
+            new_side = df[df["doc_new"] >= 0][["band", "bucket", "doc_new"]]
+            old_side = df[df["doc_old"] >= 0][["band", "bucket", "doc_old"]]
+            m = new_side.merge(old_side, on=["band", "bucket"])
+            return m[["doc_new", "doc_old"]].drop_duplicates()
+
+        pairs = hash_partitioned_apply(tagged_new.union(tagged_old), "bucket", pair_partition, num_parts=64)
+
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ray.data.from_pandas(_empty)
+
+    def _rename_out(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_new": t.column("doc_a"), "doc_old": t.column("doc_b"), "jaccard_est": t.column("jaccard_est")}
+        )
+
+    def _as_ab(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_a": df["doc_new"].to_numpy(np.int64), "doc_b": df["doc_old"].to_numpy(np.int64)})
+
+    def _unpack_sig_rows(t: pa.Table) -> pa.Table:
+        blobs = t.column("sigblob").to_pylist()
+        mat = (
+            np.frombuffer(b"".join(blobs), dtype=np.int64).reshape(len(blobs), num_perm)
+            if blobs
+            else np.empty((0, num_perm), np.int64)
+        )
+        return pa.table({id_col: t.column(id_col), "sig": pa.array(mat.tolist(), pa.list_(pa.int64(), num_perm))})
+
+    cand_pd = None
+    if n_pairs <= PAIR_DRIVER_LIMIT:
+        cand_pd = _as_ab(pairs.to_pandas().drop_duplicates(["doc_new", "doc_old"]))
+        old_ids = np.unique(cand_pd["doc_b"].to_numpy(np.int64))
+        cand_ids = np.union1d(cand_pd["doc_a"].to_numpy(np.int64), old_ids)
+    if cand_pd is not None and len(cand_ids) <= BROADCAST_SIG_ID_LIMIT:
+        # small regime: ONLY candidate-old signature partitions are read,
+        # semi-joined to the candidate ids inside the read stream
+        sig_files = _store_part_files(store_dir, "sigs", np.unique(old_ids % num_parts))
+        ids_ref = ray.put(np.sort(old_ids))
+
+        def old_sig_rows(t: pa.Table) -> pa.Table:
+            want = ray.get(ids_ref)
+            ids = t.column(id_col).to_numpy()
+            pos = np.minimum(np.searchsorted(want, ids), len(want) - 1)
+            return _unpack_sig_rows(t.filter(pa.array(want[pos] == ids)))
+
+        old_sigs = ray.data.read_parquet(sig_files).map_batches(old_sig_rows, batch_format="pyarrow")
+        verified = _verify_minhash_pairs_broadcast(
+            cand_pd, cand_ids, sig_new.union(old_sigs), id_col, num_perm, threshold
+        )
+    else:
+        # large regime: bucketed signature joins over the full store
+        sig_files = _store_part_files(store_dir, "sigs", range(num_parts))
+        old_sigs = ray.data.read_parquet(sig_files).map_batches(_unpack_sig_rows, batch_format="pyarrow")
+        if cand_pd is not None:
+            deduped = ray.data.from_pandas(cand_pd)
+        else:
+            deduped = _dedup_pairs(pairs.map_batches(_as_ab, batch_format="pandas"), ["doc_a", "doc_b"])
+        verified = _verify_minhash_pairs(deduped, sig_new.union(old_sigs), id_col, num_perm, threshold)
+    return verified.map_batches(_rename_out, batch_format="pyarrow")
 
 
 def simhash_near_dups(

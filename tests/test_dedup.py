@@ -110,6 +110,68 @@ def test_minhash_verify_dedup_survives_block_splits(monkeypatch):
     )
 
 
+def _incr_oracle(docs: pd.DataFrame, mod: int, threshold=0.5) -> dict:
+    """new×old restriction of the full driver oracle: pairs with exactly one
+    side in the 'new crawl' split (doc_id % mod == 0), keyed (new, old)."""
+    full = _driver_oracle_minhash(docs["text"].tolist(), docs["doc_id"].tolist(), threshold=threshold)
+    out = {}
+    for (a, b), est in full.items():
+        if (a % mod == 0) != (b % mod == 0):
+            new, old = (a, b) if a % mod == 0 else (b, a)
+            out[(new, old)] = est
+    return out
+
+
+def _run_incremental(docs: pd.DataFrame, store_dir: str, threshold=0.5) -> dict:
+    from osm_search_ray.pipelines.dedup_pipelines import INCR_NEW_MOD, _mod_split
+
+    old_ds = ray.data.from_pandas(docs).map_batches(_mod_split(new=False), batch_format="pyarrow")
+    dd.build_minhash_store(old_ds, store_dir)
+    new_ds = ray.data.from_pandas(docs).map_batches(_mod_split(new=True), batch_format="pyarrow")
+    got = dd.minhash_store_new_pairs(new_ds, store_dir, threshold=threshold).to_pandas()
+    assert len(got) == len(got.drop_duplicates(["doc_new", "doc_old"]))
+    return {
+        (int(a), int(b)): float(e)
+        for a, b, e in zip(got["doc_new"], got["doc_old"], got["jaccard_est"])
+    }
+
+
+def test_minhash_store_incremental_equals_oracle(tmp_path):
+    """The persisted-store probe (sign new docs only, read only touched
+    bucket/sig partitions) must produce exactly the new×old pair set of the
+    full driver oracle run over the whole corpus."""
+    from osm_search_ray.pipelines.dedup_pipelines import INCR_NEW_MOD
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    expected = _incr_oracle(docs, INCR_NEW_MOD)
+    got = _run_incremental(docs, str(tmp_path / "store"))
+    assert got.keys() == expected.keys()
+    for k, v in expected.items():
+        assert got[k] == v, k
+    assert expected, "fixture must plant at least one cross-split near-dup"
+
+
+def test_minhash_store_regimes_agree(tmp_path, monkeypatch):
+    """Forcing the bucket-exchange probe + distributed verify regimes must
+    reproduce the broadcast path's pair set exactly."""
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    default = _run_incremental(docs, str(tmp_path / "s1"))
+    monkeypatch.setattr(dd, "NEW_BAND_BROADCAST_LIMIT", 0)
+    monkeypatch.setattr(dd, "PAIR_DRIVER_LIMIT", 0)
+    forced = _run_incremental(docs, str(tmp_path / "s2"))
+    assert forced == default
+
+
+def test_minhash_store_build_is_idempotent(tmp_path):
+    """Re-running the store build over an already-complete store must be a
+    no-op (checkpointed partitions pruned) and leave the probe result
+    unchanged."""
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    first = _run_incremental(docs, str(tmp_path / "s"))
+    second = _run_incremental(docs, str(tmp_path / "s"))  # rebuild over complete store
+    assert first == second
+
+
 def test_dedup_ngram_planted_duplicates_score_million(tmp_path):
     """Identical docs share every gram → jaccard_micro == 1_000_000; a doc
     pair with half-overlapping gram sets lands at the integer
