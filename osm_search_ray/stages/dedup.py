@@ -454,22 +454,27 @@ def minhash_store_new_pairs(
         )
 
     new_banded = sig_new.map_batches(banded, batch_format="pyarrow").materialize()
+    n_new_rows = new_banded.count()
 
-    # touched bucket partitions: ≤ num_parts ints per batch reach the driver
-    tp = new_banded.map_batches(
-        lambda t: pa.table({"part": pa.array(np.unique(t.column("bucket").to_numpy() % num_parts))}),
-        batch_format="pyarrow",
-    ).to_pandas()
-    # (0-row to_pandas drops columns in this Ray — guard before indexing)
-    touched = tp["part"].unique() if len(tp) else np.empty(0, np.int64)
+    if n_new_rows <= NEW_BAND_BROADCAST_LIMIT:
+        # broadcast regime: the pandas pull below is needed anyway, so the
+        # touched-partition set falls out of it for free
+        new_pd = new_banded.to_pandas()
+        touched = np.unique(new_pd["bucket"].to_numpy(np.int64) % num_parts) if len(new_pd) else np.empty(0, np.int64)
+    else:
+        # touched bucket partitions: ≤ num_parts ints per batch reach the driver
+        tp = new_banded.map_batches(
+            lambda t: pa.table({"part": pa.array(np.unique(t.column("bucket").to_numpy() % num_parts))}),
+            batch_format="pyarrow",
+        ).to_pandas()
+        # (0-row to_pandas drops columns in this Ray — guard before indexing)
+        touched = tp["part"].unique() if len(tp) else np.empty(0, np.int64)
     bucket_files = _store_part_files(store_dir, "buckets", touched)
     if not bucket_files:
         return ray.data.from_pandas(_empty)
     old_buckets = ray.data.read_parquet(bucket_files, columns=["band", "bucket", id_col])
 
-    n_new_rows = new_banded.count()
     if n_new_rows <= NEW_BAND_BROADCAST_LIMIT:
-        new_pd = new_banded.to_pandas()
         new_ref = ray.put(new_pd)
 
         def probe(df: pd.DataFrame) -> pd.DataFrame:

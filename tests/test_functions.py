@@ -140,6 +140,41 @@ class TestHashing:
         assert a[0] == a[2] and a[0] != a[1]
         assert a[0] == hashing.hash64_str(["hello"])[0]  # process-stable
 
+    def test_minhash_batch_kernel_equals_naive_reference(self):
+        """The cache-blocked batch kernel must be BIT-identical to a
+        straightforward per-row/per-window implementation — the SQL LSH
+        oracle and every minhash dedup query stand on this kernel."""
+
+        def naive(texts, num_perm=32, k=5, seed=7):
+            a, b = hashing.perm_coeffs(num_perm, seed)
+            out = np.empty((len(texts), num_perm), dtype=np.uint64)
+            for i, txt in enumerate(texts):
+                p = txt.encode("utf-8", "surrogatepass")
+                if len(p) < k:
+                    p = p.ljust(k, b"\0")
+                arr = np.frombuffer(p, np.uint8).astype(np.uint64)
+                hs = []
+                with np.errstate(over="ignore"):
+                    for s in range(len(p) - k + 1):
+                        v = np.uint64(0)
+                        for j in range(k):
+                            v = v + arr[s + j] * np.uint64(257) ** np.uint64(j)
+                        hs.append(int(hashing.splitmix64(np.array([v], np.uint64))[0]))
+                    hv = np.array(hs, np.uint64)
+                    for q in range(num_perm):
+                        out[i, q] = (a[q] * hv + b[q]).min()
+            return out
+
+        rng = np.random.default_rng(3)
+        texts = [
+            "",  # padded to one NUL shingle
+            "ab",  # shorter than k
+            "exact",  # exactly k bytes → one window
+            "héllo wörld ünïcode",  # multi-byte utf-8
+        ] + ["".join(rng.choice(list("abcdef ")) for _ in range(int(n))) for n in rng.integers(1, 400, 30)]
+        got = hashing.minhash_signature_batch(texts, 32, 5)
+        assert np.array_equal(got, naive(texts))
+
     def test_minhash_similarity(self):
         rng = np.random.default_rng(0)
         base = [f"tok{i}" for i in range(200)]
