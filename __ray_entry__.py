@@ -297,6 +297,7 @@ GROUP BY 1, 2
     sql["events_sliding"] = ev.SQL_EVENTS_SLIDING.format(prev=2)
     sql["sessionize"] = ev.SQL_SESSIONIZE.format(gap=30 * 60)
     sql["purchase_attribution"] = ev.SQL_PURCHASE_ATTRIBUTION
+    sql["approx_distinct_users"] = ev.sql_approx_distinct_users()  # r04: HLL registers + estimate, bit-exact
     sql["purchase_view_window"] = ev.SQL_PURCHASE_VIEW_WINDOW
     sql["events_median"] = ev.SQL_EVENTS_MEDIAN
     sql["events_quantiles"] = ev.SQL_EVENTS_QUANTILES

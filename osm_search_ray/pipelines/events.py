@@ -6,6 +6,8 @@ pattern: partition by key, sort by ts inside the group, window with pandas).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -198,15 +200,17 @@ def approx_distinct_users(sf_dir: str, p: int = 12):
     driver-side (constant size × #types × #batches), the exact column is a
     distributed dedup + count over the pair partials.
 
-    Output (event_type, approx_users, exact_users) — rows-only driver check
-    (estimate is engine-defined); the ±5% bound vs exact is asserted in
-    tests."""
+    Output (event_type, approx_users, exact_users) — exact-oracled since
+    r04 (sql_approx_distinct_users): the registers are pure integer
+    arithmetic over the splitmix64 SQL chain and both sides evaluate the
+    estimate with bit-identical single float ops (hll_estimate_int). The
+    ±5% bound vs exact stays asserted in tests."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
     from ..functions.hashing import splitmix64
     from ..stages.joins import hash_partitioned_apply
-    from ..stages.sketches import hll_add_hashes, hll_create, hll_estimate, hll_merge
+    from ..stages.sketches import hll_add_hashes, hll_create, hll_estimate_int, hll_merge
 
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
 
@@ -266,8 +270,75 @@ def approx_distinct_users(sf_dir: str, p: int = 12):
         .to_pandas()
     )
     exact_map = dict(zip(exact["event_type"], exact["n"].astype(int)))
-    rows = [(et, int(round(hll_estimate(reg))), exact_map.get(et, 0)) for et, reg in sorted(merged.items())]
+    rows = [(et, hll_estimate_int(reg), exact_map.get(et, 0)) for et, reg in sorted(merged.items())]
     return pd.DataFrame(rows, columns=["event_type", "approx_users", "exact_users"])
+
+
+def _sql_approx_distinct_users(p: int = 12) -> str:
+    """Exact oracle for approx_distinct_users (r04): the WHOLE HLL pipeline
+    relationally —
+
+      * hash = splitmix64(user_id) via the HUGEINT CTE chain
+        (sources/derived.sql_splitmix64_chain; distinct pairs first, since
+        register max is duplicate-insensitive);
+      * bucket = top p bits (integer division), rest = (h << p) mod 2^64;
+      * rank = min(clz(rest), 64-p) + 1 — clz via UBIGINT bit-smear +
+        bit_count, matching stages/sketches.hll_add_hashes' shift cascade;
+      * register = MAX(rank) per (event_type, bucket); the Σ2^-reg sum is
+        the INTEGER Σ2^(53-reg) (HUGEINT — every term exact), absent
+        buckets contributing 2^53 each;
+      * estimate: alpha·m² and the m·ln(m/zeros) linear-counting table are
+        the SAME float64 constants the engine uses
+        (stages/sketches._hll_float_consts), embedded as e-notation
+        literals (exact round-trip); the remaining ops (one cast, one
+        multiply, one divide, one compare, floor(x+0.5)) are single IEEE
+        operations — bit-identical in numpy and DuckDB."""
+    from ..sources.derived import sql_splitmix64_chain
+    from ..stages.sketches import _hll_float_consts
+
+    m = 1 << p
+    alpha_m2, ln_tab = _hll_float_consts(m)
+    two_pm = 1 << (64 - p)  # 2^52 for p=12
+    chain = sql_splitmix64_chain("du", ["event_type"], "user_id", "hx")
+    ln_rows = ",".join(f"({z},{v:.17e})" for z, v in enumerate(ln_tab, start=1))
+    return f"""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+{chain},
+parts AS (
+  SELECT event_type,
+         CAST(x // {two_pm} AS BIGINT) AS bucket,
+         CAST((x % {two_pm}) * {m} AS UBIGINT) AS rest
+  FROM hx),
+sm1 AS (SELECT event_type, bucket, rest | (rest >> 1) AS s FROM parts),
+sm2 AS (SELECT event_type, bucket, s | (s >> 2) AS s FROM sm1),
+sm3 AS (SELECT event_type, bucket, s | (s >> 4) AS s FROM sm2),
+sm4 AS (SELECT event_type, bucket, s | (s >> 8) AS s FROM sm3),
+sm5 AS (SELECT event_type, bucket, s | (s >> 16) AS s FROM sm4),
+sm6 AS (SELECT event_type, bucket, s | (s >> 32) AS s FROM sm5),
+ranks AS (SELECT event_type, bucket,
+                 LEAST(64 - bit_count(s), {64 - p}) + 1 AS rank FROM sm6),
+regs AS (SELECT event_type, bucket, MAX(rank) AS reg FROM ranks GROUP BY 1, 2),
+sums AS (SELECT event_type,
+                SUM(1::BIGINT << (53 - reg))
+                  + ({m} - COUNT(*))::HUGEINT * (1::HUGEINT << 53) AS s_scaled,
+                {m} - COUNT(*) AS zeros
+         FROM regs GROUP BY 1),
+lntab(z, lnv) AS (VALUES {ln_rows}),
+est AS (SELECT event_type, zeros,
+               {alpha_m2:.17e} * 9.007199254740992e15 / CAST(s_scaled AS DOUBLE) AS est0
+        FROM sums),
+approx AS (
+  SELECT e.event_type,
+         CAST(CASE WHEN e.est0 <= {2.5 * m:.17e} AND e.zeros > 0
+                   THEN floor(l.lnv + 0.5) ELSE floor(e.est0 + 0.5) END AS BIGINT) AS approx_users
+  FROM est e LEFT JOIN lntab l ON l.z = e.zeros),
+exact AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users FROM events GROUP BY 1)
+SELECT a.event_type, a.approx_users, x.exact_users
+FROM approx a JOIN exact x USING (event_type)
+"""
+
+
+sql_approx_distinct_users = functools.cache(_sql_approx_distinct_users)
 
 
 def events_median(sf_dir: str):

@@ -45,6 +45,41 @@ def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.maximum(a, b)
 
 
+import functools
+import math
+
+
+@functools.cache
+def _hll_float_consts(m: int) -> tuple[float, tuple]:
+    """(alpha·m², m·ln(m/z) table) as float64 CONSTANTS shared bit-for-bit
+    with the SQL oracle (pipelines/events.sql_approx_distinct_users embeds
+    them as e-notation literals, which round-trip exactly)."""
+    alpha_m2 = (0.7213 / (1.0 + 1.079 / float(m))) * float(m) * float(m)
+    ln_tab = tuple(float(m) * float(np.log(float(m) / z)) for z in range(1, m + 1))
+    return alpha_m2, ln_tab
+
+
+def hll_estimate_int(reg: np.ndarray) -> int:
+    """The standard HLL estimate evaluated EXACTLY reproducibly: the
+    register sum Σ2^-reg is carried as the integer Σ2^(53-reg) (every term
+    exact; fits int128 — DuckDB sums it as HUGEINT), the float constants
+    come from `_hll_float_consts`, and both branches end in the same
+    floor(x+0.5). Every remaining float op (one cast, one multiply, one
+    divide, one compare) is a single IEEE-754 operation evaluated
+    identically by numpy and DuckDB, so the driver query hash-matches its
+    SQL twin bit-for-bit. `hll_estimate` (float, np.sum-ordered) remains
+    for the generic approx_distinct helper."""
+    m = len(reg)
+    alpha_m2, ln_tab = _hll_float_consts(m)
+    counts = np.bincount(reg, minlength=54)
+    s_scaled = sum(int(c) << (53 - r) for r, c in enumerate(counts) if c)
+    est0 = alpha_m2 * 9007199254740992.0 / float(s_scaled)
+    zeros = int(counts[0])
+    if est0 <= 2.5 * m and zeros:
+        return int(math.floor(ln_tab[zeros - 1] + 0.5))
+    return int(math.floor(est0 + 0.5))
+
+
 def hll_estimate(reg: np.ndarray) -> float:
     m = float(len(reg))
     if m >= 128:

@@ -240,6 +240,22 @@ class TestHLL:
         est = approx_distinct(ray.data.from_pandas(df), "s", p=12)
         assert abs(est - 500) / 500 < 0.1
 
+    def test_exact_int_estimate_matches_float_form(self):
+        """hll_estimate_int (the SQL-twin evaluation: integer Σ2^(53-reg),
+        shared float constants, floor(x+0.5)) must stay within one count of
+        rounding the float-form estimate, across both the linear-counting
+        and raw-HLL branches — and keep the accuracy bound."""
+        from osm_search_ray.functions.hashing import splitmix64
+        from osm_search_ray.stages.sketches import hll_add_hashes, hll_create, hll_estimate, hll_estimate_int
+
+        for n in (50, 500, 5_000, 200_000):  # spans both branches at p=12
+            reg = hll_create(12)
+            hll_add_hashes(reg, splitmix64(np.arange(n, dtype=np.uint64)))
+            vi = hll_estimate_int(reg)
+            vf = hll_estimate(reg)
+            assert abs(vi - vf) <= 1.0, (n, vi, vf)
+            assert abs(vi - n) / n < 0.05, (n, vi)
+
 
 class TestPointQueryStore:
     def test_point_query_store_equals_in_ram_restriction(self, tmp_path):

@@ -26,13 +26,14 @@ def test_oracle_keys_subset_of_queries():
     # every query key is claimed by SURVEY's checklist philosophy: at least
     # the oracle-less ones are the documented rows-only set
     rows_only = set(q) - set(sql)
-    # r04: image_features, contamination_bloom, dedup_simhash and
-    # dedup_fingerprint gained exact oracles (SQL splitmix64 chain + md5
-    # hash twin + Karp-Rabin polynomial) and left this set
+    # r04: image_features, contamination_bloom, dedup_simhash,
+    # dedup_fingerprint and approx_distinct_users gained exact oracles
+    # (SQL splitmix64 chain + md5 hash twin + Karp-Rabin polynomial +
+    # integer-register HLL) and left this set
     assert rows_only == {
         "spell_search", "spell_store_search", "autocomplete",
         "dedup_embedding",
-        "approx_distinct_users", "kmeans_clusters", "lm_doc_scores",
+        "kmeans_clusters", "lm_doc_scores",
         "price_quantiles_tdigest", "ann_quantized_topk",
     }, rows_only
 
