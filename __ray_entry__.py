@@ -288,8 +288,7 @@ GROUP BY 1, 2
     sql["dedup_fingerprint"] = dedup_pipelines.sql_dedup_fingerprint()  # r04: Karp-Rabin in SQL
     sql["dedup_minhash"] = dedup_pipelines.sql_dedup_minhash()  # r04: full MinHash-LSH in SQL
     sql["dedup_incremental"] = dedup_pipelines.sql_dedup_incremental()  # same LSH SQL, new×old pair pred
-    # dedup_embedding: numpy-RNG hyperplanes + float sign sums are not
-    # SQL-reproducible → rows-only driver check (unit oracle in tests)
+    sql["dedup_embedding"] = dedup_pipelines.sql_dedup_embedding()  # r04: ±1 planes + ordered-float twin
     sql["ann_cosine_topk"] = simsearch.SQL_ANN_COSINE_TOPK
     sql["ann_ivf_topk"] = simsearch.SQL_ANN_COSINE_TOPK  # nprobe=nlist → exact
     sql["events_hourly"] = ev.SQL_EVENTS_HOURLY

@@ -298,13 +298,90 @@ sql_dedup_simhash = functools.cache(_sql_dedup_simhash)
 
 
 def dedup_embedding(sf_dir: str):
-    """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only check)."""
+    """Embedding-cosine near-dup pairs via hyperplane LSH — exact-oracled
+    since r04 (sql_dedup_embedding: splitmix64-derived ±1 planes embedded
+    as literals, list_reduce replaying the engine's fixed-order float
+    accumulation; see stages/dedup.ordered_dot)."""
     import ray.data
 
     from ..stages.dedup import embedding_near_dups
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return embedding_near_dups(ds, threshold=0.35)
+
+
+def _sql_dedup_embedding(
+    threshold: float = 0.35,
+    planes: int = 12,
+    bands: int = 2,
+    seed: int = 11,
+    max_bucket: int = 8192,
+    dim: int = 64,
+) -> str:
+    """Exact oracle for dedup_embedding (r04): the full hyperplane-LSH +
+    cosine-verify pipeline relationally —
+
+      * the ±1 plane matrix is the SAME splitmix64-derived constant the
+        engine memoizes (stages/dedup.rademacher_planes), embedded as
+        DOUBLE list literals (±1·v is exact — no rounding anywhere in the
+        projection except the additions);
+      * every float reduction (plane projection, norm², pair dot) is a
+        list_reduce over a list_transform/list_zip in dimension order —
+        LEFT-ASSOCIATIVE, the exact order the engine's ordered_dot /
+        ordered_proj accumulate in;
+      * band buckets, the per-band salt cap (uint64-wrap mix % 2^31 %
+        ceil(sz/max_bucket)) and the a<b distinct pair set mirror
+        pairs_in_partition integer-for-integer;
+      * cosine = dot / (GREATEST(√norm², 1e-12) · GREATEST(√norm², 1e-12))
+        — single IEEE ops on both sides, so the float column hash-matches.
+
+    Assumes the registered fixture dim (64); the engine adapts to any dim."""
+    from ..stages.dedup import rademacher_planes
+
+    w = rademacher_planes(bands * planes, dim, seed)
+    plane_rows = ",".join(
+        "({}, [{}])".format(p, ",".join(f"{v:.1e}" for v in w[p])) for p in range(bands * planes)
+    )
+    return f"""
+WITH planes(p, w) AS (VALUES {plane_rows}),
+proj AS (
+    SELECT e.vec_id, pl.p,
+           list_reduce(list_transform(list_zip(e.embedding, pl.w),
+                                      z -> CAST(z[1] AS DOUBLE) * z[2]),
+                       (a, b) -> a + b) AS s
+    FROM embeddings e CROSS JOIN planes pl),
+buckets AS (
+    SELECT vec_id, p // {planes} AS band,
+           CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << (p % {planes}) ELSE 0 END) AS BIGINT) AS bucket
+    FROM proj GROUP BY 1, 2),
+sized AS (SELECT band, bucket, COUNT(*) AS sz FROM buckets GROUP BY 1, 2),
+salted AS (
+    SELECT b.vec_id, b.band, b.bucket,
+           CAST((CAST(b.vec_id AS HUGEINT) * 2654435761 + b.band * 40503)
+                % 18446744073709551616 % 2147483648
+                % GREATEST(CAST(ceil(s.sz / {max_bucket}.0) AS BIGINT), 1) AS BIGINT) AS salt
+    FROM buckets b JOIN sized s USING (band, bucket) WHERE s.sz > 1),
+cand AS (
+    SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+    FROM salted a JOIN salted b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.salt = b.salt AND a.vec_id < b.vec_id),
+vec AS (
+    SELECT vec_id, embedding,
+           GREATEST(sqrt(list_reduce(list_transform(embedding,
+                                                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                                     (a, b) -> a + b)), 1e-12) AS den
+    FROM embeddings),
+scored AS (
+    SELECT c.doc_a, c.doc_b,
+           list_reduce(list_transform(list_zip(va.embedding, vb.embedding),
+                                      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+                       (a, b) -> a + b) / (va.den * vb.den) AS cosine
+    FROM cand c JOIN vec va ON va.vec_id = c.doc_a JOIN vec vb ON vb.vec_id = c.doc_b)
+SELECT doc_a, doc_b, cosine FROM scored WHERE cosine >= {threshold:.17e}
+"""
+
+
+sql_dedup_embedding = functools.cache(_sql_dedup_embedding)
 
 
 def _sql_dedup_fingerprint(window: int = 16) -> str:

@@ -757,6 +757,50 @@ def ngram_jaccard_pairs_ds(
     return j.map_batches(verify, batch_format="pandas", batch_size=None)
 
 
+# ---------------------------------------- SQL-exact float discipline
+# Embedding LSH + cosine verify are float pipelines; they are exactly
+# oracle-checkable anyway because every reduction below fixes its
+# accumulation ORDER to the one DuckDB's list_reduce replays (left-
+# associative over the dimension index) and every remaining op (cast,
+# multiply, divide, sqrt, compare) is a single IEEE-754 operation.
+
+
+def ordered_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise float64 dot with LEFT-ASSOCIATIVE j-order accumulation —
+    ((a0·b0 + a1·b1) + a2·b2) + … — one vectorized pass per dimension
+    (dims are small, rows are the wide axis). This is the summation order
+    ``list_reduce(list_transform(list_zip(..)), (x,y) -> x+y)`` evaluates,
+    which is what lets cosine outputs hash-match the SQL oracle
+    bit-for-bit."""
+    acc = a[:, 0] * b[:, 0]
+    for j in range(1, a.shape[1]):
+        acc = acc + a[:, j] * b[:, j]
+    return acc
+
+
+def ordered_proj(mat: np.ndarray, planes_t: np.ndarray) -> np.ndarray:
+    """(n, P) projections of rows onto P plane rows with the same
+    left-associative j-order per (row, plane) as ``ordered_dot`` — one
+    vectorized (n, P) pass per dimension instead of a BLAS matmul, whose
+    internal order is unreproducible in SQL."""
+    acc = mat[:, 0:1] * planes_t[None, :, 0]
+    for j in range(1, mat.shape[1]):
+        acc = acc + mat[:, j : j + 1] * planes_t[None, :, j]
+    return acc
+
+
+def rademacher_planes(total_planes: int, dim: int, seed: int) -> np.ndarray:
+    """±1 hyperplanes from splitmix64 bit 0 — a valid sign-LSH family
+    (Rademacher entries have the same sign-agreement property as Gaussian
+    ones) whose entries are INTEGER-derived, so the SQL oracle embeds the
+    identical matrix as literals. ±1·v is an exact float op (sign flip,
+    no rounding)."""
+    from ..functions.hashing import splitmix64
+
+    h = splitmix64(np.arange(total_planes * dim, dtype=np.uint64) + (np.uint64(seed) << np.uint64(32)))
+    return np.where((h & np.uint64(1)).astype(bool), 1.0, -1.0).reshape(total_planes, dim)
+
+
 def embedding_near_dups(
     emb: "ray.data.Dataset",
     id_col: str = "vec_id",
@@ -784,17 +828,24 @@ def embedding_near_dups(
          are FOR; a documented recall trade on degenerate buckets, never a
          compute blow-up).
       3. Candidate pairs are globally deduped (hash-partitioned), then
-         cosine-verified by two id-bucketed joins attaching normalized
-         float64 vector blobs — exactly the minhash verify topology.
-    """
+         cosine-verified by two id-bucketed joins attaching raw float64
+         vector blobs + ordered norms — exactly the minhash verify
+         topology.
+
+    Exact-oracled since r04: the planes are splitmix64-derived ±1 and every
+    float reduction uses the fixed left-associative order DuckDB's
+    list_reduce replays (see ordered_dot), so the full pipeline —
+    buckets, salt caps, pairs, cosines — hash-matches sql_dedup_embedding
+    bit-for-bit."""
     total_planes = bands * planes
-    # plane matrix is a per-dim closure constant (seeded, so identical in
-    # every task) — memoized per worker process, not regenerated per batch
+    # plane matrix is a per-dim closure constant (seed-derived, so
+    # identical in every task AND in the SQL oracle's literals) — memoized
+    # per worker process, not regenerated per batch
     _plane_cache: dict = {}
 
     def _planes_for(dim: int) -> np.ndarray:
         if dim not in _plane_cache:
-            _plane_cache[dim] = np.random.default_rng(seed).standard_normal((total_planes, dim))
+            _plane_cache[dim] = rademacher_planes(total_planes, dim, seed)
         return _plane_cache[dim]
 
     def bucketize(batch: pa.Table) -> pa.Table:
@@ -804,7 +855,7 @@ def embedding_near_dups(
                 {"band": pa.array([], pa.int32()), "bucket": pa.array([], pa.int64()), id_col: pa.array([], pa.int64())}
             )
         pl = _planes_for(mat.shape[1])
-        signs = (mat @ pl.T) > 0  # (n, bands*planes)
+        signs = ordered_proj(mat, pl) > 0  # (n, bands*planes)
         n = len(mat)
         weights = 1 << np.arange(planes, dtype=np.int64)
         bucket = (signs.reshape(n, bands, planes).astype(np.int64) * weights).sum(axis=2)  # (n, bands)
@@ -829,7 +880,11 @@ def embedding_near_dups(
         ids_all = g[idc].to_numpy(dtype=np.int64)
         band_all = g["band"].to_numpy().astype(np.int64)
         nsplit = np.maximum(1, np.ceil(sizes[sizes > 1].to_numpy() / max_bucket)).astype(np.int64)
-        salt = ((ids_all * 2654435761 + band_all * 40503) % 2**31) % nsplit
+        # uint64 wrap-defined mix (the SQL twin applies % 2^64 explicitly,
+        # so the salt matches at ANY id magnitude, not just below 2^33)
+        with np.errstate(over="ignore"):
+            mix = ids_all.astype(np.uint64) * np.uint64(2654435761) + band_all.astype(np.uint64) * np.uint64(40503)
+        salt = (mix % np.uint64(2**31)).astype(np.int64) % nsplit
         g = g.assign(__salt=salt).sort_values(["band", "bucket", "__salt", idc], kind="mergesort")
         out_a, out_b = [], []
         for _, grp in g.groupby(["band", "bucket", "__salt"], sort=False):
@@ -895,11 +950,10 @@ def _verify_cosine_pairs_broadcast(
         mat = vec_matrix(t.column(vec_col))
         if mat.size == 0:
             return pa.table({id_col: pa.array([], pa.int64()), "vecblob": pa.array([], pa.binary())})
-        mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         return pa.table(
             {
                 id_col: pa.array(t.column(id_col).to_numpy().astype(np.int64)),
-                "vecblob": pa.array([row.tobytes() for row in mn], pa.binary()),
+                "vecblob": pa.array([row.tobytes() for row in mat], pa.binary()),
             }
         )
 
@@ -908,12 +962,16 @@ def _verify_cosine_pairs_broadcast(
     order = np.argsort(ids_arr, kind="mergesort")
     ids_sorted = ids_arr[order]
     mat = np.frombuffer(b"".join(rows["vecblob"].iloc[order]), dtype=np.float64).reshape(len(rows), -1)
+    # cosine = ordered dot / (clamped √ of ordered norms) — every op a
+    # single IEEE operation the SQL twin repeats (see ordered_dot)
+    denom = np.maximum(np.sqrt(ordered_dot(mat, mat)), 1e-12)
     ia = np.searchsorted(ids_sorted, cand_pd["doc_a"].to_numpy().astype(np.int64))
     ib = np.searchsorted(ids_sorted, cand_pd["doc_b"].to_numpy().astype(np.int64))
     cos = np.empty(len(ia))
     chunk = 8192  # cache-resident temporaries (see _verify_minhash_pairs_broadcast)
     for c in range(0, len(ia), chunk):
-        cos[c : c + chunk] = (mat[ia[c : c + chunk]] * mat[ib[c : c + chunk]]).sum(axis=1)
+        s = slice(c, c + chunk)
+        cos[s] = ordered_dot(mat[ia[s]], mat[ib[s]]) / (denom[ia[s]] * denom[ib[s]])
     out = cand_pd.assign(cosine=cos)
     out = out[out["cosine"] >= threshold].reset_index(drop=True)
     return ray.data.from_pandas(out if len(out) else _empty)
@@ -928,9 +986,10 @@ def _verify_cosine_pairs(
     num_buckets: int = 32,
 ) -> "ray.data.Dataset":
     """Exact-cosine verify for globally-deduped candidate pairs: two
-    id-bucketed joins attach each side's NORMALIZED float64 vector blob,
-    then a vectorized row-wise dot per batch (the `_verify_minhash_pairs`
-    topology with a cosine kernel). Exchanges are bounded by
+    id-bucketed joins attach each side's raw float64 vector blob plus its
+    ORDERED norm², then cosine per batch via the ordered dot (the
+    `_verify_minhash_pairs` topology; see ordered_dot for why the order is
+    fixed — bit-parity with the SQL oracle). Exchanges are bounded by
     |pairs| + 2×|vectors| bucket-hashed rows."""
     from .joins import hash_bucket_join
 
@@ -938,12 +997,19 @@ def _verify_cosine_pairs(
         def fn(t: pa.Table) -> pa.Table:
             mat = vec_matrix(t.column(vec_col))
             if mat.size == 0:
-                return pa.table({f"doc_{side}": pa.array([], pa.int64()), f"vec_{side}": pa.array([], pa.binary())})
-            mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+                return pa.table(
+                    {
+                        f"doc_{side}": pa.array([], pa.int64()),
+                        f"vec_{side}": pa.array([], pa.binary()),
+                        f"den_{side}": pa.array([], pa.float64()),
+                    }
+                )
+            denom = np.maximum(np.sqrt(ordered_dot(mat, mat)), 1e-12)
             return pa.table(
                 {
                     f"doc_{side}": pa.array(t.column(id_col).to_numpy().astype(np.int64)),
-                    f"vec_{side}": pa.array([row.tobytes() for row in mn], pa.binary()),
+                    f"vec_{side}": pa.array([row.tobytes() for row in mat], pa.binary()),
+                    f"den_{side}": pa.array(denom),
                 }
             )
 
@@ -961,7 +1027,7 @@ def _verify_cosine_pairs(
             )
         a = np.frombuffer(b"".join(df["vec_a"]), dtype=np.float64).reshape(len(df), -1)
         b = np.frombuffer(b"".join(df["vec_b"]), dtype=np.float64).reshape(len(df), -1)
-        cos = (a * b).sum(axis=1)
+        cos = ordered_dot(a, b) / (df["den_a"].to_numpy() * df["den_b"].to_numpy())
         out = pd.DataFrame(
             {"doc_a": df["doc_a"].to_numpy(dtype=np.int64), "doc_b": df["doc_b"].to_numpy(dtype=np.int64), "cosine": cos}
         )

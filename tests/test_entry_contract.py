@@ -27,12 +27,14 @@ def test_oracle_keys_subset_of_queries():
     # the oracle-less ones are the documented rows-only set
     rows_only = set(q) - set(sql)
     # r04: image_features, contamination_bloom, dedup_simhash,
-    # dedup_fingerprint and approx_distinct_users gained exact oracles
-    # (SQL splitmix64 chain + md5 hash twin + Karp-Rabin polynomial +
-    # integer-register HLL) and left this set
+    # dedup_fingerprint, approx_distinct_users and dedup_embedding gained
+    # exact oracles (SQL splitmix64 chain + md5 hash twin + Karp-Rabin
+    # polynomial + integer-register HLL + ordered-float LSH twin) and left
+    # this set; the remainder is irreducibly float-iterative or
+    # accumulation-order-free (LM log-prob ranking, Lloyd centroids,
+    # t-digest clustering, float32-BLAS int8 scoring)
     assert rows_only == {
         "spell_search", "spell_store_search", "autocomplete",
-        "dedup_embedding",
         "kmeans_clusters", "lm_doc_scores",
         "price_quantiles_tdigest", "ann_quantized_topk",
     }, rows_only
