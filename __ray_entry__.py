@@ -291,6 +291,7 @@ GROUP BY 1, 2
     sql["dedup_embedding"] = dedup_pipelines.sql_dedup_embedding()  # r04: ±1 planes + ordered-float twin
     sql["ann_cosine_topk"] = simsearch.SQL_ANN_COSINE_TOPK
     sql["ann_ivf_topk"] = simsearch.SQL_ANN_COSINE_TOPK  # nprobe=nlist → exact
+    sql["ann_quantized_topk"] = simsearch.SQL_ANN_QUANTIZED_TOPK  # r04: symmetric int8, exact integer dots
     sql["events_hourly"] = ev.SQL_EVENTS_HOURLY
     sql["events_pivot"] = ev.SQL_EVENTS_PIVOT
     sql["events_sliding"] = ev.SQL_EVENTS_SLIDING.format(prev=2)

@@ -107,6 +107,39 @@ scored AS (
 SELECT query_id, vec_id, rank FROM scored WHERE rank <= {K_DEFAULT}
 """
 
+# Exact oracle for ann_quantized_topk (r04): the same symmetric int8
+# quantization per element (CAST → ÷scale → round_even == np.rint), dots
+# as exact integer sums (order-free), score = dot/(√qnsq·√vnsq) as single
+# IEEE ops, ROW_NUMBER over (score DESC, vec_id) — the engine's tie-aware
+# top-k. See pipelines/simsearch.quantize_int8 / _int8_denoms.
+SQL_ANN_QUANTIZED_TOPK = f"""
+WITH scales AS (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc0
+    FROM embeddings),
+codes AS (
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(round_even(CAST(x AS DOUBLE)
+                                               / (CASE WHEN sc0 = 0 THEN 1.0 ELSE sc0 END), 0) AS BIGINT)) AS code
+    FROM scales),
+norms AS (
+    SELECT vec_id, code,
+           GREATEST(sqrt(CAST(list_reduce(list_transform(code, c -> c * c), (a, b) -> a + b) AS DOUBLE)), 1e-12) AS den
+    FROM codes),
+scored AS (
+    SELECT q.vec_id AS query_id, v.vec_id,
+           CAST(list_reduce(list_transform(list_zip(q.code, v.code), z -> z[1] * z[2]), (a, b) -> a + b) AS DOUBLE)
+             / (q.den * v.den) AS score
+    FROM norms q JOIN norms v ON v.vec_id <> q.vec_id
+    WHERE q.vec_id % {QUERY_STRIDE} = 0),
+ranked AS (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+    FROM scored)
+SELECT query_id, vec_id, rank FROM ranked WHERE rank <= {K_DEFAULT}
+"""
+
 
 def ann_ivf_topk(sf_dir: str, k: int = K_DEFAULT, nlist: int = 8, nprobe: int | None = None):
     """IVF scale-path ANN through the ON-DISK list-partitioned store
@@ -178,9 +211,7 @@ def build_quantized_store(sf_dir: str, out_dir: str) -> None:
                     "dim": pa.array([], pa.int64()),
                 }
             )
-        scale = np.abs(mat).max(axis=1) / 127.0
-        scale = np.where(scale == 0, 1.0, scale)  # all-zero vector → zeros
-        q = np.rint(mat / scale[:, None]).astype(np.int8)
+        q, scale = quantize_int8(mat)  # shared kernel — the SQL-oracle contract
         return pa.table(
             {
                 "vec_id": pa.array(ids),
@@ -228,17 +259,43 @@ def _int8_codes(col, dim: int) -> np.ndarray:
     return np.frombuffer(b"".join(arr.to_pylist()), dtype=np.int8).reshape(-1, dim)
 
 
+def quantize_int8(mat: np.ndarray) -> np.ndarray:
+    """Symmetric per-vector int8 codes: scale = max|x|/127 (1.0 for the
+    all-zero vector), q = rint(x/scale) ∈ [−127, 127]. The ONE shared
+    kernel for the store build and the query side — and the contract the
+    SQL oracle reproduces per element (CAST → divide → round_even, each a
+    single IEEE op; DuckDB's round_even(x,0) == np.rint probe-verified)."""
+    scale = np.abs(mat).max(axis=1) / 127.0
+    scale = np.where(scale == 0, 1.0, scale)
+    return np.rint(mat / scale[:, None]).astype(np.int8), scale
+
+
+def _int8_denoms(codes: np.ndarray) -> np.ndarray:
+    """max(√Σc², 1e-12) — the sum is an exact integer (≤ dim·127² « 2^53),
+    so it is order-free; √ and the clamp are single IEEE ops, repeated
+    verbatim by the SQL oracle."""
+    nsq = (codes.astype(np.int64) ** 2).sum(axis=1).astype(np.float64)
+    return np.maximum(np.sqrt(nsq), 1e-12)
+
+
 def ann_quantized_topk(sf_dir: str, k: int = K_DEFAULT):
     """Brute-force cosine top-k served from the INT8-quantized store
     WITHOUT dequantizing: the per-vector scale is positive, and cosine is
     invariant under positive per-vector scaling — cos(s·v, q) = cos(v, q)
     — so scoring ranks the raw int8 codes directly. The scale column is
     never read (pruned at the read), the codes go through a zero-copy
-    buffer view, and the matmul runs in float32 (int8 codes are exact in
-    float32; half the float64 memory traffic — this host is DRAM-bound).
-    Rows-only driver check (quantization error can legitimately flip
-    near-tie ranks vs the float64 SQL oracle); recall vs the exact query
-    and scale-cancellation parity are pinned in tests/test_ann_misc.py.
+    buffer view, and the matmul runs in float32 (int8×int8 dots are ≤
+    dim·127² < 2²⁴ — EXACT in float32; half the float64 memory traffic on
+    this DRAM-bound host).
+
+    Exact-oracled since r04 (SQL_ANN_QUANTIZED_TOPK): queries are
+    quantized with the same kernel (symmetric int8×int8 search), so every
+    dot is an exact integer (summation-order-free), the score
+    dot/(√qnsq·√vnsq) is a chain of single IEEE ops, and top-k selection
+    is tie-aware ((score DESC, vec_id) — int scores make ties REAL, so
+    argpartition's arbitrary tie choice would diverge from SQL's
+    ROW_NUMBER). Recall vs the exact float query and scale-cancellation
+    parity are pinned in tests/test_ann_misc.py.
     Output (query_id, vec_id, rank)."""
     import pyarrow.parquet as pq
 
@@ -253,8 +310,12 @@ def ann_quantized_topk(sf_dir: str, k: int = K_DEFAULT):
 
     class PartialQuantTopK(PartialCosineTopK):
         def __init__(self, queries_ref, k: int):
-            super().__init__(queries_ref, k)
-            self.qn32 = self.qn.astype(np.float32)
+            q = ray.get(queries_ref)
+            self.qids = q["vec_id"]
+            q8, _ = quantize_int8(q["mat"])
+            self.q32 = q8.astype(np.float32)
+            self.qden = _int8_denoms(q8)
+            self.k = k
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             if len(batch) == 0:
@@ -262,9 +323,29 @@ def ann_quantized_topk(sf_dir: str, k: int = K_DEFAULT):
             dim = int(batch.column("dim")[0].as_py())
             v8 = _int8_codes(batch.column("qvec"), dim)
             v32 = v8.astype(np.float32)
-            vn = v32 / np.linalg.norm(v32, axis=1, keepdims=True)
-            sims = (self.qn32 @ vn.T).astype(np.float64)
+            dots = (self.q32 @ v32.T).astype(np.float64)  # exact integers
+            sims = dots / (self.qden[:, None] * _int8_denoms(v8)[None, :])
             return self._topk_from_sims(batch.column("vec_id").to_numpy(), sims)
+
+        def _topk_from_sims(self, ids: np.ndarray, sims: np.ndarray) -> pa.Table:
+            # tie-aware partial top-k: (score DESC, vec_id ASC), matching
+            # the SQL ROW_NUMBER order — the parent's argpartition keeps an
+            # arbitrary member of a tie straddling the k boundary
+            out_q, out_v, out_s = [], [], []
+            for qi in range(len(self.qids)):
+                mask = ids != self.qids[qi]  # exclude self-match
+                s_m, ids_m = sims[qi][mask], ids[mask]
+                order = np.lexsort((ids_m, -s_m))[: self.k]
+                out_q.append(np.full(len(order), self.qids[qi], dtype=np.int64))
+                out_v.append(ids_m[order])
+                out_s.append(s_m[order])
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q)),
+                    "vec_id": pa.array(np.concatenate(out_v)),
+                    "cosine": pa.array(np.concatenate(out_s)),
+                }
+            )
 
     partial = corpus.map_batches(
         PartialQuantTopK,

@@ -346,8 +346,9 @@ class TestAnnSession:
 class TestQuantizedStore:
     def test_roundtrip_error_bound_and_recall(self, tmp_path):
         """INT8 quantization: elementwise |x − q·scale| ≤ scale/2 on the real
-        fixture, and quantized brute-force top-k keeps high recall vs the
-        exact float query (the rows-only driver oracle)."""
+        fixture, and symmetric-quantized brute-force top-k keeps high
+        recall vs the exact float query (accuracy bound; exactness vs the
+        SQL twin is the driver oracle since r04)."""
         import pyarrow.parquet as pq
 
         from osm_search_ray.pipelines import simsearch as ss

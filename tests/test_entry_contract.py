@@ -27,16 +27,17 @@ def test_oracle_keys_subset_of_queries():
     # the oracle-less ones are the documented rows-only set
     rows_only = set(q) - set(sql)
     # r04: image_features, contamination_bloom, dedup_simhash,
-    # dedup_fingerprint, approx_distinct_users and dedup_embedding gained
-    # exact oracles (SQL splitmix64 chain + md5 hash twin + Karp-Rabin
-    # polynomial + integer-register HLL + ordered-float LSH twin) and left
-    # this set; the remainder is irreducibly float-iterative or
-    # accumulation-order-free (LM log-prob ranking, Lloyd centroids,
-    # t-digest clustering, float32-BLAS int8 scoring)
+    # dedup_fingerprint, approx_distinct_users, dedup_embedding and
+    # ann_quantized_topk gained exact oracles (SQL splitmix64 chain + md5
+    # hash twin + Karp-Rabin polynomial + integer-register HLL +
+    # ordered-float LSH twin + symmetric-int8 exact-integer dots) and left
+    # this set; the remainder is irreducibly float-iterative with
+    # unreproducible accumulation order (LM log-prob ranking ×3, Lloyd
+    # centroid means, t-digest clustering)
     assert rows_only == {
         "spell_search", "spell_store_search", "autocomplete",
         "kmeans_clusters", "lm_doc_scores",
-        "price_quantiles_tdigest", "ann_quantized_topk",
+        "price_quantiles_tdigest",
     }, rows_only
 
 
