@@ -39,6 +39,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from osm_search_ray.pipelines import search_docs
 
     # --- block A0: new this round (never driver-verified) ---
+    q["semantic_dedup"] = dedup_pipelines.semantic_dedup  # SemDeDup: cluster + within-cluster cosine prune
+    q["quality_model"] = textops.quality_model  # linear quality-filter model, actor-pool inference
     q["boolean_search"] = search_docs.boolean_docs_search  # full AND/OR/NOT algebra (ref parses, never implements)
     q["dedup_incremental"] = dedup_pipelines.dedup_incremental  # new-crawl batch vs persisted LSH store
     # --- block A: never driver-verified before r04 ---
@@ -289,6 +291,8 @@ GROUP BY 1, 2
     sql["dedup_minhash"] = dedup_pipelines.sql_dedup_minhash()  # r04: full MinHash-LSH in SQL
     sql["dedup_incremental"] = dedup_pipelines.sql_dedup_incremental()  # same LSH SQL, new×old pair pred
     sql["dedup_embedding"] = dedup_pipelines.sql_dedup_embedding()  # r04: ±1 planes + ordered-float twin
+    sql["semantic_dedup"] = dedup_pipelines.sql_semantic_dedup()  # SemDeDup, integer-only output
+    sql["quality_model"] = textops.sql_quality_model()  # linear model logit, ordered-float exact
     sql["ann_cosine_topk"] = simsearch.SQL_ANN_COSINE_TOPK
     sql["ann_ivf_topk"] = simsearch.SQL_ANN_COSINE_TOPK  # nprobe=nlist → exact
     sql["ann_quantized_topk"] = simsearch.SQL_ANN_QUANTIZED_TOPK  # r04: symmetric int8, exact integer dots

@@ -778,3 +778,86 @@ SELECT doc_a, doc_b,
        CAST(COUNT(*) + {SUBSTR_K} - 1 AS BIGINT) AS n_tokens
 FROM isl GROUP BY doc_a, doc_b, pos_a - pos_b, grp
 """
+
+
+def semantic_dedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): deterministic-centroid clustering of the
+    embedding table, then per-cluster pairwise cosine marks semantic
+    duplicates. Integer-only output (vec_id, cluster, is_dup) — the full
+    pipeline (splitmix64 centroid pick, ordered-cosine argmax assignment,
+    salt-capped within-cluster pairs, cosine verify, witness rule) is exactly
+    reproduced by sql_semantic_dedup. See stages/dedup.semantic_dedup for the
+    scale shape."""
+    import ray.data
+
+    from ..stages.dedup import semantic_dedup as _sd
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return _sd(ds, k=16, threshold=0.35)
+
+
+def _sql_semantic_dedup(
+    k: int = 16,
+    threshold: float = 0.35,
+    seed: int = 23,
+    max_cluster: int = 8192,
+) -> str:
+    """Exact oracle for semantic_dedup: every stage relationally, every float
+    reduction in the engine's fixed left-associative dimension order (the
+    dedup_embedding list_reduce discipline), every integer rule (splitmix64
+    centroid keys, argmax tie→lowest cidx, the salt cap, the a<b witness)
+    mirrored integer-for-integer. Output is integer-only, but the
+    comparisons it flows through are on bit-identical floats."""
+    from ..sources.derived import sql_splitmix64_chain
+
+    chain = sql_splitmix64_chain(
+        "emb_ids", ["vec_id"], f"CAST(vec_id AS HUGEINT) + {seed << 32}", "keyed"
+    )
+    odot = (
+        "list_reduce(list_transform(list_zip({a}, {b}),"
+        " z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y)"
+    )
+    return f"""
+WITH emb_ids AS (SELECT vec_id FROM embeddings),
+{chain},
+cent_ids AS (
+    SELECT vec_id, cidx FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY x, vec_id) - 1 AS cidx FROM keyed)
+    WHERE cidx < {k}),
+vec AS (
+    SELECT vec_id, embedding,
+           GREATEST(sqrt({odot.format(a='embedding', b='embedding')}), 1e-12) AS den
+    FROM embeddings),
+cent AS (SELECT c.cidx, v.embedding, v.den FROM cent_ids c JOIN vec v USING (vec_id)),
+cosc AS (
+    SELECT v.vec_id, c.cidx,
+           {odot.format(a='v.embedding', b='c.embedding')} / (v.den * c.den) AS cos
+    FROM vec v CROSS JOIN cent c),
+assign AS (
+    SELECT vec_id, cidx AS cluster FROM (
+        SELECT vec_id, cidx,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cidx) AS rn
+        FROM cosc)
+    WHERE rn = 1),
+sized AS (SELECT cluster, COUNT(*) AS sz FROM assign GROUP BY 1),
+salted AS (
+    SELECT a.vec_id, a.cluster,
+           CAST((CAST(a.vec_id AS HUGEINT) * 2654435761 + a.cluster * 40503)
+                % 18446744073709551616 % 2147483648
+                % GREATEST(CAST(ceil(s.sz / {max_cluster}.0) AS BIGINT), 1) AS BIGINT) AS salt
+    FROM assign a JOIN sized s USING (cluster) WHERE s.sz > 1),
+cand AS (
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+    FROM salted a JOIN salted b
+      ON a.cluster = b.cluster AND a.salt = b.salt AND a.vec_id < b.vec_id),
+scored AS (
+    SELECT c.doc_b,
+           {odot.format(a='va.embedding', b='vb.embedding')} / (va.den * vb.den) AS cosine
+    FROM cand c JOIN vec va ON va.vec_id = c.doc_a JOIN vec vb ON vb.vec_id = c.doc_b),
+dups AS (SELECT DISTINCT doc_b FROM scored WHERE cosine >= {threshold:.17e})
+SELECT a.vec_id, a.cluster, CASE WHEN d.doc_b IS NULL THEN 0 ELSE 1 END AS is_dup
+FROM assign a LEFT JOIN dups d ON d.doc_b = a.vec_id
+"""
+
+
+sql_semantic_dedup = functools.cache(_sql_semantic_dedup)

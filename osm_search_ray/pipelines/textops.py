@@ -730,3 +730,48 @@ SELECT doc_id,
        CAST(len(list_filter(range(1, len(t)), i -> t[i] = t[i + 1])) AS BIGINT) AS n_repeats
 FROM toks
 """
+
+
+def quality_model(sf_dir: str):
+    """Model-based quality filtering (the fasttext-classifier slot of an
+    LLM data pipeline): a linear scorer over integer text features runs as
+    an ACTOR-POOL inference stage (weights loaded once per actor), emitting
+    (doc_id, logit, keep). The logit is bit-identical to the SQL oracle —
+    integer features, single-IEEE-op weight products, left-associative sum
+    (the stages/dedup.ordered_dot float discipline)."""
+    import ray.data
+
+    from ..stages.textstats import quality_model_stage
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return quality_model_stage(ds)
+
+
+def _sql_quality_model() -> str:
+    from ..stages.textstats import LANG_STOPWORDS, QUALITY_WEIGHTS
+
+    toks = SQL_TOKENIZE.format(col="text")
+    stop = ", ".join(f"'{w}'" for w in sorted(LANG_STOPWORDS["en"]))
+    w = QUALITY_WEIGHTS
+    logit = (
+        f"(((({w['bias']!r} + {w['n_tokens']!r} * CAST(nt AS DOUBLE))"
+        f" + {w['stop_hits']!r} * CAST(ns AS DOUBLE))"
+        f" + {w['distinct_ratio']!r} * (CASE WHEN nt > 0 THEN CAST(nd AS DOUBLE) / CAST(nt AS DOUBLE) ELSE 0.0 END))"
+        f" + {w['n_chars']!r} * CAST(nc AS DOUBLE))"
+        f" + {w['digit_runs']!r} * CAST(ng AS DOUBLE)"
+    )
+    return f"""
+WITH f AS (
+    SELECT doc_id,
+           CAST(len({toks}) AS BIGINT) AS nt,
+           CAST(len(list_filter({toks}, x -> x IN ({stop}))) AS BIGINT) AS ns,
+           CAST(len(list_distinct({toks})) AS BIGINT) AS nd,
+           CAST(length(text) AS BIGINT) AS nc,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS ng
+    FROM documents),
+scored AS (SELECT doc_id, {logit} AS logit FROM f)
+SELECT doc_id, logit, CASE WHEN logit > 0.0 THEN 1 ELSE 0 END AS keep FROM scored
+"""
+
+
+sql_quality_model = functools.cache(_sql_quality_model)

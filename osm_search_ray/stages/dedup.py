@@ -1034,3 +1034,180 @@ def _verify_cosine_pairs(
         return out[out["cosine"] >= threshold]
 
     return j.map_batches(verify, batch_format="pandas", batch_size=None)
+
+
+# ---------------------------------------- SemDeDup-style semantic dedup
+
+
+def semantic_dedup(
+    emb: "ray.data.Dataset",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    threshold: float = 0.35,
+    seed: int = 23,
+    max_cluster: int = 8192,
+    num_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings,
+    then mark a document a SEMANTIC DUPLICATE iff some earlier document in
+    the SAME cluster is cosine-≥-threshold to it. Output one row per vector:
+    (vec_id, cluster, is_dup) — integers only, exactly SQL-oracle-checkable.
+
+    Deterministic by construction (every knob the paper leaves to chance is
+    pinned to an integer-derived rule both sides replay):
+      * centroids = the embeddings of the k docs with the SMALLEST
+        splitmix64(vec_id + seed·2³²) key (a deterministic uniform sample
+        standing in for the paper's k-means centroids; Lloyd iterations are
+        float-iterative and live in kmeans_clusters, rows-only by design);
+        centroid index = rank in (key, vec_id) order.
+      * assignment = argmax ordered-cosine(v, centroid_c), ties to the
+        lowest centroid index (np.argmax first-max ↔ ROW_NUMBER ORDER BY
+        cos DESC, cidx — identical because the cosines are bit-identical:
+        see ordered_dot / ordered_proj for the fixed accumulation order).
+      * duplicate rule = the pairwise-witness relaxation of the paper's
+        greedy scan: b is a duplicate iff SOME a<b in its cluster has
+        cosine(a,b) ≥ threshold. Embarrassingly parallel — no sequential
+        scan dependency — and EXISTS-expressible in SQL.
+
+    Scale shape: centroid pick is a distributed sort+limit (k rows cross
+    the wire); the k×dim centroid matrix broadcasts once via ray.put;
+    assignment is one map_batches pass (no shuffle); within-cluster pairs
+    are generated inside hash partitions of the (cluster)-keyed assignment
+    with the same deterministic salt cap as embedding_near_dups (any
+    single group's compute bounded at O(max_cluster²); a pair split across
+    salts is a documented recall trade on degenerate clusters, never a
+    blow-up). Because assignment is a PARTITION (one cluster per vector),
+    pairs are born globally unique — no cross-band dedup pass is needed.
+    Cosine verify reuses the two-bucketed-join blob topology
+    (_verify_cosine_pairs); the final is_dup flag is a bucketed LEFT join
+    of the assignment against the distinct duplicate ids."""
+    from ..functions.hashing import splitmix64
+    from .joins import hash_bucket_join, hash_partitioned_apply
+
+    # --- 1. deterministic centroid pick: k smallest splitmix64 keys ---
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        with np.errstate(over="ignore"):
+            key_u = splitmix64(ids.astype(np.uint64) + (np.uint64(seed) << np.uint64(32)))
+        # order-preserving unsigned→signed shift (u ^ 2⁶³ as int64 == u - 2⁶³),
+        # so Dataset.sort ascending matches the oracle's unsigned ORDER BY x
+        key_s = (key_u ^ np.uint64(1 << 63)).view(np.int64)
+        return pa.table({id_col: pa.array(ids), "skey": pa.array(key_s)})
+
+    top = (
+        emb.map_batches(keyed, batch_format="pyarrow")
+        .sort(["skey", id_col])
+        .limit(k)
+        .take_all()
+    )
+    cent_ids = np.asarray([r[id_col] for r in top], dtype=np.int64)  # (key,id) order == cidx order
+    want = np.sort(cent_ids)
+    want_ref = ray.put(want)
+
+    def grab_cent(t: pa.Table) -> pa.Table:
+        w = ray.get(want_ref)
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        pos = np.minimum(np.searchsorted(w, ids), len(w) - 1)
+        t = t.filter(pa.array(w[pos] == ids))
+        mat = vec_matrix(t.column(vec_col))
+        if mat.size == 0:
+            return pa.table({id_col: pa.array([], pa.int64()), "vecblob": pa.array([], pa.binary())})
+        return pa.table(
+            {
+                id_col: pa.array(t.column(id_col).to_numpy().astype(np.int64)),
+                "vecblob": pa.array([row.tobytes() for row in mat], pa.binary()),
+            }
+        )
+
+    cent_rows = {r[id_col]: r["vecblob"] for r in emb.map_batches(grab_cent, batch_format="pyarrow").take_all()}
+    cent_mat = np.frombuffer(b"".join(cent_rows[i] for i in cent_ids), dtype=np.float64).reshape(len(cent_ids), -1)
+    cent_den = np.maximum(np.sqrt(ordered_dot(cent_mat, cent_mat)), 1e-12)
+    cent_ref = ray.put((cent_mat, cent_den))
+
+    # --- 2. assignment: one broadcast-matmul pass, no shuffle ---
+    def assign(t: pa.Table) -> pa.Table:
+        mat = vec_matrix(t.column(vec_col))
+        if mat.size == 0:
+            return pa.table({id_col: pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())})
+        cm, cd = ray.get(cent_ref)
+        dots = ordered_proj(mat, cm)  # (n, k), fixed accumulation order
+        den = np.maximum(np.sqrt(ordered_dot(mat, mat)), 1e-12)
+        cos = dots / (den[:, None] * cd[None, :])
+        cl = np.argmax(cos, axis=1).astype(np.int64)  # first max == lowest cidx on ties
+        return pa.table(
+            {id_col: pa.array(t.column(id_col).to_numpy().astype(np.int64)), "cluster": pa.array(cl)}
+        )
+
+    assigned = emb.map_batches(assign, batch_format="pyarrow").materialize()
+
+    # --- 3. within-cluster pairs, salt-capped (same mix as embedding LSH) ---
+    def pairs_in_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("cluster")[id_col].transform("size")
+        g = g[sizes > 1]
+        if len(g) == 0:
+            return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64), "doc_b": pd.Series(dtype=np.int64)})
+        ids_all = g[id_col].to_numpy(dtype=np.int64)
+        cl_all = g["cluster"].to_numpy(dtype=np.int64)
+        nsplit = np.maximum(1, np.ceil(sizes[sizes > 1].to_numpy() / max_cluster)).astype(np.int64)
+        with np.errstate(over="ignore"):
+            mix = ids_all.astype(np.uint64) * np.uint64(2654435761) + cl_all.astype(np.uint64) * np.uint64(40503)
+        salt = (mix % np.uint64(2**31)).astype(np.int64) % nsplit
+        g = g.assign(__salt=salt).sort_values(["cluster", "__salt", id_col], kind="mergesort")
+        out_a, out_b = [], []
+        for _, grp in g.groupby(["cluster", "__salt"], sort=False):
+            ids = grp[id_col].to_numpy(dtype=np.int64)
+            if len(ids) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64), "doc_b": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)})
+
+    cand = hash_partitioned_apply(assigned, ["cluster"], pairs_in_cluster, num_parts=64).materialize()
+
+    def _flag(dups_set_ref):
+        def fn(t: pa.Table) -> pa.Table:
+            d = ray.get(dups_set_ref)
+            ids = t.column(id_col).to_numpy().astype(np.int64)
+            if len(d):
+                pos = np.minimum(np.searchsorted(d, ids), len(d) - 1)
+                isd = (d[pos] == ids).astype(np.int64)
+            else:
+                isd = np.zeros(len(ids), dtype=np.int64)
+            return t.append_column("is_dup", pa.array(isd))
+
+        return fn
+
+    if cand.count() == 0:
+        return assigned.map_batches(_flag(ray.put(np.empty(0, np.int64))), batch_format="pyarrow")
+
+    # --- 4. cosine verify (shared blob-join topology), then flag ---
+    verified = _verify_cosine_pairs(cand, emb, id_col, vec_col, threshold, num_buckets=num_buckets)
+
+    def dup_ids(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: pa.array(np.unique(t.column("doc_b").to_numpy().astype(np.int64)))})
+
+    dups = _dedup_pairs(verified.map_batches(dup_ids, batch_format="pyarrow"), [id_col]).materialize()
+    n_dups = dups.count()
+    if n_dups <= PAIR_DRIVER_LIMIT:
+        # bounded small side (≤ the regime limit every verify path shares):
+        # broadcast the sorted dup-id array, flag inside map_batches
+        dup_arr = np.sort(dups.to_pandas()[id_col].to_numpy(dtype=np.int64)) if n_dups else np.empty(0, np.int64)
+        return assigned.map_batches(_flag(ray.put(dup_arr)), batch_format="pyarrow")
+    # distributed fallback: bucketed LEFT join of assignment vs dup ids
+    marked = dups.map_batches(
+        lambda t: t.append_column("__dup", pa.array(np.ones(len(t), dtype=np.int64))), batch_format="pyarrow"
+    )
+    j = hash_bucket_join(assigned, marked, on=id_col, num_buckets=num_buckets, how="left")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[id_col, "cluster"]].copy()
+        out[id_col] = out[id_col].astype(np.int64)
+        out["cluster"] = out["cluster"].astype(np.int64)
+        out["is_dup"] = df["__dup"].fillna(0).astype(np.int64)
+        return out
+
+    return j.map_batches(finish, batch_format="pandas")

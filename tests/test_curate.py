@@ -46,3 +46,78 @@ def test_verdict_precedence_planted(tmp_path):
     assert out[4] == "kept" and out[5] == "duplicate"
     assert out[6] == "contaminated"
     assert len(out) == len(docs)  # exactly one verdict per doc
+
+
+# ------------------------------------------- linear quality-filter model
+
+
+def _quality_reference(docs: dict[int, str]) -> dict[int, tuple[float, int]]:
+    """Straight-line per-doc replay of the quality_model contract with plain
+    Python floats (same IEEE ops in the same left-associative order)."""
+    import re
+
+    from osm_search_ray.functions.tokenize import tokenize
+    from osm_search_ray.stages.textstats import LANG_STOPWORDS, QUALITY_WEIGHTS
+
+    w, stop = QUALITY_WEIGHTS, LANG_STOPWORDS["en"]
+    out = {}
+    for did, text in docs.items():
+        toks = tokenize(text)
+        nt, ns = len(toks), sum(t in stop for t in toks)
+        nd, nc = len(set(toks)), len(text)
+        ng = len(re.findall(r"[0-9]+", text))
+        ratio = (float(nd) / float(nt)) if nt > 0 else 0.0
+        logit = w["bias"] + w["n_tokens"] * float(nt)
+        logit = logit + w["stop_hits"] * float(ns)
+        logit = logit + w["distinct_ratio"] * ratio
+        logit = logit + w["n_chars"] * float(nc)
+        logit = logit + w["digit_runs"] * float(ng)
+        out[did] = (logit, int(logit > 0.0))
+    return out
+
+
+def test_quality_model_matches_reference():
+    import pandas as pd
+    import ray.data
+
+    from osm_search_ray.stages.textstats import quality_model_stage
+
+    docs = {
+        0: "The quick brown fox and the lazy dog were of one mind in 1987 and 2001.",
+        1: "word " * 40,  # low distinct ratio
+        2: "a",  # tiny
+        3: "Numbers 12 34 56 78 90 without stopwords x1 x2 x3",
+        4: "",  # empty text: nt=0 branch
+        # long stopword-rich doc: the keep=1 class
+        5: " ".join(f"the quick w{i} and a lazy w{i} of it" for i in range(30)),
+    }
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": sorted(docs), "text": [docs[k] for k in sorted(docs)]})
+    )
+    got = quality_model_stage(ds).to_pandas().set_index("doc_id")
+    exp = _quality_reference(docs)
+    for did, (logit, keep) in exp.items():
+        assert got.loc[did, "logit"] == logit, did  # bit-identical, not approx
+        assert got.loc[did, "keep"] == keep, did
+    # the fixture must exercise both keep classes
+    assert 0 < got["keep"].sum() < len(docs)
+
+
+def test_quality_model_actor_pool_equals_stateless():
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from osm_search_ray.stages.textstats import quality_model_stage
+
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    a = quality_model_stage(ray.data.from_pandas(docs)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        quality_model_stage(ray.data.from_pandas(docs), concurrency=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)

@@ -353,3 +353,74 @@ class TestSubstringDedup:
         out = self._run(texts, tmp_path, k=8, max_occ=2)
         assert set(map(tuple, out[["doc_a", "doc_b"]].to_numpy())) == {(4, 5)}
         assert out.iloc[0]["n_tokens"] == 9
+
+
+# --------------------------------------------------- SemDeDup semantic dedup
+
+
+def _semantic_brute_force(vecs, ids, k=16, threshold=0.35, seed=23):
+    """Independent numpy replay of the semantic_dedup contract: splitmix64
+    centroid pick, ordered-cosine argmax assignment, FULL O(n²)
+    within-cluster pairwise witness (no salting, no joins) — the oracle the
+    distributed path must reproduce exactly when clusters fit one salt."""
+    from osm_search_ray.functions.hashing import splitmix64
+    from osm_search_ray.stages.dedup import ordered_dot, ordered_proj
+
+    ids = np.asarray(ids, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        key = splitmix64(ids.astype(np.uint64) + (np.uint64(seed) << np.uint64(32)))
+    order = np.lexsort((ids, key))
+    cent_idx = order[:k]
+    cm = vecs[cent_idx]
+    cd = np.maximum(np.sqrt(ordered_dot(cm, cm)), 1e-12)
+    den = np.maximum(np.sqrt(ordered_dot(vecs, vecs)), 1e-12)
+    cos = ordered_proj(vecs, cm) / (den[:, None] * cd[None, :])
+    cl = np.argmax(cos, axis=1).astype(np.int64)
+    is_dup = np.zeros(len(ids), dtype=np.int64)
+    by_id = np.argsort(ids, kind="mergesort")
+    for c in np.unique(cl):
+        members = by_id[cl[by_id] == c]
+        for xi in range(len(members)):
+            for yi in range(xi + 1, len(members)):
+                a, b = members[xi], members[yi]
+                num = float(ordered_dot(vecs[a : a + 1], vecs[b : b + 1])[0])
+                if num / (den[a] * den[b]) >= threshold:
+                    is_dup[b] = 1
+    return cl, is_dup
+
+
+def test_semantic_dedup_matches_brute_force():
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy(dtype=np.int64)
+    cl_exp, dup_exp = _semantic_brute_force(vecs, ids)
+    out = dd.semantic_dedup(ray.data.from_pandas(emb)).to_pandas()
+    out = out.set_index("vec_id").loc[ids]
+    np.testing.assert_array_equal(out["cluster"].to_numpy(), cl_exp)
+    np.testing.assert_array_equal(out["is_dup"].to_numpy(), dup_exp)
+    assert dup_exp.sum() > 0  # the corpus actually exercises the dup path
+
+
+def test_semantic_dedup_planted_duplicates():
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((30, 16))
+    vecs = np.vstack([base, base[:3]])  # ids 30..32 duplicate ids 0..2
+    emb = pd.DataFrame({"vec_id": np.arange(33, dtype=np.int64), "embedding": list(vecs)})
+    out = dd.semantic_dedup(ray.data.from_pandas(emb), k=4, threshold=0.999).to_pandas()
+    flagged = set(out.loc[out["is_dup"] == 1, "vec_id"])
+    # identical vectors share bit-identical cosines → same cluster; the
+    # HIGHER id of each planted pair is the witnessed duplicate
+    assert {30, 31, 32} <= flagged
+    assert flagged.isdisjoint({0, 1, 2})
+    cl = out.set_index("vec_id")["cluster"]
+    assert all(cl[i] == cl[i + 30] for i in range(3))
+
+
+def test_semantic_dedup_flag_regimes_agree(monkeypatch):
+    """Broadcast flag vs bucketed-LEFT-join flag must emit identical frames
+    (PAIR_DRIVER_LIMIT=0 forces the distributed fallback)."""
+    emb = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
+    a = dd.semantic_dedup(ray.data.from_pandas(emb)).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    monkeypatch.setattr(dd, "PAIR_DRIVER_LIMIT", 0)
+    b = dd.semantic_dedup(ray.data.from_pandas(emb)).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns].astype(a.dtypes.to_dict()))
