@@ -1070,8 +1070,11 @@ def semantic_dedup(
         cosine(a,b) ≥ threshold. Embarrassingly parallel — no sequential
         scan dependency — and EXISTS-expressible in SQL.
 
-    Scale shape: centroid pick is a distributed sort+limit (k rows cross
-    the wire); the k×dim centroid matrix broadcasts once via ray.put;
+    Scale shape: centroid pick is ONE shuffle-free scan — each batch emits
+    its own k smallest (key, id) rows WITH their vector blobs and the
+    driver merges ≤ k·num_blocks tiny rows (strictly fewer bytes than the
+    sort+limit exchange it replaces); the k×dim centroid matrix broadcasts
+    once via ray.put;
     assignment is one map_batches pass (no shuffle); within-cluster pairs
     are generated inside hash partitions of the (cluster)-keyed assignment
     with the same deterministic salt cap as embedding_near_dups (any
@@ -1085,43 +1088,42 @@ def semantic_dedup(
     from ..functions.hashing import splitmix64
     from .joins import hash_bucket_join, hash_partitioned_apply
 
-    # --- 1. deterministic centroid pick: k smallest splitmix64 keys ---
-    def keyed(t: pa.Table) -> pa.Table:
+    # --- 1. deterministic centroid pick: k smallest splitmix64 keys,
+    # ONE shuffle-free pass — each batch pre-selects ITS k smallest and
+    # ships them with their vector blobs, the driver merges the ≤
+    # k·num_blocks survivors (the global k-smallest is always a subset
+    # of the per-batch k-smallest) ---
+    def keyed_topk(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy().astype(np.int64)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "skey": pa.array([], pa.int64()),
+                    "vecblob": pa.array([], pa.binary()),
+                }
+            )
         with np.errstate(over="ignore"):
             key_u = splitmix64(ids.astype(np.uint64) + (np.uint64(seed) << np.uint64(32)))
         # order-preserving unsigned→signed shift (u ^ 2⁶³ as int64 == u - 2⁶³),
-        # so Dataset.sort ascending matches the oracle's unsigned ORDER BY x
+        # so int64 ascending order matches the oracle's unsigned ORDER BY x
         key_s = (key_u ^ np.uint64(1 << 63)).view(np.int64)
-        return pa.table({id_col: pa.array(ids), "skey": pa.array(key_s)})
-
-    top = (
-        emb.map_batches(keyed, batch_format="pyarrow")
-        .sort(["skey", id_col])
-        .limit(k)
-        .take_all()
-    )
-    cent_ids = np.asarray([r[id_col] for r in top], dtype=np.int64)  # (key,id) order == cidx order
-    want = np.sort(cent_ids)
-    want_ref = ray.put(want)
-
-    def grab_cent(t: pa.Table) -> pa.Table:
-        w = ray.get(want_ref)
-        ids = t.column(id_col).to_numpy().astype(np.int64)
-        pos = np.minimum(np.searchsorted(w, ids), len(w) - 1)
-        t = t.filter(pa.array(w[pos] == ids))
+        sel = np.lexsort((ids, key_s))[:k]
         mat = vec_matrix(t.column(vec_col))
-        if mat.size == 0:
-            return pa.table({id_col: pa.array([], pa.int64()), "vecblob": pa.array([], pa.binary())})
         return pa.table(
             {
-                id_col: pa.array(t.column(id_col).to_numpy().astype(np.int64)),
-                "vecblob": pa.array([row.tobytes() for row in mat], pa.binary()),
+                id_col: pa.array(ids[sel]),
+                "skey": pa.array(key_s[sel]),
+                "vecblob": pa.array([mat[i].tobytes() for i in sel], pa.binary()),
             }
         )
 
-    cent_rows = {r[id_col]: r["vecblob"] for r in emb.map_batches(grab_cent, batch_format="pyarrow").take_all()}
-    cent_mat = np.frombuffer(b"".join(cent_rows[i] for i in cent_ids), dtype=np.float64).reshape(len(cent_ids), -1)
+    top = emb.map_batches(keyed_topk, batch_format="pyarrow").take_all()
+    t_ids = np.asarray([r[id_col] for r in top], dtype=np.int64)
+    t_keys = np.asarray([r["skey"] for r in top], dtype=np.int64)
+    sel = np.lexsort((t_ids, t_keys))[:k]  # (key,id) order == cidx order
+    cent_ids = t_ids[sel]
+    cent_mat = np.frombuffer(b"".join(top[i]["vecblob"] for i in sel), dtype=np.float64).reshape(len(cent_ids), -1)
     cent_den = np.maximum(np.sqrt(ordered_dot(cent_mat, cent_mat)), 1e-12)
     cent_ref = ray.put((cent_mat, cent_den))
 
@@ -1181,11 +1183,29 @@ def semantic_dedup(
 
         return fn
 
-    if cand.count() == 0:
+    n_cand = cand.count()
+    if n_cand == 0:
         return assigned.map_batches(_flag(ray.put(np.empty(0, np.int64))), batch_format="pyarrow")
 
-    # --- 4. cosine verify (shared blob-join topology), then flag ---
-    verified = _verify_cosine_pairs(cand, emb, id_col, vec_col, threshold, num_buckets=num_buckets)
+    # --- 4. cosine verify, then flag — regime-switched like
+    # embedding_near_dups: while the (born-unique) pair set is
+    # driver-manageable, verify via the broadcast semi-join and flag from a
+    # driver dup-id array (zero extra shuffles); beyond it, the shared
+    # bucketed-blob join topology ---
+    if n_cand <= PAIR_DRIVER_LIMIT:
+        cand_pd = cand.to_pandas()
+        cand_ids = np.union1d(cand_pd["doc_a"].to_numpy(), cand_pd["doc_b"].to_numpy())
+        if len(cand_ids) <= BROADCAST_SIG_ID_LIMIT:
+            ver_pd = _verify_cosine_pairs_broadcast(
+                cand_pd, cand_ids, emb, id_col, vec_col, threshold
+            ).to_pandas()
+            dup_arr = np.unique(ver_pd["doc_b"].to_numpy(dtype=np.int64))
+            return assigned.map_batches(_flag(ray.put(dup_arr)), batch_format="pyarrow")
+        verified = _verify_cosine_pairs(
+            ray.data.from_pandas(cand_pd), emb, id_col, vec_col, threshold, num_buckets=num_buckets
+        )
+    else:
+        verified = _verify_cosine_pairs(cand, emb, id_col, vec_col, threshold, num_buckets=num_buckets)
 
     def dup_ids(t: pa.Table) -> pa.Table:
         return pa.table({id_col: pa.array(np.unique(t.column("doc_b").to_numpy().astype(np.int64)))})
