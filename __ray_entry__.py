@@ -39,6 +39,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from osm_search_ray.pipelines import search_docs
 
     # --- block A0: new this round (never driver-verified) ---
+    from osm_search_ray.pipelines import bpe
+
+    q["bpe_train"] = bpe.bpe_train  # BPE tokenizer training: learned merge table
+    q["bpe_tokenize"] = bpe.bpe_tokenize  # per-doc token counts under the learned merges
     q["semantic_dedup"] = dedup_pipelines.semantic_dedup  # SemDeDup: cluster + within-cluster cosine prune
     q["quality_model"] = textops.quality_model  # linear quality-filter model, actor-pool inference
     q["boolean_search"] = search_docs.boolean_docs_search  # full AND/OR/NOT algebra (ref parses, never implements)
@@ -291,6 +295,10 @@ GROUP BY 1, 2
     sql["dedup_minhash"] = dedup_pipelines.sql_dedup_minhash()  # r04: full MinHash-LSH in SQL
     sql["dedup_incremental"] = dedup_pipelines.sql_dedup_incremental()  # same LSH SQL, new×old pair pred
     sql["dedup_embedding"] = dedup_pipelines.sql_dedup_embedding()  # r04: ±1 planes + ordered-float twin
+    from osm_search_ray.pipelines import bpe
+
+    sql["bpe_train"] = bpe.sql_bpe_train()  # unrolled N-stage merge chain, integer/string only
+    sql["bpe_tokenize"] = bpe.sql_bpe_tokenize()
     sql["semantic_dedup"] = dedup_pipelines.sql_semantic_dedup()  # SemDeDup, integer-only output
     sql["quality_model"] = textops.sql_quality_model()  # linear model logit, ordered-float exact
     sql["ann_cosine_topk"] = simsearch.SQL_ANN_COSINE_TOPK
