@@ -245,3 +245,95 @@ WITH w AS (
 )
 SELECT doc_id, weight, rank FROM ranked WHERE rank <= {SAMPLE_K}
 """
+
+
+# ------------------------------------------------- leakage-safe splitting
+
+CLUSTER_BROADCAST_LIMIT = 2_000_000  # labeled docs that may sit in one map
+
+
+def split_leakage_safe(sf_dir: str):
+    """(doc_id, rep_id, bucket, split) — train/val/test assignment keyed by
+    the document's near-dup CLUSTER representative instead of its own id.
+
+    Splitting by doc_id alone puts near-identical documents on both sides
+    of the train/eval boundary (the contamination path the C4/Pile cleanup
+    literature warns about); here every doc of a duplicate cluster
+    inherits the cluster's min doc_id (webcorpus.dup_clusters — chunk-share
+    edges, contraction CC) as ``rep_id``, so the whole cluster lands in ONE
+    split by construction. Unclustered docs keep rep_id = doc_id and get
+    exactly the train_val_split assignment.
+
+    Scale shape: dup_clusters labels only docs with ≥1 near-dup edge — a
+    small fraction of a real corpus. Under CLUSTER_BROADCAST_LIMIT the
+    label table rides one ``ray.put`` into a stateless map pass (no
+    shuffle beyond dup_clusters' own); past it, a hash_bucket_join(left)
+    keyed on doc_id — both regimes equality-tested."""
+    from ..stages.joins import hash_bucket_join
+    from .webcorpus import dup_clusters
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    clusters = dup_clusters(sf_dir)
+
+    def finish_pd(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        rep = df["cluster_id"].fillna(pd.Series(ids, index=df.index)).to_numpy(np.int64)
+        bucket = (rep % SPLIT_MOD) * SPLIT_MIX % SPLIT_MOD % 1000
+        split = np.where(bucket < TRAIN_PERMILLE, "train", np.where(bucket < VAL_PERMILLE, "val", "test"))
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "rep_id": rep,
+                "bucket": bucket.astype(np.int64),
+                "split": split.astype(object),
+            }
+        )
+
+    if isinstance(clusters, pa.Table):  # dup_clusters' typed empty result
+        labels: dict[int, int] = {}
+    else:
+        clusters = clusters.materialize()
+        if clusters.count() > CLUSTER_BROADCAST_LIMIT:
+            joined = hash_bucket_join(docs, clusters, "doc_id", how="left")
+            return joined.map_batches(finish_pd, batch_format="pandas")
+        labels = {int(r["doc_id"]): int(r["cluster_id"]) for r in clusters.take_all()}
+    lab_ref = ray.put(labels)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lab = ray.get(lab_ref)
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        rep = np.fromiter((lab.get(int(i), int(i)) for i in ids), dtype=np.int64, count=len(ids))
+        bucket = (rep % SPLIT_MOD) * SPLIT_MIX % SPLIT_MOD % 1000
+        split = np.where(bucket < TRAIN_PERMILLE, "train", np.where(bucket < VAL_PERMILLE, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "rep_id": pa.array(rep),
+                "bucket": pa.array(bucket.astype(np.int64)),
+                "split": pa.array(split.astype(object), pa.string()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+def _sql_split_leakage_safe() -> str:
+    from .webcorpus import SQL_DUP_CLUSTERS
+
+    rep = "COALESCE(c.cluster_id, d.doc_id)"
+    bucket = f"({rep} % {SPLIT_MOD}) * {SPLIT_MIX} % {SPLIT_MOD} % 1000"
+    return f"""
+WITH clust AS ({SQL_DUP_CLUSTERS.strip()})
+SELECT d.doc_id,
+       {rep} AS rep_id,
+       {bucket} AS bucket,
+       CASE WHEN {bucket} < {TRAIN_PERMILLE} THEN 'train'
+            WHEN {bucket} < {VAL_PERMILLE} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents d LEFT JOIN clust c ON c.doc_id = d.doc_id
+"""
+
+
+import functools  # noqa: E402  (module tail, matching textops' lazy-SQL pattern)
+
+sql_split_leakage_safe = functools.cache(_sql_split_leakage_safe)

@@ -61,3 +61,32 @@ def test_contamination_check_short_trailing_doc(tmp_path):
     # doc 1: shingles = [abc, bcz?..] -> 'alpha beta gamma' appears twice and
     # is in eval; others not. docs 2/3: no shingles -> absent from output.
     assert out.set_index("doc_id")["n_contaminated"].to_dict() == {1: 2}
+
+
+def test_split_leakage_safe_properties(monkeypatch):
+    from osm_search_ray.pipelines import traindata
+    from osm_search_ray.pipelines.traindata import split_leakage_safe, train_val_split
+    from osm_search_ray.pipelines.webcorpus import dup_clusters
+
+    sf = "/root/testdata/sf0.001"
+    out = split_leakage_safe(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    base = train_val_split(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    clus = dup_clusters(sf).to_pandas()
+    assert len(out) == len(base)
+    labeled = dict(zip(clus["doc_id"], clus["cluster_id"]))
+    # every near-dup cluster lands wholly in ONE split
+    by_rep = out[out["doc_id"].isin(labeled)].groupby("rep_id")["split"].nunique()
+    assert len(by_rep) > 0  # the fixture actually has clusters
+    assert (by_rep == 1).all()
+    # unclustered docs get exactly the plain train_val_split assignment
+    free = out[~out["doc_id"].isin(labeled)].set_index("doc_id")
+    assert (free["rep_id"] == free.index).all()
+    basef = base.set_index("doc_id").loc[free.index]
+    assert (free["bucket"] == basef["bucket"]).all() and (free["split"] == basef["split"]).all()
+
+    # join regime (forced) must equal the broadcast regime
+    monkeypatch.setattr(traindata, "CLUSTER_BROADCAST_LIMIT", 0)
+    joined = split_leakage_safe(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(out, joined.astype(out.dtypes.to_dict()))
