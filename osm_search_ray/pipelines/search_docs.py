@@ -932,3 +932,92 @@ def autocomplete_docs(sf_dir: str):
         {"query_id": [q for q, _ in AUTOCOMPLETE_PREFIXES], "text": [p for _, p in AUTOCOMPLETE_PREFIXES]}
     )
     return autocomplete_search(sc, queries).to_pandas()
+
+
+# ------------------------------------------------------------ phrase search
+
+# Exact positional phrases (the retrieval class the term-presence scorers
+# and boolean masks cannot express). Fixed query set, shared across scales
+# like QUERIES/BOOL_QUERIES.
+PHRASE_QUERIES: list[tuple[int, str]] = [
+    (1, "spark group fast"),
+    (2, "sort column"),
+    (3, "value filter group"),
+    (4, "stream merge"),
+]
+
+
+def phrase_docs_search(sf_dir: str):
+    """Exact phrase retrieval as ONE streaming corpus scan — per batch the
+    flat token array is compared against each phrase with L-1 vectorized
+    shifts (no per-row loop); a match is a start position i where all L
+    tokens equal the phrase AND position i and i+L-1 fall in the SAME
+    document (the doc-index guard — phrases never match across doc
+    boundaries). Overlapping occurrences each count (every start index),
+    the same rule the SQL oracle's UNNEST(range) applies.
+
+    The serving twin would intersect POSITIONAL postings from the index
+    (position-adjacency join per term pair); this is the batch form, the
+    shape a one-shot corpus filter takes on Ray Data.
+
+    Output: (query_id, doc_id, n_hits) for every doc with ≥1 occurrence."""
+    phrases = [(qid, tokenize(p)) for qid, p in PHRASE_QUERIES]
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        nd = len(doc_ids)
+        toks, counts = tokenize_array(batch.column("text").to_pylist())
+        di = np.repeat(np.arange(nd), counts)
+        out_q: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        out_n: list[np.ndarray] = []
+        for qid, words in phrases:
+            L = len(words)
+            n = len(toks)
+            if n < L:
+                continue
+            m = toks[: n - L + 1] == words[0]
+            for k in range(1, L):
+                m &= toks[k : n - L + 1 + k] == words[k]
+            m &= di[: n - L + 1] == di[L - 1 :]  # same-doc guard
+            if not m.any():
+                continue
+            hits = np.bincount(di[: n - L + 1][m], minlength=nd)
+            sel = np.flatnonzero(hits)
+            out_q.append(np.full(len(sel), qid, np.int64))
+            out_d.append(doc_ids[sel])
+            out_n.append(hits[sel].astype(np.int64))
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q) if out_q else [], pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_d) if out_d else [], pa.int64()),
+                "n_hits": pa.array(np.concatenate(out_n) if out_n else [], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def _sql_phrase() -> str:
+    toks = SQL_TOKENIZE.format(col="text")
+    arms = []
+    for qid, p in PHRASE_QUERIES:
+        words = tokenize(p)
+        L = len(words)
+        conds = " AND ".join(
+            f"list_extract(toks, i + {k}) = '{w}'" for k, w in enumerate(words)
+        )
+        arms.append(
+            f"""SELECT CAST({qid} AS BIGINT) AS query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM docs_tok, UNNEST(range(1, len(toks) - {L} + 2)) AS u(i)
+    WHERE {conds} GROUP BY doc_id"""
+        )
+    union = "\n    UNION ALL ".join(arms)
+    return f"""
+WITH docs_tok AS (SELECT doc_id, {toks} AS toks FROM documents)
+{union}
+"""
+
+
+SQL_PHRASE_DOCS_SEARCH = _sql_phrase()

@@ -800,3 +800,34 @@ class TestBooleanSearch:
                 sd.boolean_docs_search("/root/testdata/sf0.001")
         finally:
             sd.BOOL_QUERIES = orig
+
+
+def test_phrase_search_boundaries_and_overlaps(tmp_path, monkeypatch):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_search_ray.pipelines import search_docs as sd
+
+    texts = [
+        "a a a b",          # doc 0: "a a" overlaps -> 2 hits; "a b" -> 1
+        "x a",              # doc 1: ends with 'a' — no cross-doc "a a" into doc 2
+        "a y",              # doc 2
+        "",                 # doc 3: empty
+        "a a",              # doc 4: exactly the phrase
+    ]
+    t = pa.table({"doc_id": pa.array(np.arange(5, dtype=np.int64)), "text": pa.array(texts, pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    monkeypatch.setattr(sd, "PHRASE_QUERIES", [(1, "a a"), (2, "a b")])
+    out = sd.phrase_docs_search(str(tmp_path)).to_pandas()
+    got = {(int(r.query_id), int(r.doc_id)): int(r.n_hits) for r in out.itertuples()}
+    assert got == {(1, 0): 2, (1, 4): 1, (2, 0): 1}
+
+    # SQL twin must agree on the same planted corpus (overlap + boundary rules)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')")
+    o = con.execute(sd._sql_phrase()).df()
+    got_sql = {(int(r.query_id), int(r.doc_id)): int(r.n_hits) for r in o.itertuples()}
+    assert got_sql == got
