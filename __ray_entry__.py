@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bpe_tokenize"] = bpe.bpe_tokenize  # per-doc token counts under the learned merges
     q["split_leakage_safe"] = traindata.split_leakage_safe  # split by near-dup cluster rep
     q["phrase_search"] = search_docs.phrase_docs_search  # exact positional phrase retrieval
+    q["phrase_store_search"] = search_docs.phrase_store_search  # positional-store adjacency-join twin
     q["semantic_dedup"] = dedup_pipelines.semantic_dedup  # SemDeDup: cluster + within-cluster cosine prune
     q["quality_model"] = textops.quality_model  # linear quality-filter model, actor-pool inference
     q["boolean_search"] = search_docs.boolean_docs_search  # full AND/OR/NOT algebra (ref parses, never implements)
@@ -307,6 +308,7 @@ GROUP BY 1, 2
 
     sql["split_leakage_safe"] = _td.sql_split_leakage_safe()  # recursive-CTE CC + COALESCE rep
     sql["phrase_search"] = search_docs.SQL_PHRASE_DOCS_SEARCH
+    sql["phrase_store_search"] = search_docs.SQL_PHRASE_DOCS_SEARCH  # store path must equal the scan
     sql["semantic_dedup"] = dedup_pipelines.sql_semantic_dedup()  # SemDeDup, integer-only output
     sql["quality_model"] = textops.sql_quality_model()  # linear model logit, ordered-float exact
     sql["ann_cosine_topk"] = simsearch.SQL_ANN_COSINE_TOPK

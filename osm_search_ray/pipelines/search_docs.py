@@ -1021,3 +1021,136 @@ WITH docs_tok AS (SELECT doc_id, {toks} AS toks FROM documents)
 
 
 SQL_PHRASE_DOCS_SEARCH = _sql_phrase()
+
+
+# ------------------------------------------- positional store / phrase serving
+
+_POS_STORE_CACHE: dict = {}
+POS_BUCKETS = 32
+
+
+def build_positional_store(path: str, out_dir: str) -> None:
+    """POSITIONAL postings store: (term, doc_id, pos) rows bucketed by
+    hash64_str(term) % POS_BUCKETS through the checkpointed resumable sink —
+    the same build-once / partition-pruned-read discipline as the IVF and
+    MinHash stores. The classic IR structure the presence-only text index
+    (text_index.py) omits; phrase queries read ONLY their terms' buckets."""
+    from ..functions.hashing import hash64_str
+    from ..sources import checkpoint as cp
+
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        toks, counts = tokenize_array(batch.column("text").to_pylist())
+        if len(toks) == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        doc_rep = np.repeat(doc_ids, counts)
+        offs = np.repeat(np.cumsum(counts) - counts, counts)
+        pos = np.arange(len(toks), dtype=np.int64) - offs
+        bucket = (hash64_str(toks) % POS_BUCKETS).astype(np.int64)
+        return pa.table(
+            {
+                "term": pa.array(toks.astype(object), pa.string()),
+                "doc_id": pa.array(doc_rep),
+                "pos": pa.array(pos),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    cp.checkpointed_write(docs.map_batches(explode, batch_format="pyarrow"), out_dir, "bucket", stage="pos_postings")
+    cp.mark_stage_complete(out_dir, "pos_postings")
+
+
+def _pos_store_dir(sf_dir: str) -> str:
+    return _cached_store_dir(
+        _POS_STORE_CACHE,
+        "/tmp/osm_search_ray_pos_store",
+        sf_dir,
+        {"text": 0},
+        "_STAGE_COMPLETE.json",
+        build_positional_store,
+    )
+
+
+def phrase_store_search(sf_dir: str):
+    """Phrase retrieval from the ON-DISK positional store — the serving
+    twin of the scan form: the store is built once (resumable, bucketed),
+    the query opens ONLY the partitions of its phrase terms, and matching
+    is a positional ADJACENCY JOIN (doc_id, pos+k) per term — one bounded
+    doc-keyed exchange over phrase-term occurrences only, never a corpus
+    scan. Result-identical to phrase_docs_search (unit) and checked by the
+    same SQL oracle."""
+    from ..functions.hashing import hash64_str
+    from ..stages.joins import hash_partitioned_apply
+
+    store = _pos_store_dir(sf_dir)
+    phrases = [(qid, tokenize(p)) for qid, p in PHRASE_QUERIES]
+    terms = sorted({w for _, ws in phrases for w in ws})
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "n_hits": pa.array([], pa.int64()),
+        }
+    )
+    buckets = sorted(set((hash64_str(np.array(terms, dtype=object)) % POS_BUCKETS).astype(np.int64).tolist()))
+    files = [f"{store}/part={b}/data.parquet" for b in buckets if os.path.exists(f"{store}/part={b}/data.parquet")]
+    if not files:
+        return empty
+    postings = ray.data.read_parquet(files, columns=["term", "doc_id", "pos"])
+    term_arr = pa.array(terms)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch.column("term"), value_set=term_arr))
+
+    pruned = postings.map_batches(prune, batch_format="pyarrow")
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        by_term = {t: g[["doc_id", "pos"]] for t, g in df.groupby("term", sort=False)}
+        out = []
+        for qid, words in phrases:
+            m = by_term.get(words[0])
+            if m is None:
+                continue
+            for k, w in enumerate(words[1:], start=1):
+                g = by_term.get(w)
+                if g is None:
+                    m = None
+                    break
+                g = g.assign(pos=g["pos"] - k)
+                m = m.merge(g, on=["doc_id", "pos"], how="inner")
+            if m is None or not len(m):
+                continue
+            hits = m.groupby("doc_id", sort=False).size()
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(len(hits), qid, np.int64),
+                        "doc_id": hits.index.to_numpy(np.int64),
+                        "n_hits": hits.to_numpy(np.int64),
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype=np.int64),
+                    "doc_id": pd.Series(dtype=np.int64),
+                    "n_hits": pd.Series(dtype=np.int64),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    # doc-keyed partitions are disjoint, so per-partition matches ARE the
+    # final rows — no second aggregation pass
+    return hash_partitioned_apply(pruned, "doc_id", match, num_parts=16)

@@ -831,3 +831,31 @@ def test_phrase_search_boundaries_and_overlaps(tmp_path, monkeypatch):
     o = con.execute(sd._sql_phrase()).df()
     got_sql = {(int(r.query_id), int(r.doc_id)): int(r.n_hits) for r in o.itertuples()}
     assert got_sql == got
+
+
+def test_phrase_store_equals_scan(tmp_path, monkeypatch):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_search_ray.pipelines import search_docs as sd
+
+    texts = [
+        "a a a b c",
+        "b a a",
+        "c b a b c b a b",
+        "",
+        "a b c a b c a b c",
+    ]
+    t = pa.table({"doc_id": pa.array(np.arange(5, dtype=np.int64)), "text": pa.array(texts, pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    monkeypatch.setattr(sd, "PHRASE_QUERIES", [(1, "a a"), (2, "a b c"), (3, "zz top")])
+    scan = sd.phrase_docs_search(str(tmp_path)).to_pandas()
+    store = sd.phrase_store_search(str(tmp_path)).to_pandas()
+    key = ["query_id", "doc_id"]
+    pd.testing.assert_frame_equal(
+        scan.sort_values(key).reset_index(drop=True),
+        store.astype(scan.dtypes.to_dict()).sort_values(key).reset_index(drop=True),
+    )
+    assert (1, 0) in set(zip(scan["query_id"], scan["doc_id"]))  # non-vacuous
