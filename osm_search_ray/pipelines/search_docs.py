@@ -947,6 +947,22 @@ PHRASE_QUERIES: list[tuple[int, str]] = [
 ]
 
 
+def phrase_start_mask(toks: np.ndarray, di: np.ndarray, words: list[str]):
+    """Boolean mask over start positions: the L-1 shift matches plus the
+    same-doc guard (a match must begin and end in one document). Returns
+    None when the flat array is shorter than the phrase. Pure numpy — the
+    kernel phrase_docs_search scans with and the property tests replay."""
+    L = len(words)
+    n = len(toks)
+    if n < L:
+        return None
+    m = toks[: n - L + 1] == words[0]
+    for k in range(1, L):
+        m &= toks[k : n - L + 1 + k] == words[k]
+    m &= di[: n - L + 1] == di[L - 1 :]
+    return m
+
+
 def phrase_docs_search(sf_dir: str):
     """Exact phrase retrieval as ONE streaming corpus scan — per batch the
     flat token array is compared against each phrase with L-1 vectorized
@@ -973,17 +989,10 @@ def phrase_docs_search(sf_dir: str):
         out_d: list[np.ndarray] = []
         out_n: list[np.ndarray] = []
         for qid, words in phrases:
-            L = len(words)
-            n = len(toks)
-            if n < L:
+            m = phrase_start_mask(toks, di, words)
+            if m is None or not m.any():
                 continue
-            m = toks[: n - L + 1] == words[0]
-            for k in range(1, L):
-                m &= toks[k : n - L + 1 + k] == words[k]
-            m &= di[: n - L + 1] == di[L - 1 :]  # same-doc guard
-            if not m.any():
-                continue
-            hits = np.bincount(di[: n - L + 1][m], minlength=nd)
+            hits = np.bincount(di[: len(m)][m], minlength=nd)
             sel = np.flatnonzero(hits)
             out_q.append(np.full(len(sel), qid, np.int64))
             out_d.append(doc_ids[sel])

@@ -222,3 +222,56 @@ class TestVecMatrix:
         ragged = pa.array([[1.0], [2.0, 3.0], [4.0, 5.0, 6.0]])  # total divides n
         with _pytest.raises(ValueError):
             vec_matrix(ragged)
+
+
+class TestBpeAndPhraseProperties:
+    @given(
+        st.lists(st.sampled_from(["a", "b", "ab", "ba", "aa"]), min_size=1, max_size=12),
+        st.sampled_from([("a", "a"), ("a", "b"), ("ab", "a"), ("b", "ba")]),
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_merge_syms_equals_greedy_scan(self, syms, pair):
+        """The left fold == the textbook greedy left-to-right scan-with-skip
+        (the form BPE papers describe), on arbitrary symbol sequences
+        including overlap traps."""
+        from osm_search_ray.pipelines.bpe import merge_syms
+
+        l, r = pair
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        assert merge_syms(list(syms), l, r) == out
+
+    @given(
+        st.lists(st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=8), min_size=1, max_size=6),
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=4),
+    )
+    @settings(max_examples=400, deadline=None)
+    def test_phrase_mask_equals_python_window(self, docs, words):
+        """The vectorized shift-match kernel == a per-doc Python sliding
+        window, including doc-boundary and overlap cases (pure numpy)."""
+        import numpy as np
+
+        from osm_search_ray.pipelines.search_docs import phrase_start_mask
+
+        toks = np.array([t for d in docs for t in d], dtype=object)
+        counts = np.array([len(d) for d in docs], dtype=np.int64)
+        di = np.repeat(np.arange(len(docs)), counts)
+        m = phrase_start_mask(toks, di, list(words))
+        L = len(words)
+        expect = []
+        for d in docs:
+            expect.extend(d[i : i + L] == list(words) for i in range(len(d) - L + 1))
+            expect.extend([False] * min(len(d), L - 1) if len(d) >= 1 else [])
+        # expect covers start positions per doc INCLUDING the tail starts
+        # that cannot fit the phrase (mask marks those False via the guard)
+        expect = np.array(expect[: max(0, len(toks) - L + 1)], dtype=bool)
+        if m is None:
+            assert len(toks) < L
+        else:
+            assert np.array_equal(m, expect)
