@@ -859,3 +859,61 @@ def test_phrase_store_equals_scan(tmp_path, monkeypatch):
         store.astype(scan.dtypes.to_dict()).sort_values(key).reset_index(drop=True),
     )
     assert (1, 0) in set(zip(scan["query_id"], scan["doc_id"]))  # non-vacuous
+
+
+def test_positional_store_crash_resume(tmp_path, monkeypatch):
+    """A build killed mid-write resumes: completed buckets are not
+    recomputed and the resumed store serves phrases identically to the
+    scan path (the resumable-store contract of the IVF/MinHash stores,
+    pinned for the positional store)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_search_ray.functions.hashing import hash64_str
+    from osm_search_ray.functions.tokenize import tokenize
+    from osm_search_ray.pipelines import search_docs as sd
+    from osm_search_ray.sources import checkpoint as cp
+
+    texts = ["a a b c", "b c a a b", "c c a b", "a b"]
+    t = pa.table({"doc_id": pa.array(np.arange(4, dtype=np.int64)), "text": pa.array(texts, pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    vocab = sorted({w for x in texts for w in tokenize(x)})
+    # NB: array-form modulo — scalar np.uint64 % int promotes to float64
+    # and silently corrupts the bucket id
+    fail_bucket = int((hash64_str(np.array(vocab, dtype=object)) % sd.POS_BUCKETS)[0])
+
+    out = str(tmp_path / "posstore")
+    orig = cp.checkpointed_write
+
+    def crashing(ds, out_dir, partition_col, stage="stage", fail_on_keys=None):
+        return orig(ds, out_dir, partition_col, stage=stage, fail_on_keys={fail_bucket})
+
+    monkeypatch.setattr(cp, "checkpointed_write", crashing)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        sd.build_positional_store(str(tmp_path / "documents.parquet"), out)
+    assert not cp.stage_complete(out)
+    done = cp.completed_keys(out)
+    assert fail_bucket not in done and len(done) >= 1
+    mtimes = {k: os.path.getmtime(f"{out}/part={k}/data.parquet") for k in done}
+
+    monkeypatch.setattr(cp, "checkpointed_write", orig)
+    sd.build_positional_store(str(tmp_path / "documents.parquet"), out)
+    assert cp.stage_complete(out)
+    for k in done:  # finished buckets untouched by the resume
+        assert os.path.getmtime(f"{out}/part={k}/data.parquet") == mtimes[k]
+
+    monkeypatch.setattr(sd, "PHRASE_QUERIES", [(1, "a a"), (2, "a b")])
+    monkeypatch.setitem(sd._POS_STORE_CACHE, *list({(str(tmp_path), os.path.getmtime(str(tmp_path / "documents.parquet")), "text:0"): out}.items())[0])
+    store = sd.phrase_store_search(str(tmp_path)).to_pandas()
+    scan = sd.phrase_docs_search(str(tmp_path)).to_pandas()
+    key = ["query_id", "doc_id"]
+    pd.testing.assert_frame_equal(
+        scan.sort_values(key).reset_index(drop=True),
+        store.astype(scan.dtypes.to_dict()).sort_values(key).reset_index(drop=True),
+    )
