@@ -1097,11 +1097,17 @@ def phrase_store_search(sf_dir: str):
     doc-keyed exchange over phrase-term occurrences only, never a corpus
     scan. Result-identical to phrase_docs_search (unit) and checked by the
     same SQL oracle."""
+    return phrase_store_query(_pos_store_dir(sf_dir), PHRASE_QUERIES)
+
+
+def phrase_store_query(store: str, phrase_queries):
+    """The store-side kernel against an EXPLICIT store dir (the form
+    jobs/build_pos_index.py serves); phrase_store_search binds it to the
+    per-corpus cached store."""
     from ..functions.hashing import hash64_str
     from ..stages.joins import hash_partitioned_apply
 
-    store = _pos_store_dir(sf_dir)
-    phrases = [(qid, tokenize(p)) for qid, p in PHRASE_QUERIES]
+    phrases = [(qid, tokenize(p)) for qid, p in phrase_queries]
     terms = sorted({w for _, ws in phrases for w in ws})
     empty = pa.table(
         {

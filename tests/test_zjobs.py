@@ -190,3 +190,32 @@ def test_update_index_job_lifecycle(tmp_path):
     r = _run(["jobs/update_index.py", "--index", idx, "query", "--tokens", "batch,zzznope"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "1/2 tokens found over 500 docs" in r.stdout
+
+
+def test_pos_index_job_build_resume_query(tmp_path):
+    """build -> re-submit (no recompute) -> query through the CLI, each in
+    its own Ray session; query on an incomplete store must refuse."""
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"])
+    pq.write_table(docs, tmp_path / "docs.parquet")
+    out = str(tmp_path / "pos")
+
+    r = _run(["jobs/build_pos_index.py", "--out", out, "query", "--phrase", "spark group"])
+    assert r.returncode == 2  # refuses before any build
+
+    r = _run(["jobs/build_pos_index.py", "--out", out, "build", "--docs", str(tmp_path / "docs.parquet")])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "POS STORE COMPLETE" in r.stdout
+    mtimes = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(out, "part=*", "data.parquet"))
+    }
+    assert mtimes
+
+    r = _run(["jobs/build_pos_index.py", "--out", out, "build", "--docs", str(tmp_path / "docs.parquet")])
+    assert r.returncode == 0, r.stderr[-2000:]
+    for p, m in mtimes.items():  # resume recomputed nothing
+        assert os.path.getmtime(p) == m
+
+    r = _run(["jobs/build_pos_index.py", "--out", out, "query", "--phrase", "spark group fast"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "phrase found in" in r.stdout and "0 occurrences" not in r.stdout
