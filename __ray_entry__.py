@@ -292,6 +292,8 @@ GROUP BY 1, 2
     sql["tfidf_store_search"] = search_docs.SQL_TFIDF_DOCS_SEARCH
     sql["bm25f_search"] = search_docs.SQL_BM25F_DOCS_SEARCH
     sql["tfidf_search"] = search_docs.SQL_TFIDF_DOCS_SEARCH
+    sql["lm_doc_scores"] = search_docs.sql_lm_doc_scores()  # r04: full stupid-backoff LM in SQL
+    sql["autocomplete"] = search_docs.sql_autocomplete()  # r04: prefix match + LM rank in SQL
     sql["dedup_exact"] = dedup_pipelines.SQL_DEDUP_EXACT
     sql["dedup_substring"] = dedup_pipelines.SQL_DEDUP_SUBSTRING
     sql["dedup_ngram"] = dedup_pipelines.sql_dedup_ngram()  # integer-only jaccard_micro

@@ -42,6 +42,7 @@ two engines' last-ulp float differences cannot flip a rank.
 
 from __future__ import annotations
 
+import functools
 import os
 
 import numpy as np
@@ -907,6 +908,63 @@ def lm_doc_scores(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(Scorer, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def _sql_lm_doc_scores() -> str:
+    """Exact oracle for lm_doc_scores (r04): the full 4-gram stupid-backoff
+    LM relationally — count tables + per-position backoff CASE + ordered
+    ln-sum (state/lm.sql_lm_count_ctes / sql_lm_score_ctes). milli rounding
+    half-to-even (numpy rint) vs half-away (SQL ROUND) differ only at exact
+    .5 boundaries, unreachable from ln-sums."""
+    from ..state.lm import LM_SENTINEL_NEG, sql_lm_count_ctes, sql_lm_score_ctes
+
+    return f"""
+WITH {sql_lm_count_ctes()},
+{sql_lm_score_ctes("lm_toks", "doc_id")}
+SELECT lt.doc_id,
+       CAST(len(lt.t) AS BIGINT) AS n_tokens,
+       CASE WHEN isfinite(lp.lp) THEN CAST(ROUND(lp.lp * 1000) AS BIGINT)
+            ELSE {LM_SENTINEL_NEG} END AS logprob_milli,
+       CAST(CASE WHEN isfinite(lp.lp) THEN 1 ELSE 0 END AS BIGINT) AS is_finite
+FROM lm_toks lt JOIN lm_lp lp USING (doc_id)
+"""
+
+
+sql_lm_doc_scores = functools.cache(_sql_lm_doc_scores)
+
+
+def _sql_autocomplete() -> str:
+    """Exact oracle for autocomplete (r04): prefix matches over the FULL
+    corpus vocabulary (the FST domain — lm_fvocab, threshold-free), each
+    completed sequence scored by the relational stupid-backoff LM, top 3
+    by lp DESC with the engine's stable-sort tie-break (prefix_matches
+    iterates vocab_sorted, so equal-lp ties resolve lexicographically —
+    tokens are ASCII [a-z0-9]+, binary collation == codepoint order)."""
+    from ..state.lm import sql_lm_count_ctes, sql_lm_score_ctes
+
+    q_rows = []
+    for qid, text in AUTOCOMPLETE_PREFIXES:
+        toks = tokenize(text)
+        head = "CAST([" + ", ".join(f"'{t}'" for t in toks[:-1]) + "] AS VARCHAR[])"
+        q_rows.append(f"({qid}, '{toks[-1]}', {head})")
+    return f"""
+WITH {sql_lm_count_ctes()},
+ac_q(query_id, pre, head) AS (VALUES {", ".join(q_rows)}),
+ac_seqs AS (
+    SELECT q.query_id, v.tok, q.head || [v.tok] AS t
+    FROM ac_q q JOIN lm_fvocab v ON starts_with(v.tok, q.pre)),
+{sql_lm_score_ctes("ac_seqs", "query_id, tok")},
+ac_ranked AS (
+    SELECT query_id, tok AS completion,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY lp DESC, tok ASC) AS rank
+    FROM lm_lp)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, completion
+FROM ac_ranked WHERE rank <= 3
+"""
+
+
+sql_autocomplete = functools.cache(_sql_autocomplete)
 
 
 AUTOCOMPLETE_PREFIXES: list[tuple[int, str]] = [

@@ -493,3 +493,115 @@ def load_ngram_lm_ds(out_dir: str) -> NGramLM:
     counts = cp.read_checkpointed(f"{out_dir}/counts", columns=["n", "gram", "cnt"])
     wc = cp.read_checkpointed(f"{out_dir}/word_counts", columns=["word", "wcnt"])
     return lm_from_counts_ds(counts, wc)
+
+
+# --------------------------------------------------------------- SQL twin
+#
+# The whole stupid-backoff LM expressed relationally, so every LM-ranked
+# driver query (lm_doc_scores, autocomplete, spell_search[,_store]) gets an
+# exact DuckDB oracle instead of a rows-only check.  Float discipline
+# (pipelines/_util.py contract): every probability is lam·(c/d) with the
+# SAME association the Python scorer uses (single IEEE ops on both sides);
+# the per-sequence ln-sum replays the scorer's left-to-right accumulation
+# via list_reduce over positions ORDER BY i (the dedup_embedding
+# ordered-float technique).  The one op that is not bit-identical across
+# engines is ln itself (numpy vs DuckDB libm, ≤1 ulp — measured 1.8e-15
+# max over 10^5 backoff-shaped samples) — the same accepted risk class as
+# the green log10-based BM25 oracles, with 10^7× margin under the
+# milli/argmax consumers.
+
+LM_SENTINEL_NEG = -(2**62)
+
+
+def sql_lm_count_ctes(doc_rel: str = "documents", text_col: str = "text") -> str:
+    """CTE block (no WITH) defining the LM's count tables over ``doc_rel``:
+
+      lm_toks   (doc_id, t)            raw token lists (tokenizer contract)
+      lm_fvocab (tok)                  full vocabulary (spell/autocomplete domain)
+      lm_cnt1..lm_cnt4 (w1..wn, c)     n-gram counts, per-n <s> padding, one
+                                       </s>, tokens <UNK>-replaced under the
+                                       corpus-frequency >= COUNT_THRESHOLD
+                                       vocab (build_ngram_lm semantics)
+      lm_tot    (c)                    total unigram mass (denominator of the
+                                       unigram backoff level)
+    """
+    from ..functions.tokenize import SQL_TOKENIZE
+
+    toks = SQL_TOKENIZE.format(col=f"COALESCE({text_col}, '')")
+    parts = [
+        f"lm_toks AS (SELECT doc_id, {toks} AS t FROM {doc_rel})",
+        """lm_wcnt AS (
+    SELECT u.tok, COUNT(*) AS c
+    FROM lm_toks, LATERAL (SELECT unnest(t) AS tok) u GROUP BY 1)""",
+        "lm_fvocab AS (SELECT tok FROM lm_wcnt)",
+        f"lm_vocab AS (SELECT tok FROM lm_wcnt WHERE c >= {COUNT_THRESHOLD})",
+        """lm_occ AS (
+    SELECT doc_id, r.i, t[r.i] AS tok
+    FROM lm_toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) r)""",
+        f"""lm_rocc AS (
+    SELECT o.doc_id, o.i,
+           CASE WHEN v.tok IS NULL THEN '{UNKNOWN_TOKEN}' ELSE o.tok END AS tok
+    FROM lm_occ o LEFT JOIN lm_vocab v ON o.tok = v.tok)""",
+        """lm_rl AS (
+    SELECT lt.doc_id, COALESCE(g.rt, CAST([] AS VARCHAR[])) AS t
+    FROM lm_toks lt LEFT JOIN (
+        SELECT doc_id, list(tok ORDER BY i) AS rt FROM lm_rocc GROUP BY 1) g
+    USING (doc_id))""",
+    ]
+    for n in (1, 2, 3, 4):
+        pad = "[" + ", ".join([f"'{START_TOKEN}'"] * n) + f"] || t || ['{END_TOKEN}']"
+        cols = ", ".join(f"p[r.i + {j}] AS w{j + 1}" for j in range(n))
+        parts.append(
+            f"""lm_p{n} AS (SELECT {pad} AS p FROM lm_rl),
+lm_cnt{n} AS (
+    SELECT {cols}, COUNT(*) AS c
+    FROM lm_p{n}, LATERAL (SELECT unnest(range(1, len(p) - {n} + 2)) AS i) r
+    GROUP BY ALL)"""
+        )
+    parts.append("lm_tot AS (SELECT SUM(c) AS c FROM lm_cnt1)")
+    return ",\n".join(parts)
+
+
+def sql_lm_score_ctes(seq_cte: str, id_cols: str) -> str:
+    """CTE block scoring a relation ``seq_cte(<id_cols>, t VARCHAR[])`` of
+    RAW token sequences (no <UNK> substitution — query_log_prob semantics)
+    against the lm_cnt* tables: emits ``lm_lp(<id_cols>, lp DOUBLE)`` where
+    lp replays query_log_prob exactly — 4×<s> padding + </s>, per position
+    the first non-zero backoff level lam_k·(c/d) (lam left-assoc powers of
+    0.4), ln-summed in position order starting from 0.0 (list_reduce with a
+    prepended 0.0 == the scorer's ``total = 0.0; total += ...`` loop)."""
+    ids = ", ".join(c.strip() for c in id_cols.split(","))
+    ids_sp = ", ".join(f"sp.{c.strip()}" for c in id_cols.split(","))
+    return f"""lm_sp AS (
+    SELECT {ids}, ['{START_TOKEN}', '{START_TOKEN}', '{START_TOKEN}', '{START_TOKEN}'] || t || ['{END_TOKEN}'] AS s
+    FROM {seq_cte}),
+lm_pos AS (
+    SELECT {ids}, r.i, s[r.i] AS w, s[r.i - 1] AS p1, s[r.i - 2] AS p2, s[r.i - 3] AS p3
+    FROM lm_sp, LATERAL (SELECT unnest(range(5, len(s) + 1)) AS i) r),
+lm_pp AS (
+    SELECT {ids_sp}, sp.i,
+           CASE WHEN d3.c IS NOT NULL AND c4.c IS NOT NULL
+                    THEN CAST(c4.c AS DOUBLE) / CAST(d3.c AS DOUBLE)
+                WHEN d2.c IS NOT NULL AND c3.c IS NOT NULL
+                    THEN 0.4 * (CAST(c3.c AS DOUBLE) / CAST(d2.c AS DOUBLE))
+                WHEN d1.c IS NOT NULL AND c2.c IS NOT NULL
+                    THEN (0.4 * 0.4) * (CAST(c2.c AS DOUBLE) / CAST(d1.c AS DOUBLE))
+                WHEN c1.c IS NOT NULL
+                    THEN ((0.4 * 0.4) * 0.4) * (CAST(c1.c AS DOUBLE) / CAST(t.c AS DOUBLE))
+                ELSE 0.0 END AS p
+    FROM lm_pos sp
+    LEFT JOIN lm_cnt4 c4 ON c4.w1 = sp.p3 AND c4.w2 = sp.p2 AND c4.w3 = sp.p1 AND c4.w4 = sp.w
+    LEFT JOIN lm_cnt3 d3 ON d3.w1 = sp.p3 AND d3.w2 = sp.p2 AND d3.w3 = sp.p1
+    LEFT JOIN lm_cnt3 c3 ON c3.w1 = sp.p2 AND c3.w2 = sp.p1 AND c3.w3 = sp.w
+    LEFT JOIN lm_cnt2 d2 ON d2.w1 = sp.p2 AND d2.w2 = sp.p1
+    LEFT JOIN lm_cnt2 c2 ON c2.w1 = sp.p1 AND c2.w2 = sp.w
+    LEFT JOIN lm_cnt1 d1 ON d1.w1 = sp.p1
+    LEFT JOIN lm_cnt1 c1 ON c1.w1 = sp.w
+    CROSS JOIN lm_tot t),
+lm_lp AS (
+    SELECT {ids},
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list(CASE WHEN p > 0 THEN ln(p)
+                         ELSE CAST('-infinity' AS DOUBLE) END ORDER BY i)),
+               (a, b) -> a + b) AS lp
+    FROM lm_pp GROUP BY {ids})"""

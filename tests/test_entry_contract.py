@@ -30,13 +30,16 @@ def test_oracle_keys_subset_of_queries():
     # dedup_fingerprint, approx_distinct_users, dedup_embedding and
     # ann_quantized_topk gained exact oracles (SQL splitmix64 chain + md5
     # hash twin + Karp-Rabin polynomial + integer-register HLL +
-    # ordered-float LSH twin + symmetric-int8 exact-integer dots) and left
-    # this set; the remainder is irreducibly float-iterative with
-    # unreproducible accumulation order (LM log-prob ranking ×3, Lloyd
-    # centroid means, t-digest clustering)
+    # ordered-float LSH twin + symmetric-int8 exact-integer dots); the
+    # LM-ranked family (lm_doc_scores, autocomplete, spell_search,
+    # spell_store_search) followed via the relational stupid-backoff LM
+    # (state/lm.sql_lm_count_ctes — ordered ln-sums via list_reduce). The
+    # remainder is irreducible: Lloyd centroid means run through BLAS
+    # matmul (reassociated accumulation), t-digest clustering is
+    # approximate by design (both have pytest oracles instead).
     assert rows_only == {
-        "spell_search", "spell_store_search", "autocomplete",
-        "kmeans_clusters", "lm_doc_scores",
+        "spell_search", "spell_store_search",
+        "kmeans_clusters",
         "price_quantiles_tdigest",
     }, rows_only
 

@@ -759,6 +759,54 @@ class TestLmDocScores:
             else:
                 assert got["is_finite"][i] == 0
 
+    def test_sql_lm_twin_matches_python_lm(self):
+        """The relational stupid-backoff LM (state/lm.sql_lm_count_ctes +
+        sql_lm_score_ctes, the r04 oracle for lm_doc_scores) must be
+        value-exact against the pure-Python NGramLM on a planted corpus
+        covering: repeated sentences (finite scores), a freq-1 word (-inf
+        via the <UNK> threshold), an empty doc (</s>-only position), and a
+        doc repeating a sentence twice (longer ordered ln-sum)."""
+        from collections import Counter
+
+        import duckdb
+
+        from osm_search_ray.functions.tokenize import tokenize
+        from osm_search_ray.pipelines.search_docs import _sql_lm_doc_scores
+        from osm_search_ray.state.lm import UNKNOWN_TOKEN, count_doc_ngrams, lm_from_counts
+
+        texts = [
+            "kebun raya bogor",
+            "kebun raya bogor",
+            "kebun binatang ragunan",
+            "rarething",
+            "",
+            "kebun raya bogor kebun raya bogor",
+        ]
+        docs = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+        toks_per = [tokenize(t) for t in texts]
+        freq = Counter(t for ts in toks_per for t in ts)
+        vocab = {t for t, c in freq.items() if c >= 2}
+        counts: dict = {}
+        for ts in toks_per:
+            count_doc_ngrams(counts, [t if t in vocab else UNKNOWN_TOKEN for t in ts])
+        lm = lm_from_counts(counts, vocab)
+
+        con = duckdb.connect()
+        con.register("documents", docs)
+        got = con.sql(_sql_lm_doc_scores()).df().sort_values("doc_id").reset_index(drop=True)
+        assert len(got) == len(texts)
+        neg = -(2**62)
+        for i, ts in enumerate(toks_per):
+            lp = lm.query_log_prob(ts)
+            assert got["n_tokens"][i] == len(ts)
+            if np.isfinite(lp):
+                assert got["is_finite"][i] == 1
+                assert got["logprob_milli"][i] == int(np.rint(lp * 1000))
+            else:
+                assert got["is_finite"][i] == 0
+                assert got["logprob_milli"][i] == neg
+        assert got["is_finite"][3] == 0  # the freq-1 word backs off to -inf
+
 
 class TestBooleanSearch:
     def test_matches_bruteforce_set_semantics(self):
