@@ -56,7 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["segmented_search"] = search_docs.segmented_search  # incremental two-segment index, same result
     q["bm25f_store_search"] = search_docs.bm25f_store_search  # two-field disk path
     q["tfidf_store_search"] = search_docs.tfidf_store_search
-    q["spell_store_search"] = search_docs.spell_store_search  # corrected two-field disk path (rows-only)
+    q["spell_store_search"] = search_docs.spell_store_search  # corrected two-field disk path (r04 SQL-oracled)
     q["lm_doc_scores"] = search_docs.lm_doc_scores  # perplexity quality scoring (rows-only)
     q["dedup_substring"] = dedup_pipelines.dedup_substring  # maximal shared token runs (Lee et al.)
     q["dedup_ngram"] = dedup_pipelines.dedup_ngram  # exact n-gram Jaccard pairs, integer micro output (new r04)
@@ -73,7 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- block B: last driver row is r02 ---
     q["bm25f_search"] = search_docs.bm25f_docs_search
     q["tfidf_search"] = search_docs.tfidf_docs_search
-    q["spell_search"] = search_docs.spell_search_docs  # LM ranking (rows-only)
+    q["spell_search"] = search_docs.spell_search_docs  # LM ranking (r04 SQL-oracled)
     q["autocomplete"] = search_docs.autocomplete_docs
     q["dedup_exact"] = dedup_pipelines.dedup_exact
     q["dedup_minhash"] = dedup_pipelines.dedup_minhash
@@ -294,6 +294,8 @@ GROUP BY 1, 2
     sql["tfidf_search"] = search_docs.SQL_TFIDF_DOCS_SEARCH
     sql["lm_doc_scores"] = search_docs.sql_lm_doc_scores()  # r04: full stupid-backoff LM in SQL
     sql["autocomplete"] = search_docs.sql_autocomplete()  # r04: prefix match + LM rank in SQL
+    sql["spell_search"] = search_docs.sql_spell_search()  # r04: SymSpell candidates + LM argmax in SQL
+    sql["spell_store_search"] = search_docs.sql_spell_store_search()  # r04: corrected two-field BM25F
     sql["dedup_exact"] = dedup_pipelines.SQL_DEDUP_EXACT
     sql["dedup_substring"] = dedup_pipelines.SQL_DEDUP_SUBSTRING
     sql["dedup_ngram"] = dedup_pipelines.sql_dedup_ngram()  # integer-only jaccard_micro

@@ -455,20 +455,32 @@ def boolean_docs_search(sf_dir: str):
 # ---------------------------------------------------------------- SQL oracles
 
 
-def _sql_bm25() -> str:
+def _sql_bm25(
+    q_cte: str | None = None,
+    prefix: str = "",
+    recursive: bool = False,
+    final_cols: str = "query_id, doc_id, rank, score_micro",
+) -> str:
+    """BM25+ oracle. ``q_cte`` overrides the literal query-term relation
+    (used by the spell oracle, which computes corrected terms in SQL);
+    ``prefix`` is an extra CTE block inserted first (LM counts + correction),
+    ``recursive`` switches to WITH RECURSIVE (the correction cross-product
+    walk), ``final_cols`` trims the output to the engine twin's columns."""
     toks = SQL_TOKENIZE.format(col="text")
-    q_values = ", ".join(
-        f"({qid}, '{t}')" for qid, qtext in QUERIES for t in dict.fromkeys(tokenize(qtext))
-    )
+    if q_cte is None:
+        q_values = ", ".join(
+            f"({qid}, '{t}')" for qid, qtext in QUERIES for t in dict.fromkeys(tokenize(qtext))
+        )
+        q_cte = f"q(query_id, term) AS (VALUES {q_values})"
     return f"""
-WITH occurrences AS (
+WITH {"RECURSIVE " if recursive else ""}{prefix}occurrences AS (
     SELECT doc_id, unnest({toks}) AS term FROM documents
 ),
 tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM occurrences GROUP BY 1, 2),
 df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
 dl AS (SELECT doc_id, CAST(len({toks}) AS BIGINT) AS dl FROM documents),
 g AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avg_dl, COUNT(*) AS n_docs FROM dl),
-q(query_id, term) AS (VALUES {q_values}),
+{q_cte},
 scored AS (
     SELECT q.query_id, tf.doc_id,
            SUM((log10(g.n_docs + 1.0) - log10(CAST(df.df AS DOUBLE))) *
@@ -488,7 +500,7 @@ ranked AS (
                               ORDER BY CAST(ROUND(score * 1000000) AS BIGINT) DESC, doc_id) AS rank
     FROM scored
 )
-SELECT query_id, doc_id, rank, score_micro FROM ranked WHERE rank <= {TOP_K}
+SELECT {final_cols} FROM ranked WHERE rank <= {TOP_K}
 """
 
 
@@ -514,18 +526,22 @@ g AS (SELECT COUNT(*) AS n_docs,
       FROM lens)"""
 
 
-def _sql_bm25f() -> str:
-    q_values = ", ".join(
-        f"({qid}, '{t}')" for qid, qtext in FIELD_QUERIES for t in tokenize(qtext)  # duplicates kept
-    )
+def _sql_bm25f(q_cte: str | None = None, prefix: str = "", recursive: bool = False) -> str:
+    """BM25F oracle; the q relation keeps duplicate terms (the with-
+    duplicates iteration quirk). Parametrization as in _sql_bm25."""
+    if q_cte is None:
+        q_values = ", ".join(
+            f"({qid}, '{t}')" for qid, qtext in FIELD_QUERIES for t in tokenize(qtext)  # duplicates kept
+        )
+        q_cte = f"q(query_id, term) AS (VALUES {q_values})"
     wtd = (
         f"(CASE WHEN tf.field = 0 THEN {NAME_W} ELSE {ADDR_W} END) * "
         f"(tf.tf / (1.0 + {NAME_B} * (((CASE WHEN tf.field = 0 THEN lens.len0 ELSE lens.len1 END) / "
         f"(CASE WHEN tf.field = 0 THEN g.avg0 ELSE g.avg1 END)) - 1.0)))"
     )
     return f"""
-WITH {_sql_two_field_base()},
-q(query_id, term) AS (VALUES {q_values}),
+WITH {"RECURSIVE " if recursive else ""}{prefix}{_sql_two_field_base().lstrip()},
+{q_cte},
 scored AS (
     SELECT q.query_id, tf.doc_id,
            SUM(({wtd} / ({K1F} + {wtd})) *
@@ -625,6 +641,113 @@ SQL_BM25_DOCS_SEARCH = _sql_bm25()
 SQL_BM25F_DOCS_SEARCH = _sql_bm25f()
 SQL_TFIDF_DOCS_SEARCH = _sql_tfidf()
 SQL_BOOLEAN_DOCS_SEARCH = _sql_boolean()
+
+
+def _sql_spell_ctes() -> str:
+    """CTE block (requires WITH RECURSIVE) ending in ``sp_best(query_id, t)``
+    — the spell-corrected token sequence per SPELL_QUERIES entry, replaying
+    SpellCorrector.correct_query (state/spell.py:184-213) relationally:
+
+      sp_q     tokenized typo queries (same tokenize(), fixed literals)
+      sp_lev   OOV tokens × full-vocab (lm_fvocab) candidates within
+               Levenshtein <= 2 — DuckDB levenshtein() == the engine's
+               banded DP _lev_leq (plain Levenshtein; fuzz-equality-tested
+               in tests/test_search.py)
+      sp_cls   the reference's d<=1 ++ d<=2 CONCATENATION with duplicates
+               kept (searcher.go:167-186), lexicographic within each class
+      sp_per   per-position candidate list with a 0-based enumeration index;
+               in-vocab tokens and candidate-less OOV fall back to [tok]
+      sp_walk  recursive cross-product in itertools.product order via the
+               Horner rank idx = (..(i0*n1 + i1)*n2 ..) + ik, pruned at
+               MAX_CANDIDATES each step (idx is monotone along the walk,
+               so pruning is exact — the islice(product(...)) twin)
+      sp_best  FIRST LM argmax: ORDER BY lp DESC, idx ASC — the strict->
+               first-max semantics (spell_corrector.go:147-151)
+
+    ln() differs numpy-vs-DuckDB by <=1 ulp (state/lm.py note); an argmax
+    flip needs two candidate sequences within ~1e-15 of each other — the
+    same accepted risk class as the autocomplete / lm_doc_scores oracles."""
+    from ..state.lm import sql_lm_score_ctes
+    from ..state.spell import MAX_CANDIDATES
+
+    q_rows = ", ".join(
+        f"({qid}, {pos}, '{tok}')"
+        for qid, qtext in SPELL_QUERIES
+        for pos, tok in enumerate(tokenize(qtext))
+    )
+    return f"""sp_q(query_id, pos, tok) AS (VALUES {q_rows}),
+sp_lev AS (
+    SELECT q.query_id, q.pos, v.tok AS cand, levenshtein(q.tok, v.tok) AS ld
+    FROM sp_q q JOIN lm_fvocab v ON levenshtein(q.tok, v.tok) <= 2
+    WHERE NOT EXISTS (SELECT 1 FROM lm_fvocab vv WHERE vv.tok = q.tok)),
+sp_cls AS (
+    SELECT query_id, pos, cand, 1 AS cls FROM sp_lev WHERE ld <= 1
+    UNION ALL
+    SELECT query_id, pos, cand, 2 AS cls FROM sp_lev),
+sp_per AS (
+    SELECT query_id, pos, cand,
+           ROW_NUMBER() OVER (PARTITION BY query_id, pos ORDER BY cls, cand) - 1 AS ci
+    FROM sp_cls
+    UNION ALL
+    SELECT q.query_id, q.pos, q.tok, 0
+    FROM sp_q q
+    WHERE NOT EXISTS (SELECT 1 FROM sp_cls c
+                      WHERE c.query_id = q.query_id AND c.pos = q.pos)),
+sp_sz AS (SELECT query_id, pos, COUNT(*) AS n FROM sp_per GROUP BY 1, 2),
+sp_npos AS (SELECT query_id, MAX(pos) AS maxpos FROM sp_q GROUP BY 1),
+sp_walk AS (
+    SELECT query_id, pos, CAST(ci AS BIGINT) AS idx, [cand] AS t
+    FROM sp_per WHERE pos = 0 AND ci < {MAX_CANDIDATES}
+    UNION ALL
+    SELECT w.query_id, p.pos, w.idx * s.n + p.ci, w.t || [p.cand]
+    FROM sp_walk w
+    JOIN sp_per p ON p.query_id = w.query_id AND p.pos = w.pos + 1
+    JOIN sp_sz s ON s.query_id = p.query_id AND s.pos = p.pos
+    WHERE w.idx * s.n + p.ci < {MAX_CANDIDATES}),
+sp_seqs AS (
+    SELECT w.query_id, w.idx, w.t
+    FROM sp_walk w JOIN sp_npos m ON m.query_id = w.query_id AND w.pos = m.maxpos),
+{sql_lm_score_ctes("sp_seqs", "query_id, idx")},
+sp_best AS (
+    SELECT query_id, t FROM (
+        SELECT s.query_id, s.t,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                                  ORDER BY l.lp DESC, s.idx) AS rn
+        FROM sp_seqs s JOIN lm_lp l USING (query_id, idx))
+    WHERE rn = 1)"""
+
+
+def _sql_spell_search() -> str:
+    """Exact oracle for spell_search (r04): SQL-computed corrections
+    (sp_best) feed the BM25+ scorer with DISTINCT corrected terms (the
+    scorer's map-iteration semantics; never-corrected OOV typos drop via
+    the postings join, mirroring SearchCore._terms_of's vocab filter)."""
+    from ..state.lm import sql_lm_count_ctes
+
+    prefix = sql_lm_count_ctes() + ",\n" + _sql_spell_ctes() + ",\n"
+    q_cte = (
+        "q AS (SELECT DISTINCT query_id, term FROM "
+        "(SELECT query_id, unnest(t) AS term FROM sp_best))"
+    )
+    return _sql_bm25(q_cte=q_cte, prefix=prefix, recursive=True, final_cols="query_id, doc_id, rank")
+
+
+sql_spell_search = functools.cache(_sql_spell_search)
+
+
+def _sql_spell_store_search() -> str:
+    """Exact oracle for spell_store_search (r04): SQL-computed corrections
+    feed the two-field BM25F scorer WITH duplicate terms kept (the
+    with-duplicates iteration quirk — _store_search passes the corrected
+    sequence uncollapsed)."""
+    from ..state.lm import sql_lm_count_ctes
+
+    prefix = sql_lm_count_ctes() + ",\n" + _sql_spell_ctes() + ",\n"
+    q_cte = "q AS (SELECT query_id, unnest(t) AS term FROM sp_best)"
+    return _sql_bm25f(q_cte=q_cte, prefix=prefix, recursive=True)
+
+
+sql_spell_store_search = functools.cache(_sql_spell_store_search)
 
 
 _STORE_CACHE: dict = {}
@@ -828,10 +951,11 @@ def spell_store_search(sf_dir: str):
     W=1) over pruned point reads from the term-bucketed index store.
 
     The corrector's vocabulary/LM come from the ``text`` field (the corpus
-    prose); corrected terms then score against BOTH stored fields. Rows-only
-    driver check (LM correction is not SQL-expressible); pinned by unit
-    test to the corpus-scan twin ``bm25f_docs_search`` run on the same
-    corrected queries. Output (query_id, doc_id, rank, score_micro)."""
+    prose); corrected terms then score against BOTH stored fields. Exact SQL
+    oracle since r04 (_sql_spell_store_search: relational SymSpell+LM
+    correction feeding the BM25F CTEs); also pinned by unit test to the
+    corpus-scan twin ``bm25f_docs_search`` run on the same corrected
+    queries. Output (query_id, doc_id, rank, score_micro)."""
     from .scoring import score_bm25_field
 
     _, sc = _lm_state(sf_dir)
@@ -842,9 +966,10 @@ def spell_store_search(sf_dir: str):
 def spell_search_docs(sf_dir: str):
     """Spell-corrected BM25+ search: queries with seeded typos are corrected
     by the Levenshtein-candidates × 4-gram-LM ranking (T4/T5), then scored
-    against the documents index through the SearchActor pool. Rows-only
-    driver check (LM ranking not SQL-expressible); correction parity with
-    the reference fixtures is unit-tested (tests/test_search.py TestSpell).
+    against the documents index through the SearchActor pool. Exact SQL
+    oracle since r04 (_sql_spell_search: the correction walk + LM argmax in
+    recursive CTEs feeding the BM25+ CTEs); correction parity with the
+    reference fixtures is also unit-tested (tests/test_search.py TestSpell).
 
     Output (query_id, doc_id, rank)."""
     from .search import free_form_search
