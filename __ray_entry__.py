@@ -318,6 +318,7 @@ GROUP BY 1, 2
     sql["ann_cosine_topk"] = simsearch.SQL_ANN_COSINE_TOPK
     sql["ann_ivf_topk"] = simsearch.SQL_ANN_COSINE_TOPK  # nprobe=nlist → exact
     sql["ann_quantized_topk"] = simsearch.SQL_ANN_QUANTIZED_TOPK  # r04: symmetric int8, exact integer dots
+    sql["kmeans_clusters"] = simsearch.sql_kmeans_clusters()  # r04: Forgy init + unrolled Lloyd CTEs
     sql["events_hourly"] = ev.SQL_EVENTS_HOURLY
     sql["events_pivot"] = ev.SQL_EVENTS_PIVOT
     sql["events_sliding"] = ev.SQL_EVENTS_SLIDING.format(prev=2)

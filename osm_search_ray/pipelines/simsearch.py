@@ -8,6 +8,8 @@ Scale path (LSH-bucketed ANN) lives in stages/annindex.py.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -178,13 +180,74 @@ def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5):
     clustering operator; stages/annindex.kmeans_fit): per-iteration
     combiner partials (cluster, count, sum-blob) are the ONLY exchange —
     O(k·dim·blocks) per pass — then one broadcast scoring pass emits
-    (vec_id, cluster). Iterative and seeded-init → rows-only driver check;
-    the pytest oracle covers planted-cluster recovery and block-order
-    determinism (tests/test_ann_misc.py::TestDistributedKMeans)."""
-    from ..stages.annindex import cluster_assign
+    (vec_id, cluster).
+
+    This query's init contract is DETERMINISTIC Forgy: the k vectors with
+    the smallest vec_ids, in id order (smallest_k_vecs — a per-batch top-k
+    combiner, no sort shuffle). That makes the whole run relationally
+    expressible, so since r04 it has an EXACT SQL oracle (sql_kmeans_clusters:
+    ``iters`` unrolled Lloyd CTEs). Float caveat shared with the LM/ANN
+    oracles: the engine sums distances in matmul form and means via the
+    okey-ordered combiner while SQL sums in its own order — an assignment
+    flip needs two centroids equidistant to ~1e-15 from the same point.
+    Planted-cluster recovery and block-order determinism stay unit-tested
+    (tests/test_ann_misc.py::TestDistributedKMeans)."""
+    from ..stages.annindex import cluster_assign, smallest_k_vecs
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return cluster_assign(emb, k=k, iters=iters)
+    init = smallest_k_vecs(emb, k)
+    return cluster_assign(emb, k=k, iters=iters, init=init)
+
+
+def _sql_kmeans_clusters(k: int = 8, iters: int = 5) -> str:
+    """Exact oracle for kmeans_clusters: Lloyd's unrolled into ``iters``
+    CTE rounds over the unnested (vec_id, dim, x) relation. c0 is the
+    Forgy init (ORDER BY vec_id LIMIT k, cluster = id rank − 1); each
+    round assigns every vector to its nearest centroid (ROW_NUMBER over
+    the summed squared per-dim gap, cluster index as the tie-break —
+    numpy argmin's first-min) and recomputes per-(cluster, dim) means,
+    COALESCE-ing empty clusters to their previous centroid exactly like
+    kmeans_fit's new_cent = cent.copy() carry-forward."""
+    parts = [
+        f"""pts AS MATERIALIZED (
+    SELECT vec_id, i AS d, CAST(embedding[i] AS DOUBLE) AS x
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+c0 AS (
+    SELECT r.cluster, p.d, p.x AS c
+    FROM (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
+          FROM embeddings ORDER BY vec_id LIMIT {k}) r
+    JOIN pts p USING (vec_id))"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""a{i} AS MATERIALIZED (
+    SELECT vec_id, cluster FROM (
+        SELECT p.vec_id, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                                  ORDER BY SUM((p.x - c.c) * (p.x - c.c)), c.cluster) AS rn
+        FROM pts p JOIN c{i} c USING (d) GROUP BY p.vec_id, c.cluster)
+    WHERE rn = 1),
+m{i} AS MATERIALIZED (
+    SELECT a.cluster, p.d, AVG(p.x) AS c
+    FROM a{i} a JOIN pts p USING (vec_id) GROUP BY 1, 2),
+c{i + 1} AS MATERIALIZED (
+    SELECT c.cluster, c.d, COALESCE(m.c, c.c) AS c
+    FROM c{i} c LEFT JOIN m{i} m USING (cluster, d))"""
+        )
+    parts.append(
+        f"""afin AS (
+    SELECT vec_id, cluster FROM (
+        SELECT p.vec_id, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                                  ORDER BY SUM((p.x - c.c) * (p.x - c.c)), c.cluster) AS rn
+        FROM pts p JOIN c{iters} c USING (d) GROUP BY p.vec_id, c.cluster)
+    WHERE rn = 1)"""
+    )
+    body = ",\n".join(parts)
+    return f"WITH {body}\nSELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM afin"
+
+
+sql_kmeans_clusters = functools.cache(_sql_kmeans_clusters)
 
 
 _QUANT_STORE_CACHE: dict = {}

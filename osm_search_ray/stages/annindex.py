@@ -277,6 +277,7 @@ def kmeans_fit(
     iters: int = 5,
     sample_n: int = 4096,
     seed: int = 23,
+    init: np.ndarray | None = None,
 ) -> np.ndarray:
     """DISTRIBUTED Lloyd's over the FULL dataset (the training-data
     clustering operator; kmeans_lite trains on a driver-side sample only).
@@ -291,8 +292,17 @@ def kmeans_fit(
     not guaranteed, so partials carry a per-batch order key and the driver
     reduces each cluster's partials in sorted-key order — identical
     centroids for any block arrival order (tested under different batch
-    sizes)."""
-    cent = train_centroids(emb, vec_col, k, sample_n=sample_n, seed=seed)
+    sizes).
+
+    ``init`` overrides the seeded-sample training with EXPLICIT initial
+    centroids — callers that need a relationally-expressible init (e.g.
+    the kmeans_clusters driver query's Forgy-by-smallest-id contract)
+    pass it; the default stays the seeded sample."""
+    cent = (
+        np.asarray(init, dtype=np.float64).copy()
+        if init is not None
+        else train_centroids(emb, vec_col, k, sample_n=sample_n, seed=seed)
+    )
     dim = cent.shape[1]
 
     for _ in range(iters):
@@ -337,6 +347,33 @@ def kmeans_fit(
     return cent
 
 
+def smallest_k_vecs(
+    emb: "ray.data.Dataset", k: int, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> np.ndarray:
+    """The ``k`` vectors with the SMALLEST ids, in id order — the
+    deterministic Forgy init for kmeans (SQL twin: ORDER BY vec_id
+    LIMIT k). Scale-safe gather: each batch emits only its own k
+    smallest rows (a combiner), so the driver reduces O(k·blocks)
+    rows, never a sort or a corpus materialization."""
+
+    def topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()), "blob": pa.array([], pa.binary())})
+        mat = vec_matrix(batch.column(vec_col))
+        keep = np.argsort(ids, kind="stable")[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep].astype(np.int64)),
+                "blob": pa.array([mat[i].tobytes() for i in keep], pa.binary()),
+            }
+        )
+
+    part = emb.map_batches(topk, batch_format="pyarrow").to_pandas()
+    part = part.sort_values(id_col, kind="mergesort").head(k)
+    return np.stack([np.frombuffer(b, dtype=np.float64) for b in part["blob"]])
+
+
 def cluster_assign(
     emb: "ray.data.Dataset",
     k: int,
@@ -344,10 +381,11 @@ def cluster_assign(
     id_col: str = "vec_id",
     iters: int = 5,
     seed: int = 23,
+    init: np.ndarray | None = None,
 ) -> "ray.data.Dataset":
     """Fit distributed k-means and emit (id, cluster) — one broadcast
     scoring pass, no shuffle."""
-    cent = kmeans_fit(emb, k, vec_col=vec_col, iters=iters, seed=seed)
+    cent = kmeans_fit(emb, k, vec_col=vec_col, iters=iters, seed=seed, init=init)
     out = assign_lists(emb, cent, vec_col)
     return out.map_batches(
         lambda t: pa.table(

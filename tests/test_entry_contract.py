@@ -33,15 +33,12 @@ def test_oracle_keys_subset_of_queries():
     # ordered-float LSH twin + symmetric-int8 exact-integer dots); the
     # LM-ranked family (lm_doc_scores, autocomplete, spell_search,
     # spell_store_search) followed via the relational stupid-backoff LM
-    # (state/lm.sql_lm_count_ctes — ordered ln-sums via list_reduce). The
-    # remainder is irreducible: Lloyd centroid means run through BLAS
-    # matmul (reassociated accumulation), t-digest clustering is
-    # approximate by design (both have pytest oracles instead).
-    assert rows_only == {
-        "spell_search", "spell_store_search",
-        "kmeans_clusters",
-        "price_quantiles_tdigest",
-    }, rows_only
+    # (state/lm.sql_lm_count_ctes — ordered ln-sums via list_reduce), and
+    # kmeans_clusters via a deterministic Forgy-init contract + unrolled
+    # Lloyd CTEs (simsearch.sql_kmeans_clusters). The one remainder is
+    # irreducible: t-digest clustering is approximate by design (pytest
+    # oracle instead).
+    assert rows_only == {"price_quantiles_tdigest"}, rows_only
 
 
 def test_every_oracle_sql_parses(con):
