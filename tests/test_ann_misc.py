@@ -316,6 +316,22 @@ class TestDistributedKMeans:
         b = kmeans_fit(ds_small, k=3)
         np.testing.assert_array_equal(a, b)
 
+    def test_smallest_k_vecs_block_order_independent(self):
+        """The Forgy-init gather (kmeans_clusters' SQL-oracle contract) is a
+        per-batch combiner: it must return the k globally-smallest ids in id
+        order under ANY batching, including ids arriving out of order."""
+        from osm_search_ray.stages.annindex import smallest_k_vecs
+
+        rng = np.random.default_rng(11)
+        ids = rng.permutation(100).astype(np.int64)  # shuffled ids
+        mat = rng.standard_normal((100, 8))
+        df = pd.DataFrame({"vec_id": ids, "embedding": list(mat)})
+        want = mat[np.argsort(ids)[:5]]
+        for bs in (7, 33, 100):
+            ds = ray.data.from_pandas(df).map_batches(lambda t: t, batch_format="pyarrow", batch_size=bs)
+            got = smallest_k_vecs(ds, 5)
+            np.testing.assert_array_equal(got, want)
+
 
 class TestAnnSession:
     def test_ann_session_equals_direct_store_query(self, tmp_path):
