@@ -39,7 +39,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from osm_search_ray.pipelines import search_docs
 
     # --- block A0: new this round (never driver-verified) ---
-    from osm_search_ray.pipelines import bpe
+    from osm_search_ray.pipelines import bpe, cdc
+
+    q["cdc_chunks"] = cdc.cdc_chunks  # content-defined chunking (FastCDC-style walk)
+    q["cdc_dedup"] = cdc.cdc_dedup  # shift-robust shared-chunk dedup stats
 
     from osm_search_ray.pipelines import traindata
 
@@ -304,8 +307,10 @@ GROUP BY 1, 2
     sql["dedup_minhash"] = dedup_pipelines.sql_dedup_minhash()  # r04: full MinHash-LSH in SQL
     sql["dedup_incremental"] = dedup_pipelines.sql_dedup_incremental()  # same LSH SQL, new×old pair pred
     sql["dedup_embedding"] = dedup_pipelines.sql_dedup_embedding()  # r04: ±1 planes + ordered-float twin
-    from osm_search_ray.pipelines import bpe
+    from osm_search_ray.pipelines import bpe, cdc
 
+    sql["cdc_chunks"] = cdc.sql_cdc_chunks()  # recursive-CTE CDC walk, exact
+    sql["cdc_dedup"] = cdc.sql_cdc_dedup()
     sql["bpe_train"] = bpe.sql_bpe_train()  # unrolled N-stage merge chain, integer/string only
     sql["bpe_tokenize"] = bpe.sql_bpe_tokenize()
     from osm_search_ray.pipelines import traindata as _td
