@@ -43,6 +43,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["cdc_chunks"] = cdc.cdc_chunks  # content-defined chunking (FastCDC-style walk)
     q["cdc_dedup"] = cdc.cdc_dedup  # shift-robust shared-chunk dedup stats
+    from osm_search_ray.pipelines import dsir
+
+    q["dsir_select"] = dsir.dsir_select  # DSIR hashed-ngram importance selection
 
     from osm_search_ray.pipelines import traindata
 
@@ -311,6 +314,9 @@ GROUP BY 1, 2
 
     sql["cdc_chunks"] = cdc.sql_cdc_chunks()  # recursive-CTE CDC walk, exact
     sql["cdc_dedup"] = cdc.sql_cdc_dedup()
+    from osm_search_ray.pipelines import dsir
+
+    sql["dsir_select"] = dsir.sql_dsir_select()  # bit-identical ln + ordered fold
     sql["bpe_train"] = bpe.sql_bpe_train()  # unrolled N-stage merge chain, integer/string only
     sql["bpe_tokenize"] = bpe.sql_bpe_tokenize()
     from osm_search_ray.pipelines import traindata as _td
