@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from osm_search_ray.pipelines import dsir
 
     q["dsir_select"] = dsir.dsir_select  # DSIR hashed-ngram importance selection
+    q["cms_heavy_terms"] = textops.cms_heavy_terms  # Count-Min registers, exact twin
 
     from osm_search_ray.pipelines import traindata
 
@@ -317,6 +318,7 @@ GROUP BY 1, 2
     from osm_search_ray.pipelines import dsir
 
     sql["dsir_select"] = dsir.sql_dsir_select()  # bit-identical ln + ordered fold
+    sql["cms_heavy_terms"] = textops.sql_cms_heavy_terms()  # K-M registers, integer-exact
     sql["bpe_train"] = bpe.sql_bpe_train()  # unrolled N-stage merge chain, integer/string only
     sql["bpe_tokenize"] = bpe.sql_bpe_tokenize()
     from osm_search_ray.pipelines import traindata as _td

@@ -775,3 +775,110 @@ SELECT doc_id, logit, CASE WHEN logit > 0.0 THEN 1 ELSE 0 END AS keep FROM score
 
 
 sql_quality_model = functools.cache(_sql_quality_model)
+
+
+# ---------------------------------------------------- Count-Min heavy terms
+
+CMS_MIN_COUNT = 20  # report terms with exact global count >= this
+
+
+def cms_heavy_terms(sf_dir: str, min_count: int = CMS_MIN_COUNT):
+    """(term, n_exact, cms_est) for every term with exact global occurrence
+    count >= min_count — the Count-Min sketch demonstrated END-TO-END: the
+    mergeable (CMS_D x CMS_W) registers are built from per-batch partials
+    (one bounded d*w-row exchange, 16 KB per batch — never vocab-sized),
+    exact counts come from the usual vocab-bounded term groupby, and the
+    reported estimate replays the sketch point query, collisions included,
+    so est >= exact always and BOTH columns hash-match the SQL twin.
+
+    Scale: the register exchange is O(d*w*blocks) rows regardless of corpus
+    size; the heavy-hitter output is <= total_tokens/min_count rows, the
+    driver never sees the vocab.  Hash chain (md5-hash64 -> splitmix64
+    K-M double hashing) is the Bloom filter's, SQL-twinned in
+    sources/derived.py."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import hash64_md5
+    from ..stages.sketches import CMS_D, CMS_W, cms_estimate, cms_partial
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def reg_partial(batch: pa.Table) -> pa.Table:
+        toks, _ = tokenize_array(batch.column("text").to_pylist())
+        codes, uniq = pd.factorize(pd.Series(toks, dtype=object))
+        h = hash64_md5(list(uniq))[codes] if len(toks) else np.zeros(0, np.uint64)
+        regs = cms_partial(h)
+        return pa.table(
+            {
+                "reg": pa.array(np.arange(CMS_D * CMS_W, dtype=np.int64)),
+                "cnt": pa.array(regs.ravel()),
+            }
+        )
+
+    reg_rows = (
+        ds.map_batches(reg_partial, batch_format="pyarrow")
+        .groupby("reg")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # bounded: exactly d*w rows
+    )
+    regs = np.zeros(CMS_D * CMS_W, np.int64)
+    regs[reg_rows["reg"].to_numpy()] = reg_rows["cnt"].to_numpy()
+    regs = regs.reshape(CMS_D, CMS_W)
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        toks, _ = tokenize_array(batch.column("text").to_pylist())
+        u, c = np.unique(toks, return_counts=True)
+        return pa.table(
+            {"term": pa.array(u.tolist(), pa.string()), "n_exact": pa.array(c.astype(np.int64))}
+        )
+
+    heavy = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n_exact", alias_name="n_exact"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("n_exact"), min_count)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()  # bounded: <= total_tokens / min_count rows
+    )
+    h = hash64_md5(heavy["term"].to_numpy(dtype=object))
+    heavy["cms_est"] = cms_estimate(regs, h)
+    assert (heavy["cms_est"].to_numpy() >= heavy["n_exact"].to_numpy()).all()
+    return heavy.reset_index(drop=True)[["term", "n_exact", "cms_est"]]
+
+
+def _sql_cms_heavy_terms() -> str:
+    from ..sources.derived import sql_splitmix64_chain
+    from ..stages.sketches import CMS_D, CMS_SEED, CMS_W
+
+    p64 = 1 << 64
+    sm = sql_splitmix64_chain("th", ["term", "h"], f"xor(h, {CMS_SEED}::UBIGINT)", "sm")
+    # h2 forced odd arithmetically, then K-M position with the uint64
+    # wraparound BEFORE mod w — exactly stages/sketches.cms_positions
+    pos = f"((c.h + i.i * (c.x - c.x % 2 + 1)) % {p64}) % {CMS_W}"
+    return f"""
+WITH toks AS (SELECT unnest({_SQL_TOKS}) AS term FROM documents),
+th AS (SELECT term,
+              CAST(CAST('0x' || substr(md5(term), 1, 16) AS UBIGINT) AS HUGEINT) AS h
+       FROM toks),
+{sm},
+regs AS (SELECT i.i * {CMS_W} + {pos} AS reg, COUNT(*) AS cnt
+         FROM sm c, range(0, {CMS_D}) i(i) GROUP BY 1),
+exact AS (SELECT term, COUNT(*) AS n_exact FROM toks
+          GROUP BY 1 HAVING COUNT(*) >= {CMS_MIN_COUNT}),
+qh AS (SELECT e.term, e.n_exact,
+              CAST(CAST('0x' || substr(md5(e.term), 1, 16) AS UBIGINT) AS HUGEINT) AS h
+       FROM exact e),
+{sql_splitmix64_chain('qh', ['term', 'n_exact', 'h'], f'xor(h, {CMS_SEED}::UBIGINT)', 'qm')},
+probe AS (SELECT c.term, c.n_exact, i.i * {CMS_W} + {pos} AS reg
+          FROM qm c, range(0, {CMS_D}) i(i)),
+est AS (SELECT p.term, p.n_exact,
+               MIN(COALESCE(r.cnt, 0)) AS cms_est
+        FROM probe p LEFT JOIN regs r ON r.reg = p.reg
+        GROUP BY 1, 2)
+SELECT term, CAST(n_exact AS BIGINT) AS n_exact, CAST(cms_est AS BIGINT) AS cms_est FROM est
+"""
+
+
+sql_cms_heavy_terms = functools.cache(_sql_cms_heavy_terms)

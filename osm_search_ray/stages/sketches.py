@@ -248,3 +248,52 @@ def bloom_contains(words: np.ndarray, hashes: np.ndarray, m_bits: int, k: int = 
         bit = (words[(pos >> np.uint64(6)).astype(np.int64)] >> (pos & np.uint64(63))) & np.uint64(1)
         out &= bit.astype(bool)
     return out
+
+
+# ------------------------------------------------------- Count-Min sketch
+# Mergeable frequency sketch (Cormode & Muthukrishnan 2005): CMS_D rows of
+# CMS_W counters; item positions via the same Kirsch-Mitzenmacher double
+# hashing as the Bloom filter above (h1 = md5-hash64, h2 = splitmix64
+# forced odd — both SQL-twinned), so register contents — and therefore the
+# over-estimates themselves, collisions included — are exactly
+# reproducible in DuckDB.  est(x) = min_i r[i][pos_i(x)] >= true count.
+
+CMS_D = 4
+CMS_W = 512
+CMS_SEED = 0xA076_1D64_78BD_642F  # shared with the Bloom K-M chain
+
+
+def cms_positions(hashes: np.ndarray, d: int = CMS_D, w: int = CMS_W) -> np.ndarray:
+    """(d, n) register columns for each uint64 item hash — the wraparound
+    (h1 + i*h2) mod 2^64 happens BEFORE mod w, mirrored in SQL."""
+    h1 = hashes.astype(np.uint64)
+    h2 = splitmix64(h1 ^ np.uint64(CMS_SEED)) | np.uint64(1)
+    out = np.empty((d, len(h1)), np.int64)
+    with np.errstate(over="ignore"):
+        for i in range(d):
+            out[i] = ((h1 + np.uint64(i) * h2) % np.uint64(w)).astype(np.int64)
+    return out
+
+
+def cms_partial(hashes: np.ndarray, d: int = CMS_D, w: int = CMS_W) -> np.ndarray:
+    """(d, w) int64 partial registers for a batch of item hashes
+    (multiplicity counted) — mergeable by elementwise sum."""
+    regs = np.zeros((d, w), np.int64)
+    if len(hashes) == 0:
+        return regs
+    pos = cms_positions(hashes, d, w)
+    for i in range(d):
+        np.add.at(regs[i], pos[i], 1)
+    return regs
+
+
+def cms_estimate(regs: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """min over rows of the item's register — the CMS point query."""
+    if len(hashes) == 0:
+        return np.zeros(0, np.int64)
+    d, w = regs.shape
+    pos = cms_positions(hashes, d, w)
+    est = regs[0][pos[0]]
+    for i in range(1, d):
+        est = np.minimum(est, regs[i][pos[i]])
+    return est.astype(np.int64)
