@@ -47,6 +47,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["dsir_select"] = dsir.dsir_select  # DSIR hashed-ngram importance selection
     q["cms_heavy_terms"] = textops.cms_heavy_terms  # Count-Min registers, exact twin
+    from osm_search_ray.pipelines import curate as _cu
+
+    q["ccnet_buckets"] = _cu.ccnet_buckets  # CCNet head/middle/tail by LM perplexity
 
     from osm_search_ray.pipelines import traindata
 
@@ -319,6 +322,7 @@ GROUP BY 1, 2
 
     sql["dsir_select"] = dsir.sql_dsir_select()  # bit-identical ln + ordered fold
     sql["cms_heavy_terms"] = textops.sql_cms_heavy_terms()  # K-M registers, integer-exact
+    sql["ccnet_buckets"] = curate.sql_ccnet_buckets()  # LM-CTE perplexity NTILE
     sql["bpe_train"] = bpe.sql_bpe_train()  # unrolled N-stage merge chain, integer/string only
     sql["bpe_tokenize"] = bpe.sql_bpe_tokenize()
     from osm_search_ray.pipelines import traindata as _td

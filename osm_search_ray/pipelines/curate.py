@@ -37,6 +37,8 @@ ray.put once). No driver-side corpus structure anywhere.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -193,3 +195,73 @@ SELECT d.doc_id,
             ELSE d.code END AS verdict
 FROM ded d LEFT JOIN contam c ON d.doc_id = c.doc_id
 """
+
+
+# ------------------------------------------- CCNet perplexity bucketing
+
+PPX_SENTINEL = 1 << 62  # -inf logprob or zero tokens -> worst bucket
+CCNET_K = 3  # head / middle / tail
+
+
+def ccnet_buckets(sf_dir: str, k: int = CCNET_K):
+    """CCNet-style head/middle/tail partition (Wenzek et al. 2020,
+    arXiv:1911.00359): every doc scored by the corpus's own 4-gram
+    stupid-backoff LM (search_docs.lm_doc_scores — actor-pool scoring,
+    broadcast LM), ranked by per-token perplexity proxy and cut into k
+    equal NTILE buckets — bucket 1 = head (lowest perplexity), k = tail.
+
+    Integer discipline: ppx_scaled = (-logprob_milli * 1000) // n_tokens —
+    the numerator is non-negative (logprob <= 0) so floor == truncate and
+    numpy `//` equals SQL `//` exactly; -inf-scored or token-free docs get
+    PPX_SENTINEL (always the tail).  Output (doc_id, ppx_scaled, bucket).
+
+    Scale: LM scoring is one actor-pool scan; the NTILE is the
+    global_rank machinery — one range-exchange sort + per-block offsets
+    (O(blocks) driver ints, no data re-movement after the sort)."""
+    from ..stages.joins import zip_with_index
+    from .search_docs import lm_doc_scores
+
+    scores = lm_doc_scores(sf_dir)
+
+    def to_ppx(t: pa.Table) -> pa.Table:
+        lp = t.column("logprob_milli").to_numpy()
+        nt = t.column("n_tokens").to_numpy()
+        ok = (t.column("is_finite").to_numpy() == 1) & (nt > 0)
+        ppx = np.full(len(lp), PPX_SENTINEL, np.int64)
+        ppx[ok] = (-lp[ok] * 1000) // nt[ok]
+        return pa.table({"doc_id": t.column("doc_id"), "ppx_scaled": pa.array(ppx)})
+
+    px = scores.map_batches(to_ppx, batch_format="pyarrow")
+    # row count from parquet metadata (scoring is 1:1 per doc) — never
+    # execute the LM scan twice just to size the buckets
+    n = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+    srt = px.sort(["ppx_scaled", "doc_id"])
+    sizes = np.full(k, n // k, np.int64)
+    sizes[: n % k] += 1
+    bounds = np.cumsum(sizes)  # exact SQL NTILE rule (relational.ntile_chars)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        rank = t.column("row_id").to_numpy(zero_copy_only=False)
+        b = np.searchsorted(bounds, rank, side="right") + 1
+        return t.drop_columns(["row_id"]).append_column("bucket", pa.array(b.astype(np.int64)))
+
+    return zip_with_index(srt, "row_id").map_batches(add_bucket, batch_format="pyarrow")
+
+
+def _sql_ccnet_buckets() -> str:
+    from .search_docs import sql_lm_doc_scores
+
+    return f"""
+WITH scores AS ({sql_lm_doc_scores()}),
+px AS (SELECT doc_id,
+              CASE WHEN is_finite = 1 AND n_tokens > 0
+                   THEN (-logprob_milli * 1000) // n_tokens
+                   ELSE {PPX_SENTINEL} END AS ppx_scaled
+       FROM scores)
+SELECT doc_id, ppx_scaled,
+       CAST(NTILE({CCNET_K}) OVER (ORDER BY ppx_scaled, doc_id) AS BIGINT) AS bucket
+FROM px
+"""
+
+
+sql_ccnet_buckets = functools.cache(_sql_ccnet_buckets)

@@ -999,8 +999,9 @@ def lm_doc_scores(sf_dir: str):
     cache with spell/autocomplete), broadcast via ray.put, and scoring runs
     in an actor pool (state loaded once per actor, per ray_guide.md).
 
-    Rows-only driver check (stupid backoff is not SQL-expressible); the
-    distributed path is pinned to driver-side scoring by a unit test.
+    Exact DuckDB oracle since r04 (sql_lm_doc_scores — the full stupid-
+    backoff LM relationally); the distributed path is additionally pinned
+    to driver-side scoring by a unit test.
     Output (doc_id, n_tokens, logprob_milli, is_finite) — docs containing
     a below-threshold (<UNK>-trained) word score -inf exactly like the
     reference (ngram_lm.go:300-318), reported as is_finite=0 with a
