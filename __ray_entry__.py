@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from osm_search_ray.pipelines import curate as _cu
 
     q["ccnet_buckets"] = _cu.ccnet_buckets  # CCNet head/middle/tail by LM perplexity
+    q["events_funnel"] = ev.events_funnel  # windowed ordered funnel (sequential pattern)
+    q["viewers_full_outer_buyers"] = ev.viewers_full_outer_buyers  # FULL OUTER join
 
     from osm_search_ray.pipelines import traindata
 
@@ -323,6 +325,8 @@ GROUP BY 1, 2
     sql["dsir_select"] = dsir.sql_dsir_select()  # bit-identical ln + ordered fold
     sql["cms_heavy_terms"] = textops.sql_cms_heavy_terms()  # K-M registers, integer-exact
     sql["ccnet_buckets"] = curate.sql_ccnet_buckets()  # LM-CTE perplexity NTILE
+    sql["events_funnel"] = ev.SQL_EVENTS_FUNNEL  # sequential-min chain, integer ts
+    sql["viewers_full_outer_buyers"] = ev.SQL_VIEWERS_FULL_OUTER_BUYERS
     sql["bpe_train"] = bpe.sql_bpe_train()  # unrolled N-stage merge chain, integer/string only
     sql["bpe_tokenize"] = bpe.sql_bpe_tokenize()
     from osm_search_ray.pipelines import traindata as _td

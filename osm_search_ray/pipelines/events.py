@@ -694,3 +694,163 @@ SELECT event_id, user_id,
            AS moving_sum_cents
 FROM events
 """
+
+
+# ------------------------------------------------------------ funnel steps
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_US = 6 * 3_600_000_000  # conversion window per step: 6 hours
+
+
+def events_funnel(sf_dir: str, steps: tuple = FUNNEL_STEPS, window_us: int = FUNNEL_WINDOW_US):
+    """Windowed ordered funnel analysis: per user, the earliest time each
+    funnel step completed, where step i+1 must happen STRICTLY AFTER step
+    i's first completion and WITHIN the conversion window (classic
+    product-analytics sequential pattern — the ordered-sequence operator
+    class the window/session/as-of family doesn't cover).  Output
+    (user_id, steps_completed, t1_us, t2_us, t3_us) with -1 sentinels for
+    unreached steps; timestamps as epoch microseconds so every column is
+    integer-exact.
+
+    Shape: ONE user-keyed bounded exchange (only funnel-step rows enter
+    it, pre-projected to 3 int64 columns); per partition the sequential
+    mins are pandas-vectorized merges — t_{{i+1}} = min ts of step i+1
+    rows with t_i < ts <= t_i + window — never a per-user Python loop."""
+    from ..stages.joins import hash_partitioned_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    step_ids = {s: i for i, s in enumerate(steps)}
+
+    def project(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_pandas()
+        keep = et.isin(steps).to_numpy()
+        return pa.table(
+            {
+                "user_id": batch.column("user_id").filter(pa.array(keep)),
+                "ts_us": batch.column("ts").cast(pa.int64()).filter(pa.array(keep)),
+                "step": pa.array(et[keep].map(step_ids).to_numpy(np.int64)),
+            }
+        )
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        users = pd.DataFrame({"user_id": df["user_id"].unique()})
+        prev = None
+        tcols = []
+        for i in range(len(steps)):
+            rows = df[df["step"] == i]
+            if prev is not None:
+                rows = rows.merge(prev, on="user_id")
+                rows = rows[
+                    (rows["ts_us"] > rows["prev_t"])
+                    & (rows["ts_us"] <= rows["prev_t"] + window_us)
+                ]
+            t = rows.groupby("user_id")["ts_us"].min().rename(f"t{i + 1}_us")
+            users = users.merge(t, on="user_id", how="left")
+            prev = t.rename("prev_t").reset_index()
+            tcols.append(f"t{i + 1}_us")
+        users["steps_completed"] = users[tcols].notna().sum(axis=1).astype(np.int64)
+        for c in tcols:
+            users[c] = users[c].fillna(-1).astype(np.int64)
+        users["user_id"] = users["user_id"].astype(np.int64)
+        return users[["user_id", "steps_completed", *tcols]]
+
+    return hash_partitioned_apply(
+        ds.map_batches(project, batch_format="pyarrow"), "user_id", per_part, num_parts=32
+    )
+
+
+SQL_EVENTS_FUNNEL = f"""
+WITH t1 AS (SELECT user_id, MIN(ts) AS t FROM events
+            WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1),
+t2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+       JOIN t1 ON t1.user_id = e.user_id AND e.ts > t1.t
+                AND epoch_us(e.ts) <= epoch_us(t1.t) + {FUNNEL_WINDOW_US}
+       WHERE e.event_type = '{FUNNEL_STEPS[1]}' GROUP BY 1),
+t3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+       JOIN t2 ON t2.user_id = e.user_id AND e.ts > t2.t
+                AND epoch_us(e.ts) <= epoch_us(t2.t) + {FUNNEL_WINDOW_US}
+       WHERE e.event_type = '{FUNNEL_STEPS[2]}' GROUP BY 1),
+users AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type IN ('{FUNNEL_STEPS[0]}', '{FUNNEL_STEPS[1]}', '{FUNNEL_STEPS[2]}'))
+SELECT u.user_id,
+       CAST(CASE WHEN t3.t IS NOT NULL THEN 3
+                 WHEN t2.t IS NOT NULL THEN 2
+                 WHEN t1.t IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps_completed,
+       COALESCE(epoch_us(t1.t), -1) AS t1_us,
+       COALESCE(epoch_us(t2.t), -1) AS t2_us,
+       COALESCE(epoch_us(t3.t), -1) AS t3_us
+FROM users u
+LEFT JOIN t1 ON t1.user_id = u.user_id
+LEFT JOIN t2 ON t2.user_id = u.user_id
+LEFT JOIN t3 ON t3.user_id = u.user_id
+"""
+
+
+# -------------------------------------------------------- full outer join
+
+
+def viewers_full_outer_buyers(sf_dir: str):
+    """FULL OUTER join — the one outer-join variant the relational set
+    lacked: per-user view counts vs purchase counts, keeping users present
+    on EITHER side, zero-filled, with a which-side flag.  Output
+    (user_id, n_view, n_purchase, side) where side ∈ {{'both','view_only',
+    'purchase_only'}}.
+
+    Shape: two per-batch count combiners feed ONE user-keyed exchange
+    (domain_stats discipline); the outer merge is per-partition pandas —
+    a user's rows co-locate, so the zero-fill is exact."""
+    from ..stages.joins import hash_partitioned_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_type": batch.column("event_type"),
+            }
+        ).to_pandas()
+        df = df[df["event_type"].isin(("view", "purchase"))]
+        g = (
+            df.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "event_type"], sort=False)["n"].sum().unstack(fill_value=0)
+        out = pd.DataFrame({"user_id": g.index.to_numpy(np.int64)})
+        out["n_view"] = g["view"].to_numpy(np.int64) if "view" in g else np.int64(0)
+        out["n_purchase"] = g["purchase"].to_numpy(np.int64) if "purchase" in g else np.int64(0)
+        out["side"] = np.where(
+            (out["n_view"] > 0) & (out["n_purchase"] > 0),
+            "both",
+            np.where(out["n_view"] > 0, "view_only", "purchase_only"),
+        )
+        return out
+
+    return hash_partitioned_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), "user_id", per_part, num_parts=32
+    )
+
+
+SQL_VIEWERS_FULL_OUTER_BUYERS = """
+WITH v AS (SELECT user_id, COUNT(*) AS n_view FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+p AS (SELECT user_id, COUNT(*) AS n_purchase FROM events
+      WHERE event_type = 'purchase' GROUP BY 1)
+SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+       COALESCE(v.n_view, 0) AS n_view,
+       COALESCE(p.n_purchase, 0) AS n_purchase,
+       CASE WHEN v.user_id IS NOT NULL AND p.user_id IS NOT NULL THEN 'both'
+            WHEN v.user_id IS NOT NULL THEN 'view_only'
+            ELSE 'purchase_only' END AS side
+FROM v FULL OUTER JOIN p ON v.user_id = p.user_id
+"""
