@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ccnet_buckets"] = _cu.ccnet_buckets  # CCNet head/middle/tail by LM perplexity
     q["events_funnel"] = ev.events_funnel  # windowed ordered funnel (sequential pattern)
     q["viewers_full_outer_buyers"] = ev.viewers_full_outer_buyers  # FULL OUTER join
+    q["zorder_sort"] = tiling.zorder_sort  # Morton-curve global ordering + quad prefix
 
     from osm_search_ray.pipelines import traindata
 
@@ -327,6 +328,9 @@ GROUP BY 1, 2
     sql["ccnet_buckets"] = curate.sql_ccnet_buckets()  # LM-CTE perplexity NTILE
     sql["events_funnel"] = ev.SQL_EVENTS_FUNNEL  # sequential-min chain, integer ts
     sql["viewers_full_outer_buyers"] = ev.SQL_VIEWERS_FULL_OUTER_BUYERS
+    from osm_search_ray.pipelines import tiling as _ti
+
+    sql["zorder_sort"] = _ti.sql_zorder_sort()  # spread-bits CTE chain, integer-exact
     sql["bpe_train"] = bpe.sql_bpe_train()  # unrolled N-stage merge chain, integer/string only
     sql["bpe_tokenize"] = bpe.sql_bpe_tokenize()
     from osm_search_ray.pipelines import traindata as _td

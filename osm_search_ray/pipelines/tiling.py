@@ -288,3 +288,89 @@ def kring_density(sf_dir: str, res: int = RES_COARSE):
 
     fanned = counts.map_batches(fan_out, batch_format="pyarrow")
     return hash_partitioned_apply(fanned, "cell_r12", ring_sum, num_parts=16)
+
+
+# ----------------------------------------------------- z-order global sort
+
+Z_QUAD_RES = 10  # quadtree level reported alongside the key (fixture spans ~20 quads)
+
+
+def zorder_sort(sf_dir: str):
+    """Global Z-order (Morton) curve ordering of the corpus — the
+    OPTIMIZE-ZORDER trick: sorting pages by the interleaved cell key makes
+    any axis-aligned spatial window a SMALL number of contiguous key
+    ranges, so windowed reads touch O(few) sorted runs instead of the
+    whole corpus (functions/cells.morton_cell already range-partitions the
+    tile sinks; this exposes the same curve as a driver-checkable global
+    sort).  Output (doc_id, zkey, quad4, rank): rank by (zkey, doc_id) via
+    the global-rank machinery (range-exchange sort + O(blocks) driver
+    offsets), quad = the level-Z_QUAD_RES quadtree prefix — every aligned quad is
+    a CONTIGUOUS rank interval (the defining Morton property, unit-pinned).
+    """
+    from ..functions.cells import morton_cell
+    from ..stages.joins import zip_with_index
+
+    pages = geo_pages(sf_dir, columns=["doc_id"])
+
+    def add_z(t: pa.Table) -> pa.Table:
+        lat = t.column("lat").to_numpy()
+        lon = t.column("lon").to_numpy()
+        z = morton_cell(lat, lon)  # res 15
+        quad = z >> (2 * (15 - Z_QUAD_RES))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "zkey": pa.array(z),
+                "quad": pa.array(quad.astype(np.int64)),
+            }
+        )
+
+    srt = pages.map_batches(add_z, batch_format="pyarrow").sort(["zkey", "doc_id"])
+
+    def to_rank(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rank = pc.add(t.column("row_id"), 1)
+        return t.drop_columns(["row_id"]).append_column("rank", rank)
+
+    return zip_with_index(srt, "row_id").map_batches(to_rank, batch_format="pyarrow")
+
+
+def sql_zorder_sort() -> str:
+    """Exact twin of functions/cells._spread_bits + morton_cell as a CTE
+    chain (15-bit coords; every intermediate < 2^62 so BIGINT bit ops are
+    sign-safe)."""
+    from ..sources.derived import SQL_GEO_PAGES
+
+    n = 1 << 15
+    steps = [
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ]
+    ctes = [
+        f"""xy AS (SELECT doc_id,
+    LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT), 0), {n - 1}) AS x,
+    LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * {n}) AS BIGINT), 0), {n - 1}) AS y
+  FROM geo_pages)"""
+    ]
+    prev = "xy"
+    for axis in ("x", "y"):
+        for i, (s, m) in enumerate(steps):
+            other = "y" if axis == "x" else "x"
+            cur = f"s{axis}{i}"
+            ctes.append(
+                f"{cur} AS (SELECT doc_id, (({axis} | ({axis} << {s})) & {m}) AS {axis}, {other} FROM {prev})"
+            )
+            prev = cur
+    chain = ",\n".join(ctes)
+    return f"""
+WITH {SQL_GEO_PAGES.strip()},
+{chain},
+z AS (SELECT doc_id, (x << 1) | y AS zkey FROM {prev})
+SELECT doc_id, zkey, zkey >> {2 * (15 - Z_QUAD_RES)} AS quad,
+       ROW_NUMBER() OVER (ORDER BY zkey, doc_id) AS rank
+FROM z
+"""
