@@ -854,3 +854,62 @@ SELECT COALESCE(v.user_id, p.user_id) AS user_id,
             ELSE 'purchase_only' END AS side
 FROM v FULL OUTER JOIN p ON v.user_id = p.user_id
 """
+
+
+# -------------------------------------------------------- retention cohorts
+
+WEEK_US = 7 * 24 * 3_600_000_000
+
+
+def retention_cohorts(sf_dir: str):
+    """Classic cohort retention: users grouped by first-activity week, then
+    for each cohort the distinct-user count active in week k after joining.
+    Output (cohort_week, week_k, n_users) — all integer (epoch-week ids).
+
+    Shape: ONE user-keyed exchange of per-batch-deduped (user_id, week)
+    pairs; first-week and per-(cohort, k) distinct counts are computed
+    per partition (a user's rows co-locate, so the local counts are over
+    DISJOINT user sets) and summed in one tiny (cohorts x weeks) groupby."""
+    from ..stages.joins import hash_partitioned_apply
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": batch.column("user_id").to_numpy(),
+                "week": batch.column("ts").cast(pa.int64()).to_numpy() // WEEK_US,
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        first = df.groupby("user_id")["week"].min().rename("cohort_week")
+        m = df.merge(first, on="user_id")
+        m["week_k"] = m["week"] - m["cohort_week"]
+        g = (
+            m.groupby(["cohort_week", "week_k"], sort=False)["user_id"]
+            .nunique()
+            .reset_index(name="n_users")
+        )
+        g["n_users"] = g["n_users"].astype(np.int64)
+        return g
+
+    parts = hash_partitioned_apply(
+        ds.map_batches(project, batch_format="pyarrow"), "user_id", per_part, num_parts=32
+    )
+    return parts.groupby(["cohort_week", "week_k"]).aggregate(
+        Sum("n_users", alias_name="n_users")
+    )
+
+
+SQL_RETENTION_COHORTS = f"""
+WITH f AS (SELECT user_id, MIN(epoch_us(ts) // {WEEK_US}) AS cohort_week
+           FROM events GROUP BY 1),
+a AS (SELECT DISTINCT e.user_id, f.cohort_week,
+             epoch_us(e.ts) // {WEEK_US} - f.cohort_week AS week_k
+      FROM events e JOIN f USING (user_id))
+SELECT cohort_week, week_k, COUNT(*) AS n_users
+FROM a GROUP BY 1, 2
+"""

@@ -101,3 +101,31 @@ class TestFullOuterSemantics:
         ).df()
         assert got["n_view"].sum() == want["v"].iloc[0]
         assert got["n_purchase"].sum() == want["p"].iloc[0]
+
+
+class TestRetentionCohorts:
+    def test_matches_sql(self):
+        got = (
+            ev.retention_cohorts(SF)
+            .to_pandas()
+            .sort_values(["cohort_week", "week_k"])
+            .reset_index(drop=True)
+        )
+        want = (
+            _con()
+            .execute(ev.SQL_RETENTION_COHORTS)
+            .df()
+            .sort_values(["cohort_week", "week_k"])
+            .reset_index(drop=True)
+            .astype({c: got[c].dtype for c in got.columns})[got.columns]
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_week_zero_counts_whole_cohort(self):
+        """Every user is active in their own first week, so week_k=0 rows
+        must count the full cohort, and no week_k is negative."""
+        got = ev.retention_cohorts(SF).to_pandas()
+        assert (got["week_k"] >= 0).all()
+        w0 = got[got["week_k"] == 0].set_index("cohort_week")["n_users"]
+        per_cohort_max = got.groupby("cohort_week")["n_users"].max()
+        assert (w0 >= per_cohort_max.loc[w0.index]).all()
