@@ -54,6 +54,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["viewers_full_outer_buyers"] = ev.viewers_full_outer_buyers  # FULL OUTER join
     q["zorder_sort"] = tiling.zorder_sort  # Morton-curve global ordering + quad prefix
     q["retention_cohorts"] = ev.retention_cohorts  # cohort-week retention matrix
+    from osm_search_ray.pipelines import graph as _gr
+
+    q["hits_links"] = _gr.hits_links  # HITS hubs/authorities, integer-exact
 
     from osm_search_ray.pipelines import traindata
 
@@ -333,6 +336,7 @@ GROUP BY 1, 2
 
     sql["zorder_sort"] = _ti.sql_zorder_sort()  # spread-bits CTE chain, integer-exact
     sql["retention_cohorts"] = ev.SQL_RETENTION_COHORTS
+    sql["hits_links"] = graph.sql_hits_links()  # unrolled phase CTEs, scalar-max norm
     sql["bpe_train"] = bpe.sql_bpe_train()  # unrolled N-stage merge chain, integer/string only
     sql["bpe_tokenize"] = bpe.sql_bpe_tokenize()
     from osm_search_ray.pipelines import traindata as _td

@@ -195,3 +195,213 @@ r0 AS (
 {_sql_iter('r2', 'r3')}
 SELECT id AS doc_id, r AS pr_x1e12 FROM r3
 """
+
+
+# ------------------------------------------------------- HITS (Kleinberg)
+
+HITS_ITERS = 3
+HITS_SCALE = 10**6  # hub/auth fixed-point scale (x1e6)
+
+
+def hits(
+    nodes: "ray.data.Dataset",
+    edges: "ray.data.Dataset",
+    iters: int = HITS_ITERS,
+    small_edges: int = 2_000_000,
+):
+    """Hubs & authorities power iteration (Kleinberg 1999) — the second
+    iterative graph prior next to PageRank: auth(j) = sum of hub over
+    in-links, hub(i) = sum of auth over out-links, each phase max-normalized.
+
+    Integer discipline: state is scaled int64; the normalization is
+    ``r * HITS_SCALE // max(r)`` (GREATEST(max,1) guards the edgeless
+    graph) — every op is a non-negative integer op replayed exactly in
+    SQL.  Overflow bound: phase sums reach max_indegree x HITS_SCALE and
+    the renormalize multiplies by HITS_SCALE again, so the arithmetic is
+    exact while max_degree < 2^63 / HITS_SCALE^2 ~ 9.2e6 — the hub-cap
+    regime webcorpus already enforces (MAX_CLIQUE-style guards) long
+    before that.
+
+    Regimes (the pagerank discipline): a small graph runs the identical
+    recurrence as one numpy loop (the 4 exchanges/iteration cost ~2 s of
+    actor ramp each on a warm cluster); above ``small_edges`` each phase
+    is ONE bounded key exchange (state and edges meet co-partitioned on
+    the source endpoint, contributions re-key on the target) plus a
+    scalar max aggregate. Paths are equality-tested (tests/test_graph.py).
+    Returns (id, hub, auth) scaled int64."""
+    n_edges = edges.count()
+    if n_edges <= small_edges:
+        ids = np.sort(
+            np.concatenate(
+                [b.column("id").to_numpy() for b in nodes.iter_batches(batch_format="pyarrow")]
+            )
+        )
+        e = edges.to_pandas()
+        si = np.searchsorted(ids, e["src"].to_numpy(np.int64))
+        di = np.searchsorted(ids, e["dst"].to_numpy(np.int64))
+        n = len(ids)
+        h = np.full(n, HITS_SCALE, np.int64)
+        a = np.zeros(n, np.int64)
+        for _ in range(iters):
+            araw = np.zeros(n, np.int64)
+            np.add.at(araw, di, h[si])
+            a = araw * HITS_SCALE // max(int(araw.max(initial=0)), 1)
+            hraw = np.zeros(n, np.int64)
+            np.add.at(hraw, si, a[di])
+            h = hraw * HITS_SCALE // max(int(hraw.max(initial=0)), 1)
+        return ray.data.from_pandas(
+            pd.DataFrame({"id": ids, "hub": h, "auth": a})
+        )
+
+    def propagate(state, from_col: str, to_col: str):
+        """ONE bounded exchange: sum state[r] over edges grouped by the
+        target endpoint; keep-alive zero rows give every node a row."""
+
+        def tag_state(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            return pa.table(
+                {
+                    "key": batch.column("id"),
+                    "to": pa.array(np.full(n, -1, np.int64)),
+                    "r": batch.column("r"),
+                    "side": pa.array(np.zeros(n, np.int8)),
+                }
+            )
+
+        def tag_edges(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            return pa.table(
+                {
+                    "key": batch.column(from_col).cast(pa.int64()),
+                    "to": batch.column(to_col).cast(pa.int64()),
+                    "r": pa.array(np.zeros(n, np.int64)),
+                    "side": pa.array(np.ones(n, np.int8)),
+                }
+            )
+
+        def scatter(df: pd.DataFrame) -> pd.DataFrame:
+            st = df[df["side"] == 0]
+            eg = df[df["side"] == 1]
+            parts = [
+                pd.DataFrame({"id": st["key"].to_numpy(np.int64), "c": np.zeros(len(st), np.int64)})
+            ]
+            if len(eg):
+                r = (
+                    eg[["key"]]
+                    .merge(st[["key", "r"]], on="key", how="left")["r"]
+                    .fillna(0)
+                    .to_numpy(np.int64)
+                )
+                parts.append(pd.DataFrame({"id": eg["to"].to_numpy(np.int64), "c": r}))
+            return pd.concat(parts, ignore_index=True)
+
+        def gather(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("id", sort=False)["c"].sum().reset_index()
+            return pd.DataFrame({"id": g["id"].to_numpy(np.int64), "r": g["c"].to_numpy(np.int64)})
+
+        both = state.map_batches(tag_state, batch_format="pyarrow").union(
+            edges.map_batches(tag_edges, batch_format="pyarrow")
+        )
+        contribs = hash_partitioned_apply(both, "key", scatter)
+        return hash_partitioned_apply(contribs, "id", gather)
+
+    def renorm(state):
+        m = max(int(state.max("r") or 0), 1)
+
+        def f(batch: pa.Table) -> pa.Table:
+            r = batch.column("r").to_numpy()
+            return pa.table({"id": batch.column("id"), "r": pa.array(r * HITS_SCALE // m)})
+
+        return state.map_batches(f, batch_format="pyarrow").materialize()
+
+    def init(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": batch.column("id").cast(pa.int64()),
+                "r": pa.array(np.full(len(batch), HITS_SCALE, np.int64)),
+            }
+        )
+
+    h_state = nodes.map_batches(init, batch_format="pyarrow")
+    a_state = None
+    for _ in range(iters):
+        a_state = renorm(propagate(h_state, "src", "dst"))
+        h_state = renorm(propagate(a_state, "dst", "src"))
+
+    def tag(name):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "id": batch.column("id"),
+                    "hub": batch.column("r") if name == "hub" else pa.array(np.zeros(len(batch), np.int64)),
+                    "auth": batch.column("r") if name == "auth" else pa.array(np.zeros(len(batch), np.int64)),
+                }
+            )
+
+        return f
+
+    both = h_state.map_batches(tag("hub"), batch_format="pyarrow").union(
+        a_state.map_batches(tag("auth"), batch_format="pyarrow")
+    )
+
+    def fuse(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("id", sort=False)[["hub", "auth"]].sum().reset_index()
+        for c in ("id", "hub", "auth"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    return hash_partitioned_apply(both, "id", fuse)
+
+
+def hits_links(sf_dir: str):
+    """Driver query: HITS over the derived link graph.
+    Output (doc_id, hub_x1e6, auth_x1e6)."""
+    nodes = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        lambda b: b.rename_columns(["id"]), batch_format="pyarrow"
+    )
+    res = hits(nodes, dv.link_edges(sf_dir), iters=HITS_ITERS)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("id"),
+                "hub_x1e6": batch.column("hub"),
+                "auth_x1e6": batch.column("auth"),
+            }
+        )
+
+    return res.map_batches(project, batch_format="pyarrow")
+
+
+def _sql_hits_phase(prev: str, cur: str, from_col: str, to_col: str) -> str:
+    """One propagate + max-normalize phase, identical integer ops."""
+    return f"""{cur}_raw AS (
+    SELECT d.doc_id AS id, CAST(COALESCE(SUM(s.r), 0) AS BIGINT) AS r
+    FROM documents d
+    LEFT JOIN link_edges e ON e.{to_col} = d.doc_id
+    LEFT JOIN {prev} s ON s.id = e.{from_col}
+    GROUP BY d.doc_id),
+{cur} AS (
+    SELECT id, r * {HITS_SCALE} // GREATEST((SELECT MAX(r) FROM {cur}_raw), 1) AS r
+    FROM {cur}_raw)"""
+
+
+def _sql_hits_links() -> str:
+    parts = ["h0 AS (SELECT doc_id AS id, " f"{HITS_SCALE}::BIGINT AS r FROM documents)"]
+    prev_h = "h0"
+    for i in range(1, HITS_ITERS + 1):
+        parts.append(_sql_hits_phase(prev_h, f"a{i}", "src", "dst"))
+        parts.append(_sql_hits_phase(f"a{i}", f"h{i}", "dst", "src"))
+        prev_h = f"h{i}"
+    chain = ",\n".join(parts)
+    return f"""
+WITH {dv.SQL_LINK_EDGES.strip()},
+{chain}
+SELECT h.id AS doc_id, h.r AS hub_x1e6, a.r AS auth_x1e6
+FROM {prev_h} h JOIN a{HITS_ITERS} a USING (id)
+"""
+
+
+import functools
+
+sql_hits_links = functools.cache(_sql_hits_links)
