@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     from osm_search_ray.pipelines import traindata
 
+    q["mix_temperature"] = traindata.mix_temperature  # n^0.5 source mixing quotas
+
     q["bpe_train"] = bpe.bpe_train  # BPE tokenizer training: learned merge table
     q["bpe_tokenize"] = bpe.bpe_tokenize  # per-doc token counts under the learned merges
     q["split_leakage_safe"] = traindata.split_leakage_safe  # split by near-dup cluster rep
@@ -340,6 +342,8 @@ GROUP BY 1, 2
     sql["bpe_train"] = bpe.sql_bpe_train()  # unrolled N-stage merge chain, integer/string only
     sql["bpe_tokenize"] = bpe.sql_bpe_tokenize()
     from osm_search_ray.pipelines import traindata as _td
+
+    sql["mix_temperature"] = _td.SQL_MIX_TEMPERATURE
 
     sql["split_leakage_safe"] = _td.sql_split_leakage_safe()  # recursive-CTE CC + COALESCE rep
     sql["phrase_search"] = search_docs.SQL_PHRASE_DOCS_SEARCH

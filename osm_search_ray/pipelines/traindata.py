@@ -337,3 +337,85 @@ FROM documents d LEFT JOIN clust c ON c.doc_id = d.doc_id
 import functools  # noqa: E402  (module tail, matching textops' lazy-SQL pattern)
 
 sql_split_leakage_safe = functools.cache(_sql_split_leakage_safe)
+
+
+# --------------------------------------------------- temperature mixing
+
+MIX_BUDGET = 200  # total selected docs across all language sources
+MIX_ALPHA_NOTE = "alpha = 0.5 via integer isqrt"
+
+
+def mix_temperature(sf_dir: str, budget: int = MIX_BUDGET):
+    """Temperature-weighted data-source mixing (the LLaMA/Pile mixing
+    stage): per-language quotas proportional to n_lang^0.5 — upsampling
+    low-resource languages relative to proportional sampling — then the
+    deterministic hash-priority pick within each language (the
+    sample_stratified machinery).  Output (lang, doc_id, rank, quota).
+
+    Integer discipline: the temperature weight is math.isqrt(n) — SQL's
+    CAST(floor(sqrt(n)) AS BIGINT) is identical for n < ~2^50 (IEEE sqrt
+    is correctly rounded; between squares it cannot cross an integer at
+    these magnitudes); quota = budget * w // sum(w) is floor arithmetic on
+    both sides; priorities are the pure-int64 stratified hash.  A quota
+    larger than a language's corpus truncates naturally on both sides.
+
+    Scale shape: one tiny counts groupby (lang cardinality), quotas
+    computed driver-side (bounded by #languages) and captured in the
+    per-batch ≤ quota combiner, O(langs x blocks x quota) rows to the
+    final merge — no corpus shuffle."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["lang"].notna()]
+        g = df.groupby("lang", sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded: one row per language
+    )
+    w = {r["lang"]: math.isqrt(int(r["n"])) for _, r in counts.iterrows()}
+    tot = sum(w.values()) or 1
+    quota = {lang: budget * wl // tot for lang, wl in w.items()}
+
+    def pick_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["lang"].notna()].copy()
+        df["u"] = (df["doc_id"] % SPLIT_MOD) * SAMPLE_MIX % SPLIT_MOD
+        df = df.sort_values(["u", "doc_id"], kind="mergesort")
+        df["q"] = df["lang"].map(quota).fillna(0).astype(np.int64)
+        df = df.groupby("lang", sort=False).head(int(max(quota.values(), default=0)))
+        keep = df.groupby("lang", sort=False).cumcount() < df["q"]
+        return pa.Table.from_pandas(df.loc[keep, ["lang", "doc_id", "u"]], preserve_index=False)
+
+    parts = ds.map_batches(pick_partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["u", "doc_id"], kind="mergesort")
+    parts["rank"] = parts.groupby("lang", sort=False).cumcount() + 1
+    parts["quota"] = parts["lang"].map(quota).astype(np.int64)
+    out = parts[parts["rank"] <= parts["quota"]].reset_index(drop=True)
+    out["rank"] = out["rank"].astype(np.int64)
+    return out[["lang", "doc_id", "rank", "quota"]]
+
+
+SQL_MIX_TEMPERATURE = f"""
+WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents
+             WHERE lang IS NOT NULL GROUP BY 1),
+w AS (SELECT lang, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM cnt),
+q AS (SELECT lang, CAST({MIX_BUDGET} * w // (SELECT SUM(w) FROM w) AS BIGINT) AS quota FROM w),
+ranked AS (
+    SELECT lang, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY (doc_id % {SPLIT_MOD}) * {SAMPLE_MIX} % {SPLIT_MOD}, doc_id) AS rank
+    FROM documents WHERE lang IS NOT NULL
+)
+SELECT r.lang, r.doc_id, r.rank, q.quota
+FROM ranked r JOIN q USING (lang) WHERE r.rank <= q.quota
+"""

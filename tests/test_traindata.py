@@ -3,6 +3,7 @@
 cover the INVARIANTS the oracles can't express)."""
 
 import numpy as np
+import pandas as pd
 import ray.data
 
 from osm_search_ray.pipelines import traindata as td
@@ -90,3 +91,56 @@ def test_split_leakage_safe_properties(monkeypatch):
     import pandas as pd
 
     pd.testing.assert_frame_equal(out, joined.astype(out.dtypes.to_dict()))
+
+
+class TestMixTemperature:
+    def test_matches_sql(self):
+        import duckdb
+
+        from osm_search_ray.pipelines import traindata as td
+
+        sf = "/root/testdata/sf0.001"
+        got = td.mix_temperature(sf).sort_values(["lang", "rank"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        want = (
+            con.execute(td.SQL_MIX_TEMPERATURE)
+            .df()
+            .sort_values(["lang", "rank"])
+            .reset_index(drop=True)
+            .astype({c: got[c].dtype for c in got.columns})[got.columns]
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_temperature_flattens_the_mix(self):
+        """alpha=0.5 upsamples low-resource languages: the selected share of
+        the largest language must be STRICTLY below its corpus share, and
+        every language must be represented."""
+        import duckdb
+
+        from osm_search_ray.pipelines import traindata as td
+
+        sf = "/root/testdata/sf0.001"
+        got = td.mix_temperature(sf)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        corpus = con.execute(
+            "SELECT lang, COUNT(*) n FROM documents WHERE lang IS NOT NULL GROUP BY 1"
+        ).df().set_index("lang")["n"]
+        sel = got.groupby("lang").size()
+        assert set(sel.index) == set(corpus.index)
+        big = corpus.idxmax()
+        assert sel[big] / sel.sum() < corpus[big] / corpus.sum()
+        # quotas honored exactly
+        q = got.groupby("lang")["quota"].first()
+        assert (sel <= q).all()
+        # isqrt weighting replayed
+        import math
+
+        tot = sum(math.isqrt(int(n)) for n in corpus)
+        for lang, n in corpus.items():
+            assert q[lang] == td.MIX_BUDGET * math.isqrt(int(n)) // tot
