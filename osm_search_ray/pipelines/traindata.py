@@ -69,7 +69,7 @@ FROM documents
 """
 
 
-def pack_sequences(sf_dir: str, ctx: int = 256):
+def pack_sequences(sf_dir: str, ctx: int = 256, keep_ref=None):
     """(doc_id, n_tokens, start_off, window_id, start_in_window) — docs in
     doc_id order packed head-to-tail into ``ctx``-token windows.
 
@@ -77,10 +77,17 @@ def pack_sequences(sf_dir: str, ctx: int = 256):
     token totals are read once (O(blocks) driver work, zero data movement
     — the zip_with_index pattern, stages/joins.py), then one distributed
     pass adds block offset + in-block exclusive cumsum. All integer
-    arithmetic, bit-identical to the SQL window-function oracle."""
+    arithmetic, bit-identical to the SQL window-function oracle.
+
+    ``keep_ref``: optional ray.put handle to a SORTED int64 doc_id array —
+    packs only those docs (the composed training-data job's curate+mix
+    survivors; zero-copy plasma view per batch, same membership pattern as
+    webcorpus.drop_bad)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def count_tokens(batch: pa.Table) -> pa.Table:
+        if keep_ref is not None:
+            batch = _keep_filter(batch, keep_ref)
         _, counts = tokenize_array(batch.column("text").to_pylist())
         return pa.table(
             {"doc_id": batch.column("doc_id"), "n_tokens": pa.array(counts.astype(np.int64))}
@@ -345,7 +352,19 @@ MIX_BUDGET = 200  # total selected docs across all language sources
 MIX_ALPHA_NOTE = "alpha = 0.5 via integer isqrt"
 
 
-def mix_temperature(sf_dir: str, budget: int = MIX_BUDGET):
+def _keep_filter(batch: pa.Table, keep_ref) -> pa.Table:
+    """Restrict a batch to the broadcast SORTED doc_id array (zero-copy
+    plasma view; searchsorted membership — webcorpus.drop_bad pattern)."""
+    keep = ray.get(keep_ref)
+    ids = batch.column("doc_id").to_numpy()
+    if len(keep) == 0:
+        return batch.slice(0, 0)
+    idx = np.searchsorted(keep, ids)
+    idx[idx == len(keep)] = 0
+    return batch.filter(pa.array(keep[idx] == ids))
+
+
+def mix_temperature(sf_dir: str, budget: int = MIX_BUDGET, keep_ref=None):
     """Temperature-weighted data-source mixing (the LLaMA/Pile mixing
     stage): per-language quotas proportional to n_lang^0.5 — upsampling
     low-resource languages relative to proportional sampling — then the
@@ -370,6 +389,8 @@ def mix_temperature(sf_dir: str, budget: int = MIX_BUDGET):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
 
     def count_partial(batch: pa.Table) -> pa.Table:
+        if keep_ref is not None:
+            batch = _keep_filter(batch, keep_ref)
         df = batch.to_pandas()
         df = df[df["lang"].notna()]
         g = df.groupby("lang", sort=False).size().reset_index(name="n")
@@ -387,6 +408,8 @@ def mix_temperature(sf_dir: str, budget: int = MIX_BUDGET):
     quota = {lang: budget * wl // tot for lang, wl in w.items()}
 
     def pick_partial(batch: pa.Table) -> pa.Table:
+        if keep_ref is not None:
+            batch = _keep_filter(batch, keep_ref)
         df = batch.to_pandas()
         df = df[df["lang"].notna()].copy()
         df["u"] = (df["doc_id"] % SPLIT_MOD) * SAMPLE_MIX % SPLIT_MOD

@@ -219,3 +219,41 @@ def test_pos_index_job_build_resume_query(tmp_path):
     r = _run(["jobs/build_pos_index.py", "--out", out, "query", "--phrase", "spark group fast"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "phrase found in" in r.stdout and "0 occurrences" not in r.stdout
+
+
+def test_make_training_data_job_crash_resume(tmp_path):
+    """Composed curate→mix→pack→write job: crash injected at the write
+    stage, resume completes, and the final dataset equals a clean run's
+    (per-partition sidecars prove the crashed partitions were NOT
+    rewritten)."""
+    sf = "/root/testdata/sf0.001"
+    clean, crash = str(tmp_path / "clean"), str(tmp_path / "crash")
+
+    r = _run(["jobs/make_training_data.py", "--sf-dir", sf, "--out", clean, "--num-cpus", "4"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "RESULT buckets=" in r.stdout
+
+    r1 = _run(["jobs/make_training_data.py", "--sf-dir", sf, "--out", crash,
+               "--num-cpus", "4", "--fail-at", "0"])
+    assert r1.returncode != 0  # injected crash
+    # stage markers for the upstream stages survive the crash
+    assert os.path.exists(os.path.join(crash, "pack", "_STAGE_COMPLETE.json"))
+    assert not os.path.exists(os.path.join(crash, "data", "_STAGE_COMPLETE.json"))
+
+    r2 = _run(["jobs/make_training_data.py", "--sf-dir", sf, "--out", crash, "--num-cpus", "4"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "curate: SKIP" in r2.stdout and "pack: SKIP" in r2.stdout
+
+    def read_all(d):
+        files = sorted(glob.glob(os.path.join(d, "data", "part=*", "data.parquet")))
+        return (
+            pd.concat([pq.read_table(f).to_pandas() for f in files], ignore_index=True)
+            .sort_values(["doc_id"])
+            .reset_index(drop=True)
+        )
+
+    a, b = read_all(clean), read_all(crash)
+    pd.testing.assert_frame_equal(a, b)
+    # every written doc was curate-kept AND mix-selected
+    sel = pq.read_table(os.path.join(clean, "mix", "selected.parquet")).to_pandas()
+    assert set(a["doc_id"]) == set(sel["doc_id"])
