@@ -842,6 +842,14 @@ def cms_heavy_terms(sf_dir: str, min_count: int = CMS_MIN_COUNT):
         )
         .to_pandas()  # bounded: <= total_tokens / min_count rows
     )
+    if len(heavy) == 0:  # empty Datasets drop columns on to_pandas
+        return pd.DataFrame(
+            {
+                "term": pd.Series(dtype=object),
+                "n_exact": pd.Series(dtype=np.int64),
+                "cms_est": pd.Series(dtype=np.int64),
+            }
+        )
     h = hash64_md5(heavy["term"].to_numpy(dtype=object))
     heavy["cms_est"] = cms_estimate(regs, h)
     assert (heavy["cms_est"].to_numpy() >= heavy["n_exact"].to_numpy()).all()
