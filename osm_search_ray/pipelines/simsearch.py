@@ -424,3 +424,125 @@ def ann_quantized_topk(sf_dir: str, k: int = K_DEFAULT):
         return g[["query_id", "vec_id", "rank"]]
 
     return partial.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+# ----------------------------------------------------------- k-NN graph
+
+KNN_GRAPH_K = 5
+KNN_GRAPH_NLIST = 8
+
+
+def knn_graph(sf_dir: str, k: int = KNN_GRAPH_K, nlist: int = KNN_GRAPH_NLIST, nprobe: int | None = None):
+    """All-vectors k-NN graph — top-k cosine neighbors for EVERY vector
+    (the SemDeDup / kNN-LM / dedup-graph building block), built as a
+    LIST-BUCKETED SELF-JOIN rather than a corpus broadcast:
+
+      1. kmeans-lite centroids (tiny, broadcast);
+      2. every vector emits ONE member row (its assigned list) and
+         ``nprobe`` query rows (its nearest lists);
+      3. one list_id-keyed exchange co-locates each query with the member
+         vectors of its probed lists — scoring is a per-partition matmul
+         with per-(query, partition) top-k;
+      4. one query-keyed reduce takes the global top-k.
+
+    nprobe=None (default) probes every list — EXACT (every pair meets in
+    the member list's partition), which is what the brute-force SQL
+    oracle checks; nprobe < nlist is the approximate scale regime (the
+    ann_ivf_topk contract), unit-tested for recall and probe containment.
+    Exchange budget: n x (1 + nprobe) fixed-width rows; no corpus-sized
+    broadcast anywhere.  Output (src_id, neighbor_id, rank)."""
+    import pyarrow.parquet as pq
+
+    from ..functions.arrowutil import vec_matrix
+    from ..stages.annindex import sq_dists, train_centroids
+    from ..stages.joins import hash_partitioned_apply
+
+    if nprobe is None:
+        nprobe = nlist
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    centroids = train_centroids(emb, "embedding", nlist)
+    dim = centroids.shape[1]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy().astype(np.int64)
+        mat = vec_matrix(batch.column("embedding"))
+        d = sq_dists(mat, centroids)
+        member = np.argmin(d, axis=1).astype(np.int64)
+        probes = np.argsort(d, kind="stable", axis=1)[:, :nprobe].astype(np.int64)
+        blobs = [mat[i].tobytes() for i in range(len(ids))]
+        out_list = [member]
+        out_ids = [ids]
+        out_side = [np.zeros(len(ids), np.int8)]
+        out_blob = list(blobs)
+        for K in range(nprobe):
+            out_list.append(probes[:, K])
+            out_ids.append(ids)
+            out_side.append(np.ones(len(ids), np.int8))
+            out_blob.extend(blobs)
+        return pa.table(
+            {
+                "list_id": pa.array(np.concatenate(out_list)),
+                "vec_id": pa.array(np.concatenate(out_ids)),
+                "side": pa.array(np.concatenate(out_side)),
+                "blob": pa.array(out_blob, pa.binary()),
+            }
+        )
+
+    def score_partition(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby("list_id", sort=False):
+            mem = g[g["side"] == 0]
+            qry = g[g["side"] == 1]
+            if len(mem) == 0 or len(qry) == 0:
+                continue
+            mids = mem["vec_id"].to_numpy(np.int64)
+            qids = qry["vec_id"].to_numpy(np.int64)
+            mm = np.frombuffer(b"".join(mem["blob"]), np.float64).reshape(len(mids), dim)
+            qm = np.frombuffer(b"".join(qry["blob"]), np.float64).reshape(len(qids), dim)
+            mn = mm / np.maximum(np.linalg.norm(mm, axis=1, keepdims=True), 1e-12)
+            qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+            sims = qn @ mn.T
+            for qi in range(len(qids)):
+                mask = mids != qids[qi]
+                s_m, ids_m = sims[qi][mask], mids[mask]
+                if len(s_m) > k:
+                    part = np.argpartition(-s_m, k)[:k]
+                    s_m, ids_m = s_m[part], ids_m[part]
+                out.append(
+                    pd.DataFrame({"src_id": qids[qi], "neighbor_id": ids_m, "cosine": s_m})
+                )
+        if not out:
+            return pd.DataFrame(
+                {
+                    "src_id": pd.Series(dtype=np.int64),
+                    "neighbor_id": pd.Series(dtype=np.int64),
+                    "cosine": pd.Series(dtype=np.float64),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    partial = hash_partitioned_apply(
+        emb.map_batches(tag, batch_format="pyarrow"), "list_id", score_partition, num_parts=16
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["neighbor_id"])  # same pair can meet in several probed lists
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["src_id", "neighbor_id", "rank"]]
+
+    return partial.groupby("src_id").map_groups(final, batch_format="pandas")
+
+
+SQL_KNN_GRAPH = f"""
+WITH scored AS (
+    SELECT a.vec_id AS src_id, b.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                              ORDER BY list_cosine_similarity(
+                                  list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                  list_transform(b.embedding, x -> CAST(x AS DOUBLE))) DESC,
+                              b.vec_id) AS rank
+    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+)
+SELECT src_id, neighbor_id, rank FROM scored WHERE rank <= {KNN_GRAPH_K}
+"""
