@@ -405,3 +405,134 @@ FROM {prev_h} h JOIN a{HITS_ITERS} a USING (id)
 import functools
 
 sql_hits_links = functools.cache(_sql_hits_links)
+
+
+# ------------------------------------------------------ triangle counting
+
+TRI_MAX_DEGREE = 10_000  # hub guard: wedge fan-out is O(deg^2) per center
+
+
+def triangle_counts(sf_dir: str):
+    """Per-node triangle participation over the undirected link graph —
+    the clustering-coefficient numerator (the fourth graph-analytics
+    primitive next to PageRank / HITS / connected components).  Output
+    (doc_id, n_triangles) for every node in >= 1 triangle.
+
+    Shape (node-iterator at scale): THREE bounded exchanges —
+      1. (a, b)-keyed distinct of canonicalized edges (a < b, no loops);
+      2. center-keyed adjacency build; each center emits its neighbor
+         pairs x < y (wedges) — fan-out O(deg²), hub-guarded at
+         TRI_MAX_DEGREE with a loud error (the MAX_CLIQUE discipline);
+      3. (x, y)-keyed closing join: a wedge is a triangle iff its far
+         pair is itself an edge; each triangle {a,b,c} closes EXACTLY
+         once per center, so the per-center counts ARE the per-node
+         participation counts (no /3 correction, no double count)."""
+    from ..stages.joins import hash_partitioned_apply
+
+    edges = dv.link_edges(sf_dir)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy().astype(np.int64)
+        d = batch.column("dst").to_numpy().astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {"a": pa.array(np.minimum(s, d)), "b": pa.array(np.maximum(s, d))}
+        )
+
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    und = hash_partitioned_apply(
+        edges.map_batches(canon, batch_format="pyarrow"), ["a", "b"], dedup_pairs
+    ).materialize()
+
+    def expand(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        return pa.table(
+            {
+                "center": pa.array(np.concatenate([a, b])),
+                "nbr": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for c, g in df.groupby("center", sort=False):
+            nb = np.unique(g["nbr"].to_numpy(np.int64))
+            if len(nb) > TRI_MAX_DEGREE:
+                raise RuntimeError(
+                    f"triangle_counts: node {c} degree {len(nb)} exceeds "
+                    f"TRI_MAX_DEGREE={TRI_MAX_DEGREE} — raise the guard or "
+                    "pre-cap hub nodes"
+                )
+            if len(nb) < 2:
+                continue
+            ix, iy = np.triu_indices(len(nb), k=1)
+            outs.append(
+                pd.DataFrame(
+                    {"x": nb[ix], "y": nb[iy], "center": np.full(len(ix), c, np.int64)}
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "x": pd.Series(dtype=np.int64),
+                    "y": pd.Series(dtype=np.int64),
+                    "center": pd.Series(dtype=np.int64),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    wedge_ds = hash_partitioned_apply(
+        und.map_batches(expand, batch_format="pyarrow"), "center", wedges
+    )
+
+    def tag_edge(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "x": batch.column("a"),
+                "y": batch.column("b"),
+                "center": pa.array(np.full(n, -1, np.int64)),
+            }
+        )
+
+    both = wedge_ds.union(und.map_batches(tag_edge, batch_format="pyarrow"))
+
+    def close(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["center"] == -1][["x", "y"]].drop_duplicates()
+        w = df[df["center"] != -1]
+        m = w.merge(e, on=["x", "y"])
+        g = m.groupby("center", sort=False).size().reset_index(name="n_triangles")
+        g["n_triangles"] = g["n_triangles"].astype(np.int64)
+        return g.rename(columns={"center": "doc_id"})
+
+    closed = hash_partitioned_apply(both, ["x", "y"], close)
+
+    def fuse(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", sort=False)["n_triangles"].sum().reset_index()
+        g["n_triangles"] = g["n_triangles"].astype(np.int64)
+        return g
+
+    return hash_partitioned_apply(closed, "doc_id", fuse)
+
+
+SQL_TRIANGLE_COUNTS = f"""
+WITH {dv.SQL_LINK_EDGES.strip()},
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM link_edges WHERE src <> dst),
+tris AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM und e1
+    JOIN und e2 ON e2.a = e1.b
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+members AS (
+    SELECT x AS doc_id FROM tris
+    UNION ALL SELECT y FROM tris
+    UNION ALL SELECT z FROM tris
+)
+SELECT doc_id, COUNT(*) AS n_triangles FROM members GROUP BY 1
+"""

@@ -58,3 +58,43 @@ class TestHits:
         for c in ("hub_x1e6", "auth_x1e6"):
             assert got[c].min() >= 0
             assert got[c].max() == graph.HITS_SCALE  # max-normalized each phase
+
+
+class TestTriangles:
+    def test_matches_sql(self):
+        got = (
+            graph.triangle_counts(SF)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+        )
+        want = (
+            con.execute(graph.SQL_TRIANGLE_COUNTS)
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+            .astype({c: got[c].dtype for c in got.columns})[got.columns]
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_planted_clique(self, monkeypatch):
+        """K4 plus a pendant edge: each clique node sits in C(3,2)=3
+        triangles, the pendant in none; direction/duplication of the input
+        edges must not matter (canonicalized distinct pairs)."""
+        e = pd.DataFrame(
+            {
+                "src": [0, 0, 0, 1, 1, 2, 4, 2, 3],
+                "dst": [1, 2, 3, 2, 3, 3, 0, 1, 0],  # K4 + (0,4) + dup/reversed edges
+            }
+        ).astype(np.int64)
+
+        monkeypatch.setattr(
+            graph.dv, "link_edges", lambda sf: ray.data.from_pandas(e)
+        )
+        got = graph.triangle_counts("unused").to_pandas().set_index("doc_id")["n_triangles"]
+        assert got.loc[[0, 1, 2, 3]].tolist() == [3, 3, 3, 3]
+        assert 4 not in got.index
