@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["mix_temperature"] = traindata.mix_temperature  # n^0.5 source mixing quotas
     q["knn_graph"] = simsearch.knn_graph  # all-vectors kNN graph (bucketed self-join)
     q["triangle_counts"] = _gr.triangle_counts  # per-node triangle participation
+    q["nn_join"] = tiling.nn_join  # spatial 1-NN self-join (ring + fallback regimes)
 
     q["bpe_train"] = bpe.bpe_train  # BPE tokenizer training: learned merge table
     q["bpe_tokenize"] = bpe.bpe_tokenize  # per-doc token counts under the learned merges
@@ -348,6 +349,7 @@ GROUP BY 1, 2
     sql["mix_temperature"] = _td.SQL_MIX_TEMPERATURE
     sql["knn_graph"] = simsearch.SQL_KNN_GRAPH
     sql["triangle_counts"] = graph.SQL_TRIANGLE_COUNTS
+    sql["nn_join"] = _ti.sql_nn_join()
 
     sql["split_leakage_safe"] = _td.sql_split_leakage_safe()  # recursive-CTE CC + COALESCE rep
     sql["phrase_search"] = search_docs.SQL_PHRASE_DOCS_SEARCH

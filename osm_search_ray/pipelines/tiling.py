@@ -374,3 +374,167 @@ SELECT doc_id, zkey, zkey >> {2 * (15 - Z_QUAD_RES)} AS quad,
        ROW_NUMBER() OVER (ORDER BY zkey, doc_id) AS rank
 FROM z
 """
+
+
+# ------------------------------------------------ nearest-neighbor self-join
+
+_KM_PER_DEG = 111.19492664455873
+
+
+def nn_join(sf_dir: str, res: int = RES_COARSE):
+    """Spatial 1-NN SELF-join: every page's nearest OTHER page — the geo
+    twin of simsearch.knn_graph, and the all-pairs operator the query-set
+    kNN (broadcast_knn) cannot give at scale.  Output (doc_id, nn_id).
+
+    Two regimes, together EXACT:
+      1. bucketed ring pass — each page emits one member row into its res-12
+         cell and query rows into the 3x3 ring; ONE cell-keyed exchange;
+         per partition the per-query nearest candidate (vectorized
+         haversine).  A candidate is CONFIRMED when its distance <= the
+         ring bound: any point outside the 3x3 block differs by >= one
+         full cell step in grid lat or lon, so its distance is >= 1 x
+         min(lat_step_km, lon_step_km at the maximum |lat| reachable
+         within 2 cells) — the cell_knn_oneshot best-first bound at
+         ring=1.  Seam columns (grid x = 0 or n-1) are NEVER confirmed:
+         the grid does not wrap but the antimeridian does, so wrapped
+         partners violate the grid-distance argument only there.
+      2. fallback — unconfirmed pages (sparse rings, high latitudes, seam)
+         are re-resolved exactly against the full corpus stream with the
+         broadcast-kNN combiner (the query side is the small side by
+         construction).
+
+    Tie rule both regimes and in SQL: (distance, nn_id) ascending."""
+    import pandas as pd
+
+    from ..functions.cells import cell_bounds
+    from ..functions.geometry import haversine_km
+    from ..stages.joins import hash_partitioned_apply
+
+    n_cells = 1 << res
+    pages = geo_pages(sf_dir)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        lat = batch.column("lat").to_numpy()
+        lon = batch.column("lon").to_numpy()
+        cell = cell_of(lat, lon, res)
+        x, y = cell // n_cells, cell % n_cells
+        out = {"cell": [], "doc_id": [], "lat": [], "lon": [], "side": []}
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nx, ny = x + dx, y + dy
+                ok = (nx >= 0) & (nx < n_cells) & (ny >= 0) & (ny < n_cells)
+                out["cell"].append((nx * n_cells + ny)[ok])
+                out["doc_id"].append(ids[ok])
+                out["lat"].append(lat[ok])
+                out["lon"].append(lon[ok])
+                side = np.ones(int(ok.sum()), np.int8)
+                if dx == 0 and dy == 0:
+                    side[:] = 0  # member AND query in its own cell
+                out["side"].append(side)
+        return pa.table(
+            {
+                "cell": pa.array(np.concatenate(out["cell"])),
+                "doc_id": pa.array(np.concatenate(out["doc_id"])),
+                "lat": pa.array(np.concatenate(out["lat"])),
+                "lon": pa.array(np.concatenate(out["lon"])),
+                "side": pa.array(np.concatenate(out["side"])),
+            }
+        )
+
+    def best_in_cell(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("cell", sort=False):
+            mem = g[g["side"] == 0]
+            if len(mem) == 0:
+                continue
+            mids = mem["doc_id"].to_numpy(np.int64)
+            mlat, mlon = mem["lat"].to_numpy(), mem["lon"].to_numpy()
+            qids = g["doc_id"].to_numpy(np.int64)
+            qlat, qlon = g["lat"].to_numpy(), g["lon"].to_numpy()
+            for qi in range(len(qids)):
+                d = haversine_km(qlat[qi], qlon[qi], mlat, mlon)
+                mask = mids != qids[qi]
+                if not mask.any():
+                    continue
+                dm, im = d[mask], mids[mask]
+                j = np.lexsort((im, dm))[0]
+                outs.append((qids[qi], im[j], dm[j]))
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype=np.int64),
+                    "nn_id": pd.Series(dtype=np.int64),
+                    "dist_km": pd.Series(dtype=np.float64),
+                }
+            )
+        return pd.DataFrame(outs, columns=["doc_id", "nn_id", "dist_km"]).astype(
+            {"doc_id": np.int64, "nn_id": np.int64}
+        )
+
+    cand = (
+        hash_partitioned_apply(
+            pages.map_batches(tag, batch_format="pyarrow"), "cell", best_in_cell, num_parts=16
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "dist_km", "nn_id"], kind="mergesort")
+        .drop_duplicates("doc_id")  # best across the (up to 9) probed cells
+    )
+
+    # confirmation bound per page (vectorized, exactly cell_knn_oneshot's)
+    import pyarrow.parquet as pq
+
+    pg = pages.to_pandas()  # (doc_id, lat, lon) — the id/coord table, small per block; at
+    # 100 TB this joins distributively; here it also feeds the fallback query side
+    cell = cell_of(pg["lat"].to_numpy(), pg["lon"].to_numpy(), res)
+    lat0, lon0, lat1, lon1 = cell_bounds(cell, res)
+    lat_step = lat1 - lat0
+    reach_lat = np.minimum(90.0, np.maximum(np.abs(lat0), np.abs(lat1)) + 2 * lat_step)
+    lon_step_km = (lon1 - lon0) * _KM_PER_DEG * np.maximum(np.cos(np.radians(reach_lat)), 1e-9)
+    bound_km = np.minimum(lat_step * _KM_PER_DEG, lon_step_km)
+    x = cell // n_cells
+    seam = (x <= 0) | (x >= n_cells - 1)
+    binfo = pd.DataFrame({"doc_id": pg["doc_id"].to_numpy(np.int64), "bound_km": bound_km, "seam": seam})
+    cand = cand.merge(binfo, on="doc_id")
+    confirmed = cand[(~cand["seam"]) & (cand["dist_km"] <= cand["bound_km"])]
+
+    unresolved = pg[~pg["doc_id"].isin(set(confirmed["doc_id"]))]
+    parts = [confirmed[["doc_id", "nn_id"]]]
+    if len(unresolved):
+        from ..stages.knn import broadcast_knn
+
+        q = pa.table(
+            {
+                "query_id": pa.array(unresolved["doc_id"].to_numpy(np.int64)),
+                "qlat": pa.array(unresolved["lat"].to_numpy()),
+                "qlon": pa.array(unresolved["lon"].to_numpy()),
+            }
+        )
+        res2 = broadcast_knn(geo_pages(sf_dir), q, k=2).to_pandas()
+        res2 = res2[res2["doc_id"] != res2["query_id"]]
+        res2 = res2.sort_values(["query_id", "rank"], kind="mergesort").drop_duplicates("query_id")
+        parts.append(
+            pd.DataFrame(
+                {
+                    "doc_id": res2["query_id"].to_numpy(np.int64),
+                    "nn_id": res2["doc_id"].to_numpy(np.int64),
+                }
+            )
+        )
+    out = pd.concat(parts, ignore_index=True).sort_values("doc_id").reset_index(drop=True)
+    return out[["doc_id", "nn_id"]]
+
+
+def sql_nn_join() -> str:
+    from ..sources.derived import SQL_GEO_PAGES, SQL_HAVERSINE
+
+    hav = SQL_HAVERSINE.format(lat1="a.lat", lon1="a.lon", lat2="b.lat", lon2="b.lon")
+    return f"""
+WITH {SQL_GEO_PAGES.strip()},
+scored AS (
+    SELECT a.doc_id, b.doc_id AS nn_id,
+           ROW_NUMBER() OVER (PARTITION BY a.doc_id ORDER BY {hav}, b.doc_id) AS rank
+    FROM geo_pages a JOIN geo_pages b ON b.doc_id <> a.doc_id
+)
+SELECT doc_id, nn_id FROM scored WHERE rank = 1
+"""
