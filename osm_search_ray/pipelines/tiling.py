@@ -390,20 +390,23 @@ def nn_join(sf_dir: str, res: int = RES_COARSE):
       1. bucketed ring pass — each page emits one member row into its res-12
          cell and query rows into the 3x3 ring; ONE cell-keyed exchange;
          per partition the per-query nearest candidate (vectorized
-         haversine).  A candidate is CONFIRMED when its distance <= the
-         ring bound: any point outside the 3x3 block differs by >= one
-         full cell step in grid lat or lon, so its distance is >= 1 x
-         min(lat_step_km, lon_step_km at the maximum |lat| reachable
-         within 2 cells) — the cell_knn_oneshot best-first bound at
-         ring=1.  Seam columns (grid x = 0 or n-1) are NEVER confirmed:
-         the grid does not wrap but the antimeridian does, so wrapped
-         partners violate the grid-distance argument only there.
-      2. fallback — unconfirmed pages (sparse rings, high latitudes, seam)
-         are re-resolved exactly against the full corpus stream with the
-         broadcast-kNN combiner (the query side is the small side by
-         construction).
+         haversine), then ONE doc-keyed exchange reduces the up-to-9
+         per-cell candidates and evaluates the confirmation bound: any
+         point outside the 3x3 block differs by >= one full cell step in
+         grid lat or lon, so its distance is >= 1 x min(lat_step_km,
+         lon_step_km at the maximum |lat| reachable within 2 cells) — the
+         cell_knn_oneshot best-first bound at ring=1.  Seam columns
+         (grid x = 0 or n-1) are NEVER confirmed: the grid does not wrap
+         but the antimeridian does, so wrapped partners violate the
+         grid-distance argument only there.
+      2. fallback — the UNCONFIRMED remainder (sparse rings, high
+         latitudes, seam; small by construction — it is the only piece
+         that ever reaches the driver) is re-resolved exactly against the
+         full corpus stream with the broadcast-kNN combiner.
 
-    Tie rule both regimes and in SQL: (distance, nn_id) ascending."""
+    Nothing corpus-sized touches the driver: the confirmed side stays a
+    Dataset end to end.  Tie rule both regimes and in SQL: (distance,
+    nn_id) ascending."""
     import pandas as pd
 
     from ..functions.cells import cell_bounds
@@ -443,6 +446,10 @@ def nn_join(sf_dir: str, res: int = RES_COARSE):
         )
 
     def best_in_cell(df: pd.DataFrame) -> pd.DataFrame:
+        """Per probed cell: each query's nearest member (self excluded).
+        side=0 rows (a page in its OWN cell) always emit — with a -1
+        sentinel when the cell holds no other member — so every page
+        reaches the doc-keyed reduce exactly once even in empty rings."""
         outs = []
         for _, g in df.groupby("cell", sort=False):
             mem = g[g["side"] == 0]
@@ -452,54 +459,58 @@ def nn_join(sf_dir: str, res: int = RES_COARSE):
             mlat, mlon = mem["lat"].to_numpy(), mem["lon"].to_numpy()
             qids = g["doc_id"].to_numpy(np.int64)
             qlat, qlon = g["lat"].to_numpy(), g["lon"].to_numpy()
+            own = g["side"].to_numpy() == 0
             for qi in range(len(qids)):
                 d = haversine_km(qlat[qi], qlon[qi], mlat, mlon)
                 mask = mids != qids[qi]
-                if not mask.any():
-                    continue
-                dm, im = d[mask], mids[mask]
-                j = np.lexsort((im, dm))[0]
-                outs.append((qids[qi], im[j], dm[j]))
+                if mask.any():
+                    dm, im = d[mask], mids[mask]
+                    j = np.lexsort((im, dm))[0]
+                    outs.append((qids[qi], int(im[j]), float(dm[j]), qlat[qi], qlon[qi]))
+                elif own[qi]:
+                    outs.append((qids[qi], -1, np.inf, qlat[qi], qlon[qi]))
+        cols = ["doc_id", "nn_id", "dist_km", "lat", "lon"]
         if not outs:
-            return pd.DataFrame(
-                {
-                    "doc_id": pd.Series(dtype=np.int64),
-                    "nn_id": pd.Series(dtype=np.int64),
-                    "dist_km": pd.Series(dtype=np.float64),
-                }
-            )
-        return pd.DataFrame(outs, columns=["doc_id", "nn_id", "dist_km"]).astype(
-            {"doc_id": np.int64, "nn_id": np.int64}
-        )
+            return pd.DataFrame({c: pd.Series(dtype=np.float64 if c in ("dist_km", "lat", "lon") else np.int64) for c in cols})
+        out = pd.DataFrame(outs, columns=cols)
+        return out.astype({"doc_id": np.int64, "nn_id": np.int64})
 
-    cand = (
-        hash_partitioned_apply(
-            pages.map_batches(tag, batch_format="pyarrow"), "cell", best_in_cell, num_parts=16
-        )
-        .to_pandas()
-        .sort_values(["doc_id", "dist_km", "nn_id"], kind="mergesort")
-        .drop_duplicates("doc_id")  # best across the (up to 9) probed cells
+    cand = hash_partitioned_apply(
+        pages.map_batches(tag, batch_format="pyarrow"), "cell", best_in_cell, num_parts=16
     )
 
-    # confirmation bound per page (vectorized, exactly cell_knn_oneshot's)
-    import pyarrow.parquet as pq
+    def reduce_doc(df: pd.DataFrame) -> pd.DataFrame:
+        """Per page: best candidate across its probed cells + the ring
+        confirmation bound (computed from the page's own coordinates —
+        nothing leaves the partition)."""
+        df = df.sort_values(["doc_id", "dist_km", "nn_id"], kind="mergesort").drop_duplicates("doc_id")
+        lat = df["lat"].to_numpy()
+        lon = df["lon"].to_numpy()
+        cell = cell_of(lat, lon, res)
+        lat0, lon0, lat1, lon1 = cell_bounds(cell, res)
+        lat_step = lat1 - lat0
+        reach_lat = np.minimum(90.0, np.maximum(np.abs(lat0), np.abs(lat1)) + 2 * lat_step)
+        lon_step_km = (lon1 - lon0) * _KM_PER_DEG * np.maximum(np.cos(np.radians(reach_lat)), 1e-9)
+        bound_km = np.minimum(lat_step * _KM_PER_DEG, lon_step_km)
+        x = cell // n_cells
+        seam = (x <= 0) | (x >= n_cells - 1)
+        confirmed = (~seam) & (df["nn_id"].to_numpy() >= 0) & (df["dist_km"].to_numpy() <= bound_km)
+        out = df[["doc_id", "nn_id", "lat", "lon"]].copy()
+        out["confirmed"] = confirmed
+        return out
 
-    pg = pages.to_pandas()  # (doc_id, lat, lon) — the id/coord table, small per block; at
-    # 100 TB this joins distributively; here it also feeds the fallback query side
-    cell = cell_of(pg["lat"].to_numpy(), pg["lon"].to_numpy(), res)
-    lat0, lon0, lat1, lon1 = cell_bounds(cell, res)
-    lat_step = lat1 - lat0
-    reach_lat = np.minimum(90.0, np.maximum(np.abs(lat0), np.abs(lat1)) + 2 * lat_step)
-    lon_step_km = (lon1 - lon0) * _KM_PER_DEG * np.maximum(np.cos(np.radians(reach_lat)), 1e-9)
-    bound_km = np.minimum(lat_step * _KM_PER_DEG, lon_step_km)
-    x = cell // n_cells
-    seam = (x <= 0) | (x >= n_cells - 1)
-    binfo = pd.DataFrame({"doc_id": pg["doc_id"].to_numpy(np.int64), "bound_km": bound_km, "seam": seam})
-    cand = cand.merge(binfo, on="doc_id")
-    confirmed = cand[(~cand["seam"]) & (cand["dist_km"] <= cand["bound_km"])]
+    reduced = hash_partitioned_apply(cand, "doc_id", reduce_doc, num_parts=16)
 
-    unresolved = pg[~pg["doc_id"].isin(set(confirmed["doc_id"]))]
-    parts = [confirmed[["doc_id", "nn_id"]]]
+    confirmed_ds = reduced.map_batches(
+        lambda t: t.filter(t.column("confirmed")).select(["doc_id", "nn_id"]),
+        batch_format="pyarrow",
+    )
+    unresolved = reduced.map_batches(
+        lambda t: t.filter(pc_not(t.column("confirmed"))).select(["doc_id", "lat", "lon"]),
+        batch_format="pyarrow",
+    ).to_pandas()  # small by construction: the bound confirms dense interior pages
+
+    fallback = None
     if len(unresolved):
         from ..stages.knn import broadcast_knn
 
@@ -513,16 +524,23 @@ def nn_join(sf_dir: str, res: int = RES_COARSE):
         res2 = broadcast_knn(geo_pages(sf_dir), q, k=2).to_pandas()
         res2 = res2[res2["doc_id"] != res2["query_id"]]
         res2 = res2.sort_values(["query_id", "rank"], kind="mergesort").drop_duplicates("query_id")
-        parts.append(
-            pd.DataFrame(
-                {
-                    "doc_id": res2["query_id"].to_numpy(np.int64),
-                    "nn_id": res2["doc_id"].to_numpy(np.int64),
-                }
-            )
+        fallback = pd.DataFrame(
+            {
+                "doc_id": res2["query_id"].to_numpy(np.int64),
+                "nn_id": res2["doc_id"].to_numpy(np.int64),
+            }
         )
-    out = pd.concat(parts, ignore_index=True).sort_values("doc_id").reset_index(drop=True)
-    return out[["doc_id", "nn_id"]]
+    # result stays a Dataset — the confirmed (corpus-sized) side never
+    # collects on the driver; only the small fallback frame does
+    if fallback is None or len(fallback) == 0:
+        return confirmed_ds
+    return confirmed_ds.union(ray.data.from_pandas(fallback))
+
+
+def pc_not(arr):
+    import pyarrow.compute as _pc
+
+    return _pc.invert(arr)
 
 
 def sql_nn_join() -> str:

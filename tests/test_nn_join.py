@@ -15,7 +15,7 @@ SF = "/root/testdata/sf0.001"
 
 class TestNNJoin:
     def test_matches_sql(self):
-        got = tiling.nn_join(SF).sort_values("doc_id").reset_index(drop=True)
+        got = tiling.nn_join(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
         con = duckdb.connect()
         con.execute(
             f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
@@ -30,7 +30,7 @@ class TestNNJoin:
         pd.testing.assert_frame_equal(got, want)
 
     def test_every_page_resolved_once(self):
-        got = tiling.nn_join(SF)
+        got = tiling.nn_join(SF).to_pandas()
         from osm_search_ray.sources.derived import geo_pages
 
         n_pages = geo_pages(SF).count()
@@ -57,7 +57,7 @@ class TestNNJoin:
             return ray.data.from_pandas(docs)
 
         monkeypatch.setattr(tiling, "geo_pages", fake_geo_pages)
-        got = tiling.nn_join("unused").sort_values("doc_id").reset_index(drop=True)
+        got = tiling.nn_join("unused").to_pandas().sort_values("doc_id").reset_index(drop=True)
 
         from osm_search_ray.functions.geometry import haversine_km
 
