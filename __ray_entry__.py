@@ -39,8 +39,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from osm_search_ray.pipelines import search_docs
 
     # --- block A0: new this round (never driver-verified) ---
-    from osm_search_ray.pipelines import bpe, cdc
+    from osm_search_ray.pipelines import bpe, cdc, graph as _gr0
 
+    q["kcore_links"] = _gr0.kcore_links  # 4-core membership via iterative peeling
     q["cdc_chunks"] = cdc.cdc_chunks  # content-defined chunking (FastCDC-style walk)
     q["cdc_dedup"] = cdc.cdc_dedup  # shift-robust shared-chunk dedup stats
     from osm_search_ray.pipelines import dsir
@@ -342,6 +343,7 @@ GROUP BY 1, 2
     sql["zorder_sort"] = _ti.sql_zorder_sort()  # spread-bits CTE chain, integer-exact
     sql["retention_cohorts"] = ev.SQL_RETENTION_COHORTS
     sql["hits_links"] = graph.sql_hits_links()  # unrolled phase CTEs, scalar-max norm
+    sql["kcore_links"] = graph.sql_kcore_links()  # unrolled MATERIALIZED peel levels
     sql["bpe_train"] = bpe.sql_bpe_train()  # unrolled N-stage merge chain, integer/string only
     sql["bpe_tokenize"] = bpe.sql_bpe_tokenize()
     from osm_search_ray.pipelines import traindata as _td

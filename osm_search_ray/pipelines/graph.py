@@ -536,3 +536,276 @@ members AS (
 )
 SELECT doc_id, COUNT(*) AS n_triangles FROM members GROUP BY 1
 """
+
+
+# --------------------------------------------------- k-core decomposition
+
+KCORE_K = 4  # driver-query core order (K=4 peels 2-3 rounds on the link graph)
+KCORE_MAX_PEELS = 16  # loud convergence bound (TRI_MAX_DEGREE discipline)
+KCORE_BROADCAST_LIMIT = 2_000_000  # per-peel dropped-id broadcast budget
+
+
+def kcore(
+    edges: "ray.data.Dataset",
+    k: int = KCORE_K,
+    max_peels: int = KCORE_MAX_PEELS,
+    small_edges: int = 2_000_000,
+    broadcast_limit: int = KCORE_BROADCAST_LIMIT,
+    num_parts: int = 64,
+) -> "ray.data.Dataset":
+    """K-core of the UNDIRECTED simple graph induced by ``edges`` (columns
+    ``src``, ``dst``; multi-edges collapse, self-loops drop) — the graph
+    PRUNING primitive next to PageRank / HITS / CC / triangles: iteratively
+    peel every node of degree < k until a fixed point.  Returns
+    (id, core_deg) for the members of the k-core, ``core_deg`` their degree
+    WITHIN the core.
+
+    Scale shape: the canonical edge list is materialized once; each peel is
+    ONE node-keyed degree exchange + an edge filter.  The per-peel dropped
+    set is broadcast (ray.put) below ``broadcast_limit``, else removed via
+    two tagged-union anti-join exchanges (key = each endpoint) — nothing
+    node- or edge-sized ever lands on the driver on that path.  Peeling
+    must converge within ``max_peels`` rounds or we raise loudly (the SQL
+    oracle unrolls the same bound; a graph needing more peels fails the
+    query rather than silently diverging).
+
+    Regime switch (the pagerank/hits discipline): small graphs run the
+    identical numpy peel driver-side — the chained per-peel exchanges cost
+    ~2 s of actor ramp each, which dwarfs any graph that fits one process.
+    Paths are equality-tested (tests/test_graph.py)."""
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy().astype(np.int64)
+        d = batch.column("dst").to_numpy().astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {"a": pa.array(np.minimum(s, d)), "b": pa.array(np.maximum(s, d))}
+        )
+
+    canonical = edges.map_batches(canon, batch_format="pyarrow").materialize()
+
+    if canonical.count() <= small_edges:
+        # small regime BEFORE the dedup exchange: canonicalize + unique in
+        # numpy too — the raw edge list already fits the driver budget
+        ed = canonical.to_pandas()
+        pair = np.unique(
+            np.stack([ed["a"].to_numpy(np.int64), ed["b"].to_numpy(np.int64)], 1),
+            axis=0,
+        )
+        a, b = pair[:, 0], pair[:, 1]
+        ids = np.unique(np.concatenate([a, b]))
+        ai = np.searchsorted(ids, a)
+        bi = np.searchsorted(ids, b)
+        alive = np.ones(len(ids), bool)
+        for _ in range(max_peels):
+            m = alive[ai] & alive[bi]
+            deg = np.bincount(ai[m], minlength=len(ids)) + np.bincount(
+                bi[m], minlength=len(ids)
+            )
+            drop = alive & (deg < k)
+            if not drop.any():
+                break
+            alive &= ~drop
+        else:
+            raise RuntimeError(
+                f"kcore: no fixed point within KCORE_MAX_PEELS={max_peels} peels"
+            )
+        m = alive[ai] & alive[bi]
+        deg = np.bincount(ai[m], minlength=len(ids)) + np.bincount(
+            bi[m], minlength=len(ids)
+        )
+        keep = alive & (deg > 0)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array(ids[keep]),
+                    "core_deg": pa.array(deg[keep].astype(np.int64)),
+                }
+            )
+        )
+
+    und = hash_partitioned_apply(
+        canonical,
+        ["a", "b"],
+        lambda df: df.drop_duplicates(),
+        num_parts=num_parts,
+    ).materialize()
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        return pa.table({"x": pa.array(np.concatenate([a, b]))})
+
+    def degrees(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("x", sort=False).size().reset_index(name="d")
+        g["d"] = g["d"].astype(np.int64)
+        return g
+
+    def drop_if_low(key_col: str):
+        # tagged union partition kernel: side==1 rows carry this peel's
+        # dropped ids; edges keyed on key_col survive iff their key is absent
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            low = df.loc[df["side"] == 1, "key"].to_numpy(np.int64)
+            eg = df[df["side"] == 0]
+            keep = ~eg["key"].isin(low)
+            out = eg.loc[keep, ["key", "other"]]
+            if key_col == "a":
+                return pd.DataFrame(
+                    {
+                        "a": out["key"].to_numpy(np.int64),
+                        "b": out["other"].to_numpy(np.int64),
+                    }
+                )
+            return pd.DataFrame(
+                {
+                    "a": out["other"].to_numpy(np.int64),
+                    "b": out["key"].to_numpy(np.int64),
+                }
+            )
+
+        return fn
+
+    def tag_edges(key_col: str, other_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            return pa.table(
+                {
+                    "key": batch.column(key_col),
+                    "other": batch.column(other_col),
+                    "side": pa.array(np.zeros(n, np.int8)),
+                }
+            )
+
+        return fn
+
+    def tag_low(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "key": batch.column("x"),
+                "other": pa.array(np.full(n, -1, np.int64)),
+                "side": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    for _ in range(max_peels):
+        deg = hash_partitioned_apply(
+            und.map_batches(endpoints, batch_format="pyarrow"),
+            "x",
+            degrees,
+            num_parts=num_parts,
+        )
+        def keep_low(batch: pa.Table) -> pa.Table:
+            d = batch.column("d").to_numpy()
+            return batch.filter(pa.array(d < k)).select(["x"])
+
+        low = deg.map_batches(keep_low, batch_format="pyarrow").materialize()
+        n_low = low.count()
+        if n_low == 0:
+            break
+        if n_low <= broadcast_limit:
+            dropped = np.sort(low.to_pandas()["x"].to_numpy(np.int64))
+            ref = ray.put(dropped)
+
+            def filt(batch: pa.Table) -> pa.Table:
+                dr = ray.get(ref)
+                a = batch.column("a").to_numpy()
+                b = batch.column("b").to_numpy()
+                keep = ~np.isin(a, dr) & ~np.isin(b, dr)
+                return batch.filter(pa.array(keep))
+
+            und = und.map_batches(filt, batch_format="pyarrow").materialize()
+        else:
+            low_tagged = low.map_batches(tag_low, batch_format="pyarrow")
+            step = hash_partitioned_apply(
+                und.map_batches(tag_edges("a", "b"), batch_format="pyarrow").union(
+                    low_tagged
+                ),
+                "key",
+                drop_if_low("a"),
+                num_parts=num_parts,
+            )
+            und = hash_partitioned_apply(
+                step.map_batches(tag_edges("b", "a"), batch_format="pyarrow").union(
+                    low_tagged
+                ),
+                "key",
+                drop_if_low("b"),
+                num_parts=num_parts,
+            ).materialize()
+    else:
+        raise RuntimeError(
+            f"kcore: no fixed point within KCORE_MAX_PEELS={max_peels} peels"
+        )
+
+    def to_out(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("x", sort=False).size().reset_index(name="core_deg")
+        return pd.DataFrame(
+            {
+                "id": g["x"].to_numpy(np.int64),
+                "core_deg": g["core_deg"].to_numpy(np.int64),
+            }
+        )
+
+    return hash_partitioned_apply(
+        und.map_batches(endpoints, batch_format="pyarrow"),
+        "x",
+        to_out,
+        num_parts=num_parts,
+    )
+
+
+def kcore_links(sf_dir: str):
+    """Driver query: 4-core of the derived link graph.
+    Output (doc_id, core_deg)."""
+    res = kcore(dv.link_edges(sf_dir), k=KCORE_K)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch.column("id"), "core_deg": batch.column("core_deg")}
+        )
+
+    return res.map_batches(project, batch_format="pyarrow")
+
+
+def _sql_kcore_level(prev: str, cur: str) -> str:
+    """One unrolled peel: nodes keep iff their both-alive degree >= K.
+    MATERIALIZED at every level — inlined CTEs referenced twice re-evaluate
+    exponentially in DuckDB (the kmeans/CDC lesson)."""
+    return f"""{cur} AS MATERIALIZED (
+    SELECT x FROM (
+        SELECT x, COUNT(*) AS d FROM (
+            SELECT e.a AS x FROM und e
+            JOIN {prev} p ON p.x = e.a JOIN {prev} q ON q.x = e.b
+            UNION ALL
+            SELECT e.b FROM und e
+            JOIN {prev} p ON p.x = e.a JOIN {prev} q ON q.x = e.b
+        ) t GROUP BY x HAVING COUNT(*) >= {KCORE_K}
+    ) s)"""
+
+
+def _sql_kcore_links() -> str:
+    parts = [
+        "alive0 AS MATERIALIZED (SELECT a AS x FROM und UNION SELECT b FROM und)"
+    ]
+    for i in range(1, KCORE_MAX_PEELS + 1):
+        parts.append(_sql_kcore_level(f"alive{i - 1}", f"alive{i}"))
+    chain = ",\n".join(parts)
+    last = f"alive{KCORE_MAX_PEELS}"
+    return f"""
+WITH {dv.SQL_LINK_EDGES.strip()},
+und AS MATERIALIZED (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM link_edges WHERE src <> dst),
+{chain},
+final AS (
+    SELECT e.a, e.b FROM und e
+    JOIN {last} p ON p.x = e.a JOIN {last} q ON q.x = e.b)
+SELECT x AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+FROM (SELECT a AS x FROM final UNION ALL SELECT b FROM final) m
+GROUP BY 1
+"""
+
+
+sql_kcore_links = functools.cache(_sql_kcore_links)

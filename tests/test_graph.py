@@ -91,3 +91,89 @@ def test_pagerank_mass_and_floor_invariants():
     assert (r >= base).all()
     assert 0 < SCALE - r.sum() < (3 * 500 + 500) * PAGERANK_ITERS * 2
     assert r.max() > r.min()  # the graph actually differentiates pages
+
+
+# ------------------------------------------------------------------ k-core
+
+
+def _kcore_numpy(a, b, k, max_peels=16):
+    ids = np.unique(np.concatenate([a, b]))
+    ai, bi = np.searchsorted(ids, a), np.searchsorted(ids, b)
+    alive = np.ones(len(ids), bool)
+    for _ in range(max_peels):
+        m = alive[ai] & alive[bi]
+        deg = np.bincount(ai[m], minlength=len(ids)) + np.bincount(bi[m], minlength=len(ids))
+        drop = alive & (deg < k)
+        if not drop.any():
+            break
+        alive &= ~drop
+    m = alive[ai] & alive[bi]
+    deg = np.bincount(ai[m], minlength=len(ids)) + np.bincount(bi[m], minlength=len(ids))
+    return ids[alive], deg[alive]
+
+
+def _planted_kcore_edges():
+    """K5 clique (nodes 0-4, the 4-core) + a pendant chain 4-10-11-12 that
+    must peel away, with duplicate and reversed edges thrown in."""
+    import pyarrow as pa
+    import ray.data
+
+    e = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    e += [(4, 10), (10, 11), (11, 12), (12, 11), (10, 4), (3, 3)]
+    src = np.array([x for x, _ in e], np.int64)
+    dst = np.array([y for _, y in e], np.int64)
+    return ray.data.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+
+
+def test_kcore_planted_clique():
+    from osm_search_ray.pipelines.graph import kcore
+
+    got = kcore(_planted_kcore_edges(), k=4).to_pandas().sort_values("id").reset_index(drop=True)
+    assert got["id"].tolist() == [0, 1, 2, 3, 4]
+    assert (got["core_deg"].to_numpy() == 4).all()
+
+
+def test_kcore_regimes_agree():
+    """Distributed path (small_edges=0), both the broadcast-drop and the
+    anti-join-drop variants, == the driver-numpy regime on the link graph."""
+    from osm_search_ray.pipelines.graph import kcore
+    from osm_search_ray.sources import derived as dv
+
+    small = (
+        kcore(dv.link_edges(SF), k=4)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    s, d = _edges_numpy(500)
+    keep = s != d
+    pair = np.unique(np.stack([np.minimum(s[keep], d[keep]), np.maximum(s[keep], d[keep])], 1), axis=0)
+    ids, deg = _kcore_numpy(pair[:, 0], pair[:, 1], 4)
+    assert small["id"].tolist() == ids.tolist()
+    assert small["core_deg"].tolist() == deg.tolist()
+    for bl in (2_000_000, 0):  # broadcast-drop, then forced anti-join-drop
+        dist = (
+            kcore(dv.link_edges(SF), k=4, small_edges=0, broadcast_limit=bl, num_parts=4)
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        assert dist["id"].tolist() == small["id"].tolist()
+        assert dist["core_deg"].tolist() == small["core_deg"].tolist()
+
+
+def test_kcore_loud_convergence_bound():
+    """A 12-node path graph under k=2 peels from both ends (~5 rounds);
+    max_peels=2 must raise rather than return a non-fixed-point."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+    from osm_search_ray.pipelines.graph import kcore
+
+    src = np.arange(11, dtype=np.int64)
+    dst = src + 1
+    edges = ray.data.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    with pytest.raises(RuntimeError, match="KCORE_MAX_PEELS"):
+        kcore(edges, k=2, max_peels=2)
+    # and the full bound converges to the empty 2-core (a path has none)
+    assert kcore(edges, k=2).count() == 0
