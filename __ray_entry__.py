@@ -41,6 +41,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- block A0: new this round (never driver-verified) ---
     from osm_search_ray.pipelines import bpe, cdc, graph as _gr0
 
+    q["covisit_pairs"] = ev.covisit_pairs  # item co-visitation (bipartite projection)
+    q["next_transitions"] = ev.next_transitions  # Markov next-event transition matrix
     q["kcore_links"] = _gr0.kcore_links  # 4-core membership via iterative peeling
     q["cdc_chunks"] = cdc.cdc_chunks  # content-defined chunking (FastCDC-style walk)
     q["cdc_dedup"] = cdc.cdc_dedup  # shift-robust shared-chunk dedup stats
@@ -344,6 +346,8 @@ GROUP BY 1, 2
     sql["retention_cohorts"] = ev.SQL_RETENTION_COHORTS
     sql["hits_links"] = graph.sql_hits_links()  # unrolled phase CTEs, scalar-max norm
     sql["kcore_links"] = graph.sql_kcore_links()  # unrolled MATERIALIZED peel levels
+    sql["covisit_pairs"] = ev.SQL_COVISIT_PAIRS
+    sql["next_transitions"] = ev.SQL_NEXT_TRANSITIONS
     sql["bpe_train"] = bpe.sql_bpe_train()  # unrolled N-stage merge chain, integer/string only
     sql["bpe_tokenize"] = bpe.sql_bpe_tokenize()
     from osm_search_ray.pipelines import traindata as _td

@@ -913,3 +913,165 @@ a AS (SELECT DISTINCT e.user_id, f.cohort_week,
 SELECT cohort_week, week_k, COUNT(*) AS n_users
 FROM a GROUP BY 1, 2
 """
+
+
+# ------------------------------------------------ item co-visitation pairs
+
+COVISIT_CAP = 20  # deterministic per-user item cap (first-seen ts, then item)
+COVISIT_ITEM_RE = r'"k":\s*(?P<item>\d+)'
+
+
+def covisit_pairs(sf_dir: str, cap: int = COVISIT_CAP):
+    """Item co-visitation counts — the bipartite user→item projection a
+    recommender / co-occurrence-features stage computes over a clickstream:
+    for every user, the set of DISTINCT items viewed (item = the ``k`` prop
+    of a ``view`` event, extracted with a vectorized Arrow regex), capped at
+    ``cap`` items per user by (first-view time, item) — the hub-user guard
+    that keeps the per-user pair expansion O(cap²) no matter how hot a
+    session gets; then every unordered item pair co-viewed by a user,
+    counted across users. Output (item_a, item_b, n_users), item_a < item_b.
+
+    Scale shape: props parsing and the (user, item, first_ts) partial run
+    vectorized per batch; ONE user-keyed exchange dedups + caps + expands
+    pairs inside the partition (each user's rows land together); the pair
+    counts exchange is bounded by |items|² regardless of corpus size. The
+    cap is a SILENT policy bound (part of the operator's definition, shared
+    by the SQL oracle via ROW_NUMBER), unlike the loud TRI_MAX_DEGREE-style
+    exactness guards."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import hash_partitioned_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type", "props"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("event_type"), "view")
+        t = batch.filter(mask)
+        ex = pc.extract_regex(t.column("props"), pattern=COVISIT_ITEM_RE)
+        item = pc.struct_field(ex, "item").cast(pa.int64())
+        df = pd.DataFrame(
+            {
+                "user_id": t.column("user_id").to_numpy(),
+                "item": item.to_numpy(zero_copy_only=False),
+                "ts_us": t.column("ts").cast(pa.int64()).to_numpy(),
+            }
+        )
+        g = df.groupby(["user_id", "item"], sort=False)["ts_us"].min().reset_index(name="first_ts")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def per_user_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "item"], sort=False)["first_ts"].min().reset_index()
+        g = g.sort_values(["user_id", "first_ts", "item"], kind="mergesort")
+        rank = g.groupby("user_id", sort=False).cumcount()
+        g = g[rank < cap]
+        outs = []
+        for _, items in g.groupby("user_id", sort=False)["item"]:
+            v = np.sort(items.to_numpy(np.int64))
+            if len(v) < 2:
+                continue
+            ia, ib = np.triu_indices(len(v), k=1)
+            outs.append(pd.DataFrame({"item_a": v[ia], "item_b": v[ib]}))
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "item_a": np.empty(0, np.int64),
+                    "item_b": np.empty(0, np.int64),
+                    "n_users": np.empty(0, np.int64),
+                }
+            )
+        allp = pd.concat(outs, ignore_index=True)
+        c = allp.groupby(["item_a", "item_b"], sort=False).size().reset_index(name="n_users")
+        c["n_users"] = c["n_users"].astype(np.int64)
+        return c
+
+    parts = hash_partitioned_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), "user_id", per_user_pairs, num_parts=32
+    )
+    return parts.groupby(["item_a", "item_b"]).aggregate(Sum("n_users", alias_name="n_users"))
+
+
+SQL_COVISIT_PAIRS = f"""
+WITH v AS (SELECT user_id,
+                  CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS item,
+                  epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'view'),
+fi AS (SELECT user_id, item, MIN(ts_us) AS first_ts FROM v GROUP BY 1, 2),
+capped AS (
+    SELECT user_id, item FROM (
+        SELECT user_id, item,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY first_ts, item) AS rn
+        FROM fi) WHERE rn <= {COVISIT_CAP})
+SELECT a.item AS item_a, b.item AS item_b, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM capped a JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
+GROUP BY 1, 2
+"""
+
+
+# -------------------------------------------- next-event transition matrix
+
+TRANSITION_SCALE = 1_000_000  # p_micro fixed-point scale
+
+
+def next_transitions(sf_dir: str):
+    """First-order Markov transition matrix over the event stream: for each
+    user's events ordered by (ts, event_id), count every consecutive
+    (from_type → to_type) step, then attach the row-normalized transition
+    probability as ``p_micro = n * 10^6 // total-from-from_type`` (exact
+    integer floor on both sides). Output (from_type, to_type, n, p_micro).
+
+    Scale shape: ONE user-keyed exchange; inside each partition the sort +
+    shift is vectorized (no per-user loop — a user-boundary mask on the
+    shifted arrays), emitting |types|²-bounded partial counts; the final
+    groupby and the normalization run on the |types|²-sized result."""
+    from ..stages.joins import hash_partitioned_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = df["user_id"].to_numpy()
+        t = df["event_type"].to_numpy()
+        same = u[:-1] == u[1:]
+        out = pd.DataFrame({"from_type": t[:-1][same], "to_type": t[1:][same]})
+        g = out.groupby(["from_type", "to_type"], sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    def add_ts_us(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts").cast(pa.int64()),
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+            }
+        )
+
+    parts = hash_partitioned_apply(
+        ds.map_batches(add_ts_us, batch_format="pyarrow"), "user_id", per_part, num_parts=32
+    )
+    counts = parts.groupby(["from_type", "to_type"]).aggregate(Sum("n", alias_name="n"))
+
+    # |types|²-sized result: the normalization join is a bounded driver step
+    df = counts.to_pandas()
+    tot = df.groupby("from_type")["n"].transform("sum").to_numpy(np.int64)
+    df["p_micro"] = df["n"].to_numpy(np.int64) * TRANSITION_SCALE // tot
+    return df.sort_values(["from_type", "to_type"], kind="mergesort").reset_index(drop=True)
+
+
+SQL_NEXT_TRANSITIONS = f"""
+WITH nx AS (
+    SELECT event_type AS from_type,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+    FROM events),
+c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n,
+       CAST(n * {TRANSITION_SCALE} // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+           AS p_micro
+FROM c
+"""
