@@ -809,3 +809,250 @@ GROUP BY 1
 
 
 sql_kcore_links = functools.cache(_sql_kcore_links)
+
+
+# ------------------------------------------- common-neighbor link prediction
+
+LP_SCALE = 1_000_000  # jaccard fixed-point scale (x1e6)
+LP_BROADCAST_NODES = 2_000_000  # degree-table broadcast budget
+
+
+def link_prediction(
+    sf_dir: str,
+    broadcast_nodes: int = LP_BROADCAST_NODES,
+):
+    """Common-neighbor link prediction over the undirected link graph — the
+    classic 'who should link to whom' scoring a crawl-frontier / related-
+    pages stage runs: for every NON-adjacent node pair sharing >= 1
+    neighbor, the common-neighbor count and the exact neighborhood-Jaccard
+    ``jaccard_micro = common * 10^6 // (deg_a + deg_b - common)``.
+    Output (node_a, node_b, common, jaccard_micro), node_a < node_b.
+
+    Shape (the triangle_counts machinery, re-keyed): wedge pairs around
+    each center ARE the common-neighbor events — per-center fan-out is
+    O(deg²), hub-guarded at TRI_MAX_DEGREE with a loud error; partial
+    (x, y) counts collapse inside the wedge partition before the ONE
+    (x, y)-keyed exchange where edge rows (tagged union) strike adjacent
+    pairs. Degrees attach via the regime switch every lookup side uses:
+    broadcast (ray.put) under ``broadcast_nodes`` nodes, else two further
+    node-keyed tagged-union exchanges; the paths are equality-tested."""
+    from ..stages.joins import hash_partitioned_apply
+
+    edges = dv.link_edges(sf_dir)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy().astype(np.int64)
+        d = batch.column("dst").to_numpy().astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {"a": pa.array(np.minimum(s, d)), "b": pa.array(np.maximum(s, d))}
+        )
+
+    und = hash_partitioned_apply(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        ["a", "b"],
+        lambda df: df.drop_duplicates(),
+    ).materialize()
+
+    def expand(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        return pa.table(
+            {
+                "center": pa.array(np.concatenate([a, b])),
+                "nbr": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    adj = und.map_batches(expand, batch_format="pyarrow")
+
+    def wedge_partials(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for c, g in df.groupby("center", sort=False):
+            nb = np.unique(g["nbr"].to_numpy(np.int64))
+            if len(nb) > TRI_MAX_DEGREE:
+                raise RuntimeError(
+                    f"link_prediction: node {c} degree {len(nb)} exceeds "
+                    f"TRI_MAX_DEGREE={TRI_MAX_DEGREE} — raise the guard or "
+                    "pre-cap hub nodes"
+                )
+            if len(nb) < 2:
+                continue
+            ix, iy = np.triu_indices(len(nb), k=1)
+            outs.append(pd.DataFrame({"x": nb[ix], "y": nb[iy]}))
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "x": pd.Series(dtype=np.int64),
+                    "y": pd.Series(dtype=np.int64),
+                    "common": pd.Series(dtype=np.int64),
+                }
+            )
+        allp = pd.concat(outs, ignore_index=True)
+        g = allp.groupby(["x", "y"], sort=False).size().reset_index(name="common")
+        g["common"] = g["common"].astype(np.int64)
+        return g
+
+    wedge_ds = hash_partitioned_apply(adj, "center", wedge_partials)
+
+    def tag_edge(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "x": batch.column("a"),
+                "y": batch.column("b"),
+                "common": pa.array(np.full(n, -1, np.int64)),  # edge marker
+            }
+        )
+
+    both = wedge_ds.union(und.map_batches(tag_edge, batch_format="pyarrow"))
+
+    def fuse_nonedge(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["common"] == -1][["x", "y"]].drop_duplicates()
+        w = df[df["common"] != -1]
+        g = w.groupby(["x", "y"], sort=False)["common"].sum().reset_index()
+        m = g.merge(e, on=["x", "y"], how="left", indicator=True)
+        m = m[m["_merge"] == "left_only"]
+        return pd.DataFrame(
+            {
+                "node_a": m["x"].to_numpy(np.int64),
+                "node_b": m["y"].to_numpy(np.int64),
+                "common": m["common"].to_numpy(np.int64),
+            }
+        )
+
+    cand = hash_partitioned_apply(both, ["x", "y"], fuse_nonedge)
+
+    deg = hash_partitioned_apply(
+        adj.map_batches(
+            lambda t: pa.table({"x": t.column("center")}), batch_format="pyarrow"
+        ),
+        "x",
+        lambda df: df.groupby("x", sort=False)
+        .size()
+        .reset_index(name="d")
+        .astype({"d": np.int64}),
+    )
+
+    n_nodes = deg.count()
+    if n_nodes <= broadcast_nodes:
+        dd = deg.to_pandas()
+        ids = np.sort(dd["x"].to_numpy(np.int64))
+        darr = dd.set_index("x").loc[ids, "d"].to_numpy(np.int64)
+        ref = ray.put((ids, darr))
+
+        def score(batch: pa.Table) -> pa.Table:
+            ids_, d_ = ray.get(ref)
+            a = batch.column("node_a").to_numpy()
+            b = batch.column("node_b").to_numpy()
+            c = batch.column("common").to_numpy()
+            da = d_[np.searchsorted(ids_, a)]
+            db = d_[np.searchsorted(ids_, b)]
+            jm = c * LP_SCALE // (da + db - c)
+            return batch.append_column("jaccard_micro", pa.array(jm.astype(np.int64)))
+
+        return cand.map_batches(score, batch_format="pyarrow")
+
+    # distributed degree attach: two node-keyed tagged-union exchanges
+    def tag_deg(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "key": batch.column("x"),
+                "other": pa.array(np.full(n, -1, np.int64)),
+                "common": pa.array(np.full(n, -1, np.int64)),
+                "d": batch.column("d"),
+            }
+        )
+
+    def tag_cand(key_col: str, other_col: str, carry: str | None):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            return pa.table(
+                {
+                    "key": batch.column(key_col),
+                    "other": batch.column(other_col),
+                    "common": batch.column("common"),
+                    "d": batch.column(carry) if carry else pa.array(np.zeros(n, np.int64)),
+                }
+            )
+
+        return fn
+
+    def attach(out_d: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            dmap = df[df["other"] == -1].set_index("key")["d"]
+            c = df[df["other"] != -1]
+            got = dmap.reindex(c["key"]).to_numpy(np.int64)
+            out = pd.DataFrame(
+                {
+                    "key": c["key"].to_numpy(np.int64),
+                    "other": c["other"].to_numpy(np.int64),
+                    "common": c["common"].to_numpy(np.int64),
+                    out_d: got,
+                }
+            )
+            if out_d == "db":
+                out["da"] = c["d"].to_numpy(np.int64)
+            return out
+
+        return fn
+
+    tag1 = cand.map_batches(tag_cand("node_a", "node_b", None), batch_format="pyarrow")
+    step = hash_partitioned_apply(tag1.union(deg.map_batches(tag_deg, batch_format="pyarrow")), "key", attach("da"))
+
+    def swap(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": batch.column("other"),
+                "other": batch.column("key"),
+                "common": batch.column("common"),
+                "d": batch.column("da"),
+            }
+        )
+
+    step2 = hash_partitioned_apply(
+        step.map_batches(swap, batch_format="pyarrow").union(
+            deg.map_batches(tag_deg, batch_format="pyarrow")
+        ),
+        "key",
+        attach("db"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        a = batch.column("other").to_numpy()
+        b = batch.column("key").to_numpy()
+        c = batch.column("common").to_numpy()
+        da = batch.column("da").to_numpy()
+        db = batch.column("db").to_numpy()
+        jm = c * LP_SCALE // (da + db - c)
+        return pa.table(
+            {
+                "node_a": pa.array(a.astype(np.int64)),
+                "node_b": pa.array(b.astype(np.int64)),
+                "common": pa.array(c.astype(np.int64)),
+                "jaccard_micro": pa.array(jm.astype(np.int64)),
+            }
+        )
+
+    return step2.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LINK_PREDICTION = f"""
+WITH {dv.SQL_LINK_EDGES.strip()},
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM link_edges WHERE src <> dst),
+adj AS (SELECT a AS x, b AS y FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+cn AS (SELECT n1.y AS a, n2.y AS b, CAST(COUNT(*) AS BIGINT) AS common
+       FROM adj n1 JOIN adj n2 ON n1.x = n2.x AND n1.y < n2.y
+       GROUP BY 1, 2),
+nonedge AS (SELECT cn.a, cn.b, cn.common
+            FROM cn LEFT JOIN und e ON e.a = cn.a AND e.b = cn.b
+            WHERE e.a IS NULL)
+SELECT ne.a AS node_a, ne.b AS node_b, ne.common,
+       CAST(ne.common * {LP_SCALE} // (da.d + db.d - ne.common) AS BIGINT)
+           AS jaccard_micro
+FROM nonedge ne JOIN deg da ON da.x = ne.a JOIN deg db ON db.x = ne.b
+"""

@@ -177,3 +177,60 @@ def test_kcore_loud_convergence_bound():
         kcore(edges, k=2, max_peels=2)
     # and the full bound converges to the empty 2-core (a path has none)
     assert kcore(edges, k=2).count() == 0
+
+
+# ------------------------------------------------------- link prediction
+
+
+def test_link_prediction_planted_square():
+    """Square a-b-c-d-a: diagonals (a,c) and (b,d) are the only non-adjacent
+    common-neighbor pairs; common=2, jaccard = 2*1e6 // (2+2-2) = 1e6."""
+    import pyarrow as pa
+    import ray.data
+    from osm_search_ray.pipelines import graph as gr
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([0, 1, 2, 3], type=pa.int64()),
+                "dst": pa.array([1, 2, 3, 0], type=pa.int64()),
+            }
+        )
+    )
+    import osm_search_ray.sources.derived as dv
+
+    orig = dv.link_edges
+    dv.link_edges = lambda sf: ds
+    try:
+        got = (
+            gr.link_prediction("ignored")
+            .to_pandas()
+            .sort_values(["node_a", "node_b"])
+            .reset_index(drop=True)
+        )
+    finally:
+        dv.link_edges = orig
+    assert got["node_a"].tolist() == [0, 1]
+    assert got["node_b"].tolist() == [2, 3]
+    assert (got["common"] == 2).all()
+    assert (got["jaccard_micro"] == gr.LP_SCALE).all()
+
+
+def test_link_prediction_regimes_agree():
+    from osm_search_ray.pipelines import graph as gr
+
+    cols = ["node_a", "node_b", "common", "jaccard_micro"]
+    bc = (
+        gr.link_prediction(SF)
+        .to_pandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    dist = (
+        gr.link_prediction(SF, broadcast_nodes=0)
+        .to_pandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(bc[cols], dist[cols])
+    assert len(bc) > 0 and (bc["node_a"] < bc["node_b"]).all()
