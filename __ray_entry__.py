@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["covisit_pairs"] = ev.covisit_pairs  # item co-visitation (bipartite projection)
     q["next_transitions"] = ev.next_transitions  # Markov next-event transition matrix
+    q["skipgram_pmi"] = textops.skipgram_pmi  # windowed collocations + exact PMI
     q["link_prediction"] = _gr0.link_prediction  # common-neighbor + Jaccard scoring
     q["kcore_links"] = _gr0.kcore_links  # 4-core membership via iterative peeling
     q["cdc_chunks"] = cdc.cdc_chunks  # content-defined chunking (FastCDC-style walk)
@@ -347,6 +348,7 @@ GROUP BY 1, 2
     sql["retention_cohorts"] = ev.SQL_RETENTION_COHORTS
     sql["hits_links"] = graph.sql_hits_links()  # unrolled phase CTEs, scalar-max norm
     sql["kcore_links"] = graph.sql_kcore_links()  # unrolled MATERIALIZED peel levels
+    sql["skipgram_pmi"] = textops.sql_skipgram_pmi()
     sql["link_prediction"] = graph.SQL_LINK_PREDICTION
     sql["covisit_pairs"] = ev.SQL_COVISIT_PAIRS
     sql["next_transitions"] = ev.SQL_NEXT_TRANSITIONS

@@ -890,3 +890,135 @@ SELECT term, CAST(n_exact AS BIGINT) AS n_exact, CAST(cms_est AS BIGINT) AS cms_
 
 
 sql_cms_heavy_terms = functools.cache(_sql_cms_heavy_terms)
+
+
+# ---------------------------------------- skip-gram PMI collocation mining
+
+SKIPGRAM_WINDOW = 3  # co-occurrence distance bound (tokens)
+SKIPGRAM_TOP = 200  # deterministic top slice (n DESC, w1, w2)
+PMI_SCALE = 1_000_000
+
+
+def skipgram_pmi(sf_dir: str, window: int = SKIPGRAM_WINDOW, top: int = SKIPGRAM_TOP):
+    """Collocation mining — the phrase-vocabulary / word-embedding-prep pass
+    of a text pipeline: every unordered token pair co-occurring within
+    ``window`` positions inside a document, counted corpus-wide, top
+    ``top`` by (count DESC, w1, w2), with exact pointwise mutual
+    information ``pmi_micro = FLOOR(ln((n·T²)/(c1·c2·P))·10⁶)`` where T is
+    the corpus token count, P the total pair events and c1/c2 the unigram
+    counts — the identical int64→float64 expression on both sides (the
+    DSIR float discipline; ln/floor parity probed over a 2000-point grid).
+
+    Shape: pair events are generated by ``window`` vectorized shifts over
+    the flat token array (a doc-boundary mask kills cross-doc pairs — no
+    per-doc loop) and pre-aggregated per batch, so the ONE pair-keyed
+    exchange carries distinct-pair partials, not events; the top slice is
+    a distributed sort+limit on the |distinct pairs|-sized result and the
+    PMI lookup joins unigram counts only for the ≤ 2·top surviving tokens.
+
+    int64 bound (documented, loud): n·T² must fit int64 — T ≤ ~3·10⁹
+    tokens per corpus shard at n ≤ 10⁴; larger corpora must shard the
+    statistic (the CMS/HLL partial-merge pattern) before PMI."""
+    from ..stages.joins import hash_partitioned_apply
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        flat, counts = tokenize_array(batch.column("text").to_pylist())
+        doc_ix = np.repeat(np.arange(len(counts)), counts)
+        parts = []
+        for d in range(1, window + 1):
+            if len(flat) <= d:
+                break
+            same = doc_ix[:-d] == doc_ix[d:]
+            l, r = flat[:-d][same], flat[d:][same]
+            lo = np.where(l <= r, l, r)
+            hi = np.where(l <= r, r, l)
+            parts.append(pd.DataFrame({"w1": lo, "w2": hi}))
+        if not parts:
+            return pa.table(
+                {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        g = (
+            pd.concat(parts, ignore_index=True)
+            .groupby(["w1", "w2"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(pair_partials, batch_format="pyarrow")
+    pair_counts = hash_partitioned_apply(
+        partials,
+        ["w1", "w2"],
+        lambda df: df.groupby(["w1", "w2"], sort=False)["n"]
+        .sum()
+        .reset_index()
+        .astype({"n": np.int64}),
+    ).materialize()
+
+    # corpus totals: pair events P (sum over the distinct-pair table) and
+    # token count T (one narrow tokenize scan aggregated, no text shuffled)
+    total_pairs = int(pair_counts.aggregate(Sum("n", alias_name="s"))["s"])
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        flat, counts = tokenize_array(batch.column("text").to_pylist())
+        u, c = np.unique(flat, return_counts=True)
+        return pa.table({"w": pa.array(u.astype(object)), "c": pa.array(c.astype(np.int64))})
+
+    uni = hash_partitioned_apply(
+        ds.map_batches(tok_partial, batch_format="pyarrow"),
+        "w",
+        lambda df: df.groupby("w", sort=False)["c"].sum().reset_index().astype({"c": np.int64}),
+    ).materialize()
+    total_tokens = int(uni.aggregate(Sum("c", alias_name="s"))["s"])
+
+    head = (
+        pair_counts.sort(["n", "w1", "w2"], descending=[True, False, False])
+        .limit(top)
+        .to_pandas()
+    )
+    vocab_needed = set(head["w1"]) | set(head["w2"])
+
+    def keep_needed(batch: pa.Table) -> pa.Table:
+        w = batch.column("w").to_pandas()
+        return batch.filter(pa.array(w.isin(vocab_needed).to_numpy()))
+
+    small_uni = uni.map_batches(keep_needed, batch_format="pyarrow").to_pandas()
+    cmap = small_uni.set_index("w")["c"]
+    c1 = cmap.reindex(head["w1"]).to_numpy(np.int64)
+    c2 = cmap.reindex(head["w2"]).to_numpy(np.int64)
+    n = head["n"].to_numpy(np.int64)
+    num = n * np.int64(total_tokens) * np.int64(total_tokens)
+    den = c1 * c2 * np.int64(total_pairs)
+    head["pmi_micro"] = np.floor(np.log(num / den) * PMI_SCALE).astype(np.int64)
+    return head.reset_index(drop=True)
+
+
+def _sql_skipgram_pmi() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+pos AS (SELECT doc_id, i, t[i] AS w
+        FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+pr AS (SELECT LEAST(p1.w, p2.w) AS w1, GREATEST(p1.w, p2.w) AS w2
+       FROM pos p1 JOIN pos p2
+         ON p1.doc_id = p2.doc_id AND p2.i - p1.i BETWEEN 1 AND {SKIPGRAM_WINDOW}),
+pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM pr GROUP BY 1, 2),
+uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+tot AS (SELECT (SELECT SUM(n) FROM pc) AS p_total,
+               (SELECT SUM(c) FROM uni) AS t_total),
+head AS (SELECT w1, w2, n FROM pc ORDER BY n DESC, w1, w2 LIMIT {SKIPGRAM_TOP})
+SELECT h.w1, h.w2, h.n,
+       CAST(FLOOR(ln((h.n * CAST(t.t_total AS BIGINT) * CAST(t.t_total AS BIGINT))
+                     / (u1.c * u2.c * CAST(t.p_total AS BIGINT))) * {PMI_SCALE})
+            AS BIGINT) AS pmi_micro
+FROM head h
+JOIN uni u1 ON u1.w = h.w1 JOIN uni u2 ON u2.w = h.w2
+CROSS JOIN tot t
+"""
+
+
+sql_skipgram_pmi = functools.cache(_sql_skipgram_pmi)

@@ -1,0 +1,55 @@
+"""Skip-gram PMI collocations: oracle parity at sf0.001 (including the
+deterministic top-slice boundary) and a planted fixture pinning the
+doc-boundary mask and the window bound."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from osm_search_ray.pipelines import textops as tx
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_skipgram_matches_sql():
+    got = tx.skipgram_pmi(SF)
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    want = c.execute(tx.sql_skipgram_pmi()).df()
+    # the top slice itself must agree row-for-row (same order contract)
+    got = got.sort_values(["n", "w1", "w2"], ascending=[False, True, True]).reset_index(drop=True)
+    want = want.sort_values(["n", "w1", "w2"], ascending=[False, True, True]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want.astype({c_: got[c_].dtype for c_ in got.columns}))
+    assert len(got) == tx.SKIPGRAM_TOP
+
+
+def test_skipgram_planted_window_and_boundaries(tmp_path):
+    # doc 0: "a b c d" -> within window 3: ab ac ad bc bd cd
+    # doc 1: "d a"     -> ad (again)  — and NO cross-doc (d,d) or (d,a) leaks
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a b c d", "d a"]),
+            "lang": pa.array(["en", "en"]),
+            "source": pa.array(["s", "s"]),
+            "n_chars": pa.array([7, 3], pa.int64()),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    got = tx.skipgram_pmi(str(tmp_path), window=3, top=100)
+    pairs = dict(zip(zip(got["w1"], got["w2"]), got["n"]))
+    assert pairs == {
+        ("a", "b"): 1,
+        ("a", "c"): 1,
+        ("a", "d"): 2,
+        ("b", "c"): 1,
+        ("b", "d"): 1,
+        ("c", "d"): 1,
+    }
+    # PMI identity on the planted numbers: T=6 tokens, P=7 pair events
+    row = got[(got["w1"] == "a") & (got["w2"] == "d")].iloc[0]
+    T, P = 6, 7
+    want = np.floor(np.log((2 * T * T) / (2 * 2 * P)) * tx.PMI_SCALE)
+    assert row["pmi_micro"] == want
