@@ -44,6 +44,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["covisit_pairs"] = ev.covisit_pairs  # item co-visitation (bipartite projection)
     q["next_transitions"] = ev.next_transitions  # Markov next-event transition matrix
     q["skipgram_pmi"] = textops.skipgram_pmi  # windowed collocations + exact PMI
+    q["audio_features"] = textops.audio_features  # frame-sampler plumbing, byte oracle
+    from osm_search_ray.sources import jsonl as _jl
+
+    q["jsonl_roundtrip"] = _jl.jsonl_roundtrip  # JSONL sink+source byte fidelity
     q["link_prediction"] = _gr0.link_prediction  # common-neighbor + Jaccard scoring
     q["kcore_links"] = _gr0.kcore_links  # 4-core membership via iterative peeling
     q["cdc_chunks"] = cdc.cdc_chunks  # content-defined chunking (FastCDC-style walk)
@@ -349,6 +353,10 @@ GROUP BY 1, 2
     sql["hits_links"] = graph.sql_hits_links()  # unrolled phase CTEs, scalar-max norm
     sql["kcore_links"] = graph.sql_kcore_links()  # unrolled MATERIALIZED peel levels
     sql["skipgram_pmi"] = textops.sql_skipgram_pmi()
+    sql["audio_features"] = textops.sql_audio_features()
+    from osm_search_ray.sources import jsonl as _jl
+
+    sql["jsonl_roundtrip"] = _jl.SQL_JSONL_ROUNDTRIP
     sql["link_prediction"] = graph.SQL_LINK_PREDICTION
     sql["covisit_pairs"] = ev.SQL_COVISIT_PAIRS
     sql["next_transitions"] = ev.SQL_NEXT_TRANSITIONS

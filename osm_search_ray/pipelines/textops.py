@@ -1022,3 +1022,78 @@ CROSS JOIN tot t
 
 
 sql_skipgram_pmi = functools.cache(_sql_skipgram_pmi)
+
+
+# ------------------------------------------- audio frame-sample plumbing
+
+AUDIO_FRAME_BYTES = 256
+AUDIO_STRIDE = 4
+
+
+def audio_features(sf_dir: str):
+    """Multimodal AUDIO plumbing driver query — the frame-sampling twin of
+    image_features: documents' text bytes stand in as opaque audio payloads
+    → actor-pool AudioFrameSampler (fixed 256-byte frames, every 4th kept;
+    stages/multimodal.py — real codecs are stubbed in this container), then
+    a summary the oracle can reproduce by pure byte arithmetic:
+    (item_id, n_frames, n_sampled, first_byte_sum) where first_byte_sum is
+    the sum of the FIRST byte of every sampled frame (a content checksum —
+    proves the sampler picked the right byte windows, not just counts)."""
+    import ray.data
+
+    from ..stages.multimodal import audio_sample_stage
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_binary(batch: pa.Table) -> pa.Table:
+        payloads = [t.encode() for t in batch.column("text").to_pylist()]
+        return pa.table({"item_id": batch.column("doc_id"), "payload": pa.array(payloads, pa.binary())})
+
+    sampled = audio_sample_stage(ds.map_batches(to_binary, batch_format="pyarrow"))
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        frames_col = batch.column("sampled_frames").to_pylist()
+        n_sampled = np.array([len(fr) for fr in frames_col], np.int64)
+        fb = np.array(
+            [sum(f[0] for f in fr if len(f)) for fr in frames_col], np.int64
+        )
+        return pa.table(
+            {
+                "item_id": batch.column("item_id"),
+                "n_frames": batch.column("n_frames").cast(pa.int64()),
+                "n_sampled": pa.array(n_sampled),
+                "first_byte_sum": pa.array(fb),
+            }
+        )
+
+    return sampled.map_batches(summarize, batch_format="pyarrow")
+
+
+def _sql_audio_features() -> str:
+    """Exact oracle for the frame sampler: n_frames = ceil(len/256); the
+    sampler keeps frames 0, 4, 8, …; each kept frame's first byte sits at
+    payload offset 256·j, read from the hex dump (frames are non-empty by
+    construction: a frame exists only where at least one byte remains)."""
+    fb, st = AUDIO_FRAME_BYTES, AUDIO_STRIDE
+    return f"""
+WITH raw AS (
+    SELECT doc_id, hex(encode(text)) AS hx,
+           CAST(octet_length(encode(text)) AS BIGINT) AS len
+    FROM documents),
+meta AS (SELECT doc_id, hx, len, (len + {fb - 1}) // {fb} AS n_frames FROM raw),
+picked AS (
+    SELECT m.doc_id,
+           CAST('0x' || substr(m.hx, CAST({fb} * j.j * 2 + 1 AS BIGINT), 2) AS BIGINT) AS b
+    FROM meta m, UNNEST(range(0, m.n_frames)) AS j(j)
+    WHERE j.j % {st} = 0),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               CAST(SUM(b) AS BIGINT) AS first_byte_sum
+        FROM picked GROUP BY 1)
+SELECT m.doc_id AS item_id, m.n_frames,
+       COALESCE(a.n_sampled, 0) AS n_sampled,
+       COALESCE(a.first_byte_sum, 0) AS first_byte_sum
+FROM meta m LEFT JOIN agg a USING (doc_id)
+"""
+
+
+sql_audio_features = functools.cache(_sql_audio_features)
