@@ -41,6 +41,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- block A0: new this round (never driver-verified) ---
     from osm_search_ray.pipelines import bpe, cdc, graph as _gr0
 
+    q["line_dedup"] = dedup_pipelines.line_dedup  # C4-style corpus-wide line dedup
+    from osm_search_ray.pipelines import graph as _gq
+
+    q["label_prop"] = _gq.label_prop  # sync LPA communities, mode vote + tie-min
+    q["bfs_levels"] = _gq.bfs_levels  # multi-source BFS hop distance from seeds
+    from osm_search_ray.pipelines import profile as _pf
+
+    q["column_profile"] = _pf.column_profile  # per-column null/distinct/minmax audit
     q["covisit_pairs"] = ev.covisit_pairs  # item co-visitation (bipartite projection)
     q["next_transitions"] = ev.next_transitions  # Markov next-event transition matrix
     q["skipgram_pmi"] = textops.skipgram_pmi  # windowed collocations + exact PMI
@@ -48,6 +56,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from osm_search_ray.sources import jsonl as _jl
 
     q["jsonl_roundtrip"] = _jl.jsonl_roundtrip  # JSONL sink+source byte fidelity
+    from osm_search_ray.sources import csvio as _cs
+
+    q["csv_roundtrip"] = _cs.csv_roundtrip  # CSV sink+source byte fidelity
     q["link_prediction"] = _gr0.link_prediction  # common-neighbor + Jaccard scoring
     q["kcore_links"] = _gr0.kcore_links  # 4-core membership via iterative peeling
     q["cdc_chunks"] = cdc.cdc_chunks  # content-defined chunking (FastCDC-style walk)
@@ -357,7 +368,16 @@ GROUP BY 1, 2
     from osm_search_ray.sources import jsonl as _jl
 
     sql["jsonl_roundtrip"] = _jl.SQL_JSONL_ROUNDTRIP
+    from osm_search_ray.sources import csvio as _cs
+
+    sql["csv_roundtrip"] = _cs.SQL_CSV_ROUNDTRIP
     sql["link_prediction"] = graph.SQL_LINK_PREDICTION
+    sql["line_dedup"] = dedup_pipelines.SQL_LINE_DEDUP
+    sql["label_prop"] = graph.sql_label_prop()
+    sql["bfs_levels"] = graph.sql_bfs_levels()
+    from osm_search_ray.pipelines import profile as _pf
+
+    sql["column_profile"] = _pf.SQL_COLUMN_PROFILE
     sql["covisit_pairs"] = ev.SQL_COVISIT_PAIRS
     sql["next_transitions"] = ev.SQL_NEXT_TRANSITIONS
     sql["bpe_train"] = bpe.sql_bpe_train()  # unrolled N-stage merge chain, integer/string only

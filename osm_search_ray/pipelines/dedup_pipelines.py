@@ -861,3 +861,135 @@ FROM assign a LEFT JOIN dups d ON d.doc_b = a.vec_id
 
 
 sql_semantic_dedup = functools.cache(_sql_semantic_dedup)
+
+
+# ------------------------------------------------ C4-style line-level dedup
+
+LINE_WORDS = 10
+
+
+def line_dedup(sf_dir: str):
+    """Corpus-wide LINE dedup, the C4 / RefinedWeb cleaning step: every
+    'line' occurring more than once in the corpus is kept only at its first
+    occurrence (lowest (doc_id, line_no)) and removed everywhere else, and
+    each document's text is reassembled from its surviving lines. The
+    synthetic corpus has no newlines, so the line unit is the deterministic
+    non-overlapping 10-word window — expressed identically in numpy and SQL
+    (split on single space, exactly ceil(n_tokens/10) windows per doc, even
+    for empty text).
+
+    Scale shape: two exchanges. (1) winner election moves ONLY
+    (h1, h2, doc_id, line_no) — a ~128-bit line identity from two
+    independent hash families, never line text (dedup_exact's bytes
+    discipline; two distinct lines agreeing on both hashes is ~2^-128 per
+    pair, so hash identity == line identity). (2) reassembly moves each
+    line's text ONCE, keyed by doc_id — unavoidable, the output itself is
+    the corpus. Output (doc_id, text_dedup, n_lines, n_kept)."""
+    from ..stages.joins import hash_partitioned_apply
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def explode_lines(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy()
+        toks = pd.Series(batch.column("text").to_pylist()).str.split(" ")
+        e = pd.DataFrame({"doc_id": doc, "tok": toks}).explode("tok", ignore_index=True)
+        # doc_id is unique per input row, so cumcount is the token position
+        e["line_no"] = (e.groupby("doc_id", sort=False).cumcount() // LINE_WORDS).astype(np.int64)
+        g = (
+            e.groupby(["doc_id", "line_no"], sort=False)["tok"]
+            .agg(" ".join)
+            .reset_index(name="line")
+        )
+        return pa.Table.from_pandas(
+            g.astype({"doc_id": np.int64, "line_no": np.int64}), preserve_index=False
+        )
+
+    lines = ds.map_batches(explode_lines, batch_format="pyarrow").materialize()
+
+    def to_identity(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch.column("line").to_pylist())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "line_no": batch.column("line_no"),
+                "h1": pa.array(hash64_str(s.tolist()).astype(np.int64)),
+                "h2": pa.array(
+                    pd.util.hash_pandas_object(s, index=False).to_numpy().astype(np.int64)
+                ),
+            }
+        )
+
+    def winners(df: pd.DataFrame) -> pd.DataFrame:
+        w = (
+            df.sort_values(["doc_id", "line_no"], kind="mergesort")
+            .drop_duplicates(["h1", "h2"], keep="first")
+        )
+        return w[["doc_id", "line_no"]].reset_index(drop=True)
+
+    keep = hash_partitioned_apply(
+        lines.map_batches(to_identity, batch_format="pyarrow"), "h1", winners
+    )
+
+    def tag_line(batch: pa.Table) -> pa.Table:
+        return batch.append_column("is_keep", pa.array(np.zeros(len(batch), np.int64)))
+
+    def tag_keep(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "line_no": batch.column("line_no"),
+                "line": pa.array([""] * n, pa.string()),
+                "is_keep": pa.array(np.ones(n, np.int64)),
+            }
+        )
+
+    both = lines.map_batches(tag_line, batch_format="pyarrow").union(
+        keep.map_batches(tag_keep, batch_format="pyarrow")
+    )
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["is_keep"] == 0]
+        k = df[df["is_keep"] == 1][["doc_id", "line_no"]]
+        kept = l.merge(k, on=["doc_id", "line_no"], how="inner")
+        kept = kept.sort_values(["doc_id", "line_no"], kind="mergesort")
+        n_lines = l.groupby("doc_id", sort=False).size()
+        agg = kept.groupby("doc_id", sort=False)["line"].agg("\n".join)
+        n_kept = kept.groupby("doc_id", sort=False).size()
+        return pd.DataFrame(
+            {
+                "doc_id": n_lines.index.to_numpy(np.int64),
+                "text_dedup": agg.reindex(n_lines.index, fill_value="").to_numpy(dtype=object),
+                "n_lines": n_lines.to_numpy(np.int64),
+                "n_kept": n_kept.reindex(n_lines.index, fill_value=0).to_numpy(np.int64),
+            }
+        )
+
+    return hash_partitioned_apply(both, "doc_id", reassemble)
+
+
+SQL_LINE_DEDUP = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+meta AS (
+    SELECT doc_id, arr,
+           CAST((len(arr) + {LINE_WORDS - 1}) // {LINE_WORDS} AS BIGINT) AS n_lines
+    FROM toks),
+lines AS (
+    SELECT m.doc_id, CAST(j.j AS BIGINT) AS line_no,
+           array_to_string(
+               list_slice(m.arr, CAST(j.j * {LINE_WORDS} + 1 AS BIGINT),
+                          CAST(j.j * {LINE_WORDS} + {LINE_WORDS} AS BIGINT)), ' ') AS line
+    FROM meta m, UNNEST(range(0, m.n_lines)) AS j(j)),
+ranked AS (
+    SELECT doc_id, line_no, line,
+           ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+    FROM lines),
+kept AS (
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text_dedup,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM ranked WHERE rn = 1 GROUP BY 1)
+SELECT m.doc_id, COALESCE(k.text_dedup, '') AS text_dedup, m.n_lines,
+       COALESCE(k.n_kept, 0) AS n_kept
+FROM meta m LEFT JOIN kept k USING (doc_id)
+"""

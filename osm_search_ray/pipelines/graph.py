@@ -1056,3 +1056,357 @@ SELECT ne.a AS node_a, ne.b AS node_b, ne.common,
            AS jaccard_micro
 FROM nonedge ne JOIN deg da ON da.x = ne.a JOIN deg db ON db.x = ne.b
 """
+
+
+# ----------------------------------------------- label propagation (LPA)
+
+LPA_ITERS = 3
+LPA_SMALL_EDGES = 2_000_000
+
+
+def label_prop(sf_dir: str, iters: int = LPA_ITERS, small_edges: int = LPA_SMALL_EDGES):
+    """Synchronous label-propagation community detection over the undirected
+    link graph — the cheap community pass a crawl-curation pipeline runs to
+    group mutually-linking sites (where dup_clusters finds exact components,
+    LPA finds dense neighborhoods). Deterministic variant: label(v) starts
+    at v; each round every node adopts the most frequent label among its
+    neighbors, ties broken by SMALLEST label; fixed ``iters`` synchronous
+    rounds (no convergence test — bounded and deterministic even where sync
+    LPA oscillates). Output (doc_id, community) for every node of the
+    de-self-looped undirected graph.
+
+    Scale shape: the pagerank trade — adjacency materialized once, two
+    bounded hash exchanges per round (neighbor-keyed label fetch, then
+    node-keyed mode vote). Below ``small_edges`` the identical recurrence
+    runs as one driver pandas loop (the pagerank/MinHash regime switch);
+    the paths are equality-tested (tests/test_graph.py)."""
+    edges = dv.link_edges(sf_dir)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy().astype(np.int64)
+        d = batch.column("dst").to_numpy().astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {"a": pa.array(np.minimum(s, d)), "b": pa.array(np.maximum(s, d))}
+        )
+
+    und = hash_partitioned_apply(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        ["a", "b"],
+        lambda df: df.drop_duplicates(),
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        return pa.table(
+            {
+                "x": pa.array(np.concatenate([a, b])),
+                "y": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    adj = und.map_batches(expand, batch_format="pyarrow").materialize()
+
+    def mode_vote(df: pd.DataFrame) -> pd.DataFrame:
+        """(x, lab) rows → per-x most frequent lab, tie → smallest lab."""
+        g = df.groupby(["x", "lab"], sort=False).size().reset_index(name="n")
+        g = g.sort_values(["x", "n", "lab"], ascending=[True, False, True], kind="mergesort")
+        top = g.drop_duplicates("x", keep="first")
+        return pd.DataFrame(
+            {"id": top["x"].to_numpy(np.int64), "lab": top["lab"].to_numpy(np.int64)}
+        )
+
+    if adj.count() <= 2 * small_edges:
+        ad = adj.to_pandas()
+        x = ad["x"].to_numpy(np.int64)
+        y = ad["y"].to_numpy(np.int64)
+        ids = np.unique(x)
+        lab = pd.Series(ids, index=ids)
+        for _ in range(iters):
+            votes = pd.DataFrame({"x": x, "lab": lab.reindex(y).to_numpy(np.int64)})
+            new = mode_vote(votes)
+            lab = new.set_index("id")["lab"]
+        out = lab.sort_index()
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(out.index.to_numpy(np.int64)),
+                    "community": pa.array(out.to_numpy(np.int64)),
+                }
+            )
+        )
+
+    # distributed path: labels init from adjacency's own x side
+    labels = hash_partitioned_apply(
+        adj,
+        "x",
+        lambda df: pd.DataFrame({"id": np.unique(df["x"].to_numpy(np.int64))}).assign(
+            lab=lambda d: d["id"]
+        ),
+    )
+
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "key": batch.column("id"),
+                "x": pa.array(np.full(n, -1, np.int64)),
+                "lab": batch.column("lab"),
+                "side": pa.array(np.zeros(n, np.int8)),
+            }
+        )
+
+    def tag_adj(batch: pa.Table) -> pa.Table:
+        # keyed by the NEIGHBOR y whose label the edge wants to read
+        n = len(batch)
+        return pa.table(
+            {
+                "key": batch.column("y"),
+                "x": batch.column("x"),
+                "lab": pa.array(np.zeros(n, np.int64)),
+                "side": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    def fetch(df: pd.DataFrame) -> pd.DataFrame:
+        lm = df[df["side"] == 0].set_index("key")["lab"]
+        eg = df[df["side"] == 1]
+        return pd.DataFrame(
+            {
+                "x": eg["x"].to_numpy(np.int64),
+                "lab": lm.reindex(eg["key"]).to_numpy(np.int64),
+            }
+        )
+
+    tagged_adj = adj.map_batches(tag_adj, batch_format="pyarrow")
+    for _ in range(iters):
+        both = labels.map_batches(tag_labels, batch_format="pyarrow").union(tagged_adj)
+        votes = hash_partitioned_apply(both, "key", fetch)
+        labels = hash_partitioned_apply(votes, "x", mode_vote)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch.column("id"), "community": batch.column("lab")}
+        )
+
+    return labels.map_batches(project, batch_format="pyarrow")
+
+
+def _sql_lpa_iter(prev: str, cur: str) -> str:
+    """One unrolled synchronous LPA round: mode of neighbor labels, tie →
+    smallest label. MATERIALIZED — inlined CTEs referenced twice re-evaluate
+    and the unrolled chain would blow up exponentially."""
+    return f"""{cur} AS MATERIALIZED (
+    SELECT id, lab FROM (
+        SELECT a.x AS id, l.lab,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.x
+                   ORDER BY COUNT(*) DESC, l.lab ASC) AS rn
+        FROM adj a JOIN {prev} l ON l.id = a.y
+        GROUP BY a.x, l.lab)
+    WHERE rn = 1)"""
+
+
+def _sql_label_prop(iters: int = LPA_ITERS) -> str:
+    steps = ",\n".join(_sql_lpa_iter(f"l{i}", f"l{i + 1}") for i in range(iters))
+    return f"""
+WITH {dv.SQL_LINK_EDGES.strip()},
+und AS MATERIALIZED (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM link_edges WHERE src <> dst),
+adj AS MATERIALIZED (SELECT a AS x, b AS y FROM und UNION ALL SELECT b, a FROM und),
+l0 AS MATERIALIZED (SELECT DISTINCT x AS id, x AS lab FROM adj),
+{steps}
+SELECT id AS doc_id, lab AS community FROM l{iters}
+"""
+
+
+import functools as _functools
+
+sql_label_prop = _functools.cache(_sql_label_prop)
+
+
+# ----------------------------------------------- multi-source BFS levels
+
+BFS_SEED_MOD = 97
+BFS_MAX_HOPS = 4
+BFS_SMALL_EDGES = 2_000_000
+
+
+def bfs_levels(
+    sf_dir: str,
+    max_hops: int = BFS_MAX_HOPS,
+    small_edges: int = BFS_SMALL_EDGES,
+):
+    """Multi-source BFS over the undirected link graph: hop distance from
+    the deterministic seed set (doc_id % 97 == 0) up to ``max_hops`` — the
+    crawl-frontier 'distance from trusted seeds' feature (TrustRank-style
+    prior). Output (doc_id, level) for REACHED nodes only, level = exact
+    min-hop distance, ties resolved by min by construction.
+
+    Scale shape: adjacency materialized once; each round is two bounded
+    hash exchanges (frontier-keyed neighbor expansion, then node-keyed
+    min-merge); the level table never exceeds the node set and candidate
+    rows are one per frontier edge. Below ``small_edges`` the identical
+    recurrence runs as a driver numpy loop (regime switch, equality-tested
+    in tests/test_graph.py)."""
+    edges = dv.link_edges(sf_dir)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy().astype(np.int64)
+        d = batch.column("dst").to_numpy().astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {"a": pa.array(np.minimum(s, d)), "b": pa.array(np.maximum(s, d))}
+        )
+
+    und = hash_partitioned_apply(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        ["a", "b"],
+        lambda df: df.drop_duplicates(),
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        return pa.table(
+            {
+                "x": pa.array(np.concatenate([a, b])),
+                "y": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    adj = und.map_batches(expand, batch_format="pyarrow").materialize()
+
+    if adj.count() <= 2 * small_edges:
+        ad = adj.to_pandas()
+        x = ad["x"].to_numpy(np.int64)
+        y = ad["y"].to_numpy(np.int64)
+        ids = np.unique(x)
+        lvl = pd.Series(np.where(ids % BFS_SEED_MOD == 0, 0, np.iinfo(np.int64).max), index=ids)
+        for i in range(max_hops):
+            fr = set(lvl.index[lvl.to_numpy() == i])
+            if not fr:
+                break
+            hit = np.fromiter((int(v) in fr for v in x), bool, len(x))
+            cand = pd.Series(i + 1, index=y[hit]).groupby(level=0).min()
+            lvl = pd.concat([lvl, cand]).groupby(level=0).min()
+        out = lvl[lvl < np.iinfo(np.int64).max].sort_index()
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(out.index.to_numpy(np.int64)),
+                    "level": pa.array(out.to_numpy(np.int64)),
+                }
+            )
+        )
+
+    # distributed path: levels (id, lvl); two exchanges per round
+    levels = hash_partitioned_apply(
+        adj,
+        "x",
+        lambda df: (
+            lambda ids: pd.DataFrame(
+                {"id": ids, "lvl": np.where(ids % BFS_SEED_MOD == 0, 0, -1)}
+            ).astype(np.int64)
+        )(np.unique(df["x"].to_numpy(np.int64))),
+    )
+
+    def tag_levels(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "key": batch.column("id"),
+                "y": pa.array(np.full(n, -1, np.int64)),
+                "lvl": batch.column("lvl"),
+                "side": pa.array(np.zeros(n, np.int8)),
+            }
+        )
+
+    def tag_adj(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "key": batch.column("x"),
+                "y": batch.column("y"),
+                "lvl": pa.array(np.zeros(n, np.int64)),
+                "side": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    tagged_adj = adj.map_batches(tag_adj, batch_format="pyarrow")
+    for i in range(max_hops):
+        def scatter(df: pd.DataFrame, _i=i) -> pd.DataFrame:
+            lv = df[df["side"] == 0]
+            eg = df[df["side"] == 1]
+            fr = lv.loc[lv["lvl"] == _i, "key"]
+            hits = eg[eg["key"].isin(set(fr.to_numpy()))]
+            return pd.concat(
+                [
+                    pd.DataFrame(
+                        {"id": lv["key"].to_numpy(np.int64), "lvl": lv["lvl"].to_numpy(np.int64)}
+                    ),
+                    pd.DataFrame(
+                        {
+                            "id": hits["y"].to_numpy(np.int64),
+                            "lvl": np.full(len(hits), _i + 1, np.int64),
+                        }
+                    ),
+                ],
+                ignore_index=True,
+            )
+
+        def min_merge(df: pd.DataFrame) -> pd.DataFrame:
+            # -1 (unreached) loses to any real level; real levels take the min
+            d = df.copy()
+            d["k"] = np.where(d["lvl"] < 0, np.iinfo(np.int64).max, d["lvl"])
+            g = d.groupby("id", sort=False)["k"].min().reset_index()
+            g["lvl"] = np.where(g["k"] == np.iinfo(np.int64).max, -1, g["k"]).astype(np.int64)
+            return g[["id", "lvl"]]
+
+        both = levels.map_batches(tag_levels, batch_format="pyarrow").union(tagged_adj)
+        cand = hash_partitioned_apply(both, "key", scatter)
+        levels = hash_partitioned_apply(cand, "id", min_merge)
+
+    def project(batch: pa.Table) -> pa.Table:
+        lv = batch.column("lvl").to_numpy()
+        keep = lv >= 0
+        return pa.table(
+            {
+                "doc_id": pa.array(batch.column("id").to_numpy()[keep].astype(np.int64)),
+                "level": pa.array(lv[keep].astype(np.int64)),
+            }
+        )
+
+    return levels.map_batches(project, batch_format="pyarrow")
+
+
+def _sql_bfs_iter(prev: str, cur: str, i: int) -> str:
+    return f"""{cur} AS MATERIALIZED (
+    SELECT id, CAST(MIN(lvl) AS BIGINT) AS lvl FROM (
+        SELECT id, lvl FROM {prev}
+        UNION ALL
+        SELECT a.y AS id, {i + 1} AS lvl
+        FROM adj a JOIN {prev} f ON f.id = a.x AND f.lvl = {i})
+    GROUP BY id)"""
+
+
+def _sql_bfs_levels(max_hops: int = BFS_MAX_HOPS) -> str:
+    steps = ",\n".join(_sql_bfs_iter(f"f{i}", f"f{i + 1}", i) for i in range(max_hops))
+    return f"""
+WITH {dv.SQL_LINK_EDGES.strip()},
+und AS MATERIALIZED (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM link_edges WHERE src <> dst),
+adj AS MATERIALIZED (SELECT a AS x, b AS y FROM und UNION ALL SELECT b, a FROM und),
+f0 AS MATERIALIZED (
+    SELECT DISTINCT x AS id, 0 AS lvl FROM adj WHERE x % {BFS_SEED_MOD} = 0),
+{steps}
+SELECT id AS doc_id, lvl AS level FROM f{max_hops}
+"""
+
+
+sql_bfs_levels = _functools.cache(_sql_bfs_levels)

@@ -1,0 +1,127 @@
+"""Dataset profiling — the schema/quality audit a pipeline runs before
+committing 100 TB to a training mix: per-column row/null/distinct counts,
+lexicographic min/max and total stringified length over ``documents``.
+
+Scale shape: two independent passes, neither moving values wider than a
+hash. (1) min/max/len/null are COMBINER partials — one small frame per
+batch per column, fused by a column-keyed exchange over O(batches × cols)
+rows. (2) exact distinct counts explode each cell to (col, h1, h2) — a
+~128-bit value identity from two independent hash families, never the cell
+text (dedup_exact's bytes discipline; 2^-128 per-pair collision bound, so
+hash-distinct == value-distinct) — and count uniques inside a col+h1-keyed
+exchange with per-partition partial counts summed in a final tiny fuse.
+The two 5-row results join on the driver (bounded by column count, not
+data)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..functions.hashing import hash64_str
+from ..stages.joins import hash_partitioned_apply
+
+PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def column_profile(sf_dir: str) -> pd.DataFrame:
+    """Output (col, n_rows, n_null, n_distinct, min_v, max_v, len_sum) —
+    one row per documents column, every value stat computed over the
+    stringified cell (CAST(x AS VARCHAR) in the SQL twin) so mixed column
+    types share one exact contract."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=PROFILE_COLS)
+
+    def partial_stats(batch: pa.Table) -> pa.Table:
+        rows = []
+        for c in PROFILE_COLS:
+            s = batch.column(c).to_pandas()
+            nn = s.notna()
+            v = s[nn].astype(str)
+            rows.append(
+                (
+                    c,
+                    len(s),
+                    int((~nn).sum()),
+                    # None, not "": an all-null batch must not poison the
+                    # cross-batch min with an empty-string sentinel
+                    v.min() if len(v) else None,
+                    v.max() if len(v) else None,
+                    int(v.str.len().sum()) if len(v) else 0,
+                )
+            )
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                rows, columns=["col", "n_rows", "n_null", "min_v", "max_v", "len_sum"]
+            ).astype({"n_rows": np.int64, "n_null": np.int64, "len_sum": np.int64}),
+            preserve_index=False,
+        )
+
+    def fuse_stats(df: pd.DataFrame) -> pd.DataFrame:
+        def _nmin(s: pd.Series):
+            s = s.dropna()
+            return s.min() if len(s) else None
+
+        def _nmax(s: pd.Series):
+            s = s.dropna()
+            return s.max() if len(s) else None
+
+        g = df.groupby("col", sort=False).agg(
+            n_rows=("n_rows", "sum"),
+            n_null=("n_null", "sum"),
+            min_v=("min_v", _nmin),  # skip the all-null-batch None partials
+            max_v=("max_v", _nmax),
+            len_sum=("len_sum", "sum"),
+        )
+        g[["min_v", "max_v"]] = g[["min_v", "max_v"]].fillna("")  # all-null column
+        return g.reset_index().astype({"n_rows": np.int64, "n_null": np.int64, "len_sum": np.int64})
+
+    stats = hash_partitioned_apply(
+        ds.map_batches(partial_stats, batch_format="pyarrow"), "col", fuse_stats, num_parts=4
+    ).to_pandas()
+
+    def explode_hashes(batch: pa.Table) -> pa.Table:
+        cols, h1s, h2s = [], [], []
+        for ci, c in enumerate(PROFILE_COLS):
+            s = batch.column(c).to_pandas()
+            v = s[s.notna()].astype(str)
+            cols.append(np.full(len(v), ci, np.int64))
+            h1s.append(hash64_str(v.tolist()).astype(np.int64))
+            h2s.append(pd.util.hash_pandas_object(v, index=False).to_numpy().astype(np.int64))
+        return pa.table(
+            {
+                "ci": pa.array(np.concatenate(cols)),
+                "h1": pa.array(np.concatenate(h1s)),
+                "h2": pa.array(np.concatenate(h2s)),
+            }
+        )
+
+    def partial_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates().groupby("ci", sort=False).size().reset_index(name="k")
+        return g.astype({"ci": np.int64, "k": np.int64})
+
+    # (ci, h1) keys the exchange, so a value's every occurrence lands in one
+    # partition and per-partition unique counts sum to the exact distinct
+    parts = hash_partitioned_apply(
+        ds.map_batches(explode_hashes, batch_format="pyarrow"), ["ci", "h1"], partial_distinct
+    ).to_pandas()
+    dist = parts.groupby("ci")["k"].sum()
+
+    stats["n_distinct"] = (
+        stats["col"].map({c: int(dist.get(i, 0)) for i, c in enumerate(PROFILE_COLS)}).astype(np.int64)
+    )
+    return stats[["col", "n_rows", "n_null", "n_distinct", "min_v", "max_v", "len_sum"]]
+
+
+SQL_COLUMN_PROFILE = " UNION ALL ".join(
+    f"""
+SELECT '{c}' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT CAST({c} AS VARCHAR)) AS BIGINT) AS n_distinct,
+       COALESCE(MIN(CAST({c} AS VARCHAR)), '') AS min_v,
+       COALESCE(MAX(CAST({c} AS VARCHAR)), '') AS max_v,
+       CAST(COALESCE(SUM(length(CAST({c} AS VARCHAR))), 0) AS BIGINT) AS len_sum
+FROM documents"""
+    for c in PROFILE_COLS
+)

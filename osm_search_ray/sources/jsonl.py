@@ -40,20 +40,12 @@ def read_jsonl(path: str) -> "ray.data.Dataset":
     return ray.data.read_json(path)
 
 
-def jsonl_roundtrip(sf_dir: str):
-    """Driver query: documents → JSONL shard directory under /tmp → read
-    back → per-lang (n_docs, chars_sum, text_xor) where text_xor is the
-    XOR of hash64_md5(text) over the lang group (order-independent, no
-    overflow, SQL twin = bit_xor over the same md5 prefix). Output
-    (lang, n_docs, chars_sum, text_xor)."""
-    scratch = os.path.join(
-        "/tmp", "osm_search_ray_jsonl", os.path.basename(os.path.normpath(sf_dir))
-    )
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "n_chars"]
-    )
-    export_jsonl(docs, scratch)
-    back = read_jsonl(scratch)
+def lang_xor_summary(back: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-lang (n_docs, chars_sum, text_xor) over a documents-shaped
+    dataset, where text_xor is the XOR of hash64_md5(text) over the lang
+    group (order-independent, no overflow, SQL twin = bit_xor over the same
+    md5 prefix) — the byte-fidelity check both interchange-format
+    roundtrips (JSONL, CSV) reduce to."""
 
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -86,6 +78,21 @@ def jsonl_roundtrip(sf_dir: str):
     return hash_partitioned_apply(
         back.map_batches(partial, batch_format="pyarrow"), "lang", fuse, num_parts=8
     )
+
+
+def jsonl_roundtrip(sf_dir: str):
+    """Driver query: documents → JSONL shard directory under /tmp → read
+    back → lang_xor_summary. Any escaping/encoding corruption in the
+    writer/parser pair flips the XOR vs the original-parquet SQL twin.
+    Output (lang, n_docs, chars_sum, text_xor)."""
+    scratch = os.path.join(
+        "/tmp", "osm_search_ray_jsonl", os.path.basename(os.path.normpath(sf_dir))
+    )
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "n_chars"]
+    )
+    export_jsonl(docs, scratch)
+    return lang_xor_summary(read_jsonl(scratch))
 
 
 SQL_JSONL_ROUNDTRIP = """

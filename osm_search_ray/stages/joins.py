@@ -175,11 +175,26 @@ def zip_with_index(ds: "ray.data.Dataset", id_col: str = "row_id") -> "ray.data.
     return ray.data.from_arrow_refs(out_refs)
 
 
+def default_num_parts() -> int:
+    """Adaptive exchange width: 2× the cluster's CPU count, floored at 16.
+    Ray's sort-shuffle + map_groups pays a fixed per-partition cost (~50 ms
+    on this host), so a hardcoded 64 wastes seconds per exchange in a small
+    local session while a 256-node cluster needs thousands of partitions —
+    CPU-proportional is the standard heuristic and keeps partition count a
+    pure function of the cluster, never of the data (deterministic output
+    either way: partition_fn always sees whole key groups)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(16, 2 * cpus)
+
+
 def grouped_apply_bounded(
     ds: "ray.data.Dataset",
     key: str | list[str],
     per_group_fn,
-    num_parts: int = 64,
+    num_parts: int | None = None,
 ) -> "ray.data.Dataset":
     """groupby(key).map_groups with BOUNDED Ray-group count: Ray's map_groups
     pays ~ms Python overhead per group, catastrophic for >10k tiny groups
@@ -189,6 +204,8 @@ def grouped_apply_bounded(
 
     ``per_group_fn(sub_df) -> df`` — same contract as map_groups' fn.
     Key hashing uses pandas' deterministic hash (stable across processes)."""
+    if num_parts is None:
+        num_parts = default_num_parts()
     keys = [key] if isinstance(key, str) else list(key)
 
     def add_part(batch: pa.Table) -> pa.Table:
@@ -215,12 +232,15 @@ def hash_partitioned_apply(
     ds: "ray.data.Dataset",
     key: str | list[str],
     partition_fn,
-    num_parts: int = 64,
+    num_parts: int | None = None,
 ) -> "ray.data.Dataset":
     """Hash-partition rows by key into ``num_parts`` Ray groups and hand each
     WHOLE partition to ``partition_fn(df) -> df`` — for fully-vectorized
     per-partition kernels (reduceat over group boundaries etc.) where even an
-    in-process per-group loop is too slow."""
+    in-process per-group loop is too slow. ``num_parts=None`` → the adaptive
+    CPU-proportional default (default_num_parts)."""
+    if num_parts is None:
+        num_parts = default_num_parts()
     keys = [key] if isinstance(key, str) else list(key)
 
     def add_part(batch: pa.Table) -> pa.Table:

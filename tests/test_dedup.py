@@ -424,3 +424,32 @@ def test_semantic_dedup_flag_regimes_agree(monkeypatch):
     monkeypatch.setattr(dd, "PAIR_DRIVER_LIMIT", 0)
     b = dd.semantic_dedup(ray.data.from_pandas(emb)).to_pandas().sort_values("vec_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b[a.columns].astype(a.dtypes.to_dict()))
+
+
+def test_line_dedup_matches_bruteforce():
+    """line_dedup == a driver-side brute force: first (doc_id, line_no)
+    occurrence of each distinct 10-word window survives, texts reassemble
+    in line order, zero-kept docs come back with empty text."""
+    from osm_search_ray.pipelines.dedup_pipelines import LINE_WORDS, line_dedup
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    rows = []
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        toks = t.split(" ")
+        n = (len(toks) + LINE_WORDS - 1) // LINE_WORDS
+        for j in range(n):
+            rows.append((int(d), j, " ".join(toks[j * LINE_WORDS : (j + 1) * LINE_WORDS])))
+    df = pd.DataFrame(rows, columns=["doc_id", "line_no", "line"])
+    first = df.sort_values(["doc_id", "line_no"]).drop_duplicates("line", keep="first")
+    kept = set(zip(first["doc_id"], first["line_no"]))
+    want = {}
+    for d, g in df.groupby("doc_id"):
+        ks = g[[(r.doc_id, r.line_no) in kept for r in g.itertuples()]]
+        want[int(d)] = ("\n".join(ks.sort_values("line_no")["line"]), len(g), len(ks))
+
+    got = line_dedup(SF).to_pandas().set_index("doc_id")
+    assert len(got) == len(want)
+    assert (got["n_kept"] <= got["n_lines"]).all()
+    for d, (txt, nl, nk) in want.items():
+        r = got.loc[d]
+        assert (r["text_dedup"], r["n_lines"], r["n_kept"]) == (txt, nl, nk)

@@ -234,3 +234,39 @@ def test_link_prediction_regimes_agree():
     )
     pd.testing.assert_frame_equal(bc[cols], dist[cols])
     assert len(bc) > 0 and (bc["node_a"] < bc["node_b"]).all()
+
+
+def test_label_prop_regimes_agree():
+    """The driver pandas loop and the distributed two-exchange-per-round
+    path must produce identical (doc_id, community) labels."""
+    from osm_search_ray.pipelines.graph import label_prop
+
+    small = label_prop(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    dist = (
+        label_prop(SF, small_edges=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(small, dist)
+    # labels are real communities: at least one multi-node community exists
+    assert (small.groupby("community").size() > 1).any()
+
+
+def test_bfs_levels_regimes_agree():
+    """Driver numpy BFS and the distributed frontier-exchange path must
+    produce identical (doc_id, level) tables, and levels must be valid hop
+    distances (seeds at 0, each level nonempty up to the max reached)."""
+    from osm_search_ray.pipelines.graph import BFS_SEED_MOD, bfs_levels
+
+    small = bfs_levels(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    dist = (
+        bfs_levels(SF, small_edges=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(small, dist)
+    seeds = small[small["doc_id"] % BFS_SEED_MOD == 0]
+    assert (seeds["level"] == 0).all()
+    assert set(small["level"]) == set(range(int(small["level"].max()) + 1))

@@ -152,3 +152,46 @@ class TestPagesTable:
 
         want = cell_of(geo["lat"].to_numpy(), geo["lon"].to_numpy(), RES_COARSE)
         assert (geo["cell_r12"].to_numpy() == want).all()
+
+
+class TestInterchangeRoundtrip:
+    """CSV/JSONL sink+source fidelity on HOSTILE content the sf tables
+    don't exercise: embedded commas, quotes, newlines, unicode, empties."""
+
+    HOSTILE = [
+        "plain words",
+        'comma, and "quotes" inside',
+        "newline\nand\r\nCRLF",
+        "unicode — héllo wörld ✓ 漢字",
+        "",
+        "   leading and trailing   ",
+        "tab\tseparated\tvalues",
+        "trailing backslash \\",
+    ]
+
+    def _frame(self):
+        n = len(self.HOSTILE)
+        return pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "text": self.HOSTILE,
+                "lang": ["en", "de", "en", "xx", "en", "de", "xx", "en"],
+                "n_chars": np.array([len(t) for t in self.HOSTILE], np.int64),
+            }
+        )
+
+    def test_csv_roundtrip_hostile(self, tmp_path):
+        from osm_search_ray.sources.csvio import export_csv, read_csv
+
+        df = self._frame()
+        export_csv(ray.data.from_pandas(df), str(tmp_path / "csv"))
+        back = read_csv(str(tmp_path / "csv")).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(back[df.columns], df)
+
+    def test_jsonl_roundtrip_hostile(self, tmp_path):
+        from osm_search_ray.sources.jsonl import export_jsonl, read_jsonl
+
+        df = self._frame()
+        export_jsonl(ray.data.from_pandas(df), str(tmp_path / "jsonl"))
+        back = read_jsonl(str(tmp_path / "jsonl")).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(back[df.columns], df)
