@@ -49,6 +49,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from osm_search_ray.pipelines import profile as _pf
 
     q["column_profile"] = _pf.column_profile  # per-column null/distinct/minmax audit
+    q["events_gapfill"] = ev.events_gapfill  # gap-filled hourly resample per type
+    q["events_lag_delta"] = ev.events_lag_delta  # per-user LAG inter-event gap
+    from osm_search_ray.pipelines import webcorpus as _wc0
+
+    q["url_canonical"] = _wc0.url_canonical  # tracking-param/case/slash collapse
+    q["agg_pricing_cube"] = relational.agg_pricing_cube  # full CUBE grouping sets
+    q["late_events"] = ev.late_events  # event-time watermark lateness audit
     q["covisit_pairs"] = ev.covisit_pairs  # item co-visitation (bipartite projection)
     q["next_transitions"] = ev.next_transitions  # Markov next-event transition matrix
     q["skipgram_pmi"] = textops.skipgram_pmi  # windowed collocations + exact PMI
@@ -378,6 +385,13 @@ GROUP BY 1, 2
     from osm_search_ray.pipelines import profile as _pf
 
     sql["column_profile"] = _pf.SQL_COLUMN_PROFILE
+    sql["events_gapfill"] = ev.SQL_EVENTS_GAPFILL
+    sql["events_lag_delta"] = ev.SQL_EVENTS_LAG_DELTA
+    from osm_search_ray.pipelines import webcorpus as _wc0
+
+    sql["url_canonical"] = _wc0.SQL_URL_CANONICAL
+    sql["agg_pricing_cube"] = relational.SQL_AGG_PRICING_CUBE
+    sql["late_events"] = ev.sql_late_events()
     sql["covisit_pairs"] = ev.SQL_COVISIT_PAIRS
     sql["next_transitions"] = ev.SQL_NEXT_TRANSITIONS
     sql["bpe_train"] = bpe.sql_bpe_train()  # unrolled N-stage merge chain, integer/string only

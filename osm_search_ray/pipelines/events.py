@@ -1075,3 +1075,210 @@ SELECT from_type, to_type, n,
            AS p_micro
 FROM c
 """
+
+
+def events_gapfill(sf_dir: str):
+    """Gap-filled hourly resample per event_type: every hour between the
+    type's first and last occupied hour gets a row, missing hours at
+    n_events = 0 — the densification step any time-series featurizer needs
+    before rolling windows can trust row adjacency.
+
+    Shape: the events_hourly combiner partials (the only pass over the raw
+    log) → ONE type-keyed exchange; the dense hour grid is generated INSIDE
+    each type's partition (bounded by the corpus time span in hours, never
+    by event count). Output (event_type, hour_bucket, n_events)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = batch.column("ts").cast(pa.int64()).to_numpy() // 3_600_000_000
+        df = pd.DataFrame(
+            {"event_type": batch.column("event_type").to_pandas(), "hour_bucket": hour}
+        )
+        g = df.groupby(["event_type", "hour_bucket"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g.astype({"n": np.int64}), preserve_index=False)
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for t, g in df.groupby("event_type", sort=False):
+            n = g.groupby("hour_bucket", sort=True)["n"].sum()
+            grid = np.arange(n.index.min(), n.index.max() + 1, dtype=np.int64)
+            dense = n.reindex(grid, fill_value=0)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "event_type": t,
+                        "hour_bucket": grid,
+                        "n_events": dense.to_numpy(np.int64),
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype=object),
+                    "hour_bucket": pd.Series(dtype=np.int64),
+                    "n_events": pd.Series(dtype=np.int64),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    from ..stages.joins import hash_partitioned_apply
+
+    return hash_partitioned_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), "event_type", fill, num_parts=8
+    )
+
+
+SQL_EVENTS_GAPFILL = """
+WITH hourly AS (
+    SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hb,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2),
+span AS (SELECT event_type, MIN(hb) AS lo, MAX(hb) AS hi FROM hourly GROUP BY 1),
+grid AS (
+    SELECT s.event_type, CAST(s.lo + g.g AS BIGINT) AS hour_bucket
+    FROM span s, UNNEST(range(0, s.hi - s.lo + 1)) AS g(g))
+SELECT g.event_type, g.hour_bucket, COALESCE(h.n, 0) AS n_events
+FROM grid g LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hb = g.hour_bucket
+"""
+
+
+def events_lag_delta(sf_dir: str):
+    """Per-user inter-event gap (LAG window function): for every event, the
+    microseconds since the user's previous event, -1 for the user's first —
+    the feature behind dwell-time and bot-burst detection. One user-keyed
+    exchange; order inside the partition is (ts, event_id), the SQL window's
+    exact ORDER BY. Output (event_id, user_id, delta_us)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts_us": batch.column("ts").cast(pa.int64()),
+            }
+        )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("user_id", sort=False):
+            g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+            prev = g["ts_us"].shift(1)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "event_id": g["event_id"].to_numpy(np.int64),
+                        "user_id": g["user_id"].to_numpy(np.int64),
+                        "delta_us": (g["ts_us"] - prev).fillna(-1).to_numpy(np.int64),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype=np.int64),
+                "user_id": pd.Series(dtype=np.int64),
+                "delta_us": pd.Series(dtype=np.int64),
+            }
+        )
+
+    from ..stages.joins import hash_partitioned_apply
+
+    return hash_partitioned_apply(
+        ds.map_batches(to_us, batch_format="pyarrow"), "user_id", per_user
+    )
+
+
+SQL_EVENTS_LAG_DELTA = """
+SELECT event_id, user_id,
+       CAST(COALESCE(
+           epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)),
+           -1) AS BIGINT) AS delta_us
+FROM events
+"""
+
+
+LATE_HOURS = 336  # watermark allowed lateness (14 days — splits the fixture)
+
+
+def late_events(sf_dir: str, late_hours: int = LATE_HOURS):
+    """Event-time watermark lateness audit — the streaming-ingest accounting
+    that decides which arrivals a window may still accept: events ARRIVE in
+    a deterministic shuffled order (arrival key = bijective LCG on event_id,
+    identical arithmetic in numpy and SQL — the derived-input contract; the
+    raw log is ts-monotone so real lateness needs a derived arrival
+    permutation), the watermark after each arrival is the running max event
+    time minus ``late_hours``, and an event is LATE if its own event time
+    is below the watermark its predecessors established. Output per event
+    hour: (hour_bucket, n_ontime, n_late).
+
+    Scale shape: ONE global sort by arrival key, then the distributed
+    prefix-scan primitive (stages/joins.prefix_max_exclusive: per-block
+    maxima → O(blocks) driver carry → per-block seeded cummax, no further
+    exchange), then combiner partials into a tiny hour-keyed groupby."""
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import PREFIX_SENTINEL, prefix_max_exclusive
+
+    n_events = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    late_us = late_hours * 3_600_000_000
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ev = batch.column("event_id").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "akey": pa.array((ev * 48271 + 11) % np.int64(n_events)),
+                "tsu": batch.column("ts").cast(pa.int64()),
+            }
+        )
+
+    scanned = prefix_max_exclusive(
+        ds.map_batches(derive, batch_format="pyarrow").sort("akey"), "tsu"
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tsu = batch.column("tsu").to_numpy()
+        prev = batch.column("prev_max").to_numpy()
+        late = (prev != PREFIX_SENTINEL) & (tsu < prev - late_us)
+        df = pd.DataFrame(
+            {
+                "hour_bucket": tsu // 3_600_000_000,
+                "n_late": late.astype(np.int64),
+                "n_ontime": (~late).astype(np.int64),
+            }
+        )
+        g = df.groupby("hour_bucket", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        scanned.map_batches(partial, batch_format="pyarrow")
+        .groupby("hour_bucket")
+        .aggregate(Sum("n_ontime", alias_name="n_ontime"), Sum("n_late", alias_name="n_late"))
+    )
+
+
+def _sql_late_events(late_hours: int = LATE_HOURS) -> str:
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM events),
+a AS (SELECT event_id, epoch_us(ts) AS tsu,
+             (event_id * 48271 + 11) % (SELECT n FROM nn) AS akey
+      FROM events),
+w AS (SELECT tsu,
+             MAX(tsu) OVER (ORDER BY akey ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prevmax
+      FROM a)
+SELECT CAST(tsu // 3600000000 AS BIGINT) AS hour_bucket,
+       CAST(COUNT(*) FILTER (WHERE prevmax IS NULL
+                                OR tsu >= prevmax - {late_hours * 3_600_000_000}) AS BIGINT)
+           AS n_ontime,
+       CAST(COUNT(*) FILTER (WHERE prevmax IS NOT NULL
+                               AND tsu < prevmax - {late_hours * 3_600_000_000}) AS BIGINT)
+           AS n_late
+FROM w GROUP BY 1
+"""
+
+
+sql_late_events = functools.cache(_sql_late_events)

@@ -88,6 +88,39 @@ def agg_pricing_rollup(sf_dir: str):
     return out.sort_values(["l_returnflag", "l_linestatus"], kind="mergesort").reset_index(drop=True)
 
 
+def agg_pricing_cube(sf_dir: str):
+    """CUBE (all grouping sets) over the pricing aggregate: (flag, status),
+    (flag), (status), () with 'ALL' as the grouped-away key sentinel — the
+    rollup's missing (status-only) set. Same scale shape: ONE corpus pass at
+    finest granularity, every coarser level re-aggregates the
+    |distinct-keys|-sized result (sums/counts are distributive)."""
+    finest = agg_pricing(sf_dir).to_pandas()  # ≤ |flag × status| rows
+    vals = ["sum_qty", "sum_price", "revenue", "n_rows"]
+    lvl_rf = finest.groupby("l_returnflag", as_index=False)[vals].sum()
+    lvl_rf["l_linestatus"] = "ALL"
+    lvl_ls = finest.groupby("l_linestatus", as_index=False)[vals].sum()
+    lvl_ls["l_returnflag"] = "ALL"
+    lvl0 = pd.DataFrame([finest[vals].sum()])
+    lvl0["l_returnflag"] = "ALL"
+    lvl0["l_linestatus"] = "ALL"
+    cols = ["l_returnflag", "l_linestatus"] + vals
+    out = pd.concat([finest[cols], lvl_rf[cols], lvl_ls[cols], lvl0[cols]], ignore_index=True)
+    out[vals] = out[vals].astype(np.int64)
+    return out.sort_values(["l_returnflag", "l_linestatus"], kind="mergesort").reset_index(drop=True)
+
+
+SQL_AGG_PRICING_CUBE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
 SQL_AGG_PRICING_ROLLUP = """
 SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
        COALESCE(l_linestatus, 'ALL') AS l_linestatus,

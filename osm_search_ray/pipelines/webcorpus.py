@@ -859,3 +859,61 @@ reach AS (
     ) SELECT * FROM r)
 SELECT node AS doc_id, MIN(reached) AS cluster_id FROM reach GROUP BY node
 """
+
+
+def url_canonical(sf_dir: str):
+    """URL canonicalization — the crawl-dedup step that collapses tracking
+    params, fragments, case and trailing-slash variants of one page into a
+    single key. The derived web_pages urls are already clean, so each page's
+    MESSY form is derived deterministically by doc_id % 4 (as-is / uppercased
+    + trailing slash / ?utm tracking params / #fragment — identical
+    arithmetic in numpy and SQL, the derived.py contract), then canonicalized
+    by the shared rule: strip from the first '#', strip from the first '?',
+    lowercase, strip trailing '/'. Output (url, n_variants): every messy row
+    grouped under its canonical url.
+
+    Shape: messy-derivation + canonicalization + counting are all combiner
+    work inside map_batches (vectorized pandas str ops); ONE url-keyed
+    exchange sums the partial counts."""
+    wp = dv.web_pages(sf_dir, columns=["doc_id", "url"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy().astype(np.int64)
+        url = pd.Series(batch.column("url").to_pylist())
+        v = doc % 4
+        raw = url.copy()
+        raw[v == 1] = url[v == 1].str.upper() + "/"
+        raw[v == 2] = url[v == 2] + "?utm_source=x&uid=" + pd.Series(doc.astype(str))[v == 2]
+        raw[v == 3] = url[v == 3] + "#sec" + pd.Series((doc % 7).astype(str))[v == 3]
+        canon = (
+            raw.str.split("#").str[0].str.split("?").str[0].str.lower().str.rstrip("/")
+        )
+        g = canon.groupby(canon, sort=False).size().reset_index(name="n")
+        g.columns = ["url", "n"]
+        return pa.Table.from_pandas(g.astype({"n": np.int64}), preserve_index=False)
+
+    def fuse(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("url", sort=False)["n"].sum().reset_index(name="n_variants")
+        return g.astype({"n_variants": np.int64})
+
+    from ..stages.joins import hash_partitioned_apply
+
+    return hash_partitioned_apply(
+        wp.map_batches(partial, batch_format="pyarrow"), "url", fuse, num_parts=16
+    )
+
+
+SQL_URL_CANONICAL = f"""
+WITH {dv.SQL_WEB_PAGES.strip()},
+messy AS (
+    SELECT CASE doc_id % 4
+               WHEN 0 THEN url
+               WHEN 1 THEN upper(url) || '/'
+               WHEN 2 THEN url || '?utm_source=x&uid=' || CAST(doc_id AS VARCHAR)
+               ELSE url || '#sec' || CAST(doc_id % 7 AS VARCHAR)
+           END AS raw
+    FROM web_pages)
+SELECT rtrim(lower(split_part(split_part(raw, '#', 1), '?', 1)), '/') AS url,
+       CAST(COUNT(*) AS BIGINT) AS n_variants
+FROM messy GROUP BY 1
+"""

@@ -190,6 +190,49 @@ def default_num_parts() -> int:
     return max(16, 2 * cpus)
 
 
+PREFIX_SENTINEL = np.iinfo(np.int64).min
+
+
+def prefix_max_exclusive(
+    ds: "ray.data.Dataset", value_col: str, out_col: str = "prev_max"
+) -> "ray.data.Dataset":
+    """Distributed EXCLUSIVE running max over a globally-ordered dataset:
+    row i gets max(value[0..i-1]), PREFIX_SENTINEL for the first row — the
+    prefix-scan primitive behind event-time watermarks (late_events).
+    ``ds`` must already be globally sorted in the scan order (``ds.sort``).
+
+    Shape (the zip_with_index machinery): per-block maxima via one tiny task
+    per block, the exclusive cummax of those carries on the driver
+    (O(blocks), never O(rows)), then one task per block computes the
+    in-block exclusive cummax seeded by its carry. No exchange beyond the
+    caller's sort."""
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+    if not refs:
+        return mat
+
+    @ray.remote
+    def block_max(t: pa.Table) -> int:
+        v = t.column(value_col).to_numpy()
+        return int(v.max()) if len(v) else PREFIX_SENTINEL
+
+    maxes = np.array(ray.get([block_max.remote(r) for r in refs]), np.int64)
+    carries = np.concatenate([[PREFIX_SENTINEL], np.maximum.accumulate(maxes)[:-1]])
+
+    @ray.remote
+    def add_prev(t: pa.Table, carry: int) -> pa.Table:
+        v = t.column(value_col).to_numpy().astype(np.int64)
+        if len(v):
+            shifted = np.concatenate([[PREFIX_SENTINEL], np.maximum.accumulate(v)[:-1]])
+            prev = np.maximum(shifted, carry)
+        else:
+            prev = v
+        return t.append_column(out_col, pa.array(prev))
+
+    out_refs = [add_prev.remote(r, int(c)) for r, c in zip(refs, carries)]
+    return ray.data.from_arrow_refs(out_refs)
+
+
 def grouped_apply_bounded(
     ds: "ray.data.Dataset",
     key: str | list[str],

@@ -1,0 +1,77 @@
+"""Gap-fill resample, LAG delta, URL canonicalization — structural
+invariants beyond the SQL hash check."""
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_events_gapfill_is_dense_per_type():
+    from osm_search_ray.pipelines.events import events_gapfill
+
+    df = events_gapfill(SF).to_pandas()
+    assert (df["n_events"] >= 0).all()
+    for _, g in df.groupby("event_type"):
+        hb = np.sort(g["hour_bucket"].to_numpy())
+        assert (np.diff(hb) == 1).all(), "hour grid must be gapless"
+    assert (df["n_events"] == 0).any(), "fixture should contain real gaps"
+
+
+def test_events_lag_delta_matches_pandas_window():
+    import pyarrow.parquet as pq
+
+    from osm_search_ray.pipelines.events import events_lag_delta
+
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["event_id", "ts", "user_id"]).to_pandas()
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev = ev.sort_values(["user_id", "ts_us", "event_id"])
+    want = (
+        (ev["ts_us"] - ev.groupby("user_id")["ts_us"].shift(1))
+        .fillna(-1)
+        .astype(np.int64)
+        .set_axis(ev["event_id"])
+    )
+    got = events_lag_delta(SF).to_pandas().set_index("event_id")["delta_us"]
+    assert len(got) == len(want)
+    assert (got.reindex(want.index) == want).all()
+
+
+def test_url_canonical_collapses_all_variant_classes():
+    from osm_search_ray.pipelines.webcorpus import url_canonical
+
+    df = url_canonical(SF).to_pandas()
+    assert df["url"].str.startswith("https://site").all()
+    assert not df["url"].str.contains("[?#A-Z]", regex=True).any()
+    assert not df["url"].str.endswith("/").any()
+    # 3 docs share each page url and every doc contributes one messy row
+    assert df["n_variants"].sum() == 500
+
+
+def test_prefix_max_exclusive_across_blocks():
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from osm_search_ray.stages.joins import PREFIX_SENTINEL, prefix_max_exclusive
+
+    rng = np.arange(1000, dtype=np.int64)
+    vals = (rng * 48271 + 7) % 1000  # shuffled values, sorted order = rng
+    ds = ray.data.from_arrow_refs(
+        [ray.put(pa.table({"i": pa.array(rng[k : k + 100]), "v": pa.array(vals[k : k + 100])}))
+         for k in range(0, 1000, 100)]
+    )
+    got = prefix_max_exclusive(ds, "v").to_pandas().sort_values("i")
+    want = np.concatenate([[PREFIX_SENTINEL], np.maximum.accumulate(vals)[:-1]])
+    assert (got["prev_max"].to_numpy() == want).all()
+
+
+def test_late_events_has_both_classes():
+    from osm_search_ray.pipelines.events import late_events
+
+    import pyarrow.parquet as pq
+
+    df = late_events(SF).to_pandas()
+    n = pq.ParquetFile(f"{SF}/events.parquet").metadata.num_rows
+    assert df["n_late"].sum() > 0 and df["n_ontime"].sum() > 0
+    assert int(df["n_late"].sum() + df["n_ontime"].sum()) == n
