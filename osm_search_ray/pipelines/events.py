@@ -989,7 +989,16 @@ def covisit_pairs(sf_dir: str, cap: int = COVISIT_CAP):
     parts = hash_partitioned_apply(
         ds.map_batches(partial, batch_format="pyarrow"), "user_id", per_user_pairs, num_parts=32
     )
-    return parts.groupby(["item_a", "item_b"]).aggregate(Sum("n_users", alias_name="n_users"))
+
+    def sum_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # NOT ds.groupby().aggregate(Sum): Ray 2.49's sort-based Aggregate
+        # pays seconds of per-task overhead at a few thousand groups (ds.stats
+        # showed 205 s remote wall on this 4950-group fuse); one bounded
+        # pair-keyed exchange + a vectorized pandas sum is ~100× cheaper
+        g = df.groupby(["item_a", "item_b"], sort=False)["n_users"].sum().reset_index()
+        return g.astype({"n_users": np.int64})
+
+    return hash_partitioned_apply(parts, ["item_a", "item_b"], sum_pairs, num_parts=16)
 
 
 SQL_COVISIT_PAIRS = f"""
