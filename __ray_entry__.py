@@ -56,6 +56,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["url_canonical"] = _wc0.url_canonical  # tracking-param/case/slash collapse
     q["agg_pricing_cube"] = relational.agg_pricing_cube  # full CUBE grouping sets
     q["late_events"] = ev.late_events  # event-time watermark lateness audit
+    q["snapshot_diff"] = _wc0.snapshot_diff  # crawl snapshot removed/changed/same
+    q["embedding_centroids"] = simsearch.embedding_centroids  # exact class centroids
+    q["ann_pq_topk"] = simsearch.ann_pq_topk  # product-quantization ADC top-k
     q["covisit_pairs"] = ev.covisit_pairs  # item co-visitation (bipartite projection)
     q["next_transitions"] = ev.next_transitions  # Markov next-event transition matrix
     q["skipgram_pmi"] = textops.skipgram_pmi  # windowed collocations + exact PMI
@@ -392,6 +395,9 @@ GROUP BY 1, 2
     sql["url_canonical"] = _wc0.SQL_URL_CANONICAL
     sql["agg_pricing_cube"] = relational.SQL_AGG_PRICING_CUBE
     sql["late_events"] = ev.sql_late_events()
+    sql["snapshot_diff"] = _wc0.SQL_SNAPSHOT_DIFF
+    sql["embedding_centroids"] = simsearch.SQL_EMBEDDING_CENTROIDS
+    sql["ann_pq_topk"] = simsearch.sql_ann_pq_topk()
     sql["covisit_pairs"] = ev.SQL_COVISIT_PAIRS
     sql["next_transitions"] = ev.SQL_NEXT_TRANSITIONS
     sql["bpe_train"] = bpe.sql_bpe_train()  # unrolled N-stage merge chain, integer/string only

@@ -917,3 +917,95 @@ SELECT rtrim(lower(split_part(split_part(raw, '#', 1), '?', 1)), '/') AS url,
        CAST(COUNT(*) AS BIGINT) AS n_variants
 FROM messy GROUP BY 1
 """
+
+
+def snapshot_diff(sf_dir: str):
+    """Crawl snapshot delta — the maintenance report comparing two corpus
+    versions: snapshot A = documents as-is; snapshot B = the deterministic
+    next crawl (doc_id % 13 == 0 pages DROPPED, doc_id % 7 == 0 pages
+    RECRAWLED with changed text — text || ' v2', identical arithmetic on
+    both sides). Classifies every doc_id as 'removed' (A only), 'changed'
+    (both, different text) or 'same'; 'added' can't occur in this derivation
+    and the oracle proves the engine agrees (count 0 enforced by absence).
+    Output (status, n_docs, ids_sum) — ids_sum anchors WHICH docs, not just
+    how many.
+
+    Scale shape: each side ships (doc_id, h1, h2) only — the ~128-bit
+    content identity (dedup_exact's bytes discipline), never text; ONE
+    doc_id-keyed exchange classifies, a tiny status-keyed fuse aggregates."""
+    from ..functions.hashing import hash64_str
+    from ..stages.joins import hash_partitioned_apply
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def both_sides(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy().astype(np.int64)
+        txt = pd.Series(batch.column("text").to_pylist())
+
+        def ident(s: pd.Series) -> tuple:
+            return (
+                hash64_str(s.tolist()).astype(np.int64),
+                pd.util.hash_pandas_object(s, index=False).to_numpy().astype(np.int64),
+            )
+
+        a1, a2 = ident(txt)
+        keep_b = doc % 13 != 0
+        txt_b = txt.where(doc % 7 != 0, txt + " v2")
+        b1, b2 = ident(txt_b[keep_b])
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([doc, doc[keep_b]])),
+                "h1": pa.array(np.concatenate([a1, b1])),
+                "h2": pa.array(np.concatenate([a2, b2])),
+                "side": pa.array(
+                    np.concatenate([np.zeros(len(doc), np.int8), np.ones(int(keep_b.sum()), np.int8)])
+                ),
+            }
+        )
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["side"] == 0].set_index("doc_id")
+        b = df[df["side"] == 1].set_index("doc_id")
+        in_b = a.index.isin(b.index)
+        status = np.where(
+            ~in_b,
+            "removed",
+            np.where(
+                (a["h1"].to_numpy() == b["h1"].reindex(a.index).to_numpy())
+                & (a["h2"].to_numpy() == b["h2"].reindex(a.index).to_numpy()),
+                "same",
+                "changed",
+            ),
+        )
+        out = pd.DataFrame({"status": status, "doc_id": a.index.to_numpy(np.int64)})
+        g = out.groupby("status", sort=False).agg(
+            n_docs=("doc_id", "size"), ids_sum=("doc_id", "sum")
+        )
+        return g.reset_index().astype({"n_docs": np.int64, "ids_sum": np.int64})
+
+    parts = hash_partitioned_apply(
+        ds.map_batches(both_sides, batch_format="pyarrow"), "doc_id", classify
+    )
+
+    def fuse(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("status", sort=False)[["n_docs", "ids_sum"]].sum()
+        return g.reset_index().astype({"n_docs": np.int64, "ids_sum": np.int64})
+
+    return hash_partitioned_apply(parts, "status", fuse, num_parts=4)
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH b AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+    FROM documents WHERE doc_id % 13 <> 0),
+cls AS (
+    SELECT a.doc_id,
+           CASE WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN a.text = b.text THEN 'same'
+                ELSE 'changed' END AS status
+    FROM documents a LEFT JOIN b USING (doc_id))
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS ids_sum
+FROM cls GROUP BY 1
+"""

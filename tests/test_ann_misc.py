@@ -415,3 +415,45 @@ class TestQuantizedStore:
         np.testing.assert_array_equal(_int8_codes(col, 16), v8)
         # sliced array (non-zero offset) still decodes correctly
         np.testing.assert_array_equal(_int8_codes(col.combine_chunks().slice(3, 20), 16), v8[3:23])
+
+
+class TestPQTopK:
+    def _exact_topk(self, ids, mat, q, k=5):
+        qv = mat[ids == q][0]
+        d = ((mat - qv) ** 2).sum(1)
+        d[ids == q] = np.inf
+        order = np.lexsort((ids, d))
+        return list(ids[order][:k])
+
+    def test_pq_rerank_recall_floor(self):
+        import pyarrow.parquet as pq
+
+        from osm_search_ray.functions.arrowutil import vec_matrix
+        from osm_search_ray.pipelines.simsearch import QUERY_STRIDE, ann_pq_topk
+
+        sf = "/root/testdata/sf0.001"
+        t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        ids, mat = t.column("vec_id").to_numpy(), vec_matrix(t.column("embedding"))
+        got = ann_pq_topk(sf).to_pandas()
+        qids = ids[ids % QUERY_STRIDE == 0]
+        rec = [
+            len(set(self._exact_topk(ids, mat, q)) & set(got[got.query_id == q].vec_id)) / 5
+            for q in qids
+        ]
+        assert np.mean(rec) >= 0.5, f"PQ+rerank recall collapsed: {rec}"
+
+    def test_pq_full_rerank_equals_bruteforce(self):
+        import pyarrow.parquet as pq
+
+        from osm_search_ray.functions.arrowutil import vec_matrix
+        from osm_search_ray.pipelines.simsearch import QUERY_STRIDE, ann_pq_topk
+
+        sf = "/root/testdata/sf0.001"
+        t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+        ids, mat = t.column("vec_id").to_numpy(), vec_matrix(t.column("embedding"))
+        got = ann_pq_topk(sf, rerank=len(ids)).to_pandas()
+        for q in ids[ids % QUERY_STRIDE == 0]:
+            g = got[got.query_id == q].sort_values("rank")
+            assert list(g["vec_id"]) == self._exact_topk(ids, mat, q), (
+                "rerank=corpus must reduce PQ to exact L2 top-k"
+            )
