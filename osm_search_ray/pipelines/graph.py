@@ -45,6 +45,8 @@ def pagerank(
     n_nodes: int | None = None,
     num_parts: int | None = None,
     small_edges: int = 2_000_000,
+    seed_mod: int | None = None,
+    n_seeds: int | None = None,
 ) -> "ray.data.Dataset":
     """Power-iteration PageRank over ``nodes`` (column ``id``) and ``edges``
     (columns ``src``, ``dst``; multi-edges allowed, out-degree = edge count).
@@ -55,14 +57,28 @@ def pagerank(
     recurrence as one numpy loop — 6 chained exchanges cost ~2 s of fixed
     actor ramp EACH on a warm cluster, which dwarfs small graphs. Above the
     bound, the distributed two-exchange-per-iteration path runs; the paths
-    are equality-tested (tests/test_graph.py)."""
+    are equality-tested (tests/test_graph.py).
+
+    ``seed_mod`` switches to PERSONALIZED PageRank: the teleport mass lands
+    only on seed nodes (id % seed_mod == 0), each receiving
+    ``15·SCALE // (100·n_seeds)``; non-seeds get base 0. The base is a pure
+    function of the node id, so neither regime carries extra state."""
     if n_nodes is None:
         n_nodes = nodes.count()
+    if seed_mod is not None and n_seeds is None:
+        n_seeds = nodes.filter(lambda r: r["id"] % seed_mod == 0).count()
     if num_parts is None:
         # ~2M node-rows per partition, capped; tiny graphs stay in few groups
         # so the 6-exchange iteration chain doesn't drown in per-group ramp.
         num_parts = max(2, min(512, n_nodes // 2_000_000 + 2))
     base = (15 * SCALE) // (100 * n_nodes)
+    seedbase = (15 * SCALE) // (100 * n_seeds) if seed_mod is not None else 0
+
+    def base_of(ids: np.ndarray) -> np.ndarray:
+        if seed_mod is None:
+            return np.full(len(ids), base, np.int64)
+        return np.where(ids % seed_mod == 0, seedbase, 0).astype(np.int64)
+
     r0 = SCALE // n_nodes
 
     edges = edges.materialize()  # reused every iteration
@@ -76,7 +92,7 @@ def pagerank(
         r = np.full(len(ids), r0, np.int64)
         for _ in range(iters):
             contrib = (r[si] * DAMP_NUM) // (DAMP_DEN * deg[si])
-            nxt = np.full(len(ids), base, np.int64)
+            nxt = base_of(ids)
             np.add.at(nxt, di, contrib)
             r = nxt
         return ray.data.from_arrow(pa.table({"id": pa.array(ids), "r": pa.array(r)}))
@@ -138,12 +154,8 @@ def pagerank(
 
     def gather(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("id", sort=False)["contrib"].sum().reset_index()
-        return pd.DataFrame(
-            {
-                "id": g["id"].to_numpy(np.int64),
-                "r": base + g["contrib"].to_numpy(np.int64),
-            }
-        )
+        gids = g["id"].to_numpy(np.int64)
+        return pd.DataFrame({"id": gids, "r": base_of(gids) + g["contrib"].to_numpy(np.int64)})
 
     tagged_edges = edges.map_batches(tag_edges, batch_format="pyarrow")
     for _ in range(iters):
@@ -194,6 +206,69 @@ r0 AS (
 {_sql_iter('r1', 'r2')},
 {_sql_iter('r2', 'r3')}
 SELECT id AS doc_id, r AS pr_x1e12 FROM r3
+"""
+
+
+PPR_SEED_MOD = 97  # the BFS seed set: doc_id % 97 == 0
+
+
+def ppr_links(sf_dir: str):
+    """Personalized PageRank from the trusted-seed set (doc_id % 97 == 0 —
+    the bfs_levels seeds): teleport mass lands ONLY on seeds, so rank decays
+    with link distance from them — the TrustRank-style quality prior
+    (bfs_levels gives the hop metric; PPR the flow-weighted one). Same
+    integer recurrence, exchanges and regime switch as pagerank (seed base
+    is a pure function of the node id — no extra state in either regime).
+    Output (doc_id, ppr_x1e12)."""
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    nodes = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        lambda b: b.rename_columns(["id"]), batch_format="pyarrow"
+    )
+    # ids are exactly 0..n-1, so the seed count is closed-form
+    n_seeds = (n_docs + PPR_SEED_MOD - 1) // PPR_SEED_MOD
+    ranks = pagerank(
+        nodes,
+        dv.link_edges(sf_dir),
+        iters=PAGERANK_ITERS,
+        n_nodes=n_docs,
+        seed_mod=PPR_SEED_MOD,
+        n_seeds=n_seeds,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("id"), "ppr_x1e12": batch.column("r")})
+
+    return ranks.map_batches(project, batch_format="pyarrow")
+
+
+def _sql_ppr_iter(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+    SELECT d.doc_id AS id,
+           CAST(CASE WHEN d.doc_id % {PPR_SEED_MOD} = 0
+                     THEN 15000000000000 // (100 * (SELECT COUNT(*) FROM documents
+                                                    WHERE doc_id % {PPR_SEED_MOD} = 0))
+                     ELSE 0 END
+                + COALESCE(SUM(r.r * 85 // (100 * g.outdeg)), 0) AS BIGINT) AS r
+    FROM documents d
+    LEFT JOIN link_edges e ON e.dst = d.doc_id
+    LEFT JOIN {prev} r ON r.id = e.src
+    LEFT JOIN deg g ON g.src = e.src
+    GROUP BY d.doc_id)"""
+
+
+SQL_PPR_LINKS = f"""
+WITH {dv.SQL_LINK_EDGES.strip()},
+deg AS (SELECT src, COUNT(*) AS outdeg FROM link_edges GROUP BY src),
+r0 AS (
+    SELECT doc_id AS id,
+           CAST(1000000000000 // (SELECT COUNT(*) FROM documents) AS BIGINT) AS r
+    FROM documents),
+{_sql_ppr_iter('r0', 'r1')},
+{_sql_ppr_iter('r1', 'r2')},
+{_sql_ppr_iter('r2', 'r3')}
+SELECT id AS doc_id, r AS ppr_x1e12 FROM r3
 """
 
 

@@ -270,3 +270,31 @@ def test_bfs_levels_regimes_agree():
     seeds = small[small["doc_id"] % BFS_SEED_MOD == 0]
     assert (seeds["level"] == 0).all()
     assert set(small["level"]) == set(range(int(small["level"].max()) + 1))
+
+
+def test_ppr_regimes_agree_and_mass_concentrates_on_seeds():
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from osm_search_ray.pipelines.graph import PPR_SEED_MOD, PAGERANK_ITERS, pagerank
+    from osm_search_ray.sources import derived as dv
+
+    n = pq.ParquetFile(f"{SF}/documents.parquet").metadata.num_rows
+    nodes = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"]).map_batches(
+        lambda b: b.rename_columns(["id"]), batch_format="pyarrow"
+    )
+    n_seeds = (n + PPR_SEED_MOD - 1) // PPR_SEED_MOD
+    kw = dict(iters=PAGERANK_ITERS, n_nodes=n, seed_mod=PPR_SEED_MOD, n_seeds=n_seeds)
+    small = pagerank(nodes, dv.link_edges(SF), **kw).to_pandas().sort_values("id").reset_index(drop=True)
+    dist = (
+        pagerank(nodes, dv.link_edges(SF), small_edges=0, **kw)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(small, dist)
+    seeds = small["id"] % PPR_SEED_MOD == 0
+    assert small.loc[seeds, "r"].mean() > 5 * small.loc[~seeds, "r"].mean(), (
+        "teleport-to-seeds must concentrate rank mass on the seed set"
+    )
