@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["embedding_centroids"] = simsearch.embedding_centroids  # exact class centroids
     q["ann_pq_topk"] = simsearch.ann_pq_topk  # product-quantization ADC top-k
     q["ppr_links"] = _gq.ppr_links  # personalized PageRank from trusted seeds
+    q["dedup_clusters_minhash"] = dedup_pipelines.dedup_clusters_minhash  # LSH pairs → CC
     q["covisit_pairs"] = ev.covisit_pairs  # item co-visitation (bipartite projection)
     q["next_transitions"] = ev.next_transitions  # Markov next-event transition matrix
     q["skipgram_pmi"] = textops.skipgram_pmi  # windowed collocations + exact PMI
@@ -400,6 +401,7 @@ GROUP BY 1, 2
     sql["embedding_centroids"] = simsearch.SQL_EMBEDDING_CENTROIDS
     sql["ann_pq_topk"] = simsearch.sql_ann_pq_topk()
     sql["ppr_links"] = graph.SQL_PPR_LINKS
+    sql["dedup_clusters_minhash"] = dedup_pipelines.sql_dedup_clusters_minhash()
     sql["covisit_pairs"] = ev.SQL_COVISIT_PAIRS
     sql["next_transitions"] = ev.SQL_NEXT_TRANSITIONS
     sql["bpe_train"] = bpe.sql_bpe_train()  # unrolled N-stage merge chain, integer/string only

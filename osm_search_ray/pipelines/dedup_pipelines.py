@@ -993,3 +993,51 @@ SELECT m.doc_id, COALESCE(k.text_dedup, '') AS text_dedup, m.n_lines,
        COALESCE(k.n_kept, 0) AS n_kept
 FROM meta m LEFT JOIN kept k USING (doc_id)
 """
+
+
+def dedup_clusters_minhash(sf_dir: str):
+    """End-to-end near-duplicate CLUSTERING — the step after pair detection
+    a real dedup pipeline runs: MinHash-LSH candidate pairs (the
+    dedup_minhash operator, threshold 0.5) become the edge set of a
+    similarity graph whose connected components are the duplicate groups
+    (cluster representative = min doc_id). Composes the two existing
+    scale-safe primitives: banded LSH pair generation and contraction CC
+    (webcorpus.contraction_cc — local union-find per block + one node-keyed
+    reconcile per level). Output (doc_id, cluster_id) for every doc with at
+    least one near-dup."""
+    from ..stages.dedup import minhash_lsh_pairs
+    from .webcorpus import contraction_cc
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs_ds = minhash_lsh_pairs(ds, threshold=0.5)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": batch.column("doc_a").cast(pa.int64()),
+                "v": batch.column("doc_b").cast(pa.int64()),
+            }
+        )
+
+    return contraction_cc(pairs_ds.map_batches(to_edges, batch_format="pyarrow"))
+
+
+def _sql_dedup_clusters_minhash() -> str:
+    """The dedup_minhash pair oracle (threshold 0.5, u/v aliases) feeding
+    the dup_clusters recursive-CTE components oracle."""
+    pair_sql = _sql_dedup_minhash(threshold=0.5, out_a="u", out_b="v")
+    return f"""
+WITH pairs AS MATERIALIZED (SELECT u, v FROM ({pair_sql})),
+edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach AS (
+    WITH RECURSIVE r(node, reached) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT r.node, e.v FROM r JOIN edges e ON e.u = r.reached
+    ) SELECT * FROM r)
+SELECT node AS doc_id, MIN(reached) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+sql_dedup_clusters_minhash = functools.cache(_sql_dedup_clusters_minhash)

@@ -739,6 +739,16 @@ def _dup_clusters_impl(sf_dir: str, min_docs: int = MIN_DOCS, max_docs: int = MA
     cand = hash_partitioned_apply(
         exploded.map_batches(combiner, batch_format="pyarrow"), "chash", pairs, num_parts=32
     )
+    return contraction_cc(cand, max_levels=max_levels)
+
+
+def contraction_cc(cand: "ray.data.Dataset", max_levels: int = 10):
+    """Contraction connected components over an arbitrary (u, v) edge
+    Dataset — the generic core behind dup_clusters, reused by any
+    similarity-pair producer (dedup_clusters_minhash). See
+    _dup_clusters_impl's docstring for the algorithm and exchange budget.
+    Returns (doc_id, cluster_id) for every node with at least one edge,
+    cluster_id = the component's min node id."""
     # candidate pairs (u < v) are enough — contraction is direction-free
     g = cand.materialize()
     if g.count() == 0:
@@ -797,7 +807,7 @@ def _dup_clusters_impl(sf_dir: str, min_docs: int = MIN_DOCS, max_docs: int = MA
         # it into one block so the next level solves it exactly
         g = new_edges.repartition(1) if n_edges < 1_000_000 else new_edges
     else:
-        raise RuntimeError("dup_clusters: contraction did not converge")
+        raise RuntimeError("contraction_cc: contraction did not converge")
 
     # unwind: compose final labels back through the earlier mappings.
     # labels(level k) are node-ids of level k+1; absent keys are final.
