@@ -125,3 +125,36 @@ SELECT '{c}' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
 FROM documents"""
     for c in PROFILE_COLS
 )
+
+
+def length_histogram(sf_dir: str):
+    """Power-of-two length histogram over documents — the profiling pass
+    that sizes batch/packing budgets: bucket = bit_length(n_chars) (0 for
+    empty docs), i.e. bucket b covers [2^(b-1), 2^b). Exact integer bucket
+    on both sides: numpy frexp exponent == SQL length(bin(x)) for x > 0
+    (n_chars < 2^53 so the float64 frexp is exact). Pure combiner +
+    one tiny bucket-keyed exchange. Output (bucket, n_docs, chars_sum)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("n_chars").to_numpy().astype(np.int64)
+        bucket = np.frexp(x.astype(np.float64))[1].astype(np.int64)
+        df = pd.DataFrame({"bucket": bucket, "n_docs": 1, "chars_sum": x})
+        g = df.groupby("bucket", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g.astype(np.int64), preserve_index=False)
+
+    def fuse(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("bucket", sort=False).sum().reset_index().astype(np.int64)
+
+    return hash_partitioned_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), "bucket", fuse, num_parts=4
+    )
+
+
+SQL_LENGTH_HISTOGRAM = """
+SELECT CASE WHEN n_chars = 0 THEN 0
+            ELSE CAST(length(bin(n_chars)) AS BIGINT) END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+FROM documents GROUP BY 1
+"""
