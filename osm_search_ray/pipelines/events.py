@@ -1291,3 +1291,73 @@ FROM w GROUP BY 1
 
 
 sql_late_events = functools.cache(_sql_late_events)
+
+
+RANGE_WINDOW_US = 3_600_000_000  # 1 hour trailing RANGE frame
+
+
+def events_range_sum(sf_dir: str, window_us: int = RANGE_WINDOW_US):
+    """TIME-based (RANGE-frame) trailing window — the frame class ROWS
+    frames can't express: for every event, the user's value-cents sum over
+    events in (ts - 1h, ts] BY TIMESTAMP, however many rows that is (burst
+    periods aggregate many rows, quiet ones few). One user-keyed exchange;
+    inside the partition the frame sum is a cumsum difference at a
+    searchsorted LEFT boundary per row — vectorized across each user, no
+    per-row loop. Ties: all rows sharing a timestamp see the same frame
+    (RANGE semantics — the SQL twin's peer-row rule), which the cumsum-at-
+    last-peer form reproduces exactly. Output
+    (event_id, user_id, range_sum_cents)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts_us": batch.column("ts").cast(pa.int64()),
+                "cents": pa.array(
+                    np.rint(batch.column("value").to_numpy() * 100).astype(np.int64)
+                ),
+            }
+        )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("user_id", sort=False):
+            g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+            ts = g["ts_us"].to_numpy(np.int64)
+            csum = np.concatenate([[0], np.cumsum(g["cents"].to_numpy(np.int64))])
+            # frame = (ts - window, ts]: left boundary exclusive, right
+            # boundary includes ALL peer rows with the same ts (RANGE rule)
+            lo = np.searchsorted(ts, ts - window_us, side="right")
+            hi = np.searchsorted(ts, ts, side="right")
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "event_id": g["event_id"].to_numpy(np.int64),
+                        "user_id": g["user_id"].to_numpy(np.int64),
+                        "range_sum_cents": csum[hi] - csum[lo],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+            {c: pd.Series(dtype=np.int64) for c in ["event_id", "user_id", "range_sum_cents"]}
+        )
+
+    from ..stages.joins import hash_partitioned_apply
+
+    return hash_partitioned_apply(
+        ds.map_batches(to_us, batch_format="pyarrow"), "user_id", per_user
+    )
+
+
+SQL_EVENTS_RANGE_SUM = f"""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN {RANGE_WINDOW_US - 1} PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS range_sum_cents
+FROM events
+"""

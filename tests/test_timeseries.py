@@ -75,3 +75,37 @@ def test_late_events_has_both_classes():
     n = pq.ParquetFile(f"{SF}/events.parquet").metadata.num_rows
     assert df["n_late"].sum() > 0 and df["n_ontime"].sum() > 0
     assert int(df["n_late"].sum() + df["n_ontime"].sum()) == n
+
+
+def test_events_range_sum_peer_rows_and_boundary(tmp_path):
+    """RANGE-frame semantics on planted data: tied timestamps are peers
+    (same frame sum), the left boundary is exclusive at exactly window_us,
+    and burst rows aggregate the whole burst."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_search_ray.pipelines.events import RANGE_WINDOW_US, events_range_sum
+
+    H = RANGE_WINDOW_US
+    base = 1_700_000_000_000_000
+    rows = [  # (event_id, ts_us, value)
+        (1, base, 1.0),
+        (2, base, 2.0),          # peer of 1: both frames must sum 1+2
+        (3, base + H - 1, 4.0),  # still inside 1h of base
+        (4, base + H, 8.0),      # exactly window later: base rows EXCLUDED
+        (5, base + 3 * H, 16.0), # isolated
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([7] * len(rows), pa.int64()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = events_range_sum(str(tmp_path)).to_pandas().set_index("event_id")["range_sum_cents"]
+    assert got.loc[1] == got.loc[2] == 300          # peers share the frame
+    assert got.loc[3] == 700                        # 1+2+4 inside the hour
+    assert got.loc[4] == 1200                       # 4+8: base peers aged out
+    assert got.loc[5] == 1600                       # isolated burst
