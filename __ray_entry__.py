@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_clusters_minhash"] = dedup_pipelines.dedup_clusters_minhash  # LSH pairs → CC
     q["length_histogram"] = _pf.length_histogram  # power-of-two length profile
     q["events_range_sum"] = ev.events_range_sum  # time-based RANGE window frame
+    q["dedup_ngram_prefix"] = dedup_pipelines.dedup_ngram_prefix  # lossless prefix filter
     q["covisit_pairs"] = ev.covisit_pairs  # item co-visitation (bipartite projection)
     q["next_transitions"] = ev.next_transitions  # Markov next-event transition matrix
     q["skipgram_pmi"] = textops.skipgram_pmi  # windowed collocations + exact PMI
@@ -406,6 +407,7 @@ GROUP BY 1, 2
     sql["dedup_clusters_minhash"] = dedup_pipelines.sql_dedup_clusters_minhash()
     sql["length_histogram"] = _pf.SQL_LENGTH_HISTOGRAM
     sql["events_range_sum"] = ev.SQL_EVENTS_RANGE_SUM
+    sql["dedup_ngram_prefix"] = dedup_pipelines.sql_dedup_ngram_prefix()
     sql["covisit_pairs"] = ev.SQL_COVISIT_PAIRS
     sql["next_transitions"] = ev.SQL_NEXT_TRANSITIONS
     sql["bpe_train"] = bpe.sql_bpe_train()  # unrolled N-stage merge chain, integer/string only

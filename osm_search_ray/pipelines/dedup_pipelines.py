@@ -1041,3 +1041,173 @@ SELECT node AS doc_id, MIN(reached) AS cluster_id FROM reach GROUP BY node
 
 
 sql_dedup_clusters_minhash = functools.cache(_sql_dedup_clusters_minhash)
+
+
+# ------------------------------------- prefix-filtered set-similarity join
+
+PREFIX_MAX_OCC = 4096  # loud exactness guard on per-prefix-gram fan-out
+
+
+def dedup_ngram_prefix(
+    sf_dir: str,
+    n: int = NGRAM_N,
+    threshold_micro: int = NGRAM_THRESHOLD_MICRO,
+    max_occ_guard: int = PREFIX_MAX_OCC,
+):
+    """PREFIX-FILTERED exact n-gram Jaccard threshold join (Chaudhuri et
+    al.'s prefix filter, the PPJoin candidate-generation core): instead of
+    pairing documents through EVERY shared gram (dedup_ngram's shape), each
+    document pairs only through its p = |d| − ceil(t'·|d|) + 1 globally
+    RAREST grams — any pair with true Jaccard above the threshold must
+    share a prefix gram, so the filter is LOSSLESS, and the driver check
+    proves it: the SQL oracle is the UNCAPPED brute-force threshold join
+    (dedup_ngram's oracle at max_occ=∞) and the outputs must hash-match.
+    t' uses threshold_micro − 1 so pairs that only reach the threshold
+    after round-half-up still generate a candidate.
+
+    Shape: distinct (doc, gram-hash) explode → gram-keyed exchange attaches
+    each gram's document frequency in place (no broadcast, no vocab-sized
+    driver state) → doc-keyed exchange picks each doc's prefix (rarest
+    first, (df, ghash) order) AND emits the doc's sorted gram-set blob →
+    prefix-gram-keyed pair generation (fan-out guarded LOUDLY at
+    ``max_occ_guard`` — an exactness guard, not a silent cap: prefix grams
+    are the rarest, so a hot prefix gram means the threshold is too low for
+    this corpus) → pair-keyed dedup → two doc-bucketed blob joins →
+    vectorized sorted-set intersections. Every exchange row is int64s or
+    one blob per doc. Output (doc_a, doc_b, jaccard_micro), round-half-up,
+    filtered at ``threshold_micro`` — dedup_ngram's exact contract."""
+    from ..stages.joins import hash_bucket_join, hash_partitioned_apply
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    grams = ds.map_batches(
+        lambda b: _kgram_explode(b, n), batch_format="pyarrow"
+    ).map_batches(
+        lambda b: pa.Table.from_pandas(
+            b.select(["doc_id", "ghash"]).to_pandas().drop_duplicates(), preserve_index=False
+        ),
+        batch_format="pyarrow",
+    )
+
+    def attach_df(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        df = df.assign(df_=df.groupby("ghash", sort=False)["ghash"].transform("size").astype(np.int64))
+        return df
+
+    with_df = hash_partitioned_apply(grams, "ghash", attach_df, num_parts=32)
+
+    thr = threshold_micro - 1  # round-half-up safety margin (see docstring)
+
+    def prefix_and_blob(df: pd.DataFrame) -> pd.DataFrame:
+        # gram hashes are SIGNED int64 (either sign), so the blob marker is
+        # an explicit column, never a sign sentinel on ghash
+        outs = []
+        for doc, g in df.groupby("doc_id", sort=False):
+            g = g.sort_values(["df_", "ghash"], kind="mergesort")
+            nd = len(g)
+            p = nd - (thr * nd + 999_999) // 1_000_000 + 1
+            pref = g["ghash"].to_numpy(np.int64)[: int(p)]
+            blob = np.sort(g["ghash"].to_numpy(np.int64)).tobytes()
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "ghash": np.concatenate([pref, [np.int64(0)]]),
+                        "doc_id": np.int64(doc),
+                        "blob": [b""] * len(pref) + [blob],
+                        "is_blob": np.concatenate(
+                            [np.zeros(len(pref), np.int8), [np.int8(1)]]
+                        ),
+                    }
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "ghash": pd.Series(dtype=np.int64),
+                    "doc_id": pd.Series(dtype=np.int64),
+                    "blob": pd.Series(dtype=object),
+                    "is_blob": pd.Series(dtype=np.int8),
+                }
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    pb = hash_partitioned_apply(with_df, "doc_id", prefix_and_blob, num_parts=32).materialize()
+
+    import pyarrow.compute as pc
+
+    prefix_rows = pb.map_batches(
+        lambda b: b.filter(pc.equal(b.column("is_blob"), 0)).select(["ghash", "doc_id"]),
+        batch_format="pyarrow",
+    )
+    blobs = pb.map_batches(
+        lambda b: b.filter(pc.equal(b.column("is_blob"), 1)).select(["doc_id", "blob"]),
+        batch_format="pyarrow",
+    )
+
+    def gen_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        sizes = df.groupby("ghash", sort=False)["doc_id"].transform("size")
+        if (sizes > max_occ_guard).any():
+            hot = df.loc[sizes > max_occ_guard, "ghash"].iloc[0]
+            raise RuntimeError(
+                f"dedup_ngram_prefix: prefix gram {hot} occurs in more than "
+                f"{max_occ_guard} docs — raise the guard or the threshold"
+            )
+        m = df.merge(df, on="ghash")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return pd.DataFrame(
+            {
+                "doc_a": m["doc_id_x"].to_numpy(np.int64),
+                "doc_b": m["doc_id_y"].to_numpy(np.int64),
+            }
+        )
+
+    cand = hash_partitioned_apply(prefix_rows, "ghash", gen_pairs, num_parts=32)
+    pairs = hash_partitioned_apply(
+        cand, ["doc_a", "doc_b"], lambda df: df.drop_duplicates(), num_parts=16
+    )
+
+    a_side = blobs.map_batches(
+        lambda t: pa.table({"doc_a": t.column("doc_id"), "g_a": t.column("blob")}),
+        batch_format="pyarrow",
+    )
+    b_side = blobs.map_batches(
+        lambda t: pa.table({"doc_b": t.column("doc_id"), "g_b": t.column("blob")}),
+        batch_format="pyarrow",
+    )
+    j = hash_bucket_join(pairs, a_side, on="doc_a", num_buckets=16)
+    j = hash_bucket_join(j, b_side, on="doc_b", num_buckets=16)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["doc_a", "doc_b", "jaccard_micro"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+        i = np.empty(len(df), np.int64)
+        na = np.empty(len(df), np.int64)
+        nb = np.empty(len(df), np.int64)
+        for r, (ba, bb) in enumerate(zip(df["g_a"], df["g_b"])):
+            a = np.frombuffer(ba, np.int64)
+            b = np.frombuffer(bb, np.int64)
+            i[r] = len(np.intersect1d(a, b, assume_unique=True))
+            na[r], nb[r] = len(a), len(b)
+        den = na + nb - i
+        jm = (2 * i * 1_000_000 + den) // (2 * den)
+        out = pd.DataFrame(
+            {
+                "doc_a": df["doc_a"].to_numpy(np.int64),
+                "doc_b": df["doc_b"].to_numpy(np.int64),
+                "jaccard_micro": jm,
+            }
+        )
+        return out[out["jaccard_micro"] >= threshold_micro]
+
+    return j.map_batches(verify, batch_format="pandas", batch_size=None)
+
+
+def _sql_dedup_ngram_prefix(n: int = NGRAM_N, threshold_micro: int = NGRAM_THRESHOLD_MICRO) -> str:
+    """The UNCAPPED brute-force threshold join — dedup_ngram's oracle with
+    the hot-gram cap removed. The engine's prefix filter must reproduce it
+    EXACTLY; a hash-match here is a losslessness proof, not a similarity."""
+    return _sql_dedup_ngram(n=n, threshold_micro=threshold_micro, max_occ=1 << 60)
+
+
+sql_dedup_ngram_prefix = functools.cache(_sql_dedup_ngram_prefix)

@@ -453,3 +453,45 @@ def test_line_dedup_matches_bruteforce():
     for d, (txt, nl, nk) in want.items():
         r = got.loc[d]
         assert (r["text_dedup"], r["n_lines"], r["n_kept"]) == (txt, nl, nk)
+
+
+def test_dedup_ngram_prefix_is_lossless_and_prunes():
+    """The prefix filter must reproduce the UNCAPPED brute-force threshold
+    join exactly (losslessness), while generating far fewer candidates than
+    all-pairs (the point of the filter)."""
+    from osm_search_ray.functions.hashing import hash64_str
+    from osm_search_ray.functions.tokenize import tokenize_array
+    from osm_search_ray.pipelines.dedup_pipelines import (
+        NGRAM_N,
+        NGRAM_THRESHOLD_MICRO,
+        dedup_ngram_prefix,
+    )
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    toks, counts = tokenize_array(docs["text"].tolist())
+    sets, pos = {}, 0
+    for doc, c in zip(docs["doc_id"], counts):
+        t = toks[pos : pos + c]
+        pos += c
+        grams = [" ".join(t[i : i + NGRAM_N]) for i in range(max(0, len(t) - NGRAM_N + 1))]
+        sets[int(doc)] = set(np.unique(hash64_str(grams)).tolist()) if grams else set()
+    want = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sets[ids[x]], sets[ids[y]]
+            i = len(a & b)
+            if not i:
+                continue
+            den = len(a) + len(b) - i
+            jm = (2 * i * 1_000_000 + den) // (2 * den)
+            if jm >= NGRAM_THRESHOLD_MICRO:
+                want[(ids[x], ids[y])] = jm
+
+    got = dedup_ngram_prefix(SF).to_pandas()
+    got_map = {
+        (int(r.doc_a), int(r.doc_b)): int(r.jaccard_micro) for r in got.itertuples()
+    }
+    assert got_map == want
+    # pruning: surviving pairs are a tiny fraction of all C(n,2) pairs
+    assert len(got_map) < len(ids) * (len(ids) - 1) // 20
