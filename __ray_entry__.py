@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["length_histogram"] = _pf.length_histogram  # power-of-two length profile
     q["events_range_sum"] = ev.events_range_sum  # time-based RANGE window frame
     q["dedup_ngram_prefix"] = dedup_pipelines.dedup_ngram_prefix  # lossless prefix filter
+    q["dense_rank_chars"] = relational.dense_rank_chars  # DENSE_RANK, no sort shuffle
+    q["band_join_chars"] = relational.band_join_chars  # 1-D theta/band self-join
     q["covisit_pairs"] = ev.covisit_pairs  # item co-visitation (bipartite projection)
     q["next_transitions"] = ev.next_transitions  # Markov next-event transition matrix
     q["skipgram_pmi"] = textops.skipgram_pmi  # windowed collocations + exact PMI
@@ -408,6 +410,8 @@ GROUP BY 1, 2
     sql["length_histogram"] = _pf.SQL_LENGTH_HISTOGRAM
     sql["events_range_sum"] = ev.SQL_EVENTS_RANGE_SUM
     sql["dedup_ngram_prefix"] = dedup_pipelines.sql_dedup_ngram_prefix()
+    sql["dense_rank_chars"] = relational.SQL_DENSE_RANK_CHARS
+    sql["band_join_chars"] = relational.SQL_BAND_JOIN_CHARS
     sql["covisit_pairs"] = ev.SQL_COVISIT_PAIRS
     sql["next_transitions"] = ev.SQL_NEXT_TRANSITIONS
     sql["bpe_train"] = bpe.sql_bpe_train()  # unrolled N-stage merge chain, integer/string only

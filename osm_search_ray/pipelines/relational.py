@@ -675,3 +675,96 @@ SELECT doc_id, n_chars,
        CAST(NTILE(4) OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS tile
 FROM documents
 """
+
+
+def dense_rank_chars(sf_dir: str):
+    """Global DENSE_RANK by length: every document's rank over the DISTINCT
+    n_chars values (descending) — ties share a rank and ranks have no gaps,
+    the window variant ROW_NUMBER/NTILE don't cover. No sort shuffle at
+    all: the distinct value DOMAIN is bounded (the events_median
+    histogram argument), so per-batch unique-value combiners reduce to a
+    domain-sized driver array, and one broadcast searchsorted pass ranks
+    every row in place. Output (doc_id, n_chars, dense_rank)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"v": pa.array(np.unique(batch.column("n_chars").to_numpy()).astype(np.int64))}
+        )
+
+    vals = np.unique(
+        ds.map_batches(uniq, batch_format="pyarrow").to_pandas()["v"].to_numpy(np.int64)
+    )  # ascending distinct values; domain-sized (≤ max doc length)
+    ref = ray.put(vals)
+
+    def rank(batch: pa.Table) -> pa.Table:
+        v = ray.get(ref)
+        x = batch.column("n_chars").to_numpy()
+        # descending dense rank: largest value → 1
+        dr = len(v) - np.searchsorted(v, x, side="left")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": batch.column("n_chars"),
+                "dense_rank": pa.array(dr.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(rank, batch_format="pyarrow")
+
+
+SQL_DENSE_RANK_CHARS = """
+SELECT doc_id, n_chars,
+       DENSE_RANK() OVER (ORDER BY n_chars DESC) AS dense_rank
+FROM documents
+"""
+
+
+BAND_EPS = 2  # |n_chars_a − n_chars_b| <= 2 defines a band partner
+
+
+def band_join_chars(sf_dir: str, eps: int = BAND_EPS):
+    """Band (theta) self-join, aggregated: for every document, how many
+    OTHER documents have n_chars within ±eps — the 1-D analogue of the
+    spatial ring join (nn_join), and the join class equality keys can't
+    express. The scale plan is NOT an all-pairs exchange: the join value
+    domain is bounded (the events_median/dense_rank argument), so a
+    domain-sized histogram from per-batch bincount combiners is broadcast
+    once and each row's partner count is a vectorized window sum minus
+    itself. Output (doc_id, n_partners) including zero-partner docs."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        v, c = np.unique(batch.column("n_chars").to_numpy(), return_counts=True)
+        return pa.table({"v": pa.array(v.astype(np.int64)), "c": pa.array(c.astype(np.int64))})
+
+    h = ds.map_batches(hist_partial, batch_format="pyarrow").to_pandas()
+    h = h.groupby("v")["c"].sum()  # domain-sized (≤ max doc length)
+    vals = h.index.to_numpy(np.int64)
+    counts = h.to_numpy(np.int64)
+    csum = np.concatenate([[0], np.cumsum(counts)])
+    ref = ray.put((vals, csum))
+
+    def partners(batch: pa.Table) -> pa.Table:
+        v, cs = ray.get(ref)
+        x = batch.column("n_chars").to_numpy()
+        lo = np.searchsorted(v, x - eps, side="left")
+        hi = np.searchsorted(v, x + eps, side="right")
+        n = cs[hi] - cs[lo] - 1  # window total minus the row itself
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_partners": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(partners, batch_format="pyarrow")
+
+
+SQL_BAND_JOIN_CHARS = f"""
+SELECT a.doc_id, CAST(COUNT(b.doc_id) AS BIGINT) AS n_partners
+FROM documents a
+LEFT JOIN documents b
+  ON b.doc_id <> a.doc_id AND abs(a.n_chars - b.n_chars) <= {BAND_EPS}
+GROUP BY 1
+"""
