@@ -1099,36 +1099,48 @@ def dedup_ngram_prefix(
 
     def prefix_and_blob(df: pd.DataFrame) -> pd.DataFrame:
         # gram hashes are SIGNED int64 (either sign), so the blob marker is
-        # an explicit column, never a sign sentinel on ghash
-        outs = []
-        for doc, g in df.groupby("doc_id", sort=False):
-            g = g.sort_values(["df_", "ghash"], kind="mergesort")
-            nd = len(g)
-            p = nd - (thr * nd + 999_999) // 1_000_000 + 1
-            pref = g["ghash"].to_numpy(np.int64)[: int(p)]
-            blob = np.sort(g["ghash"].to_numpy(np.int64)).tobytes()
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "ghash": np.concatenate([pref, [np.int64(0)]]),
-                        "doc_id": np.int64(doc),
-                        "blob": [b""] * len(pref) + [blob],
-                        "is_blob": np.concatenate(
-                            [np.zeros(len(pref), np.int8), [np.int8(1)]]
-                        ),
-                    }
-                )
-            )
-        if not outs:
-            return pd.DataFrame(
-                {
-                    "ghash": pd.Series(dtype=np.int64),
-                    "doc_id": pd.Series(dtype=np.int64),
-                    "blob": pd.Series(dtype=object),
-                    "is_blob": pd.Series(dtype=np.int8),
-                }
-            )
-        return pd.concat(outs, ignore_index=True)
+        # an explicit column, never a sign sentinel on ghash. Fully
+        # vectorized across the partition's docs — a per-doc mini-frame
+        # loop here cost ~20 s at 5k docs (the map_groups lesson, in-process)
+        empty = pd.DataFrame(
+            {
+                "ghash": pd.Series(dtype=np.int64),
+                "doc_id": pd.Series(dtype=np.int64),
+                "blob": pd.Series(dtype=object),
+                "is_blob": pd.Series(dtype=np.int8),
+            }
+        )
+        if not len(df):
+            return empty
+        df = df.sort_values(["doc_id", "df_", "ghash"], kind="mergesort")
+        doc = df["doc_id"].to_numpy(np.int64)
+        gh = df["ghash"].to_numpy(np.int64)
+        rank = df.groupby("doc_id", sort=False).cumcount().to_numpy(np.int64)
+        nd = df.groupby("doc_id", sort=False)["ghash"].transform("size").to_numpy(np.int64)
+        p = nd - (thr * nd + 999_999) // 1_000_000 + 1
+        keep = rank < p
+        prefix = pd.DataFrame(
+            {
+                "ghash": gh[keep],
+                "doc_id": doc[keep],
+                "blob": b"",
+                "is_blob": np.int8(0),
+            }
+        )
+        # per-doc sorted gram-set blobs: one contiguous sort + boundary split
+        order = np.lexsort((gh, doc))
+        bounds = np.flatnonzero(np.diff(doc[order])) + 1
+        doc_ids = doc[order][np.concatenate([[0], bounds])] if len(doc) else doc[:0]
+        blobs = [seg.tobytes() for seg in np.split(gh[order], bounds)]
+        blob_rows = pd.DataFrame(
+            {
+                "ghash": np.int64(0),
+                "doc_id": doc_ids,
+                "blob": blobs,
+                "is_blob": np.int8(1),
+            }
+        )
+        return pd.concat([prefix, blob_rows], ignore_index=True)
 
     pb = hash_partitioned_apply(with_df, "doc_id", prefix_and_blob, num_parts=32).materialize()
 
