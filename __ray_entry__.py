@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dedup_ngram_prefix"] = dedup_pipelines.dedup_ngram_prefix  # lossless prefix filter
     q["dense_rank_chars"] = relational.dense_rank_chars  # DENSE_RANK, no sort shuffle
     q["band_join_chars"] = relational.band_join_chars  # 1-D theta/band self-join
+    q["promo_revenue_share"] = relational.promo_revenue_share  # Q14 broadcast-dim join
     q["covisit_pairs"] = ev.covisit_pairs  # item co-visitation (bipartite projection)
     q["next_transitions"] = ev.next_transitions  # Markov next-event transition matrix
     q["skipgram_pmi"] = textops.skipgram_pmi  # windowed collocations + exact PMI
@@ -412,6 +413,7 @@ GROUP BY 1, 2
     sql["dedup_ngram_prefix"] = dedup_pipelines.sql_dedup_ngram_prefix()
     sql["dense_rank_chars"] = relational.SQL_DENSE_RANK_CHARS
     sql["band_join_chars"] = relational.SQL_BAND_JOIN_CHARS
+    sql["promo_revenue_share"] = relational.SQL_PROMO_REVENUE_SHARE
     sql["covisit_pairs"] = ev.SQL_COVISIT_PAIRS
     sql["next_transitions"] = ev.SQL_NEXT_TRANSITIONS
     sql["bpe_train"] = bpe.sql_bpe_train()  # unrolled N-stage merge chain, integer/string only

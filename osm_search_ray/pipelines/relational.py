@@ -768,3 +768,81 @@ LEFT JOIN documents b
   ON b.doc_id <> a.doc_id AND abs(a.n_chars - b.n_chars) <= {BAND_EPS}
 GROUP BY 1
 """
+
+
+def promo_revenue_share(sf_dir: str):
+    """TPC-H-Q14-shaped broadcast-join conditional aggregate: per ship
+    month, the PROMO-part share of discounted revenue. The part dimension
+    reduces to ONE boolean per partkey broadcast via ray.put (dim lookup,
+    never a fact shuffle); the fact table streams through a monthly
+    combiner. Integer-exact: revenue in cents×pct (agg_pricing's unit),
+    promo_share_micro = promo·10⁶ // total. Output
+    (ship_month, promo_revenue, total_revenue, promo_share_micro)."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    pk = part.column("p_partkey").to_numpy().astype(np.int64)
+    is_promo = np.array(
+        [t.startswith("PROMO") for t in part.column("p_type").to_pylist()], bool
+    )
+    order = np.argsort(pk, kind="stable")
+    ref = ray.put((pk[order], is_promo[order]))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys, promo = ray.get(ref)
+        lp = batch.column("l_partkey").to_numpy().astype(np.int64)
+        is_p = promo[np.searchsorted(keys, lp)]
+        ship_us = batch.column("l_shipdate").cast(pa.int64()).to_numpy()
+        # epoch-derived month id: identical integer arithmetic in SQL via
+        # date_trunc-free (year*12 + month) over epoch extraction
+        days = ship_us // 86_400_000_000
+        dt = pd.to_datetime(days, unit="D")
+        month = (dt.year.to_numpy(np.int64) * 12 + dt.month.to_numpy(np.int64) - 1)
+        price_c = np.rint(batch.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        disc_pct = np.rint(batch.column("l_discount").to_numpy() * 100).astype(np.int64)
+        rev = price_c * (100 - disc_pct)
+        df = pd.DataFrame(
+            {
+                "ship_month": month,
+                "promo_revenue": np.where(is_p, rev, 0),
+                "total_revenue": rev,
+            }
+        )
+        g = df.groupby("ship_month", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g.astype(np.int64), preserve_index=False)
+
+    def fuse(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("ship_month", sort=False)[["promo_revenue", "total_revenue"]].sum()
+        g = g.reset_index().astype(np.int64)
+        g["promo_share_micro"] = (
+            g["promo_revenue"].to_numpy(np.int64) * 1_000_000
+            // g["total_revenue"].to_numpy(np.int64)
+        )
+        return g
+
+    from ..stages.joins import hash_partitioned_apply
+
+    return hash_partitioned_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), "ship_month", fuse, num_parts=8
+    )
+
+
+SQL_PROMO_REVENUE_SHARE = """
+WITH rows_ AS (
+    SELECT CAST(EXTRACT(year FROM l_shipdate) * 12 + EXTRACT(month FROM l_shipdate) - 1
+                AS BIGINT) AS ship_month,
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev,
+           CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS is_promo
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
+SELECT ship_month,
+       CAST(SUM(is_promo * rev) AS BIGINT) AS promo_revenue,
+       CAST(SUM(rev) AS BIGINT) AS total_revenue,
+       CAST(SUM(is_promo * rev) * 1000000 // SUM(rev) AS BIGINT) AS promo_share_micro
+FROM rows_ GROUP BY 1
+"""
