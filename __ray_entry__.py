@@ -41,6 +41,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- block A0: new this round (never driver-verified) ---
     from osm_search_ray.pipelines import bpe, cdc, graph as _gr0
 
+    q["session_concurrency"] = ev.session_concurrency  # sweep-line open-session count
+    q["fuzzy_join_terms"] = textops.fuzzy_join_terms  # lev<=1 join, deletes blocking
     q["line_dedup"] = dedup_pipelines.line_dedup  # C4-style corpus-wide line dedup
     from osm_search_ray.pipelines import graph as _gq
 
@@ -390,6 +392,8 @@ GROUP BY 1, 2
 
     sql["csv_roundtrip"] = _cs.SQL_CSV_ROUNDTRIP
     sql["link_prediction"] = graph.SQL_LINK_PREDICTION
+    sql["session_concurrency"] = ev.SQL_SESSION_CONCURRENCY
+    sql["fuzzy_join_terms"] = textops.sql_fuzzy_join_terms()
     sql["line_dedup"] = dedup_pipelines.SQL_LINE_DEDUP
     sql["label_prop"] = graph.sql_label_prop()
     sql["bfs_levels"] = graph.sql_bfs_levels()

@@ -1361,3 +1361,144 @@ SELECT event_id, user_id,
            AS BIGINT) AS range_sum_cents
 FROM events
 """
+
+
+def session_concurrency(sf_dir: str, gap_minutes: int = 30):
+    """Sweep-line concurrency: for every session (same 30-min-gap rule as
+    ``sessionize``), how many sessions are open at its start instant —
+    including itself and any session whose closed interval [first event ts,
+    last event ts] covers that instant. The classic interval-overlap
+    counting problem, solved without a join: sessions become +1/-1 boundary
+    markers (-1 at end+1us so a session ending at t still overlaps one
+    starting at t), one global sort by (ts, delta, user, session) puts every
+    -1 before the +1s of the same instant, and a distributed inclusive
+    prefix sum (stages/joins.prefix_sum_inclusive — per-block sums, O(blocks)
+    driver carries, no second exchange) yields the running open-count.
+    Equal-instant starts are serialized by (user_id, session_idx), so each
+    sees the previous ones — exactly SQL's ROWS-frame rule over the same
+    total order. Output (user_id, session_idx, start_us, concurrency)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts_us": batch.column("ts").cast(pa.int64()),
+            }
+        )
+
+    def per_user_intervals(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for uid, g in df.groupby("user_id", sort=False):
+            g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+            ts = g["ts_us"].to_numpy(np.int64)
+            new_sess = np.concatenate([[True], np.diff(ts) > gap_us])
+            sess = np.cumsum(new_sess) - 1
+            # per-session bounds: ts is sorted, sess is non-decreasing, so
+            # boundaries are the new_sess positions (vectorized, no loop)
+            starts = ts[new_sess]
+            ends = ts[np.concatenate([new_sess[1:], [True]])]
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "user_id": np.full(starts.size, uid, np.int64),
+                        "session_idx": np.arange(starts.size, dtype=np.int64),
+                        "start_us": starts,
+                        "end_us": ends,
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+            {c: pd.Series(dtype=np.int64) for c in ["user_id", "session_idx", "start_us", "end_us"]}
+        )
+
+    from ..stages.joins import hash_partitioned_apply, prefix_sum_inclusive
+
+    sessions = hash_partitioned_apply(
+        ds.map_batches(to_us, batch_format="pyarrow"), "user_id", per_user_intervals
+    )
+
+    def to_markers(batch: pa.Table) -> pa.Table:
+        if "user_id" not in batch.column_names:  # schema-less empty partition
+            return pa.schema(
+                [(c, pa.int64()) for c in ["user_id", "session_idx", "ts_us", "delta"]]
+            ).empty_table()
+        uid = batch.column("user_id").to_numpy()
+        sidx = batch.column("session_idx").to_numpy()
+        start = batch.column("start_us").to_numpy()
+        end = batch.column("end_us").to_numpy()
+        return pa.table(
+            {
+                "user_id": pa.array(np.concatenate([uid, uid])),
+                "session_idx": pa.array(np.concatenate([sidx, sidx])),
+                "ts_us": pa.array(np.concatenate([start, end + 1])),
+                "delta": pa.array(
+                    np.concatenate(
+                        [np.ones(uid.size, np.int64), np.full(uid.size, -1, np.int64)]
+                    )
+                ),
+            }
+        )
+
+    markers = sessions.map_batches(to_markers, batch_format="pyarrow").sort(
+        ["ts_us", "delta", "user_id", "session_idx"]
+    )
+    scanned = prefix_sum_inclusive(markers, "delta", out_col="concurrency")
+
+    _out_schema = pa.schema(
+        [(c, pa.int64()) for c in ["user_id", "session_idx", "start_us", "concurrency"]]
+    )
+
+    def keep_starts(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if "delta" not in batch.column_names:  # schema-less empty sort block
+            return _out_schema.empty_table()
+        t = batch.filter(pc.equal(batch.column("delta"), 1))
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "session_idx": t.column("session_idx"),
+                "start_us": t.column("ts_us"),
+                "concurrency": t.column("concurrency"),
+            }
+        )
+
+    return scanned.map_batches(keep_starts, batch_format="pyarrow")
+
+
+SQL_SESSION_CONCURRENCY = """
+WITH ordered AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800 OR LAG(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS session_idx,
+           ts
+    FROM ordered
+),
+intervals AS (
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+    FROM sess GROUP BY 1, 2
+),
+markers AS (
+    SELECT user_id, session_idx, start_us AS ts_us, 1 AS delta FROM intervals
+    UNION ALL
+    SELECT user_id, session_idx, end_us + 1, -1 FROM intervals
+),
+scanned AS (
+    SELECT user_id, session_idx, ts_us, delta,
+           SUM(delta) OVER (ORDER BY ts_us, delta, user_id, session_idx
+                            ROWS UNBOUNDED PRECEDING) AS concurrency
+    FROM markers
+)
+SELECT user_id, session_idx, ts_us AS start_us, CAST(concurrency AS BIGINT) AS concurrency
+FROM scanned WHERE delta = 1
+"""

@@ -1097,3 +1097,135 @@ FROM meta m LEFT JOIN agg a USING (doc_id)
 
 
 sql_audio_features = functools.cache(_sql_audio_features)
+
+
+# --- fuzzy string join (edit-distance <= 1, SymSpell deletes blocking) ---
+
+FUZZY_PROBE_MOD = 2
+FUZZY_MIN_LEN = 4
+
+
+def _deletion_keys(strings: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(key, owner_row) pairs for every 1-deletion variant of every string —
+    vectorized per deletion POSITION (pandas C-level slice+concat over the
+    whole column), never per row: the loop bound is max word length, not
+    corpus size."""
+    s = pd.Series(strings, dtype=object)
+    lens = s.str.len().to_numpy(np.int64)
+    keys, owners = [], []
+    for i in range(int(lens.max()) if lens.size else 0):
+        mask = lens > i
+        sub = s[mask]
+        keys.append((sub.str.slice(0, i) + sub.str.slice(i + 1)).to_numpy())
+        owners.append(np.flatnonzero(mask))
+    if not keys:
+        return np.array([], object), np.array([], np.int64)
+    return np.concatenate(keys), np.concatenate(owners)
+
+
+def fuzzy_join_terms(sf_dir: str):
+    """Set-to-set FUZZY string join: every (probe, vocab term) pair within
+    Levenshtein distance 1, found WITHOUT a cross join. Probes are derived
+    typos: for vocab terms with hash64_md5(term) % 7 == 0 and len >= 4,
+    delete the character at hash % len (the md5 hash twin keeps the numpy
+    and SQL derivations identical). Blocking is the SymSpell deletes
+    neighborhood (state/spell.py, reference pkg/searcher parity): each side
+    explodes to {s} ∪ 1-deletions(s); a shared key is NECESSARY for
+    lev <= 1 (equal → s itself; substitution → delete the differing position
+    on both; indel → the deletion of the longer one), so one bucketed
+    equi-join + a per-candidate banded-DP verify replaces the |probes|×|V|
+    cross product. The deletes index is the documented SymSpell space
+    tradeoff (~len× keys per term), exchanged bucketed, never driver-wide.
+    Output (probe, term, dist)."""
+    from ..functions.hashing import hash64_md5
+    from ..stages.joins import hash_bucket_join, hash_partitioned_apply
+    from ..state.spell import _lev_leq
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks, _ = tokenize_array(batch.column("text").to_pylist())
+        return pa.table({"term": pa.array(np.unique(toks).astype(object), pa.string())})
+
+    # per-batch unique only — cross-batch duplicate terms/probes merely
+    # duplicate candidate pairs, which the FINAL pair-level distinct removes;
+    # skipping the two global-distinct exchanges saves 3 shuffles
+    terms = ds.map_batches(explode, batch_format="pyarrow")
+
+    def mk_probes(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["term"].to_numpy(object)
+        lens = df["term"].str.len().to_numpy(np.uint64)
+        h = hash64_md5(t)
+        mask = (lens >= FUZZY_MIN_LEN) & (h % np.uint64(FUZZY_PROBE_MOD) == 0)
+        sel, pos = t[mask], (h[mask] % lens[mask]).astype(np.int64)
+        probes = [w[:p] + w[p + 1 :] for w, p in zip(sel, pos)]  # output-bound
+        return pd.DataFrame({"probe": pd.Series(probes, dtype=object)}).drop_duplicates()
+
+    probes = terms.map_batches(mk_probes, batch_format="pandas")
+
+    def keys_of(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            if col not in batch.column_names:
+                return pa.schema([("bkey", pa.string()), (col, pa.string())]).empty_table()
+            s = batch.column(col).to_numpy(zero_copy_only=False)
+            dk, owner = _deletion_keys(s)
+            return pa.table(
+                {
+                    "bkey": pa.array(np.concatenate([s, dk]), pa.string()),
+                    col: pa.array(np.concatenate([s, s[owner]]), pa.string()),
+                }
+            )
+
+        return fn
+
+    cand = hash_bucket_join(
+        probes.map_batches(keys_of("probe"), batch_format="pyarrow"),
+        terms.map_batches(keys_of("term"), batch_format="pyarrow"),
+        on="bkey",
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["probe", "term"])
+        keep = np.fromiter(
+            (_lev_leq(a, b, 1) for a, b in zip(df["probe"], df["term"])),
+            bool,
+            len(df),
+        )
+        out = df.loc[keep, ["probe", "term"]].copy()
+        out["dist"] = (out["probe"] != out["term"]).astype(np.int64)
+        return out
+
+    return hash_partitioned_apply(cand, ["probe", "term"], verify)
+
+
+def sql_fuzzy_join_terms() -> str:
+    from ..sources.derived import SQL_HASH64_MD5
+
+    hx = SQL_HASH64_MD5.format(col="term")
+    return f"""
+WITH toks AS MATERIALIZED (
+    SELECT DISTINCT unnest({SQL_TOKENIZE.format(col='text')}) AS term FROM documents
+),
+h AS (SELECT term, {hx} AS hx, length(term) AS L FROM toks),
+probes AS MATERIALIZED (
+    SELECT DISTINCT
+        substr(term, 1, CAST(hx % L AS INT)) || substr(term, CAST(hx % L AS INT) + 2) AS probe
+    FROM h WHERE L >= {FUZZY_MIN_LEN} AND hx % {FUZZY_PROBE_MOD} = 0
+),
+vkeys AS MATERIALIZED (
+    SELECT term, term AS bkey FROM toks
+    UNION ALL
+    SELECT term, substr(term, 1, CAST(i AS INT)) || substr(term, CAST(i AS INT) + 2)
+    FROM toks, UNNEST(range(0, length(term))) AS g(i)
+),
+pkeys AS MATERIALIZED (
+    SELECT probe, probe AS bkey FROM probes
+    UNION ALL
+    SELECT probe, substr(probe, 1, CAST(i AS INT)) || substr(probe, CAST(i AS INT) + 2)
+    FROM probes, UNNEST(range(0, length(probe))) AS g(i)
+)
+SELECT DISTINCT p.probe, v.term,
+       CAST(CASE WHEN p.probe = v.term THEN 0 ELSE 1 END AS BIGINT) AS dist
+FROM pkeys p JOIN vkeys v USING (bkey)
+WHERE levenshtein(p.probe, v.term) <= 1
+"""

@@ -233,6 +233,45 @@ def prefix_max_exclusive(
     return ray.data.from_arrow_refs(out_refs)
 
 
+def prefix_sum_inclusive(
+    ds: "ray.data.Dataset", value_col: str, out_col: str = "run_sum"
+) -> "ray.data.Dataset":
+    """Distributed INCLUSIVE running sum over a globally-ordered dataset:
+    row i gets sum(value[0..i]) — the scan primitive behind sweep-line
+    operators (session_concurrency) and SQL's ``SUM(x) OVER (ORDER BY ...
+    ROWS UNBOUNDED PRECEDING)``. ``ds`` must already be globally sorted in
+    the scan order (``ds.sort``).
+
+    Same two-pass shape as prefix_max_exclusive: per-block sums via one tiny
+    task per block, the exclusive cumsum of those carries on the driver
+    (O(blocks), never O(rows)), then one task per block adds its carry to
+    the in-block inclusive cumsum. No exchange beyond the caller's sort."""
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+    if not refs:
+        return mat
+
+    @ray.remote
+    def block_sum(t: pa.Table) -> int:
+        # sort can emit schema-less empty blocks (partitions > rows)
+        if value_col not in t.column_names or len(t) == 0:
+            return 0
+        return int(t.column(value_col).to_numpy().sum())
+
+    sums = np.array(ray.get([block_sum.remote(r) for r in refs]), np.int64)
+    carries = np.concatenate([[0], np.cumsum(sums)[:-1]])
+
+    @ray.remote
+    def add_run(t: pa.Table, carry: int) -> pa.Table:
+        if value_col not in t.column_names:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        v = t.column(value_col).to_numpy().astype(np.int64)
+        return t.append_column(out_col, pa.array(np.cumsum(v) + carry if len(v) else v))
+
+    out_refs = [add_run.remote(r, int(c)) for r, c in zip(refs, carries)]
+    return ray.data.from_arrow_refs(out_refs)
+
+
 def grouped_apply_bounded(
     ds: "ray.data.Dataset",
     key: str | list[str],

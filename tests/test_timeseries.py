@@ -109,3 +109,56 @@ def test_events_range_sum_peer_rows_and_boundary(tmp_path):
     assert got.loc[3] == 700                        # 1+2+4 inside the hour
     assert got.loc[4] == 1200                       # 4+8: base peers aged out
     assert got.loc[5] == 1600                       # isolated burst
+
+
+def test_prefix_sum_inclusive_across_blocks():
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from osm_search_ray.stages.joins import prefix_sum_inclusive
+
+    rng = np.arange(1000, dtype=np.int64)
+    vals = ((rng * 48271 + 7) % 5) - 2  # mixed-sign deltas
+    ds = ray.data.from_arrow_refs(
+        [ray.put(pa.table({"i": pa.array(rng[k : k + 100]), "v": pa.array(vals[k : k + 100])}))
+         for k in range(0, 1000, 100)]
+    )
+    got = prefix_sum_inclusive(ds, "v").to_pandas().sort_values("i")
+    assert (got["run_sum"].to_numpy() == np.cumsum(vals)).all()
+
+
+def test_session_concurrency_planted_overlaps(tmp_path):
+    """Sweep-line tie rules on planted sessions: a session ending at t
+    overlaps one starting at t (closed intervals); equal-instant starts are
+    serialized by (user_id, session_idx); disjoint sessions count 1."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_search_ray.pipelines.events import session_concurrency
+
+    base = 1_700_000_000_000_000
+    M = 60 * 1_000_000
+    rows = [  # (event_id, ts_us, user_id)
+        (1, base, 1), (2, base + 10 * M, 1),            # u1 s0: [0, 10m]
+        (3, base + 10 * M, 2), (4, base + 20 * M, 2),   # u2 s0: [10m, 20m] starts AT u1's end
+        (5, base + 10 * M, 3),                           # u3 s0: [10m, 10m] same instant as u2
+        (6, base + 100 * M, 1),                          # u1 s1: [100m, 100m] disjoint
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    df = (
+        session_concurrency(str(tmp_path))
+        .to_pandas()
+        .set_index(["user_id", "session_idx"])["concurrency"]
+    )
+    assert df.loc[(1, 0)] == 1          # first open
+    assert df.loc[(2, 0)] == 2          # u1 still open at 10m (closed interval)
+    assert df.loc[(3, 0)] == 3          # same instant, later key: sees u2's +1
+    assert df.loc[(1, 1)] == 1          # everything else closed by 100m
