@@ -39,10 +39,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from osm_search_ray.pipelines import search_docs
 
     # --- block A0: new this round (never driver-verified) ---
-    from osm_search_ray.pipelines import bpe, cdc, graph as _gr0
+    from osm_search_ray.pipelines import bpe, cdc, graph as _gr0, traindata
 
     q["session_concurrency"] = ev.session_concurrency  # sweep-line open-session count
     q["fuzzy_join_terms"] = textops.fuzzy_join_terms  # lev<=1 join, deletes blocking
+    q["chunk_windows"] = traindata.chunk_windows  # RAG overlapping token windows
+    q["events_mad"] = ev.events_mad  # robust dispersion from one histogram pass
+    q["scc_links"] = _gr0.scc_links  # strongly connected components (FW-BW coloring)
     q["line_dedup"] = dedup_pipelines.line_dedup  # C4-style corpus-wide line dedup
     from osm_search_ray.pipelines import graph as _gq
 
@@ -394,6 +397,9 @@ GROUP BY 1, 2
     sql["link_prediction"] = graph.SQL_LINK_PREDICTION
     sql["session_concurrency"] = ev.SQL_SESSION_CONCURRENCY
     sql["fuzzy_join_terms"] = textops.sql_fuzzy_join_terms()
+    sql["chunk_windows"] = traindata.SQL_CHUNK_WINDOWS
+    sql["events_mad"] = ev.SQL_EVENTS_MAD
+    sql["scc_links"] = graph.sql_scc_links()
     sql["line_dedup"] = dedup_pipelines.SQL_LINE_DEDUP
     sql["label_prop"] = graph.sql_label_prop()
     sql["bfs_levels"] = graph.sql_bfs_levels()

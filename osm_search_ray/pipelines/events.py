@@ -1502,3 +1502,78 @@ scanned AS (
 SELECT user_id, session_idx, ts_us AS start_us, CAST(concurrency AS BIGINT) AS concurrency
 FROM scanned WHERE delta = 1
 """
+
+
+def events_mad(sf_dir: str):
+    """(event_type, n_events, median_x2, mad_x4) — median absolute deviation,
+    the robust dispersion statistic, EXACT at any scale from ONE distributed
+    pass: the same bounded-domain value histogram events_median uses serves
+    both medians, because the deviation histogram |2v - med2| is a pure
+    re-keying of the value histogram (domain-bounded, never row-bounded).
+    Integer discipline: cents v are doubled so the interpolated median med2
+    = a + b is an exact int; deviations d2 = |2v - med2| are ints; the MAD
+    median is doubled again (mad4) — every emitted column is exact BIGINT
+    arithmetic both engines reproduce bit-for-bit."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": batch.column("event_type").to_pandas(),
+                "v": np.rint(batch.column("value").to_numpy() * 100).astype(np.int64),
+            }
+        )
+        g = df.groupby(["event_type", "v"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "v": pa.array(g["v"], pa.int64()),
+                "n": pa.array(g["n"], pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # O(types × distinct scaled values) — domain-bounded
+    )
+
+    def hist_median_x2(vals: np.ndarray, cnts: np.ndarray) -> int:
+        """Exact 2× interpolated median of a value histogram (ints in, int
+        out: (a + b) where a, b are the two middle order statistics)."""
+        order = np.argsort(vals, kind="mergesort")
+        v, c = vals[order], np.cumsum(cnts[order])
+        n = int(c[-1])
+        lo = (n - 1) // 2
+        a = v[np.searchsorted(c, lo + 1)]
+        b = v[np.searchsorted(c, lo + 2)] if n % 2 == 0 else a
+        return int(a + b)
+
+    rows = []
+    for et, g in hist.groupby("event_type", sort=True):
+        v, n = g["v"].to_numpy(), g["n"].to_numpy()
+        med2 = hist_median_x2(v, n)  # a+b of cents == 2x the interpolated median
+        dev = np.abs(2 * v - med2)  # re-keyed histogram, same counts
+        dg = pd.DataFrame({"d": dev, "n": n}).groupby("d", sort=False)["n"].sum()
+        # dev is already at 2x-cents scale, so the x2 interpolated median of
+        # dev == MAD_cents * 4 directly — no further doubling
+        mad4 = hist_median_x2(dg.index.to_numpy(), dg.to_numpy())
+        rows.append((et, int(n.sum()), med2, mad4))
+    return pd.DataFrame(rows, columns=["event_type", "n_events", "median_x2", "mad_x4"])
+
+
+SQL_EVENTS_MAD = """
+WITH c AS (
+    SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v FROM events
+),
+m AS (
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(ROUND(quantile_cont(v, 0.5) * 2) AS BIGINT) AS median_x2
+    FROM c GROUP BY 1
+)
+SELECT c.event_type, m.n_events, m.median_x2,
+       CAST(ROUND(quantile_cont(abs(2 * c.v - m.median_x2), 0.5) * 2) AS BIGINT) AS mad_x4
+FROM c JOIN m USING (event_type)
+GROUP BY 1, 2, 3
+"""

@@ -1485,3 +1485,340 @@ SELECT id AS doc_id, lvl AS level FROM f{max_hops}
 
 
 sql_bfs_levels = _functools.cache(_sql_bfs_levels)
+
+
+# ------------------------------------------------ strongly connected components
+
+SCC_SMALL_EDGES = 20_000
+
+
+def _scc_numpy(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact SCC id (= min member id) per node of a DIRECTED edge list, via
+    forward-min-label coloring + in-color backward sweep + peel (the
+    FW-BW-coloring family): propagate F(v) = min id that reaches v to
+    fixpoint; every node with F(v) = v is the root of its color, its SCC is
+    exactly the nodes of its color that reach it (backward sweep along
+    color-consistent edges); peel those and repeat. Each round retires at
+    least the minimum alive node, so the loop terminates. Self-contained
+    numpy, used both as the small-graph regime and as the unit-test oracle
+    for the distributed path."""
+    nodes = np.unique(np.concatenate([src, dst]))
+    s = np.searchsorted(nodes, src)
+    d = np.searchsorted(nodes, dst)
+    n = nodes.size
+    alive = np.ones(n, bool)
+    out = np.full(n, -1, np.int64)
+    big = np.iinfo(np.int64).max
+    while alive.any():
+        em = alive[s] & alive[d]
+        es, ed = s[em], d[em]
+        F = np.where(alive, nodes, big)
+        while True:
+            before = F.copy()
+            np.minimum.at(F, ed, F[es])
+            if np.array_equal(F, before):
+                break
+        roots = alive & (F == nodes)
+        cc = F[es] == F[ed]
+        ces, ced = es[cc], ed[cc]
+        S = roots.copy()
+        while True:
+            add = S[ced] & ~S[ces]
+            if not add.any():
+                break
+            S[ces[add]] = True
+        out[S] = F[S]
+        alive &= ~S
+    return nodes, out
+
+
+def scc(
+    edges: "ray.data.Dataset", small_edges: int = SCC_SMALL_EDGES
+) -> "ray.data.Dataset":
+    """Distributed SCC over a (src, dst) edge Dataset → (doc_id, scc_id).
+
+    Scale shape (FW-BW-coloring, same regime discipline as kcore /
+    label_prop / bfs): node state lives in ONE labels table (id, f, g,
+    done, scc); the edge table is tagged ONCE and never filtered — done
+    endpoints are masked inside the partitions. Each fixpoint iteration is
+    exactly two bounded exchanges (the bfs_levels tagged-union
+    scatter/gather: partition by edge source to emit min-label candidates,
+    partition by node id to min-merge), with a monotone SUM(label)
+    aggregate as the convergence scalar — no row-level diff, no join
+    operator at all. Per outer peel round: reset f, forward-min fixpoint,
+    TWO passes to tag color-consistent reversed edges, backward root-flag
+    fixpoint over them, then a vectorized assign of finished SCCs. Every
+    round retires at least the SCC of each color root (the minimum alive
+    node always is one), so the loop terminates. Nothing node- or
+    edge-sized ever lands on the driver. Below ``small_edges`` the
+    identical recurrence runs as the driver numpy loop (_scc_numpy),
+    equality-tested in tests/test_graph.py."""
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy().astype(np.int64)
+        d = batch.column("dst").to_numpy().astype(np.int64)
+        keep = s != d
+        return pa.table({"src": pa.array(s[keep]), "dst": pa.array(d[keep])})
+
+    # self-loops don't change SCC membership; dedup bounds the exchanges
+    ed = hash_partitioned_apply(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        ["src", "dst"],
+        lambda df: df.drop_duplicates(),
+    ).materialize()
+
+    # node set from the RAW edge list (pre self-loop-drop) so isolated /
+    # self-loop-only nodes still land as singleton SCCs
+    def node_cols(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy().astype(np.int64)
+        d = batch.column("dst").to_numpy().astype(np.int64)
+        return pa.table({"id": pa.array(np.unique(np.concatenate([s, d])))})
+
+    nodes = hash_partitioned_apply(
+        edges.map_batches(node_cols, batch_format="pyarrow"),
+        "id",
+        lambda df: df.drop_duplicates(),
+    ).materialize()
+
+    if ed.count() <= small_edges:
+        edf = ed.to_pandas()
+        nd, sid = _scc_numpy(edf["src"].to_numpy(np.int64), edf["dst"].to_numpy(np.int64))
+        res = pd.Series(sid, index=nd)
+        allnodes = nodes.to_pandas()["id"].to_numpy(np.int64)
+        out = res.reindex(allnodes)
+        out = out.fillna(pd.Series(allnodes, index=allnodes)).astype(np.int64)
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(allnodes), "scc_id": pa.array(out.to_numpy())})
+        )
+
+    BIG = np.iinfo(np.int64).max
+    COLS = ["key", "id", "f", "g", "done", "scc", "oth", "side"]
+
+    def lab_tag(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(key=df["id"], oth=np.int64(-1), side=np.int64(0))[COLS]
+
+    # labels: one row per node — f (forward min label), g (backward root
+    # flag, 0 = reaches a root of its color), done, scc
+    labels = nodes.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "id": df["id"].to_numpy(np.int64),
+                "f": df["id"].to_numpy(np.int64),
+                "g": np.ones(len(df), np.int64),
+                "done": np.zeros(len(df), np.int64),
+                "scc": np.full(len(df), -1, np.int64),
+            }
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    def edge_tag(key_col: str, oth_col: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            n = len(df)
+            return pd.DataFrame(
+                {
+                    "key": df[key_col].to_numpy(np.int64),
+                    "id": np.full(n, -1, np.int64),
+                    "f": np.full(n, -1, np.int64),
+                    "g": np.full(n, -1, np.int64),
+                    "done": np.full(n, -1, np.int64),
+                    "scc": np.full(n, -1, np.int64),
+                    "oth": df[oth_col].to_numpy(np.int64),
+                    "side": np.full(n, 1, np.int64),
+                }
+            )
+
+        return fn
+
+    ed_fwd = ed.map_batches(edge_tag("src", "dst"), batch_format="pandas").materialize()
+
+    def scatter(field: str):
+        """Partition by key: each edge row emits (key=oth, field-value of
+        its source node) when the source is alive; labels pass through."""
+
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            lab = df[df["side"] == 0]
+            eg = df[df["side"] == 1]
+            if not len(eg):
+                return lab[COLS]
+            src = lab.loc[lab["done"] == 0].set_index("key")[field]
+            val = eg["key"].map(src)  # NaN when src node is done/absent
+            ok = val.notna()
+            cand = pd.DataFrame(
+                {
+                    "key": eg.loc[ok, "oth"].to_numpy(np.int64),
+                    "id": np.full(int(ok.sum()), -1, np.int64),
+                    "f": np.full(int(ok.sum()), -1, np.int64),
+                    "g": np.full(int(ok.sum()), -1, np.int64),
+                    "done": np.full(int(ok.sum()), -1, np.int64),
+                    "scc": np.full(int(ok.sum()), -1, np.int64),
+                    "oth": val[ok].to_numpy(np.int64),  # candidate value rides oth
+                    "side": np.full(int(ok.sum()), 2, np.int64),
+                }
+            )
+            return pd.concat([lab[COLS], cand], ignore_index=True)
+
+        return fn
+
+    def gather(field: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            base = df[df["side"] == 0].copy()
+            cd = df[df["side"] == 2]
+            if len(cd):
+                mn = cd.groupby("key")["oth"].min()
+                mapped = base["key"].map(mn)
+                # NB: fillna(2^63-1) would round-trip through float64 and
+                # overflow to -2^63 — mask instead of sentinel-filling
+                has = mapped.notna().to_numpy()
+                inc = mapped.fillna(0).to_numpy().astype(np.int64)
+                alive = base["done"].to_numpy(np.int64) == 0
+                cur = base[field].to_numpy(np.int64)
+                base[field] = np.where(alive & has, np.minimum(cur, inc), cur)
+            return base[COLS]
+
+        return fn
+
+    import os as _os, time as _time
+    _dbg = bool(_os.environ.get("GRAFT_SCC_DEBUG"))
+
+    @ray.remote
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    def _fresh(ds):
+        """materialize, strip plan/stats lineage, and DROP EMPTY BLOCKS:
+        map_groups emits one (mostly empty) block per input block in this
+        Ray version, so an iterated union would grow the block count —
+        and per-execution scheduling cost — linearly per iteration. Keeping
+        only non-empty refs bounds labels at O(num_parts) blocks."""
+        refs = ds.materialize().to_arrow_refs()
+        if len(refs) > 1:
+            counts = ray.get([_nrows.remote(r) for r in refs])
+            refs = [r for r, n in zip(refs, counts) if n > 0] or refs[:1]
+        return ray.data.from_arrow_refs(refs)
+
+    def fixpoint(labels, tagged_edges, field: str):
+        prev = None
+        while True:
+            _t0 = _time.time()
+            both = labels.map_batches(lab_tag, batch_format="pandas").union(tagged_edges)
+            mid = hash_partitioned_apply(both, "key", scatter(field))
+            labels = _fresh(
+                hash_partitioned_apply(mid, "key", gather(field)).map_batches(
+                    lambda df: df[["id", "f", "g", "done", "scc"]], batch_format="pandas"
+                )
+            )
+            cur = labels.sum(field)  # monotone nonincreasing under min-merge
+            if _dbg:
+                print(f"[scc] fix {field} sum={cur} dt={_time.time()-_t0:.1f} blocks={labels.num_blocks()}", flush=True)
+            if cur == prev:
+                return labels
+            prev = cur
+
+    results = None
+    while True:
+        alive = labels.map_batches(
+            lambda df: pd.DataFrame({"n": [int((df["done"] == 0).sum())]}),
+            batch_format="pandas",
+        ).sum("n")
+        if _dbg:
+            print(f"[scc] outer alive={alive}", flush=True)
+        if not alive:
+            break
+        # reset forward labels for alive nodes, then forward-min fixpoint
+        labels = labels.map_batches(
+            lambda df: df.assign(
+                f=np.where(df["done"] == 0, df["id"], df["f"]).astype(np.int64)
+            ),
+            batch_format="pandas",
+        ).materialize()
+        labels = fixpoint(labels, ed_fwd, "f")
+
+        # tag color-consistent edges REVERSED (key=dst, oth=src), two passes:
+        # attach f at src (partition by src), then compare f at dst
+        def attach_src(df: pd.DataFrame) -> pd.DataFrame:
+            lab = df[df["side"] == 0]
+            eg = df[df["side"] == 1]
+            if not len(eg):
+                return eg[COLS]
+            src = lab.loc[lab["done"] == 0].set_index("key")["f"]
+            val = eg["key"].map(src)
+            ok = val.notna()
+            out = eg[ok].copy()
+            out["f"] = val[ok].to_numpy(np.int64)  # carry f_src on the edge row
+            # re-key by the destination for pass 2 / backward scatter
+            out["key"], out["oth"] = out["oth"].to_numpy(np.int64), out["key"].to_numpy(np.int64)
+            return out[COLS]
+
+        def filter_dst(df: pd.DataFrame) -> pd.DataFrame:
+            lab = df[df["side"] == 0]
+            eg = df[df["side"] == 1]
+            if not len(eg):
+                return eg[COLS]
+            dstf = lab.loc[lab["done"] == 0].set_index("key")["f"]
+            val = eg["key"].map(dstf)
+            ok = val.notna() & (val.to_numpy() == eg["f"].to_numpy())
+            return eg[ok][COLS]
+
+        both = labels.map_batches(lab_tag, batch_format="pandas").union(ed_fwd)
+        p1 = hash_partitioned_apply(both, "key", attach_src).materialize()
+        both2 = labels.map_batches(lab_tag, batch_format="pandas").union(p1)
+        cef = hash_partitioned_apply(both2, "key", filter_dst).materialize()
+
+        # backward root-reach fixpoint: g=0 at roots, min-propagates src<-dst
+        labels = labels.map_batches(
+            lambda df: df.assign(
+                g=np.where(
+                    (df["done"] == 0) & (df["f"] == df["id"]), 0, 1
+                ).astype(np.int64)
+            ),
+            batch_format="pandas",
+        ).materialize()
+        labels = fixpoint(labels, cef, "g")
+
+        # finished: alive nodes that reach their color root
+        labels = labels.map_batches(
+            lambda df: df.assign(
+                scc=np.where((df["done"] == 0) & (df["g"] == 0), df["f"], df["scc"]).astype(np.int64),
+                done=np.where((df["done"] == 0) & (df["g"] == 0), 1, df["done"]).astype(np.int64),
+            ),
+            batch_format="pandas",
+        ).materialize()
+
+    return labels.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["id"].to_numpy(np.int64), "scc_id": df["scc"].to_numpy(np.int64)}
+        ),
+        batch_format="pandas",
+    )
+
+
+def scc_links(sf_dir: str):
+    """SCC over the derived doc link graph → (doc_id, scc_id = min member).
+    The web-graph condensation primitive (which pages are in a mutual-reach
+    core vs. tendrils). Oracle: recursive-CTE transitive closure, mutual
+    pairs, min per node."""
+    return scc(dv.link_edges(sf_dir))
+
+
+def _sql_scc_links() -> str:
+    return f"""
+WITH RECURSIVE {dv.SQL_LINK_EDGES.strip()},
+edges AS MATERIALIZED (
+    SELECT DISTINCT src, dst FROM link_edges WHERE src <> dst),
+reach(s, d) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.s, e.dst FROM reach r JOIN edges e ON r.d = e.src
+),
+mutual AS (
+    SELECT r1.s AS u, r1.d AS v
+    FROM reach r1 JOIN reach r2 ON r1.s = r2.d AND r1.d = r2.s
+),
+m AS (SELECT u, MIN(v) AS mv FROM mutual GROUP BY u)
+SELECT d.doc_id, CAST(LEAST(d.doc_id, COALESCE(m.mv, d.doc_id)) AS BIGINT) AS scc_id
+FROM documents d LEFT JOIN m ON m.u = d.doc_id
+"""
+
+
+sql_scc_links = _functools.cache(_sql_scc_links)

@@ -1126,7 +1126,8 @@ def _deletion_keys(strings: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 def fuzzy_join_terms(sf_dir: str):
     """Set-to-set FUZZY string join: every (probe, vocab term) pair within
     Levenshtein distance 1, found WITHOUT a cross join. Probes are derived
-    typos: for vocab terms with hash64_md5(term) % 7 == 0 and len >= 4,
+    typos: for vocab terms with hash64_md5(term) % FUZZY_PROBE_MOD == 0 and
+    len >= FUZZY_MIN_LEN,
     delete the character at hash % len (the md5 hash twin keeps the numpy
     and SQL derivations identical). Blocking is the SymSpell deletes
     neighborhood (state/spell.py, reference pkg/searcher parity): each side

@@ -442,3 +442,69 @@ ranked AS (
 SELECT r.lang, r.doc_id, r.rank, q.quota
 FROM ranked r JOIN q USING (lang) WHERE r.rank <= q.quota
 """
+
+
+# --- RAG-style overlapping chunk windows ---
+
+CHUNK_W = 32   # window length in tokens
+CHUNK_S = 24   # stride (CHUNK_W - CHUNK_S tokens of overlap)
+
+
+def chunk_windows(sf_dir: str, window: int = CHUNK_W, stride: int = CHUNK_S):
+    """Split every document into overlapping token windows (the retrieval /
+    context-chunking prep step): windows start at 0, S, 2S, ... and carry up
+    to W tokens; the last window may be short; empty docs emit nothing.
+    Chunk COUNT and boundaries are computed vectorized (ceil arithmetic over
+    the per-doc token counts + one np.repeat); only the final chunk-text
+    join is per-output-row, i.e. bounded by the result size, not the corpus
+    token count. No shuffle at all — chunking is embarrassingly parallel.
+    Output (doc_id, chunk_no, n_tokens, chunk_text)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks, counts = tokenize_array(batch.column("text").to_pylist())
+        doc_ids = batch.column("doc_id").to_numpy()
+        off = np.concatenate([[0], np.cumsum(counts)])
+        n = counts.astype(np.int64)
+        n_chunks = np.where(n == 0, 0, np.maximum(n - window, 0) // stride
+                            + (np.maximum(n - window, 0) % stride > 0) + 1)
+        rep_doc = np.repeat(doc_ids, n_chunks)
+        rep_off = np.repeat(off[:-1], n_chunks)
+        rep_n = np.repeat(n, n_chunks)
+        total = int(n_chunks.sum())
+        chunk_no = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(n_chunks)[:-1]]), n_chunks
+        )
+        starts = rep_off + chunk_no * stride
+        ends = np.minimum(starts + window, rep_off + rep_n)
+        texts = [" ".join(toks[s:e]) for s, e in zip(starts, ends)]  # output-bound
+        return pa.table(
+            {
+                "doc_id": pa.array(rep_doc),
+                "chunk_no": pa.array(chunk_no),
+                "n_tokens": pa.array(ends - starts),
+                "chunk_text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_CHUNK_WINDOWS = f"""
+WITH toks AS (
+    SELECT doc_id, {SQL_TOKENIZE.format(col='text')} AS t FROM documents
+),
+meta AS (
+    SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+),
+chunks AS (
+    SELECT doc_id, CAST(j AS BIGINT) AS chunk_no,
+           list_slice(t, j * {CHUNK_S} + 1, j * {CHUNK_S} + {CHUNK_W}) AS ct
+    FROM meta, UNNEST(range(0,
+        CASE WHEN n <= {CHUNK_W} THEN 1
+             ELSE (n - {CHUNK_W} + {CHUNK_S} - 1) // {CHUNK_S} + 1 END)) AS g(j)
+)
+SELECT doc_id, chunk_no, CAST(len(ct) AS BIGINT) AS n_tokens,
+       array_to_string(ct, ' ') AS chunk_text
+FROM chunks
+"""

@@ -298,3 +298,42 @@ def test_ppr_regimes_agree_and_mass_concentrates_on_seeds():
     assert small.loc[seeds, "r"].mean() > 5 * small.loc[~seeds, "r"].mean(), (
         "teleport-to-seeds must concentrate rank mass on the seed set"
     )
+
+
+def test_scc_numpy_known_structure():
+    """Hand-checkable digraph: a 3-cycle, a 2-cycle reached from it, a chain
+    tail, and an isolated self-referential pair."""
+    import numpy as np
+
+    from osm_search_ray.pipelines.graph import _scc_numpy
+
+    #  0->1->2->0 (SCC {0,1,2});  2->3, 3->4, 4->3 (SCC {3,4});  4->5 (singleton)
+    #  10<->11 (SCC {10,11})
+    src = np.array([0, 1, 2, 2, 3, 4, 4, 10, 11], np.int64)
+    dst = np.array([1, 2, 0, 3, 4, 3, 5, 11, 10], np.int64)
+    nodes, sid = _scc_numpy(src, dst)
+    got = dict(zip(nodes.tolist(), sid.tolist()))
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5, 10: 10, 11: 10}
+
+
+def test_scc_distributed_equals_numpy_regime():
+    """Force the distributed FW-BW-coloring path (small_edges=0) on a graph
+    with multiple peel rounds and nested cycles; must equal _scc_numpy."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from osm_search_ray.pipelines.graph import _scc_numpy, scc
+
+    rng = np.arange(12, dtype=np.int64)
+    # chord-shortened 12-ring (one big SCC, small diameter) + a detached
+    # DAG + two 2-cycles (second peel round)
+    src = np.concatenate([rng, rng[::2], np.array([100, 101, 102, 103, 104, 105, 105])])
+    dst = np.concatenate(
+        [(rng + 1) % 12, (rng[::2] + 5) % 12, np.array([101, 100, 103, 102, 105, 104, 106])]
+    )
+    ds = ray.data.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    got = scc(ds, small_edges=0).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    nodes, sid = _scc_numpy(src, dst)
+    assert got["doc_id"].tolist() == nodes.tolist()
+    assert got["scc_id"].tolist() == sid.tolist()

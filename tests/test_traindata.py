@@ -144,3 +144,43 @@ class TestMixTemperature:
         tot = sum(math.isqrt(int(n)) for n in corpus)
         for lang, n in corpus.items():
             assert q[lang] == td.MIX_BUDGET * math.isqrt(int(n)) // tot
+
+
+def test_chunk_windows_boundaries(tmp_path):
+    """Planted token counts around the window/stride boundaries: n=0 emits
+    nothing, n<=W emits one short window, n=W+1 emits two overlapping
+    windows, and an exact multiple leaves no degenerate tail."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_search_ray.pipelines.traindata import CHUNK_S, CHUNK_W, chunk_windows
+
+    def words(n, tag):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    "",                               # 0 tokens -> no chunks
+                    words(CHUNK_W, "a"),              # exactly W -> 1 chunk
+                    words(CHUNK_W + 1, "b"),          # W+1 -> 2 chunks
+                    words(CHUNK_W + CHUNK_S, "c"),    # exact stride multiple -> 2 full-ish
+                    words(5, "d"),                    # short doc -> 1 short chunk
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    df = chunk_windows(str(tmp_path)).to_pandas()
+    by = {k: g.sort_values("chunk_no") for k, g in df.groupby("doc_id")}
+    assert 1 not in by
+    assert len(by[2]) == 1 and by[2]["n_tokens"].tolist() == [CHUNK_W]
+    assert len(by[3]) == 2 and by[3]["n_tokens"].tolist() == [CHUNK_W, CHUNK_W + 1 - CHUNK_S]
+    assert len(by[4]) == 2 and by[4]["n_tokens"].tolist() == [CHUNK_W, CHUNK_W]
+    assert len(by[5]) == 1 and by[5]["n_tokens"].tolist() == [5]
+    # overlap: chunk k starts CHUNK_S tokens into chunk k-1's span
+    c0, c1 = by[3]["chunk_text"].tolist()
+    assert c0.split()[CHUNK_S:] == c1.split()[: CHUNK_W - CHUNK_S]
