@@ -40,12 +40,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- block A0: new this round (never driver-verified) ---
     from osm_search_ray.pipelines import bpe, cdc, graph as _gr0, traindata
+    from osm_search_ray.pipelines import webcorpus as _wc0
 
     q["session_concurrency"] = ev.session_concurrency  # sweep-line open-session count
     q["fuzzy_join_terms"] = textops.fuzzy_join_terms  # lev<=1 join, deletes blocking
     q["chunk_windows"] = traindata.chunk_windows  # RAG overlapping token windows
     q["events_mad"] = ev.events_mad  # robust dispersion from one histogram pass
     q["scc_links"] = _gr0.scc_links  # strongly connected components (FW-BW coloring)
+    q["changelog_apply"] = _wc0.changelog_apply  # MERGE upsert+tombstone compaction
+    q["char_entropy"] = textops.char_entropy  # char-distribution entropy quality signal
+    q["containment_pairs"] = dedup_pipelines.containment_pairs  # directed |A∩B|/|A| dedup signal
+    q["embed_normalize"] = simsearch.embed_normalize  # per-dim z-score standardization
+    q["nearest_centroid"] = simsearch.nearest_centroid_classify  # integer-exact confusion matrix
     q["line_dedup"] = dedup_pipelines.line_dedup  # C4-style corpus-wide line dedup
     from osm_search_ray.pipelines import graph as _gq
 
@@ -56,8 +62,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["column_profile"] = _pf.column_profile  # per-column null/distinct/minmax audit
     q["events_gapfill"] = ev.events_gapfill  # gap-filled hourly resample per type
     q["events_lag_delta"] = ev.events_lag_delta  # per-user LAG inter-event gap
-    from osm_search_ray.pipelines import webcorpus as _wc0
-
     q["url_canonical"] = _wc0.url_canonical  # tracking-param/case/slash collapse
     q["agg_pricing_cube"] = relational.agg_pricing_cube  # full CUBE grouping sets
     q["late_events"] = ev.late_events  # event-time watermark lateness audit
@@ -400,6 +404,13 @@ GROUP BY 1, 2
     sql["chunk_windows"] = traindata.SQL_CHUNK_WINDOWS
     sql["events_mad"] = ev.SQL_EVENTS_MAD
     sql["scc_links"] = graph.sql_scc_links()
+    from osm_search_ray.pipelines import webcorpus as _wc1
+
+    sql["changelog_apply"] = _wc1.SQL_CHANGELOG_APPLY
+    sql["char_entropy"] = textops.SQL_CHAR_ENTROPY
+    sql["containment_pairs"] = dedup_pipelines.sql_containment_pairs()
+    sql["embed_normalize"] = simsearch.SQL_EMBED_NORMALIZE
+    sql["nearest_centroid"] = simsearch.SQL_NEAREST_CENTROID
     sql["line_dedup"] = dedup_pipelines.SQL_LINE_DEDUP
     sql["label_prop"] = graph.sql_label_prop()
     sql["bfs_levels"] = graph.sql_bfs_levels()

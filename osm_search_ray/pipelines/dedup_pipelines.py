@@ -1223,3 +1223,165 @@ def _sql_dedup_ngram_prefix(n: int = NGRAM_N, threshold_micro: int = NGRAM_THRES
 
 
 sql_dedup_ngram_prefix = functools.cache(_sql_dedup_ngram_prefix)
+
+
+CONTAIN_THRESHOLD_MICRO = 800_000  # keep directed pairs with containment >= 0.8
+
+
+def containment_pairs(
+    sf_dir: str,
+    n: int = NGRAM_N,
+    threshold_micro: int = CONTAIN_THRESHOLD_MICRO,
+    max_occ: int = NGRAM_MAX_OCC,
+):
+    """DIRECTED n-gram containment pairs: C(src→dst) = |src∩dst| / |src|
+    over distinct-token-n-gram sets — the asymmetric near-dup signal
+    Jaccard misses (a paragraph quoted inside a much longer page scores
+    C≈1 from the quote's side but tiny Jaccard; dedup policies drop the
+    CONTAINED side). Same exchange shape and boilerplate cap as
+    dedup_ngram (one gram-keyed pair expansion, int64 gram hashes only,
+    broadcast/bucketed-join regime switch for set sizes); the finisher
+    emits both directions of each undirected overlap row and applies the
+    integer round-half-up micro scaling, so the oracle is bit-exact.
+    Output (src, dst, containment_micro)."""
+    from ..stages.joins import hash_bucket_join, hash_partitioned_apply
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    grams = ds.map_batches(
+        lambda b: _kgram_explode(b, n), batch_format="pyarrow"
+    ).map_batches(
+        lambda b: pa.Table.from_pandas(
+            b.select(["doc_id", "ghash"]).to_pandas().drop_duplicates(), preserve_index=False
+        ),
+        batch_format="pyarrow",
+    )
+
+    def gram_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        sizes = df.groupby("ghash", sort=False)["doc_id"].transform("size")
+        df = df[sizes <= max_occ]
+        m = df.merge(df, on="ghash")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        pairs = pd.DataFrame(
+            {
+                "doc_a": m["doc_id_x"].to_numpy(np.int64),
+                "doc_b": m["doc_id_y"].to_numpy(np.int64),
+            }
+        )
+        marks = pd.DataFrame({"doc_a": df["doc_id"].to_numpy(np.int64)})
+        marks["doc_b"] = np.int64(-1)
+        return pd.concat([pairs, marks], ignore_index=True)
+
+    rows = hash_partitioned_apply(grams, "ghash", gram_partition, num_parts=32)
+
+    def count_partition(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["doc_a", "doc_b"], sort=False).size().reset_index(name="cnt")
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    counted = hash_partitioned_apply(rows, ["doc_a", "doc_b"], count_partition, num_parts=32).materialize()
+
+    def split(kind: int):
+        def fn(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            if kind == 0:
+                t = b.filter(pc.greater_equal(b.column("doc_b"), 0))
+                return pa.table(
+                    {"doc_a": t.column("doc_a"), "doc_b": t.column("doc_b"), "i": t.column("cnt")}
+                )
+            t = b.filter(pc.less(b.column("doc_b"), 0))
+            return pa.table({"doc": t.column("doc_a"), "n_grams": t.column("cnt")})
+
+        return fn
+
+    pairs = counted.map_batches(split(0), batch_format="pyarrow")
+    sizes = counted.map_batches(split(1), batch_format="pyarrow")
+    empty = pd.DataFrame({c: pd.Series(dtype=np.int64) for c in ["src", "dst", "containment_micro"]})
+    if pairs.count() == 0:
+        return ray.data.from_pandas(empty)
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return empty
+        i = df["i"].to_numpy(np.int64)
+        a = df["doc_a"].to_numpy(np.int64)
+        b = df["doc_b"].to_numpy(np.int64)
+        na = df["na"].to_numpy(np.int64)
+        nb = df["nb"].to_numpy(np.int64)
+        out = pd.DataFrame(
+            {
+                "src": np.concatenate([a, b]),
+                "dst": np.concatenate([b, a]),
+                "containment_micro": np.concatenate(
+                    [
+                        (2 * i * 1_000_000 + na) // (2 * na),
+                        (2 * i * 1_000_000 + nb) // (2 * nb),
+                    ]
+                ),
+            }
+        )
+        return out[out["containment_micro"] >= threshold_micro]
+
+    if sizes.count() <= NGRAM_SIZES_BROADCAST_LIMIT:
+        sz = sizes.to_pandas()
+        order = np.argsort(sz["doc"].to_numpy(np.int64), kind="mergesort")
+        ref = ray.put((sz["doc"].to_numpy(np.int64)[order], sz["n_grams"].to_numpy(np.int64)[order]))
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            docs_sorted, ngs = ray.get(ref)
+            df = df.copy()
+            df["na"] = ngs[np.searchsorted(docs_sorted, df["doc_a"].to_numpy(np.int64))]
+            df["nb"] = ngs[np.searchsorted(docs_sorted, df["doc_b"].to_numpy(np.int64))]
+            return _finish(df)
+
+        return pairs.map_batches(attach, batch_format="pandas")
+
+    a_side = sizes.map_batches(
+        lambda t: pa.table({"doc_a": t.column("doc"), "na": t.column("n_grams")}),
+        batch_format="pyarrow",
+    )
+    b_side = sizes.map_batches(
+        lambda t: pa.table({"doc_b": t.column("doc"), "nb": t.column("n_grams")}),
+        batch_format="pyarrow",
+    )
+    j = hash_bucket_join(pairs, a_side, on="doc_a", num_buckets=16)
+    j = hash_bucket_join(j, b_side, on="doc_b", num_buckets=16)
+    return j.map_batches(_finish, batch_format="pandas")
+
+
+def _sql_containment_pairs(
+    n: int = NGRAM_N,
+    threshold_micro: int = CONTAIN_THRESHOLD_MICRO,
+    max_occ: int = NGRAM_MAX_OCC,
+) -> str:
+    from ..functions.tokenize import SQL_TOKENIZE
+
+    tok = SQL_TOKENIZE.format(col="text")
+    return f"""
+WITH toks AS (SELECT doc_id, {tok} AS t FROM documents),
+sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, len(t) - {n} + 2),
+                                 i -> array_to_string(t[i : i + {n} - 1], ' '))) AS g
+    FROM toks WHERE len(t) >= {n}),
+hot AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) > {max_occ}),
+surv AS (SELECT s.doc_id, s.g FROM sh s LEFT JOIN hot h USING (g) WHERE h.g IS NULL),
+counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ng FROM surv GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS i
+    FROM surv a JOIN surv b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2),
+dirp AS (
+    SELECT doc_a AS src, doc_b AS dst, i, ca.ng AS ns
+    FROM inter JOIN counts ca ON ca.doc_id = doc_a
+    UNION ALL
+    SELECT doc_b, doc_a, i, cb.ng
+    FROM inter JOIN counts cb ON cb.doc_id = doc_b)
+SELECT src, dst, (2 * i * 1000000 + ns) // (2 * ns) AS containment_micro
+FROM dirp
+WHERE (2 * i * 1000000 + ns) // (2 * ns) >= {threshold_micro}
+"""
+
+
+sql_containment_pairs = functools.cache(_sql_containment_pairs)

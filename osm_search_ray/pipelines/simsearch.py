@@ -852,3 +852,167 @@ ranked AS (
 
 
 sql_ann_pq_topk = functools.cache(_sql_ann_pq_topk)
+
+
+def embed_normalize(sf_dir: str):
+    """Per-dimension z-score normalization of the embedding table — the
+    feature-standardization pass before clustering / linear probes.
+    Components quantize to int (×1000, the probe-verified rint/round_even
+    contract) FIRST, so the per-dim moments (n, Σq, Σq²) are exact int64
+    and order-free; the z expression then uses the identical IEEE op tree
+    on both sides ((q - s/n) / sqrt(ss/n - (s/n)²), then ×1e4 and
+    round-even), so every output value is bit-exact. Zero-variance dims
+    emit 0. Scale shape: per-batch moment partials → one dims-sized
+    reduce, broadcast back via ray.put — vectors stream through exactly
+    once; nothing vector-sized lands on the driver.
+    Output (vec_id, dim, z_e4)."""
+    from ..functions.arrowutil import vec_matrix
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        q = np.rint(vec_matrix(batch.column("embedding")) * 1000.0).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "dim": np.arange(q.shape[1], dtype=np.int64),
+                "n": np.full(q.shape[1], q.shape[0], np.int64),
+                "s": q.sum(axis=0),
+                "ss": (q * q).sum(axis=0),
+            }
+        )
+
+    mom = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("dim")
+        .sum(["n", "s", "ss"])
+        .to_pandas()  # dims-sized (bounded by the embedding width)
+        .sort_values("dim")
+    )
+    n = mom["sum(n)"].to_numpy(np.int64).astype(np.float64)
+    s = mom["sum(s)"].to_numpy(np.int64).astype(np.float64)
+    ss = mom["sum(ss)"].to_numpy(np.int64).astype(np.float64)
+    mean = s / n
+    var = ss / n - mean * mean
+    ref = ray.put((mean, var))
+
+    def apply_z(batch: pa.Table) -> pa.Table:
+        mean, var = ray.get(ref)
+        q = np.rint(vec_matrix(batch.column("embedding")) * 1000.0)
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        dim = q.shape[1]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = (q - mean) / np.sqrt(var)
+        z = np.where(var <= 0, 0.0, z)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(vid, dim)),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(vid))),
+                "z_e4": pa.array(np.rint(z * 10000.0).astype(np.int64).ravel()),
+            }
+        )
+
+    return ds.map_batches(apply_z, batch_format="pyarrow")
+
+
+SQL_EMBED_NORMALIZE = """
+WITH q AS (
+    SELECT vec_id, CAST(j.j AS BIGINT) AS dim,
+           CAST(round_even(CAST(embedding[j.j + 1] AS DOUBLE) * 1000, 0) AS BIGINT) AS qv
+    FROM embeddings, UNNEST(range(0, len(embedding))) AS j(j)
+),
+m AS (
+    SELECT dim, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(qv) AS BIGINT) AS s,
+           CAST(SUM(qv * qv) AS BIGINT) AS ss
+    FROM q GROUP BY 1
+)
+SELECT q.vec_id, q.dim,
+       CAST(CASE WHEN CAST(ss AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) <= 0
+                 THEN 0
+                 ELSE round_even((CAST(qv AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                                 / sqrt(CAST(ss AS DOUBLE) / n
+                                        - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                                 * 10000, 0)
+            END AS BIGINT) AS z_e4
+FROM q JOIN m USING (dim)
+"""
+
+
+def nearest_centroid_classify(sf_dir: str):
+    """Nearest-centroid classification of every embedding against the
+    per-label centroids, reported as a confusion matrix (true label × 
+    predicted label) — the cluster-purity / label-noise audit an embedding
+    pipeline runs after training. EXACT integer argmin: centroid components
+    are quantized to x1e6 ints with round-half-up ((2·S·1000 + n) // (2n) —
+    floor division agrees between numpy and DuckDB for negatives too), the
+    query components to x1e6 by construction (q1000·1000), so squared
+    distances are exact int64 (≤ ~1e15) and ties break by smallest label on
+    both sides — no float comparison anywhere. Scale shape: centroids are
+    (labels × dims), reduced via combiner partials then BROADCAST once
+    (ray.put); each batch does one (B × L × D) numpy matmul-free squared
+    distance and emits (labels × labels)-bounded confusion partials; ONE
+    tiny final exchange. Output (true_label, pred_label, n_vecs)."""
+    from ..functions.arrowutil import vec_matrix
+    from ..stages.joins import hash_partitioned_apply
+
+    cent = embedding_centroids(sf_dir).to_pandas()  # (labels × dims) — bounded
+    cent = cent.sort_values(["label", "dim"])
+    labels = np.sort(cent["label"].unique()).astype(np.int64)
+    dims = int(cent["dim"].max()) + 1
+    S = cent["sum_x1000"].to_numpy(np.int64).reshape(len(labels), dims)
+    n = cent["n_vecs"].to_numpy(np.int64).reshape(len(labels), dims)
+    c6 = (2 * S * 1000 + n) // (2 * n)  # round-half-up centroid at x1e6
+    ref = ray.put((labels, c6))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"])
+
+    def classify(batch: pa.Table) -> pa.Table:
+        labs, cm = ray.get(ref)
+        q6 = (np.rint(vec_matrix(batch.column("embedding")) * 1000.0).astype(np.int64)) * 1000
+        diff = q6[:, None, :] - cm[None, :, :]
+        d = (diff * diff).sum(axis=2)  # exact int64
+        pred = labs[np.argmin(d, axis=1)]  # argmin takes FIRST min = smallest label
+        true = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        df = (
+            pd.DataFrame({"true_label": true, "pred_label": pred})
+            .groupby(["true_label", "pred_label"], sort=False)
+            .size()
+            .reset_index(name="n_vecs")
+        )
+        df["n_vecs"] = df["n_vecs"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = ds.map_batches(classify, batch_format="pyarrow")
+    return hash_partitioned_apply(
+        parts,
+        ["true_label", "pred_label"],
+        lambda df: df.groupby(["true_label", "pred_label"], sort=False)["n_vecs"]
+        .sum()
+        .reset_index()
+        .astype(np.int64),
+        num_parts=8,
+    )
+
+
+SQL_NEAREST_CENTROID = f"""
+WITH cent0 AS ({SQL_EMBEDDING_CENTROIDS.strip()}),
+cent AS (
+    SELECT label, dim, (2 * sum_x1000 * 1000 + n_vecs) // (2 * n_vecs) AS c6 FROM cent0
+),
+q AS (
+    SELECT vec_id, CAST(label AS BIGINT) AS true_label, CAST(j.j AS BIGINT) AS dim,
+           CAST(round_even(CAST(embedding[j.j + 1] AS DOUBLE) * 1000, 0) AS BIGINT) * 1000 AS q6
+    FROM embeddings, UNNEST(range(0, len(embedding))) AS j(j)
+),
+dist AS (
+    SELECT q.vec_id, ANY_VALUE(q.true_label) AS true_label, c.label AS pred_label,
+           SUM((q.q6 - c.c6) * (q.q6 - c.c6)) AS d
+    FROM q JOIN cent c USING (dim) GROUP BY q.vec_id, c.label
+),
+pred AS (
+    SELECT vec_id, true_label, pred_label,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, pred_label) AS rn
+    FROM dist
+)
+SELECT true_label, pred_label, COUNT(*) AS n_vecs
+FROM pred WHERE rn = 1 GROUP BY 1, 2
+"""

@@ -1230,3 +1230,60 @@ SELECT DISTINCT p.probe, v.term,
 FROM pkeys p JOIN vkeys v USING (bkey)
 WHERE levenshtein(p.probe, v.term) <= 1
 """
+
+
+def char_entropy(sf_dir: str):
+    """(doc_id, n_chars, entropy_micro) — Shannon entropy of each document's
+    character distribution, the compressibility proxy web-corpus quality
+    filters use (gibberish and boilerplate sit at the entropy extremes).
+    H = ln(n) - Σ c·ln(c) / n over codepoint counts c. Float discipline:
+    ln comes from math.log, which is bit-identical to DuckDB's ln on this
+    platform (np.log is NOT — differs in the last ulp on some inputs);
+    values are memoized into a lookup table once per batch (one scalar loop
+    bounded by the max count, then vectorized gathers), and the final sum's
+    engine-order difference (~1e-12) vanishes under the 1e6 scaling. Empty
+    docs are excluded on both sides. No shuffle."""
+    import math
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        doc_ids = batch.column("doc_id").to_numpy()
+        keep, ns, ents = [], [], []
+        # ln table up to the longest doc, shared across the batch
+        m = max((len(t) for t in texts), default=0)
+        ln = np.zeros(m + 1, np.float64)
+        for k in range(1, m + 1):
+            ln[k] = math.log(k)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            codes = np.frombuffer(t.encode("utf-32-le"), np.uint32)
+            _, c = np.unique(codes, return_counts=True)
+            n = codes.size
+            ents.append(ln[n] - float((c.astype(np.float64) * ln[c]).sum()) / n)
+            ns.append(n)
+            keep.append(i)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[keep].astype(np.int64)),
+                "n_chars": pa.array(np.asarray(ns, np.int64)),
+                "entropy_micro": pa.array(np.rint(np.asarray(ents) * 1e6).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_CHAR_ENTROPY = """
+WITH ch AS (
+    SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+    FROM documents WHERE length(text) > 0
+),
+cc AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS k FROM ch GROUP BY 1, 2),
+tot AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n, SUM(k * ln(k)) AS s FROM cc GROUP BY 1)
+SELECT doc_id, n AS n_chars,
+       CAST(ROUND((ln(n) - s / n) * 1000000) AS BIGINT) AS entropy_micro
+FROM tot
+"""

@@ -1019,3 +1019,62 @@ SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(doc_id) AS BIGINT) AS ids_sum
 FROM cls GROUP BY 1
 """
+
+
+def changelog_apply(sf_dir: str):
+    """MERGE-style changelog application (the Delta/Hudi upsert+delete
+    compaction): the visit log becomes a per-url op stream — op = DELETE
+    when event_id·(event_id+1) % 5 == 0 (fires for ids ≡ 0,4 mod 5), else UPSERT carrying event_id as the
+    payload — applied in (ts, event_id) order; a url whose LAST op is a
+    delete vanishes from the final state. One url-keyed exchange; inside
+    the partition the winner is one vectorized sort + drop_duplicates
+    (keep=last), no per-key loop. Distinct from url_latest by the
+    tombstone semantics. Output (url, last_event, n_ops)."""
+    v = dv.visit_urls(sf_dir)
+
+    def add_op(batch: pa.Table) -> pa.Table:
+        ev = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "ts_us": batch.column("ts_us"),
+                "event_id": batch.column("event_id"),
+                "is_del": pa.array(((ev * (ev + 1)) % 5 == 0).astype(np.int8)),
+            }
+        )
+
+    def apply_log(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "ts_us", "event_id"], kind="mergesort")
+        n_ops = df.groupby("url", sort=False)["event_id"].transform("size")
+        df = df.assign(n_ops=n_ops.to_numpy(np.int64))
+        last = df.drop_duplicates("url", keep="last")
+        live = last[last["is_del"] == 0]
+        return pd.DataFrame(
+            {
+                "url": live["url"].to_numpy(object),
+                "last_event": live["event_id"].to_numpy(np.int64),
+                "n_ops": live["n_ops"].to_numpy(np.int64),
+            }
+        )
+
+    return hash_partitioned_apply(
+        v.map_batches(add_op, batch_format="pyarrow"), "url", apply_log
+    )
+
+
+SQL_CHANGELOG_APPLY = f"""
+WITH {dv.SQL_VISITS.strip()},
+log AS (
+    SELECT url, ts_us, event_id,
+           CASE WHEN (event_id * (event_id + 1)) % 5 = 0 THEN 1 ELSE 0 END AS is_del
+    FROM visits
+),
+r AS (
+    SELECT url, event_id, is_del,
+           ROW_NUMBER() OVER (PARTITION BY url ORDER BY ts_us DESC, event_id DESC) AS rn,
+           COUNT(*) OVER (PARTITION BY url) AS n_ops
+    FROM log
+)
+SELECT url, event_id AS last_event, CAST(n_ops AS BIGINT) AS n_ops
+FROM r WHERE rn = 1 AND is_del = 0
+"""

@@ -275,3 +275,55 @@ class TestBpeAndPhraseProperties:
             assert len(toks) < L
         else:
             assert np.array_equal(m, expect)
+
+
+def test_char_entropy_planted_values(tmp_path):
+    """Closed-form cases: single-char doc has H=0; uniform two-char doc has
+    H=ln 2; empty docs are excluded."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_search_ray.pipelines.textops import char_entropy
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["aaaa", "abab", "", "aab"], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    df = char_entropy(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert 3 not in df.index
+    assert df.loc[1, "entropy_micro"] == 0
+    assert df.loc[2, "entropy_micro"] == round(math.log(2) * 1e6)
+    want3 = math.log(3) - (2 * math.log(2)) / 3
+    assert df.loc[4, "entropy_micro"] == round(want3 * 1e6)
+
+
+def test_containment_direction_quote_in_page(tmp_path):
+    """A short passage quoted verbatim inside a long page: containment from
+    the quote side is 1.0; the reverse direction is far below threshold and
+    absent; Jaccard would miss the pair entirely at 0.5."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_search_ray.pipelines.dedup_pipelines import containment_pairs
+
+    quote = " ".join(f"w{i}" for i in range(10))
+    page = " ".join(f"p{i}" for i in range(80)) + " " + quote + " " + " ".join(
+        f"q{i}" for i in range(80)
+    )
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([quote, page], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    df = containment_pairs(str(tmp_path)).to_pandas()
+    pairs = {(r.src, r.dst): r.containment_micro for r in df.itertuples()}
+    assert pairs[(1, 2)] == 1_000_000          # quote fully contained
+    assert (2, 1) not in pairs                 # reverse below 0.8 threshold

@@ -327,3 +327,40 @@ class TestKRing:
                 if 0 <= x + dx < n and 0 <= y + dy < n
             )
             assert ring.loc[x * n + y, "n_ring"] == want, (x, y)
+
+
+def test_changelog_apply_tombstone_semantics(tmp_path):
+    """Planted op stream: a url whose last op is a delete vanishes; an
+    upsert AFTER a delete resurrects; n_ops counts every op."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_search_ray.pipelines.webcorpus import changelog_apply
+
+    # op rule: delete iff e*(e+1) % 5 == 0
+    dels = [e for e in range(40) if (e * (e + 1)) % 5 == 0]
+    ups = [e for e in range(40) if (e * (e + 1)) % 5 != 0]
+    assert len(dels) >= 2 and len(ups) >= 3
+    n_urls = 12 // 3  # 12 docs -> 4 urls; url of event e is e % 4
+    # url 0: upsert then delete (dead); url 1: delete then upsert (alive)
+    d0 = next(e for e in dels if e % n_urls == 0)
+    u0 = next(e for e in ups if e % n_urls == 0)
+    d1 = next(e for e in dels if e % n_urls == 1)
+    u1 = next(e for e in ups if e % n_urls == 1)
+    rows = [(u0, 100), (d0, 200), (d1, 100), (u1, 200)]
+    ev = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000 + r[1] for r in rows], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(ev, str(tmp_path / "events.parquet"))
+    doc = pa.table({"doc_id": pa.array(list(range(12)), pa.int64())})
+    pq.write_table(doc, str(tmp_path / "documents.parquet"))
+
+    df = changelog_apply(str(tmp_path)).to_pandas()
+    urls = {u.rsplit("p", 1)[1]: r for u, r in zip(df["url"], df.itertuples())}
+    assert "0" not in urls                      # last op delete -> dead
+    assert urls["1"].last_event == u1           # resurrected by later upsert
+    assert urls["1"].n_ops == 2
