@@ -52,6 +52,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["containment_pairs"] = dedup_pipelines.containment_pairs  # directed |A∩B|/|A| dedup signal
     q["embed_normalize"] = simsearch.embed_normalize  # per-dim z-score standardization
     q["nearest_centroid"] = simsearch.nearest_centroid_classify  # integer-exact confusion matrix
+    q["tile_pyramid"] = tiling.tile_pyramid  # all-zoom count tiles, one corpus pass
+    q["shuffle_shards"] = traindata.shuffle_shards  # deterministic epoch shuffle + shards
+    q["promo_overlap"] = ev.promo_overlap  # broadcast interval-overlap measure join
     q["line_dedup"] = dedup_pipelines.line_dedup  # C4-style corpus-wide line dedup
     from osm_search_ray.pipelines import graph as _gq
 
@@ -411,6 +414,11 @@ GROUP BY 1, 2
     sql["containment_pairs"] = dedup_pipelines.sql_containment_pairs()
     sql["embed_normalize"] = simsearch.SQL_EMBED_NORMALIZE
     sql["nearest_centroid"] = simsearch.SQL_NEAREST_CENTROID
+    sql["tile_pyramid"] = _ti.sql_tile_pyramid()
+    sql["promo_overlap"] = ev.SQL_PROMO_OVERLAP
+    from osm_search_ray.pipelines import traindata as _td0
+
+    sql["shuffle_shards"] = _td0.sql_shuffle_shards()
     sql["line_dedup"] = dedup_pipelines.SQL_LINE_DEDUP
     sql["label_prop"] = graph.sql_label_prop()
     sql["bfs_levels"] = graph.sql_bfs_levels()

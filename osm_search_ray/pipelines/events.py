@@ -1363,20 +1363,11 @@ FROM events
 """
 
 
-def session_concurrency(sf_dir: str, gap_minutes: int = 30):
-    """Sweep-line concurrency: for every session (same 30-min-gap rule as
-    ``sessionize``), how many sessions are open at its start instant —
-    including itself and any session whose closed interval [first event ts,
-    last event ts] covers that instant. The classic interval-overlap
-    counting problem, solved without a join: sessions become +1/-1 boundary
-    markers (-1 at end+1us so a session ending at t still overlaps one
-    starting at t), one global sort by (ts, delta, user, session) puts every
-    -1 before the +1s of the same instant, and a distributed inclusive
-    prefix sum (stages/joins.prefix_sum_inclusive — per-block sums, O(blocks)
-    driver carries, no second exchange) yields the running open-count.
-    Equal-instant starts are serialized by (user_id, session_idx), so each
-    sees the previous ones — exactly SQL's ROWS-frame rule over the same
-    total order. Output (user_id, session_idx, start_us, concurrency)."""
+def session_intervals(sf_dir: str, gap_minutes: int = 30):
+    """(user_id, session_idx, start_us, end_us) closed session intervals —
+    the shared front half of session_concurrency / promo_overlap: one
+    user-keyed exchange, vectorized per-user boundary detection (same
+    30-min-gap rule and (ts, event_id) tie order as ``sessionize``)."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
     gap_us = gap_minutes * 60 * 1_000_000
 
@@ -1395,9 +1386,6 @@ def session_concurrency(sf_dir: str, gap_minutes: int = 30):
             g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
             ts = g["ts_us"].to_numpy(np.int64)
             new_sess = np.concatenate([[True], np.diff(ts) > gap_us])
-            sess = np.cumsum(new_sess) - 1
-            # per-session bounds: ts is sorted, sess is non-decreasing, so
-            # boundaries are the new_sess positions (vectorized, no loop)
             starts = ts[new_sess]
             ends = ts[np.concatenate([new_sess[1:], [True]])]
             outs.append(
@@ -1414,11 +1402,30 @@ def session_concurrency(sf_dir: str, gap_minutes: int = 30):
             {c: pd.Series(dtype=np.int64) for c in ["user_id", "session_idx", "start_us", "end_us"]}
         )
 
-    from ..stages.joins import hash_partitioned_apply, prefix_sum_inclusive
+    from ..stages.joins import hash_partitioned_apply
 
-    sessions = hash_partitioned_apply(
+    return hash_partitioned_apply(
         ds.map_batches(to_us, batch_format="pyarrow"), "user_id", per_user_intervals
     )
+
+
+def session_concurrency(sf_dir: str, gap_minutes: int = 30):
+    """Sweep-line concurrency: for every session (same 30-min-gap rule as
+    ``sessionize``), how many sessions are open at its start instant —
+    including itself and any session whose closed interval [first event ts,
+    last event ts] covers that instant. The classic interval-overlap
+    counting problem, solved without a join: sessions become +1/-1 boundary
+    markers (-1 at end+1us so a session ending at t still overlaps one
+    starting at t), one global sort by (ts, delta, user, session) puts every
+    -1 before the +1s of the same instant, and a distributed inclusive
+    prefix sum (stages/joins.prefix_sum_inclusive — per-block sums, O(blocks)
+    driver carries, no second exchange) yields the running open-count.
+    Equal-instant starts are serialized by (user_id, session_idx), so each
+    sees the previous ones — exactly SQL's ROWS-frame rule over the same
+    total order. Output (user_id, session_idx, start_us, concurrency)."""
+    from ..stages.joins import prefix_sum_inclusive
+
+    sessions = session_intervals(sf_dir, gap_minutes)
 
     def to_markers(batch: pa.Table) -> pa.Table:
         if "user_id" not in batch.column_names:  # schema-less empty partition
@@ -1576,4 +1583,100 @@ SELECT c.event_type, m.n_events, m.median_x2,
        CAST(ROUND(quantile_cont(abs(2 * c.v - m.median_x2), 0.5) * 2) AS BIGINT) AS mad_x4
 FROM c JOIN m USING (event_type)
 GROUP BY 1, 2, 3
+"""
+
+
+PROMO_PERIOD_US = 24 * 3600 * 1_000_000  # one window per day...
+PROMO_LEN_US = 6 * 3600 * 1_000_000     # ...lasting 6 hours
+PROMO_COUNT = 28
+
+
+def promo_overlap(sf_dir: str):
+    """Interval-overlap measure join: user sessions vs a small set of promo
+    windows (window k = [tmin + k·24h, +6h), k < 28, anchored at the global
+    min event time). The classic broadcast-small-side interval join: the
+    window table is driver-derived from ONE scalar aggregate and shipped
+    via ray.put; each session batch computes overlap = max(0,
+    min(end+1, we) - max(start, ws)) against ALL windows vectorized
+    (sessions × 28 — no shuffle, no range join); per-window partial sums
+    reduce in one tiny exchange. Output (promo_k, n_sessions,
+    total_overlap_us) for windows at least one session touches."""
+    from ..stages.joins import hash_partitioned_apply
+
+    tmin = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"]).map_batches(
+        lambda b: pa.table({"t": pa.array([b.column("ts").cast(pa.int64()).to_numpy().min()])}),
+        batch_format="pyarrow",
+    ).min("t")
+    ws = tmin + np.arange(PROMO_COUNT, dtype=np.int64) * PROMO_PERIOD_US
+    ref = ray.put(ws)
+
+    sessions = session_intervals(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {c: pd.Series(dtype=np.int64) for c in ["promo_k", "n_sessions", "total_overlap_us"]}
+            )
+        w0 = ray.get(ref)
+        s = df["start_us"].to_numpy(np.int64)[:, None]
+        e = df["end_us"].to_numpy(np.int64)[:, None] + 1  # half-open duration
+        ov = np.minimum(e, w0[None, :] + PROMO_LEN_US) - np.maximum(s, w0[None, :])
+        ov = np.maximum(ov, 0)
+        n = (ov > 0).sum(axis=0).astype(np.int64)
+        tot = ov.sum(axis=0).astype(np.int64)
+        keep = n > 0
+        return pd.DataFrame(
+            {
+                "promo_k": np.flatnonzero(keep).astype(np.int64),
+                "n_sessions": n[keep],
+                "total_overlap_us": tot[keep],
+            }
+        )
+
+    parts = sessions.map_batches(partial, batch_format="pandas")
+    return hash_partitioned_apply(
+        parts,
+        "promo_k",
+        lambda df: df.groupby("promo_k", sort=False)[["n_sessions", "total_overlap_us"]]
+        .sum()
+        .reset_index()
+        .astype(np.int64),
+        num_parts=8,
+    )
+
+
+SQL_PROMO_OVERLAP = f"""
+WITH ordered AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800 OR LAG(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS session_idx,
+           ts
+    FROM ordered
+),
+intervals AS (
+    SELECT user_id, session_idx,
+           MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) + 1 AS end_us
+    FROM sess GROUP BY 1, 2
+),
+tmin AS (SELECT MIN(epoch_us(ts)) AS t0 FROM events),
+windows AS (
+    SELECT CAST(k AS BIGINT) AS promo_k,
+           (SELECT t0 FROM tmin) + k * {PROMO_PERIOD_US} AS ws
+    FROM UNNEST(range(0, {PROMO_COUNT})) AS g(k)
+),
+ov AS (
+    SELECT w.promo_k,
+           LEAST(i.end_us, w.ws + {PROMO_LEN_US}) - GREATEST(i.start_us, w.ws) AS d
+    FROM intervals i JOIN windows w
+      ON i.start_us < w.ws + {PROMO_LEN_US} AND i.end_us > w.ws
+)
+SELECT promo_k, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(d) AS BIGINT) AS total_overlap_us
+FROM ov WHERE d > 0 GROUP BY 1
 """

@@ -556,3 +556,74 @@ scored AS (
 )
 SELECT doc_id, nn_id FROM scored WHERE rank = 1
 """
+
+
+PYRAMID_TOP = 8  # coarsest rollup level (res 12 → 8 = 5 pyramid levels)
+
+
+def tile_pyramid(sf_dir: str, res_fine: int = RES_COARSE, res_top: int = PYRAMID_TOP):
+    """The full TILE PYRAMID in one corpus pass: per-cell doc counts at the
+    finest resolution, then parent rollups level by level down to
+    ``res_top`` — the map-serving aggregation every tiling engine ships
+    (z/x/y count tiles at all zooms). Parent arithmetic is pure integer:
+    cell = x·2^r + y → parent = (x//2)·2^(r-1) + y//2, and the equirect
+    floor guarantees parent-of-child == direct assignment at the coarser
+    res (clamping included, n even). The corpus is read ONCE (combiner
+    partials at the finest level); each coarser level reduces the previous
+    one, a 4× smaller cells-bounded exchange per level — documents never
+    re-shuffle. Output (level, cell, n_docs) for level in [res_top,
+    res_fine]."""
+    from ray.data.aggregate import Sum
+
+    levels = {res_fine: tile_counts(sf_dir).materialize()}
+    for r in range(res_fine, res_top, -1):
+        n = 1 << r
+        half = n >> 1
+
+        def to_parent(batch: pa.Table, n=n, half=half) -> pa.Table:
+            c = batch.column(batch.column_names[0]).to_numpy().astype(np.int64)
+            parent = (c // n // 2) * half + (c % n) // 2
+            return pa.table({"cell": pa.array(parent), "n_docs": batch.column("n_docs")})
+
+        levels[r - 1] = (
+            levels[r]
+            .map_batches(to_parent, batch_format="pyarrow")
+            .groupby("cell")
+            .aggregate(Sum("n_docs", alias_name="n_docs"))
+            .materialize()
+        )
+
+    def tag(r: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            c = batch.column(batch.column_names[0]).to_numpy().astype(np.int64)
+            return pa.table(
+                {
+                    "level": pa.array(np.full(len(c), r, np.int64)),
+                    "cell": pa.array(c),
+                    "n_docs": batch.column("n_docs"),
+                }
+            )
+
+        return fn
+
+    out = None
+    for r, ds_r in sorted(levels.items()):
+        tagged = ds_r.map_batches(tag(r), batch_format="pyarrow")
+        out = tagged if out is None else out.union(tagged)
+    return out
+
+
+def sql_tile_pyramid(res_fine: int = RES_COARSE, res_top: int = PYRAMID_TOP) -> str:
+    import osm_search_ray.sources.derived as _dv
+
+    parts = []
+    for r in range(res_top, res_fine + 1):
+        parts.append(
+            f"SELECT CAST({r} AS BIGINT) AS level, {_dv.sql_cell_expr('lat', 'lon', r)} AS cell,\n"
+            f"       COUNT(*) AS n_docs FROM geo_pages GROUP BY 1, 2"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH {_dv.SQL_GEO_PAGES.strip()}
+{union}
+"""

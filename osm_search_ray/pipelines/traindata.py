@@ -508,3 +508,59 @@ SELECT doc_id, chunk_no, CAST(len(ct) AS BIGINT) AS n_tokens,
        array_to_string(ct, ' ') AS chunk_text
 FROM chunks
 """
+
+
+# --- deterministic global training-order shuffle + sharding ---
+
+SHARD_SIZE = 64
+
+
+def shuffle_shards(sf_dir: str, shard_size: int = SHARD_SIZE):
+    """Deterministic global SHUFFLE for training order + shard assignment:
+    every doc gets rank = splitmix64(doc_id) (the SQL-twinned mixer — a
+    seedable pseudo-random permutation with no RNG state), one range-
+    partitioned sort by (rank, doc_id) fixes the global order, and
+    stages/joins.zip_with_index numbers rows from per-block counts (O(blocks)
+    driver ints). Shards are contiguous runs of ``shard_size`` positions —
+    the resumable-epoch layout (shard = file, pos = offset). Output
+    (doc_id, shard, pos_in_shard)."""
+    from ..functions.hashing import splitmix64
+    from ..stages.joins import zip_with_index
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        # keep rk UNSIGNED: int64-casting would wrap high hashes negative,
+        # while the SQL twin orders the HUGEINT x in [0, 2^64)
+        return batch.append_column("rk", pa.array(splitmix64(d)))
+
+    srt = ds.map_batches(add_rank, batch_format="pyarrow").sort(["rk", "doc_id"])
+
+    def to_shard(t: pa.Table) -> pa.Table:
+        pos = t.column("row_id").to_numpy()
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "shard": pa.array(pos // shard_size),
+                "pos_in_shard": pa.array(pos % shard_size),
+            }
+        )
+
+    return zip_with_index(srt, "row_id").map_batches(to_shard, batch_format="pyarrow")
+
+
+def sql_shuffle_shards(shard_size: int = SHARD_SIZE) -> str:
+    from ..sources.derived import sql_splitmix64_chain
+
+    chain = sql_splitmix64_chain("documents", ["doc_id"], "doc_id", "mx")
+    return f"""
+WITH {chain},
+ranked AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY x, doc_id) - 1 AS pos
+    FROM mx
+)
+SELECT doc_id, pos // {shard_size} AS shard, pos % {shard_size} AS pos_in_shard
+FROM ranked
+"""
