@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # --- block A0: new this round (never driver-verified) ---
     from osm_search_ray.pipelines import bpe, cdc, graph as _gr0, traindata
+    from osm_search_ray.pipelines import profile as _pf0
     from osm_search_ray.pipelines import webcorpus as _wc0
 
     q["session_concurrency"] = ev.session_concurrency  # sweep-line open-session count
@@ -55,6 +56,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["tile_pyramid"] = tiling.tile_pyramid  # all-zoom count tiles, one corpus pass
     q["shuffle_shards"] = traindata.shuffle_shards  # deterministic epoch shuffle + shards
     q["promo_overlap"] = ev.promo_overlap  # broadcast interval-overlap measure join
+    q["path_trigrams"] = ev.path_trigrams  # 3-step sequence mining
+    q["conversion_lag"] = ev.conversion_lag  # time-to-conversion histogram
+    q["hotspot_cells"] = tiling.hotspot_cells  # cells above exact p95 density
+    q["doc_id_gaps"] = _pf0.doc_id_gaps  # filtered-id hole detection (prefix scan)
+    q["class_balance"] = traindata.class_balance  # min-class balanced downsampling
     q["line_dedup"] = dedup_pipelines.line_dedup  # C4-style corpus-wide line dedup
     from osm_search_ray.pipelines import graph as _gq
 
@@ -232,6 +238,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from osm_search_ray.pipelines import profile as _pf0s
+    from osm_search_ray.pipelines import tiling as _ti0
+    from osm_search_ray.pipelines import traindata as _td0
+
     cell12 = dv.sql_cell_expr("lat", "lon", 12)
     hav = dv.SQL_HAVERSINE.format(lat1="qlat", lon1="qlon", lat2="lat", lon2="lon")
     sql: dict[str, str] = {}
@@ -416,8 +426,11 @@ GROUP BY 1, 2
     sql["nearest_centroid"] = simsearch.SQL_NEAREST_CENTROID
     sql["tile_pyramid"] = _ti.sql_tile_pyramid()
     sql["promo_overlap"] = ev.SQL_PROMO_OVERLAP
-    from osm_search_ray.pipelines import traindata as _td0
-
+    sql["path_trigrams"] = ev.SQL_PATH_TRIGRAMS
+    sql["conversion_lag"] = ev.SQL_CONVERSION_LAG
+    sql["hotspot_cells"] = _ti0.sql_hotspot_cells()
+    sql["doc_id_gaps"] = _pf0s.SQL_DOC_ID_GAPS
+    sql["class_balance"] = _td0.sql_class_balance()
     sql["shuffle_shards"] = _td0.sql_shuffle_shards()
     sql["line_dedup"] = dedup_pipelines.SQL_LINE_DEDUP
     sql["label_prop"] = graph.sql_label_prop()

@@ -1680,3 +1680,130 @@ SELECT promo_k, CAST(COUNT(*) AS BIGINT) AS n_sessions,
        CAST(SUM(d) AS BIGINT) AS total_overlap_us
 FROM ov WHERE d > 0 GROUP BY 1
 """
+
+
+def path_trigrams(sf_dir: str):
+    """3-step behavioural paths: counts of consecutive event-type triples
+    per user timeline (the sequence-mining extension of next_transitions'
+    bigrams — funnel discovery / session-path features). Per-user ordering
+    is (ts, event_id); triples come from two vectorized shifts inside the
+    user partition (no per-row loop), partial counts fuse in one tiny
+    (e1, e2, e3)-keyed exchange. Output (e1, e2, e3, n)."""
+    from ..stages.joins import hash_partitioned_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def to_cols(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts_us": batch.column("ts").cast(pa.int64()),
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+            }
+        )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        et = df["event_type"].to_numpy(object)
+        uid = df["user_id"].to_numpy(np.int64)
+        # triple is valid when all three rows belong to the same user
+        same = (uid[:-2] == uid[1:-1]) & (uid[1:-1] == uid[2:])
+        if not same.any():
+            return pd.DataFrame(
+                {"e1": pd.Series(dtype=object), "e2": pd.Series(dtype=object),
+                 "e3": pd.Series(dtype=object), "n": pd.Series(dtype=np.int64)}
+            )
+        t = pd.DataFrame({"e1": et[:-2][same], "e2": et[1:-1][same], "e3": et[2:][same]})
+        g = t.groupby(["e1", "e2", "e3"], sort=False).size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    parts = hash_partitioned_apply(
+        ds.map_batches(to_cols, batch_format="pyarrow"), "user_id", per_user
+    )
+    return hash_partitioned_apply(
+        parts,
+        ["e1", "e2", "e3"],
+        lambda df: df.groupby(["e1", "e2", "e3"], sort=False)["n"].sum().reset_index()
+        if len(df)
+        else df,
+        num_parts=8,
+    )
+
+
+SQL_PATH_TRIGRAMS = """
+WITH seq AS (
+    SELECT user_id, event_type AS e1,
+           LEAD(event_type, 1) OVER w AS e2,
+           LEAD(event_type, 2) OVER w AS e3
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1, e2, e3, COUNT(*) AS n
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+
+CONV_BUCKET_US = 3600 * 1_000_000  # lag histogram granularity: hours
+
+
+def conversion_lag(sf_dir: str):
+    """Time-to-conversion distribution: for every user whose FIRST
+    'purchase' follows their FIRST 'view', the lag bucketed into whole
+    hours — the survival-curve input of funnel analytics. One user-keyed
+    exchange computes both firsts vectorized (groupby-min over the two
+    filtered frames); the histogram fuses in a bucket-keyed reduce.
+    Output (lag_hours, n_users)."""
+    from ..stages.joins import hash_partitioned_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"]
+    )
+
+    def to_cols(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts_us": batch.column("ts").cast(pa.int64()),
+                "event_type": batch.column("event_type"),
+            }
+        )
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[df["event_type"] == "view"].groupby("user_id", sort=False)["ts_us"].min()
+        p = df[df["event_type"] == "purchase"].groupby("user_id", sort=False)["ts_us"].min()
+        both = pd.concat([v.rename("v"), p.rename("p")], axis=1).dropna()
+        both = both[both["p"] >= both["v"]]
+        if not len(both):
+            return pd.DataFrame({"lag_hours": pd.Series(dtype=np.int64), "n_users": pd.Series(dtype=np.int64)})
+        lag = ((both["p"] - both["v"]).to_numpy(np.int64)) // CONV_BUCKET_US
+        g = pd.Series(lag).value_counts().sort_index()
+        return pd.DataFrame({"lag_hours": g.index.to_numpy(np.int64), "n_users": g.to_numpy(np.int64)})
+
+    parts = hash_partitioned_apply(
+        ds.map_batches(to_cols, batch_format="pyarrow"), "user_id", per_user
+    )
+    return hash_partitioned_apply(
+        parts,
+        "lag_hours",
+        lambda df: df.groupby("lag_hours", sort=False)["n_users"].sum().reset_index()
+        if len(df)
+        else df,
+        num_parts=8,
+    )
+
+
+SQL_CONVERSION_LAG = f"""
+WITH f AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+           MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+    FROM events GROUP BY 1
+)
+SELECT (p - v) // {CONV_BUCKET_US} AS lag_hours, COUNT(*) AS n_users
+FROM f WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v
+GROUP BY 1
+"""

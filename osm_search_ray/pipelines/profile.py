@@ -158,3 +158,54 @@ SELECT CASE WHEN n_chars = 0 THEN 0
        CAST(SUM(n_chars) AS BIGINT) AS chars_sum
 FROM documents GROUP BY 1
 """
+
+
+def doc_id_gaps(sf_dir: str):
+    """Gaps in a FILTERED id space: every maximal missing run between
+    consecutive doc ids of English documents — the sequence-audit /
+    hole-detection primitive (which id ranges does a subset skip?).
+    Distinct surviving ids reduce via per-batch unique + one id-keyed
+    exchange; the neighbor difference runs on the GLOBALLY SORTED id table
+    with a distributed exclusive prefix-max (stages/joins.prefix_max_exclusive
+    — O(blocks) driver carries; for sorted ids the exclusive running max IS
+    the immediate predecessor), so no self-join, no LAG shuffle, and no
+    driver-side id list. Output (gap_start, gap_end, gap_len)."""
+    import ray.data
+
+    from ..stages.joins import hash_partitioned_apply, prefix_max_exclusive
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.equal(batch.column("lang"), "en"))
+        return pa.table({"id": pa.array(np.unique(t.column("doc_id").to_numpy()))})
+
+    ids = hash_partitioned_apply(
+        ds.map_batches(uniq, batch_format="pyarrow"), "id", lambda df: df.drop_duplicates()
+    ).sort("id")
+    scanned = prefix_max_exclusive(ids, "id", out_col="prev_id")
+
+    def gaps(batch: pa.Table) -> pa.Table:
+        cur = batch.column("id").to_numpy()
+        prev = batch.column("prev_id").to_numpy()
+        big_neg = np.iinfo(np.int64).min
+        keep = (prev != big_neg) & (cur - prev > 1)
+        return pa.table(
+            {
+                "gap_start": pa.array(prev[keep] + 1),
+                "gap_end": pa.array(cur[keep] - 1),
+                "gap_len": pa.array(cur[keep] - prev[keep] - 1),
+            }
+        )
+
+    return scanned.map_batches(gaps, batch_format="pyarrow")
+
+
+SQL_DOC_ID_GAPS = """
+WITH ids AS (SELECT DISTINCT doc_id AS id FROM documents WHERE lang = 'en'),
+nbr AS (SELECT id, LAG(id) OVER (ORDER BY id) AS prev_id FROM ids)
+SELECT prev_id + 1 AS gap_start, id - 1 AS gap_end, id - prev_id - 1 AS gap_len
+FROM nbr WHERE prev_id IS NOT NULL AND id - prev_id > 1
+"""

@@ -627,3 +627,50 @@ def sql_tile_pyramid(res_fine: int = RES_COARSE, res_top: int = PYRAMID_TOP) -> 
 WITH {_dv.SQL_GEO_PAGES.strip()}
 {union}
 """
+
+
+def hotspot_cells(sf_dir: str):
+    """Spatial hotspot detection: res-12 cells whose doc count exceeds the
+    corpus-wide 95th percentile of cell counts — the density-anomaly pass
+    over the tile grid. The threshold is an EXACT interpolated quantile of
+    the (cells-bounded) count distribution, carried at 20× integer scale
+    (quantile_cont of ints lands on k/20 grid for q=0.95) so the comparison
+    2·20·n > p95_x20·2 is pure int64 on both sides. One tile-counts
+    aggregate + a driver-side threshold from the cells-bounded histogram +
+    one filter pass. Output (cell_r12, n_docs, p95_x20)."""
+    counts = tile_counts(sf_dir).materialize()
+    hist = counts.to_pandas()  # cells-bounded, not row-bounded
+    v = np.sort(hist["n_docs"].to_numpy(np.int64))
+    n = v.size
+    pos = (n - 1) * 0.95
+    lo = int(pos)
+    frac = pos - lo  # multiple of 1/20 for q=.95 → exact in binary
+    p95_x20 = int(round((v[lo] * (1 - frac) + v[min(lo + 1, n - 1)] * frac) * 20))
+
+    def flt(batch: pa.Table) -> pa.Table:
+        nd = batch.column("n_docs").to_numpy()
+        keep = 20 * nd > p95_x20
+        c = batch.column("cell_r12").to_numpy()[keep]
+        return pa.table(
+            {
+                "cell_r12": pa.array(c.astype(np.int64)),
+                "n_docs": pa.array(nd[keep].astype(np.int64)),
+                "p95_x20": pa.array(np.full(keep.sum(), p95_x20, np.int64)),
+            }
+        )
+
+    return counts.map_batches(flt, batch_format="pyarrow")
+
+
+def sql_hotspot_cells() -> str:
+    import osm_search_ray.sources.derived as _dv
+
+    cell12 = _dv.sql_cell_expr("lat", "lon", 12)
+    return f"""
+WITH {_dv.SQL_GEO_PAGES.strip()},
+cells AS (SELECT {cell12} AS cell_r12, COUNT(*) AS n_docs FROM geo_pages GROUP BY 1),
+thr AS (SELECT CAST(ROUND(quantile_cont(n_docs, 0.95) * 20) AS BIGINT) AS p95_x20 FROM cells)
+SELECT c.cell_r12, c.n_docs, t.p95_x20
+FROM cells c, thr t
+WHERE 20 * c.n_docs > t.p95_x20
+"""

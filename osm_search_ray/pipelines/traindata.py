@@ -564,3 +564,73 @@ ranked AS (
 SELECT doc_id, pos // {shard_size} AS shard, pos % {shard_size} AS pos_in_shard
 FROM ranked
 """
+
+
+def class_balance(sf_dir: str):
+    """Class-balanced downsampling: keep exactly min-class-count docs per
+    language, chosen by the deterministic splitmix64(doc_id) priority order
+    (no RNG, resumable — the balanced-training-set prep). Two stages: a
+    langs-bounded count aggregate fixes the quota (broadcast scalar), then
+    one lang-keyed exchange ranks per language by (hash, doc_id) and cuts —
+    the same priority discipline as sample_stratified. Output
+    (lang, doc_id, rank)."""
+    from ..functions.hashing import splitmix64
+    from ..stages.joins import hash_partitioned_apply
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.is_valid(batch.column("lang")))
+        u, c = np.unique(t.column("lang").to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"lang": pa.array(u.astype(object), pa.string()), "n": pa.array(c.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # langs-bounded
+    )
+    quota = int(counts["n"].min())
+
+    def per_lang(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["lang"].notna()].copy()
+        if not len(df):
+            return pd.DataFrame(
+                {"lang": pd.Series(dtype=object), "doc_id": pd.Series(dtype=np.int64),
+                 "rank": pd.Series(dtype=np.int64)}
+            )
+        df["h"] = splitmix64(df["doc_id"].to_numpy(np.int64).astype(np.uint64))
+        df = df.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        df["rank"] = df.groupby("lang", sort=False).cumcount() + 1
+        out = df[df["rank"] <= quota]
+        return pd.DataFrame(
+            {
+                "lang": out["lang"].to_numpy(object),
+                "doc_id": out["doc_id"].to_numpy(np.int64),
+                "rank": out["rank"].to_numpy(np.int64),
+            }
+        )
+
+    return hash_partitioned_apply(ds, "lang", per_lang)
+
+
+def sql_class_balance() -> str:
+    from ..sources.derived import sql_splitmix64_chain
+
+    chain = sql_splitmix64_chain(
+        "(SELECT doc_id, lang FROM documents WHERE lang IS NOT NULL)", ["doc_id", "lang"], "doc_id", "mx"
+    )
+    return f"""
+WITH {chain},
+q AS (SELECT MIN(n) AS quota FROM (SELECT COUNT(*) AS n FROM documents WHERE lang IS NOT NULL GROUP BY lang)),
+ranked AS (
+    SELECT lang, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY x, doc_id) AS rank
+    FROM mx
+)
+SELECT lang, doc_id, rank FROM ranked WHERE rank <= (SELECT quota FROM q)
+"""

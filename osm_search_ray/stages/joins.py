@@ -213,14 +213,18 @@ def prefix_max_exclusive(
 
     @ray.remote
     def block_max(t: pa.Table) -> int:
-        v = t.column(value_col).to_numpy()
-        return int(v.max()) if len(v) else PREFIX_SENTINEL
+        # sort can emit schema-less empty blocks (partitions > rows)
+        if value_col not in t.column_names or len(t) == 0:
+            return PREFIX_SENTINEL
+        return int(t.column(value_col).to_numpy().max())
 
     maxes = np.array(ray.get([block_max.remote(r) for r in refs]), np.int64)
     carries = np.concatenate([[PREFIX_SENTINEL], np.maximum.accumulate(maxes)[:-1]])
 
     @ray.remote
     def add_prev(t: pa.Table, carry: int) -> pa.Table:
+        if value_col not in t.column_names:
+            return t.append_column(out_col, pa.array([], pa.int64()))
         v = t.column(value_col).to_numpy().astype(np.int64)
         if len(v):
             shifted = np.concatenate([[PREFIX_SENTINEL], np.maximum.accumulate(v)[:-1]])
