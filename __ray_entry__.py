@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["hotspot_cells"] = tiling.hotspot_cells  # cells above exact p95 density
     q["doc_id_gaps"] = _pf0.doc_id_gaps  # filtered-id hole detection (prefix scan)
     q["class_balance"] = traindata.class_balance  # min-class balanced downsampling
+    q["label_medoids"] = simsearch.label_medoids  # exact per-cluster medoid, O(n) decomposition
+    q["ohlc_hourly"] = ev.ohlc_hourly  # first/last-by-time candlesticks (mergeable)
     q["line_dedup"] = dedup_pipelines.line_dedup  # C4-style corpus-wide line dedup
     from osm_search_ray.pipelines import graph as _gq
 
@@ -431,6 +433,8 @@ GROUP BY 1, 2
     sql["hotspot_cells"] = _ti0.sql_hotspot_cells()
     sql["doc_id_gaps"] = _pf0s.SQL_DOC_ID_GAPS
     sql["class_balance"] = _td0.sql_class_balance()
+    sql["label_medoids"] = simsearch.SQL_LABEL_MEDOIDS
+    sql["ohlc_hourly"] = ev.SQL_OHLC_HOURLY
     sql["shuffle_shards"] = _td0.sql_shuffle_shards()
     sql["line_dedup"] = dedup_pipelines.SQL_LINE_DEDUP
     sql["label_prop"] = graph.sql_label_prop()

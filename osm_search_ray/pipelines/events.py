@@ -1807,3 +1807,90 @@ SELECT (p - v) // {CONV_BUCKET_US} AS lag_hours, COUNT(*) AS n_users
 FROM f WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v
 GROUP BY 1
 """
+
+
+def ohlc_hourly(sf_dir: str):
+    """OHLC candlesticks per (event_type, hour): open/close = the value of
+    the FIRST/LAST event in the bucket (by ts, event_id), high/low =
+    max/min — the first/last-by-time aggregate family, built MERGEABLE:
+    each batch emits one row per touched bucket carrying (argmin-ts open,
+    argmax-ts close, min, max, n) partials; the fuse re-applies the same
+    argmin/argmax over partials, so the reduction is associative and the
+    exchange is bucket-bounded, never row-bounded. Values in exact cents.
+    Output (event_type, hour_bucket, open_cents, high_cents, low_cents,
+    close_cents, n_events)."""
+    from ..stages.joins import hash_partitioned_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "event_type": batch.column("event_type").to_pandas(),
+                "ts_us": batch.column("ts").cast(pa.int64()).to_numpy(),
+                "event_id": batch.column("event_id").to_numpy(),
+                "cents": np.rint(batch.column("value").to_numpy() * 100).astype(np.int64),
+            }
+        )
+        df["hour_bucket"] = df["ts_us"] // (3600 * 1_000_000)
+        df = df.sort_values(["event_type", "hour_bucket", "ts_us", "event_id"], kind="mergesort")
+        g = df.groupby(["event_type", "hour_bucket"], sort=False)
+        out = g.agg(
+            open_ts=("ts_us", "first"),
+            open_eid=("event_id", "first"),
+            open_cents=("cents", "first"),
+            close_ts=("ts_us", "last"),
+            close_eid=("event_id", "last"),
+            close_cents=("cents", "last"),
+            high_cents=("cents", "max"),
+            low_cents=("cents", "min"),
+            n_events=("cents", "size"),
+        ).reset_index()
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    def fuse(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_type", "hour_bucket", "open_ts", "open_eid"], kind="mergesort")
+        g = df.groupby(["event_type", "hour_bucket"], sort=False)
+        first = g[["open_cents"]].first()
+        df2 = df.sort_values(["event_type", "hour_bucket", "close_ts", "close_eid"], kind="mergesort")
+        g2 = df2.groupby(["event_type", "hour_bucket"], sort=False)
+        last = g2[["close_cents"]].last()
+        agg = g[["high_cents"]].max().join(g[["low_cents"]].min()).join(g[["n_events"]].sum())
+        out = first.join(last).join(agg).reset_index()
+        for c in ["open_cents", "high_cents", "low_cents", "close_cents", "n_events"]:
+            out[c] = out[c].astype(np.int64)
+        return out[
+            ["event_type", "hour_bucket", "open_cents", "high_cents", "low_cents", "close_cents", "n_events"]
+        ]
+
+    return hash_partitioned_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), ["event_type", "hour_bucket"], fuse, num_parts=16
+    )
+
+
+SQL_OHLC_HOURLY = """
+WITH c AS (
+    SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket,
+           epoch_us(ts) AS ts_us, event_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+w AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY event_type, hour_bucket
+                              ORDER BY ts_us, event_id) AS rn_a,
+           ROW_NUMBER() OVER (PARTITION BY event_type, hour_bucket
+                              ORDER BY ts_us DESC, event_id DESC) AS rn_d
+    FROM c
+)
+SELECT event_type, hour_bucket,
+       MAX(CASE WHEN rn_a = 1 THEN cents END) AS open_cents,
+       MAX(cents) AS high_cents,
+       MIN(cents) AS low_cents,
+       MAX(CASE WHEN rn_d = 1 THEN cents END) AS close_cents,
+       COUNT(*) AS n_events
+FROM w GROUP BY 1, 2
+"""

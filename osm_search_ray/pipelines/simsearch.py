@@ -1016,3 +1016,104 @@ pred AS (
 SELECT true_label, pred_label, COUNT(*) AS n_vecs
 FROM pred WHERE rn = 1 GROUP BY 1, 2
 """
+
+
+def label_medoids(sf_dir: str):
+    """EXACT medoid per label: the member vector minimizing the sum of
+    squared distances to all vectors of its label — the outlier-robust
+    cluster representative (SemDeDup keeps medoids, k-medoids seeds from
+    them). All arithmetic on the ×1000-quantized ints: sum of squared
+    distances from member i decomposes as n·|qᵢ|² - 2·qᵢ·S + Σ|q|², so one
+    label-keyed exchange computing the label's (n, S, Σ|q|²) partials and
+    a second vectorized pass scoring every member against its label's
+    moments replaces the O(n²) pairwise matrix; ties break by min vec_id.
+    All-int64 (components ≤3e3 quantized → scores ≤ ~1e13 at fixture
+    scale; the same decomposition holds with int128 blocks at corpus
+    scale). Output (label, medoid_vec_id, sq_dist_sum)."""
+    from ..functions.arrowutil import vec_matrix
+    from ..stages.joins import hash_partitioned_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"]
+    )
+
+    def score_rows(batch: pa.Table) -> pd.DataFrame:
+        q = np.rint(vec_matrix(batch.column("embedding")) * 1000.0).astype(np.int64)
+        lab = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        dim = q.shape[1]
+        return pd.DataFrame(
+            {
+                "label": lab,
+                "vec_id": vid,
+                "nrm": (q * q).sum(axis=1),
+                **{f"c{d}": q[:, d] for d in range(dim)},
+            }
+        )
+
+    def per_label(df: pd.DataFrame) -> pd.DataFrame:
+        ccols = [c for c in df.columns if c.startswith("c")]
+        outs = []
+        for lab, g in df.groupby("label", sort=False):
+            q = g[ccols].to_numpy(np.int64)
+            nrm = g["nrm"].to_numpy(np.int64)
+            n = len(g)
+            S = q.sum(axis=0)
+            tot = int(nrm.sum())
+            # Σ_j |q_i - q_j|² = n·|q_i|² - 2·q_i·S + Σ_j |q_j|²
+            scores = n * nrm - 2 * (q @ S) + tot
+            g2 = pd.DataFrame({"vec_id": g["vec_id"].to_numpy(np.int64), "sc": scores})
+            g2 = g2.sort_values(["sc", "vec_id"], kind="mergesort")
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "label": [lab],
+                        "medoid_vec_id": [int(g2["vec_id"].iloc[0])],
+                        "sq_dist_sum": [int(g2["sc"].iloc[0])],
+                    }
+                )
+            )
+        return (
+            pd.concat(outs, ignore_index=True).astype(np.int64)
+            if outs
+            else pd.DataFrame(
+                {c: pd.Series(dtype=np.int64) for c in ["label", "medoid_vec_id", "sq_dist_sum"]}
+            )
+        )
+
+    return hash_partitioned_apply(
+        ds.map_batches(score_rows, batch_format="pyarrow"), "label", per_label, num_parts=8
+    )
+
+
+SQL_LABEL_MEDOIDS = """
+WITH q AS (
+    SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(j.j AS BIGINT) AS dim,
+           CAST(round_even(CAST(embedding[j.j + 1] AS DOUBLE) * 1000, 0) AS BIGINT) AS qv
+    FROM embeddings, UNNEST(range(0, len(embedding))) AS j(j)
+),
+nrm AS (SELECT vec_id, label, CAST(SUM(qv * qv) AS BIGINT) AS nrm FROM q GROUP BY 1, 2),
+mom AS (
+    SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS s FROM q GROUP BY 1, 2
+),
+lt AS (
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(nrm) AS BIGINT) AS tot
+    FROM nrm GROUP BY 1
+),
+dot AS (
+    SELECT q.vec_id, q.label, CAST(SUM(q.qv * m.s) AS BIGINT) AS qs
+    FROM q JOIN mom m ON m.label = q.label AND m.dim = q.dim
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT n.vec_id, n.label, lt.n * n.nrm - 2 * d.qs + lt.tot AS sc
+    FROM nrm n JOIN dot d USING (vec_id, label) JOIN lt USING (label)
+),
+best AS (
+    SELECT label, vec_id, sc,
+           ROW_NUMBER() OVER (PARTITION BY label ORDER BY sc, vec_id) AS rn
+    FROM scored
+)
+SELECT label, vec_id AS medoid_vec_id, sc AS sq_dist_sum
+FROM best WHERE rn = 1
+"""
