@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from osm_search_ray.pipelines import profile as _pf0
     from osm_search_ray.pipelines import webcorpus as _wc0
 
+    q["adaptive_tiles"] = tiling.adaptive_tiles  # quadtree cap-split leaf tiling
+    q["dbscan_cells"] = tiling.dbscan_cells  # grid DBSCAN density clustering
     q["session_concurrency"] = ev.session_concurrency  # sweep-line open-session count
     q["fuzzy_join_terms"] = textops.fuzzy_join_terms  # lev<=1 join, deletes blocking
     q["chunk_windows"] = traindata.chunk_windows  # RAG overlapping token windows
@@ -431,6 +433,8 @@ GROUP BY 1, 2
     sql["path_trigrams"] = ev.SQL_PATH_TRIGRAMS
     sql["conversion_lag"] = ev.SQL_CONVERSION_LAG
     sql["hotspot_cells"] = _ti0.sql_hotspot_cells()
+    sql["adaptive_tiles"] = _ti0.sql_adaptive_tiles()
+    sql["dbscan_cells"] = _ti0.sql_dbscan_cells()
     sql["doc_id_gaps"] = _pf0s.SQL_DOC_ID_GAPS
     sql["class_balance"] = _td0.sql_class_balance()
     sql["label_medoids"] = simsearch.SQL_LABEL_MEDOIDS

@@ -561,18 +561,10 @@ SELECT doc_id, nn_id FROM scored WHERE rank = 1
 PYRAMID_TOP = 8  # coarsest rollup level (res 12 → 8 = 5 pyramid levels)
 
 
-def tile_pyramid(sf_dir: str, res_fine: int = RES_COARSE, res_top: int = PYRAMID_TOP):
-    """The full TILE PYRAMID in one corpus pass: per-cell doc counts at the
-    finest resolution, then parent rollups level by level down to
-    ``res_top`` — the map-serving aggregation every tiling engine ships
-    (z/x/y count tiles at all zooms). Parent arithmetic is pure integer:
-    cell = x·2^r + y → parent = (x//2)·2^(r-1) + y//2, and the equirect
-    floor guarantees parent-of-child == direct assignment at the coarser
-    res (clamping included, n even). The corpus is read ONCE (combiner
-    partials at the finest level); each coarser level reduces the previous
-    one, a 4× smaller cells-bounded exchange per level — documents never
-    re-shuffle. Output (level, cell, n_docs) for level in [res_top,
-    res_fine]."""
+def _pyramid_levels(sf_dir: str, res_fine: int, res_top: int) -> dict:
+    """Per-cell doc counts at every level in [res_top, res_fine]: ONE corpus
+    pass at the finest level, then 4×-shrinking cells-bounded parent rollups
+    (the shared core of tile_pyramid and adaptive_tiles)."""
     from ray.data.aggregate import Sum
 
     levels = {res_fine: tile_counts(sf_dir).materialize()}
@@ -592,6 +584,22 @@ def tile_pyramid(sf_dir: str, res_fine: int = RES_COARSE, res_top: int = PYRAMID
             .aggregate(Sum("n_docs", alias_name="n_docs"))
             .materialize()
         )
+    return levels
+
+
+def tile_pyramid(sf_dir: str, res_fine: int = RES_COARSE, res_top: int = PYRAMID_TOP):
+    """The full TILE PYRAMID in one corpus pass: per-cell doc counts at the
+    finest resolution, then parent rollups level by level down to
+    ``res_top`` — the map-serving aggregation every tiling engine ships
+    (z/x/y count tiles at all zooms). Parent arithmetic is pure integer:
+    cell = x·2^r + y → parent = (x//2)·2^(r-1) + y//2, and the equirect
+    floor guarantees parent-of-child == direct assignment at the coarser
+    res (clamping included, n even). The corpus is read ONCE (combiner
+    partials at the finest level); each coarser level reduces the previous
+    one, a 4× smaller cells-bounded exchange per level — documents never
+    re-shuffle. Output (level, cell, n_docs) for level in [res_top,
+    res_fine]."""
+    levels = _pyramid_levels(sf_dir, res_fine, res_top)
 
     def tag(r: int):
         def fn(batch: pa.Table) -> pa.Table:
@@ -626,6 +634,301 @@ def sql_tile_pyramid(res_fine: int = RES_COARSE, res_top: int = PYRAMID_TOP) -> 
     return f"""
 WITH {_dv.SQL_GEO_PAGES.strip()}
 {union}
+"""
+
+
+# ----------------------------------------------------- adaptive quadtree tiling
+
+TILE_CAP = 64  # max docs per tile before it must split (the quadtree knob)
+
+
+def adaptive_tiles(
+    sf_dir: str, res_fine: int = RES_COARSE, res_top: int = PYRAMID_TOP, cap: int = TILE_CAP
+):
+    """ADAPTIVE (quadtree) tiling: split every tile whose doc count exceeds
+    ``cap`` into its 4 children, recursively, down to ``res_fine`` — the
+    cap-split leaf layout tile servers use so dense urban tiles go deep
+    while empty ocean stays coarse (the reference's R-tree leaf-size bound,
+    /root/reference/pkg/datastructure/rtree.go MAXENTRIES, re-expressed as a
+    grid decomposition).
+
+    Counts are monotone up the pyramid (parent ≥ child), so a tile is a LEAF
+    of the decomposition iff
+      - level == res_top and count ≤ cap                  (never split), or
+      - count ≤ cap and count(parent) > cap               (split stopped here), or
+      - level == res_fine and count(parent) > cap         (unsplittable floor —
+        kept even when still over cap; parent > cap implies every higher
+        ancestor > cap, so the tile genuinely exists in the decomposition).
+    Leaves therefore partition the corpus: every page lies in exactly one
+    (tests/test_adaptive_dbscan.py pins Σ n_docs == n_pages).
+
+    Shape: ONE corpus pass (a multi-level combiner emits per-batch partial
+    counts for every level at once — the pyramid re-keyed by pure parent bit
+    math), ONE (level, cell) count reduce, then ONE bounded exchange keyed
+    by (level, parent cell) in which every count row plays child to its
+    parent and parent to its children — so the whole decomposition costs
+    two cells-bounded exchanges after the corpus read, no broadcast of any
+    level-sized table, and nothing corpus-sized ever re-shuffles. Output
+    (level, cell, n_docs) over leaf tiles only."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..functions.cells import parent_cell
+    from ..stages.joins import hash_partitioned_apply
+
+    rng = list(range(res_top, res_fine + 1))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        fine = batch.column("cell_r12").to_numpy()
+        lvl_out, cell_out, n_out = [], [], []
+        for r in rng:
+            u, c = np.unique(parent_cell(fine, res_fine, r), return_counts=True)
+            lvl_out.append(np.full(u.size, r, np.int64))
+            cell_out.append(u)
+            n_out.append(c.astype(np.int64))
+        return pa.table(
+            {
+                "level": pa.array(np.concatenate(lvl_out)),
+                "cell": pa.array(np.concatenate(cell_out)),
+                "n_docs": pa.array(np.concatenate(n_out)),
+            }
+        )
+
+    counts = (
+        tiled_pages(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["level", "cell"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        lvl = batch.column("level").to_numpy().astype(np.int64)
+        c = batch.column("cell").to_numpy().astype(np.int64)
+        nd = batch.column("n_docs").to_numpy().astype(np.int64)
+        # child role: keyed by (own level, parent cell); top level keys to
+        # its own cell (no parent exists — the partition rule special-cases it)
+        n_arr = np.int64(1) << lvl
+        half = n_arr >> 1
+        pcell = np.where(lvl > res_top, (c // n_arr // 2) * half + (c % n_arr) // 2, c)
+        roles = [
+            pa.table(
+                {
+                    "klevel": pa.array(lvl),
+                    "pkey": pa.array(pcell),
+                    "cell": pa.array(c),
+                    "n": pa.array(nd),
+                    "side": pa.array(np.ones(c.size, np.int8)),
+                }
+            )
+        ]
+        m = lvl < res_fine  # parent role for the level below
+        roles.append(
+            pa.table(
+                {
+                    "klevel": pa.array(lvl[m] + 1),
+                    "pkey": pa.array(c[m]),
+                    "cell": pa.array(c[m]),
+                    "n": pa.array(nd[m]),
+                    "side": pa.array(np.zeros(int(m.sum()), np.int8)),
+                }
+            )
+        )
+        return pa.concat_tables(roles)
+
+    def leaves(df: "pd.DataFrame") -> "pd.DataFrame":
+        kids = df[df["side"] == 1]
+        par = df[df["side"] == 0][["klevel", "pkey", "n"]].rename(columns={"n": "pn"})
+        j = kids.merge(par, on=["klevel", "pkey"], how="left")
+        top = j["klevel"] == res_top
+        ok_top = top & (j["n"] <= cap)
+        deep = ~top & (j["pn"] > cap) & ((j["n"] <= cap) | (j["klevel"] == res_fine))
+        j = j[ok_top | deep]
+        return pd.DataFrame(
+            {
+                "level": j["klevel"].to_numpy(np.int64),
+                "cell": j["cell"].to_numpy(np.int64),
+                "n_docs": j["n"].to_numpy(np.int64),
+            }
+        )
+
+    tagged = counts.map_batches(tag, batch_format="pyarrow")
+    return hash_partitioned_apply(tagged, ["klevel", "pkey"], leaves)
+
+
+def sql_adaptive_tiles(
+    res_fine: int = RES_COARSE, res_top: int = PYRAMID_TOP, cap: int = TILE_CAP
+) -> str:
+    import osm_search_ray.sources.derived as _dv
+
+    ctes = [
+        f"c{r} AS (SELECT {_dv.sql_cell_expr('lat', 'lon', r)} AS cell, COUNT(*) AS n\n"
+        f"         FROM geo_pages GROUP BY 1)"
+        for r in range(res_top, res_fine + 1)
+    ]
+    parts = [
+        f"SELECT CAST({res_top} AS BIGINT) AS level, cell, n AS n_docs FROM c{res_top} WHERE n <= {cap}"
+    ]
+    for r in range(res_top + 1, res_fine + 1):
+        n = 1 << r
+        half = n >> 1
+        own = f"AND c.n <= {cap}" if r != res_fine else ""
+        parts.append(
+            f"SELECT CAST({r} AS BIGINT) AS level, c.cell, c.n AS n_docs\n"
+            f"FROM c{r} c JOIN c{r - 1} p ON p.cell = (c.cell // {n} // 2) * {half} + (c.cell % {n}) // 2\n"
+            f"WHERE p.n > {cap} {own}"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH {_dv.SQL_GEO_PAGES.strip()},
+{cte_block}
+{union}
+"""
+
+
+# ----------------------------------------------------- grid DBSCAN clustering
+
+DBSCAN_MIN_PTS = 12  # 3x3-neighborhood density bound for a CORE cell
+
+
+def dbscan_cells(sf_dir: str, res: int = RES_COARSE, min_pts: int = DBSCAN_MIN_PTS):
+    """Grid DBSCAN (GDBSCAN on the cell lattice): a cell is CORE when its
+    3×3 neighborhood holds ≥ ``min_pts`` documents (the eps-neighborhood,
+    eps = one cell pitch, self included — exactly kring_density's n_ring);
+    clusters are the connected components of core cells under 8-adjacency,
+    labelled by the component's min cell id. The density-based spatial
+    clustering every geo stack ships, composed entirely from primitives this
+    engine already has: the k-ring density pass + the generic contraction-CC
+    operator, so every exchange is cells-bounded (the corpus shuffles once,
+    inside tile_counts' combiner aggregate; all later tables are ≤ one row
+    per occupied cell).
+
+    Adjacency edges: every core cell fans out to its ≤8 neighbors keyed BY
+    the neighbor, core occupants ride the same exchange side-tagged, so an
+    edge materializes only when both endpoints are core — no cells-squared
+    blowup, no driver state. Each undirected edge is born twice (once per
+    endpoint's partition); contraction CC is insensitive to duplicates, so
+    no distinct pass is spent. Singleton core cells (no core neighbor) take
+    cluster_id = self via one final cells-bounded side-tagged exchange.
+
+    Output (cell_r12, cluster_id, n_docs) over core cells."""
+    import pandas as pd
+
+    from ..stages.joins import hash_partitioned_apply
+    from .webcorpus import contraction_cc
+
+    n = 1 << res
+    cells = kring_density(sf_dir, res=res).materialize()
+
+    def core_only(batch: pa.Table) -> pa.Table:
+        keep = pa.array(batch.column("n_ring").to_numpy() >= min_pts)
+        return batch.filter(keep).select(["cell_r12", "n_docs"])
+
+    core = cells.map_batches(core_only, batch_format="pyarrow").materialize()
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell_r12").to_numpy(zero_copy_only=False).astype(np.int64)
+        x, y = cell // n, cell % n
+        keys, srcs, sides = [cell], [cell], [np.zeros(len(cell), np.int8)]
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                nx, ny = x + dx, y + dy
+                m = (nx >= 0) & (nx < n) & (ny >= 0) & (ny < n)
+                keys.append((nx * n + ny)[m])
+                srcs.append(cell[m])
+                sides.append(np.ones(int(m.sum()), np.int8))
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate(keys)),
+                "src": pa.array(np.concatenate(srcs)),
+                "side": pa.array(np.concatenate(sides)),
+            }
+        )
+
+    def to_edges(df: "pd.DataFrame") -> "pd.DataFrame":
+        occ = set(df.loc[df["side"] == 0, "key"].tolist())
+        nb = df[df["side"] == 1]
+        nb = nb[nb["key"].isin(occ)]
+        u = nb["src"].to_numpy(np.int64)
+        v = nb["key"].to_numpy(np.int64)
+        return pd.DataFrame({"u": np.minimum(u, v), "v": np.maximum(u, v)})
+
+    edges = hash_partitioned_apply(
+        core.map_batches(fan_out, batch_format="pyarrow"), "key", to_edges
+    )
+    cc = contraction_cc(edges)
+    if not isinstance(cc, ray.data.Dataset):
+        cc = ray.data.from_arrow(cc)
+
+    def tag_core(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cell_r12": batch.column("cell_r12"),
+                "val": batch.column("n_docs").cast(pa.int64()),
+                "side": pa.array(np.zeros(batch.num_rows, np.int8)),
+            }
+        )
+
+    def tag_cc(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cell_r12": batch.column("doc_id"),
+                "val": batch.column("cluster_id").cast(pa.int64()),
+                "side": pa.array(np.ones(batch.num_rows, np.int8)),
+            }
+        )
+
+    both = core.map_batches(tag_core, batch_format="pyarrow").union(
+        cc.map_batches(tag_cc, batch_format="pyarrow")
+    )
+
+    def fuse(df: "pd.DataFrame") -> "pd.DataFrame":
+        occ = df[df["side"] == 0]
+        lab = df[df["side"] == 1].set_index("cell_r12")["val"]
+        cells_ = occ["cell_r12"].to_numpy(np.int64)
+        cluster = lab.reindex(occ["cell_r12"]).fillna(-1).to_numpy(np.int64)
+        cluster = np.where(cluster < 0, cells_, cluster)
+        return pd.DataFrame(
+            {"cell_r12": cells_, "cluster_id": cluster, "n_docs": occ["val"].to_numpy(np.int64)}
+        )
+
+    return hash_partitioned_apply(both, "cell_r12", fuse)
+
+
+def sql_dbscan_cells(res: int = RES_COARSE, min_pts: int = DBSCAN_MIN_PTS) -> str:
+    import osm_search_ray.sources.derived as _dv
+
+    n = 1 << res
+    xe = f"LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT), 0), {n - 1})"
+    ye = f"LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * {n}) AS BIGINT), 0), {n - 1})"
+    return f"""
+WITH {_dv.SQL_GEO_PAGES.strip()},
+pts AS (SELECT {xe} AS x, {ye} AS y FROM geo_pages),
+cells AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY 1, 2),
+ring AS (
+    SELECT c.x, c.y, c.n, SUM(m.n) AS n_ring
+    FROM cells c JOIN cells m
+      ON m.x BETWEEN c.x - 1 AND c.x + 1 AND m.y BETWEEN c.y - 1 AND c.y + 1
+    GROUP BY 1, 2, 3),
+core AS (SELECT x, y, x * {n} + y AS cell, n FROM ring WHERE n_ring >= {min_pts}),
+edges0 AS (
+    SELECT a.cell AS u, b.cell AS v
+    FROM core a JOIN core b
+      ON b.x BETWEEN a.x - 1 AND a.x + 1 AND b.y BETWEEN a.y - 1 AND a.y + 1
+     AND a.cell < b.cell),
+edges AS (SELECT u, v FROM edges0 UNION SELECT v AS u, u AS v FROM edges0),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+reach AS (
+    WITH RECURSIVE r(node, reached) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT r.node, e.v FROM r JOIN edges e ON e.u = r.reached
+    ) SELECT * FROM r),
+comp AS (SELECT node, MIN(reached) AS cluster_id FROM reach GROUP BY node)
+SELECT c.cell AS cell_r12, COALESCE(p.cluster_id, c.cell) AS cluster_id, c.n AS n_docs
+FROM core c LEFT JOIN comp p ON p.node = c.cell
 """
 
 
