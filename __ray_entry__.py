@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["adaptive_tiles"] = tiling.adaptive_tiles  # quadtree cap-split leaf tiling
     q["dbscan_cells"] = tiling.dbscan_cells  # grid DBSCAN density clustering
+    q["keywords_tfidf"] = textops.keywords_tfidf  # per-doc top-k tf-idf keywords
+    q["postings_sizes"] = textops.postings_sizes  # gap+varint index size audit
     q["session_concurrency"] = ev.session_concurrency  # sweep-line open-session count
     q["fuzzy_join_terms"] = textops.fuzzy_join_terms  # lev<=1 join, deletes blocking
     q["chunk_windows"] = traindata.chunk_windows  # RAG overlapping token windows
@@ -435,6 +437,8 @@ GROUP BY 1, 2
     sql["hotspot_cells"] = _ti0.sql_hotspot_cells()
     sql["adaptive_tiles"] = _ti0.sql_adaptive_tiles()
     sql["dbscan_cells"] = _ti0.sql_dbscan_cells()
+    sql["keywords_tfidf"] = textops.sql_keywords_tfidf()
+    sql["postings_sizes"] = textops.sql_postings_sizes()
     sql["doc_id_gaps"] = _pf0s.SQL_DOC_ID_GAPS
     sql["class_balance"] = _td0.sql_class_balance()
     sql["label_medoids"] = simsearch.SQL_LABEL_MEDOIDS
