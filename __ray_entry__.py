@@ -47,6 +47,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["dbscan_cells"] = tiling.dbscan_cells  # grid DBSCAN density clustering
     q["keywords_tfidf"] = textops.keywords_tfidf  # per-doc top-k tf-idf keywords
     q["postings_sizes"] = textops.postings_sizes  # gap+varint index size audit
+    q["price_trend"] = relational.price_trend  # grouped OLS slope/intercept
+    q["bloom_semi_join"] = relational.bloom_semi_join  # bloom-pushdown semi-join
+    q["assoc_rules"] = ev.assoc_rules  # market-basket confidence rules
+    q["events_anomaly"] = ev.events_anomaly  # rolling z-score outlier flags
     q["session_concurrency"] = ev.session_concurrency  # sweep-line open-session count
     q["fuzzy_join_terms"] = textops.fuzzy_join_terms  # lev<=1 join, deletes blocking
     q["chunk_windows"] = traindata.chunk_windows  # RAG overlapping token windows
@@ -439,6 +443,10 @@ GROUP BY 1, 2
     sql["dbscan_cells"] = _ti0.sql_dbscan_cells()
     sql["keywords_tfidf"] = textops.sql_keywords_tfidf()
     sql["postings_sizes"] = textops.sql_postings_sizes()
+    sql["price_trend"] = relational.SQL_PRICE_TREND
+    sql["bloom_semi_join"] = relational.SQL_BLOOM_SEMI_JOIN
+    sql["assoc_rules"] = ev.sql_assoc_rules()
+    sql["events_anomaly"] = ev.sql_events_anomaly()
     sql["doc_id_gaps"] = _pf0s.SQL_DOC_ID_GAPS
     sql["class_balance"] = _td0.sql_class_balance()
     sql["label_medoids"] = simsearch.SQL_LABEL_MEDOIDS

@@ -1894,3 +1894,219 @@ SELECT event_type, hour_bucket,
        COUNT(*) AS n_events
 FROM w GROUP BY 1, 2
 """
+
+
+# -------------------------------------------------------- association rules
+
+ASSOC_MIN_SUP = 3  # minimum co-visit support for a rule
+
+
+def assoc_rules(sf_dir: str, cap: int = COVISIT_CAP, min_sup: int = ASSOC_MIN_SUP):
+    """ASSOCIATION RULES from the co-visitation graph: for every directed
+    item pair (ante → cons) co-viewed by ≥ ``min_sup`` users, the rule
+    confidence n_both/n_ante — the market-basket step after covisit_pairs
+    (support counting is Apriori's k=2 level; the per-user cap keeps the
+    candidate expansion bounded exactly as there).
+
+    Shape: ONE user-keyed exchange dedups/caps each user's item set AND
+    emits both its pair partials and per-item supports (users never split,
+    so both are partition-complete combiners); pair counts fuse in one
+    |items|²-bounded exchange; item supports are items-bounded and fuse on
+    the driver, broadcast back into the stateless rule finisher. Confidence
+    is integer micro units (round-floor division, both engines).
+
+    Output (ante, cons, n_both, n_ante, conf_micro)."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import hash_partitioned_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type", "props"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("event_type"), "view")
+        t = batch.filter(mask)
+        ex = pc.extract_regex(t.column("props"), pattern=COVISIT_ITEM_RE)
+        item = pc.struct_field(ex, "item").cast(pa.int64())
+        df = pd.DataFrame(
+            {
+                "user_id": t.column("user_id").to_numpy(),
+                "item": item.to_numpy(zero_copy_only=False),
+                "ts_us": t.column("ts").cast(pa.int64()).to_numpy(),
+            }
+        )
+        g = df.groupby(["user_id", "item"], sort=False)["ts_us"].min().reset_index(name="first_ts")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["user_id", "item"], sort=False)["first_ts"].min().reset_index()
+        g = g.sort_values(["user_id", "first_ts", "item"], kind="mergesort")
+        rank = g.groupby("user_id", sort=False).cumcount()
+        g = g[rank < cap]
+        outs = [
+            pd.DataFrame(
+                {
+                    "item_a": g["item"].to_numpy(np.int64),
+                    "item_b": np.int64(-1),
+                    "n": np.int64(1),
+                }
+            )
+        ]  # item_b = -1 marks a per-item support row
+        for _, items in g.groupby("user_id", sort=False)["item"]:
+            v = np.sort(items.to_numpy(np.int64))
+            if len(v) < 2:
+                continue
+            ia, ib = np.triu_indices(len(v), k=1)
+            outs.append(pd.DataFrame({"item_a": v[ia], "item_b": v[ib], "n": np.int64(1)}))
+        allp = pd.concat(outs, ignore_index=True)
+        c = allp.groupby(["item_a", "item_b"], sort=False)["n"].sum().reset_index()
+        return c.astype({"n": np.int64})
+
+    parts = hash_partitioned_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), "user_id", per_user, num_parts=32
+    ).materialize()
+
+    # item supports: items-bounded — fuse on the driver, broadcast back
+    def item_rows(batch: pa.Table) -> pa.Table:
+        m = pa.array(batch.column("item_b").to_numpy() == -1)
+        t = batch.filter(m)
+        return pa.table({"item": t.column("item_a"), "n": t.column("n")})
+
+    sup = (
+        parts.map_batches(item_rows, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("item")["n"]
+        .sum()
+    )
+    sup_ref = ray.put(sup.to_dict())
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        m = pa.array(batch.column("item_b").to_numpy() != -1)
+        return batch.filter(m)
+
+    def fuse_rules(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["item_a", "item_b"], sort=False)["n"].sum().reset_index()
+        g = g[g["n"] >= min_sup]
+        sups = ray.get(sup_ref)
+        a = g["item_a"].to_numpy(np.int64)
+        b = g["item_b"].to_numpy(np.int64)
+        nb = g["n"].to_numpy(np.int64)
+        ante = np.concatenate([a, b])
+        cons = np.concatenate([b, a])
+        n_both = np.concatenate([nb, nb])
+        n_ante = np.fromiter((sups[x] for x in ante), np.int64, len(ante))
+        return pd.DataFrame(
+            {
+                "ante": ante,
+                "cons": cons,
+                "n_both": n_both,
+                "n_ante": n_ante,
+                "conf_micro": 1_000_000 * n_both // n_ante,
+            }
+        )
+
+    return hash_partitioned_apply(
+        parts.map_batches(pair_rows, batch_format="pyarrow"),
+        ["item_a", "item_b"],
+        fuse_rules,
+        num_parts=16,
+    )
+
+
+def sql_assoc_rules(cap: int = COVISIT_CAP, min_sup: int = ASSOC_MIN_SUP) -> str:
+    return f"""
+WITH v AS (SELECT user_id,
+                  CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS item,
+                  epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'view'),
+fi AS (SELECT user_id, item, MIN(ts_us) AS first_ts FROM v GROUP BY 1, 2),
+capped AS (
+    SELECT user_id, item FROM (
+        SELECT user_id, item,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY first_ts, item) AS rn
+        FROM fi) WHERE rn <= {cap}),
+ic AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM capped GROUP BY 1),
+p AS (SELECT a.item AS ia, b.item AS ib, CAST(COUNT(*) AS BIGINT) AS nb
+      FROM capped a JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {min_sup}),
+d AS (SELECT ia AS ante, ib AS cons, nb FROM p
+      UNION ALL SELECT ib AS ante, ia AS cons, nb FROM p)
+SELECT d.ante, d.cons, d.nb AS n_both, ic.n AS n_ante,
+       1000000 * d.nb // ic.n AS conf_micro
+FROM d JOIN ic ON ic.item = d.ante
+"""
+
+
+# ------------------------------------------------- rolling z-score anomalies
+
+ANOM_WINDOW = 8  # trailing frame length (full frames only)
+ANOM_Z = 2  # flag |v - mean| > Z sigma
+
+
+def events_anomaly(sf_dir: str, w: int = ANOM_WINDOW, z: int = ANOM_Z):
+    """Rolling-window ANOMALY FLAGS per user — the streaming-quality-monitor
+    pass: an event is anomalous when its value deviates from the mean of the
+    user's previous ``w`` values by more than ``z`` standard deviations
+    (frame = ROWS BETWEEN w PRECEDING AND 1 PRECEDING, full frames only).
+
+    The test is EXACT INTEGER: with S = Σ, Q = Σv² over the frame (cents),
+        |v − S/w| > z·σ  ⇔  (w·v − S)² > z²·(w·Q − S²)
+    — no float ever (bounds: |v| ≤ 1e8 cents keeps every product within
+    int64). Same shape as events_moving_sum: one user-keyed exchange,
+    in-partition cumsum/cumsum-of-squares differences at group-reset
+    boundaries, vectorized across all users at once.
+
+    Output (event_id, user_id, value_cents) over anomalous rows."""
+    from ..stages.joins import hash_partitioned_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["event_id", "user_id", "value_cents"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        v = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        cs = np.concatenate([[np.int64(0)], np.cumsum(v)])
+        cs2 = np.concatenate([[np.int64(0)], np.cumsum(v * v)])
+        uid = df["user_id"].to_numpy()
+        idx = np.arange(len(uid))
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        run_start = np.maximum.accumulate(np.where(new_user, idx, -1))
+        lo = np.maximum(run_start, idx - w)
+        full = (idx - lo) == w
+        s = cs[idx] - cs[lo]
+        q = cs2[idx] - cs2[lo]
+        dev = w * v - s
+        anom = full & (dev * dev > z * z * (w * q - s * s))
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy()[anom],
+                "user_id": uid[anom],
+                "value_cents": v[anom],
+            }
+        )
+
+    return hash_partitioned_apply(ds, "user_id", per_part, num_parts=64)
+
+
+def sql_events_anomaly(w: int = ANOM_WINDOW, z: int = ANOM_Z) -> str:
+    return f"""
+WITH fr AS (
+    SELECT event_id, user_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS v,
+           COUNT(*) OVER win AS cnt,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER win AS s,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)
+               * CAST(ROUND(value * 100) AS BIGINT)) OVER win AS q
+    FROM events
+    WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {w} PRECEDING AND 1 PRECEDING))
+SELECT event_id, user_id, v AS value_cents
+FROM fr
+WHERE cnt = {w} AND ({w} * v - s) * ({w} * v - s) > {z * z} * ({w} * q - s * s)
+"""

@@ -846,3 +846,190 @@ SELECT ship_month,
        CAST(SUM(is_promo * rev) * 1000000 // SUM(rev) AS BIGINT) AS promo_share_micro
 FROM rows_ GROUP BY 1
 """
+
+
+# --------------------------------------------------- grouped OLS price trend
+
+
+def price_trend(sf_dir: str):
+    """Per-brand ORDINARY-LEAST-SQUARES line of extended price (cents) on
+    quantity — the grouped-regression analytics pass (trend per product
+    family), built like corr_price_qty from EXACT integer sufficient
+    statistics: one lineitem pass emits per-(batch, brand) int64 partials
+    (n, Σx, Σy, Σxy, Σx²) with the part→brand dim broadcast once via
+    ray.put (the promo_revenue_share small-side discipline), the brand-
+    bounded partial table reduces on the driver with Python-int exactness,
+    and slope/intercept evaluate in the SAME float expression order as the
+    SQL oracle — scaled BIGINT outputs.
+
+    Output (p_brand, n_rows, slope_x1e6, intercept_x1e6):
+      slope     = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)       [cents per unit qty]
+      intercept = (ΣyΣx² − ΣxΣxy) / (nΣx² − (Σx)²)     [cents]"""
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    pdf = part.to_pandas()  # |part| dim rows — the broadcast small side
+    brand_of = ray.put(dict(zip(pdf["p_partkey"].astype(np.int64), pdf["p_brand"])))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(brand_of)
+        pk = batch.column("l_partkey").to_numpy()
+        df = pd.DataFrame(
+            {
+                "g": pd.Series(pk).map(lookup),
+                "x": np.rint(batch.column("l_quantity").to_numpy()).astype(np.int64),
+                "y": np.rint(batch.column("l_extendedprice").to_numpy() * 100).astype(np.int64),
+            }
+        )
+        df["xy"] = df["x"] * df["y"]
+        df["xx"] = df["x"] * df["x"]
+        df["n"] = np.int64(1)
+        g = df.groupby("g", sort=False)[["n", "x", "y", "xy", "xx"]].sum().reset_index()
+        return pa.Table.from_pandas(g.rename(columns={"g": "p_brand"}), preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()  # |brands×blocks|
+
+    rows = []
+    for brand, g in parts.groupby("p_brand", sort=True):
+        n, sx, sy, sxy, sxx = (
+            int(g[c].astype(object).sum()) for c in ("n", "x", "y", "xy", "xx")
+        )
+        den = float(n * sxx - sx * sx)
+        rows.append(
+            {
+                "p_brand": brand,
+                "n_rows": np.int64(n),
+                "slope_x1e6": np.int64(np.rint(float(n * sxy - sx * sy) / den * 1e6)),
+                "intercept_x1e6": np.int64(np.rint(float(sy * sxx - sx * sxy) / den * 1e6)),
+            }
+        )
+    return pd.DataFrame(rows, columns=["p_brand", "n_rows", "slope_x1e6", "intercept_x1e6"])
+
+
+SQL_PRICE_TREND = """
+WITH m AS (
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS HUGEINT) AS sx,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS sy,
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                    * CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS sxy,
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                    * CAST(ROUND(l_quantity) AS BIGINT)) AS HUGEINT) AS sxx
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1)
+SELECT p_brand, CAST(n AS BIGINT) AS n_rows,
+       CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT) AS slope_x1e6,
+       CAST(ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000) AS BIGINT) AS intercept_x1e6
+FROM m
+"""
+
+
+# ------------------------------------------------------- Bloom-filtered semi-join
+
+
+BLOOM_SEMI_BITS_PER_KEY = 24  # stages/sketches defaults: FPR ~1e-5
+
+
+def bloom_semi_join(sf_dir: str):
+    """Bloom-PUSHDOWN semi-join — the distributed-engine trick of shipping a
+    Bloom filter of the build side's keys to every probe task so non-matching
+    rows die AT THE SCAN and never reach the join exchange: lineitem rows are
+    kept only when l_orderkey belongs to a high-value order (o_totalprice ≥
+    200000). The Bloom pass admits ~1e-5 false positives, so survivors take
+    one EXACT bucketed semi-join verify — the result is exactly the plain
+    semi-join (the SQL oracle), the bloom only cuts exchange bytes: at scale
+    the filter is |filtered orders|·24 bits broadcast once, while the verify
+    exchange carries only the pre-filtered survivors instead of the corpus.
+
+    Output: per (l_returnflag) survivor row count + revenue cents."""
+    from ..functions.hashing import splitmix64
+    from ..stages.joins import hash_partitioned_apply
+    from ..stages.sketches import BLOOM_K, bloom_build, bloom_contains
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def okeys(batch: pa.Table) -> pa.Table:
+        keep = batch.column("o_totalprice").to_numpy() >= 200000.0
+        return pa.table({"key": pa.array(batch.column("o_orderkey").to_numpy()[keep])})
+
+    keys_ds = orders.map_batches(okeys, batch_format="pyarrow").materialize()
+    keys = np.concatenate(
+        [b.column("key").to_numpy() for b in keys_ds.iter_batches(batch_format="pyarrow")]
+        or [np.empty(0, np.int64)]
+    ).astype(np.int64)
+    m_bits = max(64, int(keys.size) * BLOOM_SEMI_BITS_PER_KEY)
+    bloom = bloom_build(splitmix64(keys.astype(np.uint64)), m_bits)
+    bloom_ref = ray.put((bloom, m_bits))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice"],
+    )
+
+    def probe(batch: pa.Table) -> pa.Table:
+        words, mb = ray.get(bloom_ref)
+        ok = batch.column("l_orderkey").to_numpy().astype(np.int64)
+        hit = bloom_contains(words, splitmix64(ok.astype(np.uint64)), mb)
+        t = batch.filter(pa.array(hit))
+        return pa.table(
+            {
+                "key": t.column("l_orderkey").cast(pa.int64()),
+                "flag": t.column("l_returnflag"),
+                "cents": pa.array(
+                    np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+                ),
+                "side": pa.array(np.ones(t.num_rows, np.int8)),
+            }
+        )
+
+    def tag_keys(batch: pa.Table) -> pa.Table:
+        k = batch.column("key").cast(pa.int64())
+        return pa.table(
+            {
+                "key": k,
+                "flag": pa.array([""] * len(k), pa.string()),
+                "cents": pa.array(np.zeros(len(k), np.int64)),
+                "side": pa.array(np.zeros(len(k), np.int8)),
+            }
+        )
+
+    both = li.map_batches(probe, batch_format="pyarrow").union(
+        keys_ds.map_batches(tag_keys, batch_format="pyarrow")
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        real = set(df.loc[df["side"] == 0, "key"].tolist())
+        rows = df[(df["side"] == 1) & df["key"].isin(real)]
+        g = rows.groupby("flag", sort=False)["cents"].agg(["count", "sum"]).reset_index()
+        return pd.DataFrame(
+            {
+                "l_returnflag": g["flag"],
+                "n_rows": g["count"].to_numpy(np.int64),
+                "revenue_cents": g["sum"].to_numpy(np.int64),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    partials = hash_partitioned_apply(both, "key", verify)
+    return (
+        partials.groupby("l_returnflag")
+        .aggregate(_Sum("n_rows", alias_name="n_rows"), _Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+
+SQL_BLOOM_SEMI_JOIN = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice >= 200000)
+GROUP BY 1
+"""
