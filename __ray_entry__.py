@@ -51,6 +51,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bloom_semi_join"] = relational.bloom_semi_join  # bloom-pushdown semi-join
     q["assoc_rules"] = ev.assoc_rules  # market-basket confidence rules
     q["events_anomaly"] = ev.events_anomaly  # rolling z-score outlier flags
+    q["pip_anti_join"] = tiling.pip_anti_join  # pages outside every admin rect
+    q["clustering_coeff"] = _gr0.clustering_coeff  # per-node local clustering
+    q["bounce_rate"] = ev.bounce_rate  # single-event-session KPI per user
+    from osm_search_ray.pipelines import geofence_pipeline as _gf0
+
+    q["track_speed"] = _gf0.track_speed  # per-entity segment km/h
     q["session_concurrency"] = ev.session_concurrency  # sweep-line open-session count
     q["fuzzy_join_terms"] = textops.fuzzy_join_terms  # lev<=1 join, deletes blocking
     q["chunk_windows"] = traindata.chunk_windows  # RAG overlapping token windows
@@ -447,6 +453,13 @@ GROUP BY 1, 2
     sql["bloom_semi_join"] = relational.SQL_BLOOM_SEMI_JOIN
     sql["assoc_rules"] = ev.sql_assoc_rules()
     sql["events_anomaly"] = ev.sql_events_anomaly()
+    sql["pip_anti_join"] = _ti0.sql_pip_anti_join()
+    sql["bounce_rate"] = ev.sql_bounce_rate()
+    from osm_search_ray.pipelines import geofence_pipeline as _gf0s
+    from osm_search_ray.pipelines import graph as _gr0s
+
+    sql["clustering_coeff"] = _gr0s.sql_clustering_coeff()
+    sql["track_speed"] = _gf0s.sql_track_speed()
     sql["doc_id_gaps"] = _pf0s.SQL_DOC_ID_GAPS
     sql["class_balance"] = _td0.sql_class_balance()
     sql["label_medoids"] = simsearch.SQL_LABEL_MEDOIDS

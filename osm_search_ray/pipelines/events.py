@@ -2110,3 +2110,72 @@ SELECT event_id, user_id, v AS value_cents
 FROM fr
 WHERE cnt = {w} AND ({w} * v - s) * ({w} * v - s) > {z * z} * ({w} * q - s * s)
 """
+
+
+# ------------------------------------------------------------- bounce rate
+
+BOUNCE_GAP_MIN = 30  # session gap, matching sessionize
+
+
+def bounce_rate(sf_dir: str, gap_minutes: int = BOUNCE_GAP_MIN):
+    """Per-user BOUNCE RATE — the web-analytics KPI over sessionized
+    clickstreams: a bounce is a session containing exactly one event;
+    bounce_micro = 10⁶ · n_bounces // n_sessions (round-floor, both
+    engines). Same session rule as sessionize (gap > 30 min splits), same
+    shape: ONE user-keyed exchange, sessions assigned vectorized across
+    every user in the partition via the group-reset cumsum trick (no
+    per-user loop). Output (user_id, n_sessions, n_bounces, bounce_micro)."""
+    from ..stages.joins import hash_partitioned_apply
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
+    gap_s = gap_minutes * 60
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "n_sessions", "n_bounces", "bounce_micro"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        # pin µs resolution before the int cast (pandas may carry ns or us)
+        ts = df["ts"].astype("datetime64[us]").astype("int64").to_numpy() // 1_000_000
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        gap = np.concatenate([[np.int64(0)], ts[1:] - ts[:-1]])
+        new_sess = new_user | (gap > gap_s)
+        sess_id = np.cumsum(new_sess) - 1
+        sizes = np.bincount(sess_id)
+        sess_user = uid[new_sess]  # one row per session, in session order
+        out = pd.DataFrame({"user_id": sess_user, "one": np.int64(1), "bounce": (sizes == 1).astype(np.int64)})
+        g = out.groupby("user_id", sort=False).agg(
+            n_sessions=("one", "sum"), n_bounces=("bounce", "sum")
+        ).reset_index()
+        g["n_sessions"] = g["n_sessions"].astype(np.int64)
+        g["n_bounces"] = g["n_bounces"].astype(np.int64)
+        g["bounce_micro"] = 1_000_000 * g["n_bounces"] // g["n_sessions"]
+        return g[cols]
+
+    return hash_partitioned_apply(ds, "user_id", per_part, num_parts=64)
+
+
+def sql_bounce_rate(gap_minutes: int = BOUNCE_GAP_MIN) -> str:
+    gap = gap_minutes * 60
+    return f"""
+WITH ordered AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > {gap} OR LAG(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_idx
+    FROM ordered
+),
+sizes AS (SELECT user_id, session_idx, COUNT(*) AS n FROM sess GROUP BY 1, 2)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       1000000 * CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+           AS bounce_micro
+FROM sizes GROUP BY 1
+"""

@@ -90,3 +90,75 @@ SELECT event_id, fence_key, status FROM secondary_rows
 
 
 SQL_GEOFENCE_STATUS = _sql()
+
+
+# ----------------------------------------------------- track segment speeds
+
+
+def track_speed(sf_dir: str):
+    """Per-entity TRACK SEGMENT SPEEDS — the trajectory-enrichment pass over
+    the geofence point log: for every consecutive point pair of an entity
+    (ordered by ts, event_id), the great-circle km/h of the segment. The
+    distance is the engine haversine (functions/geometry.haversine_km, the
+    reference formula pkg/datastructure/distance.go:19-28) whose SQL twin is
+    bit-identical; speed = hav / dt_us * 3.6e9 in the SAME float op order on
+    both sides, emitted as kmh_milli (ROUND × 1000 — a scaled BIGINT).
+
+    Shape: ONE entity-keyed exchange; inside the partition a vectorized
+    sort + shift produces every segment at once. Zero-dt segments are
+    dropped on both sides. Output (event_id, point_id, kmh_milli)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.geometry import haversine_km
+    from ..stages.joins import hash_partitioned_apply
+
+    pts = dv.fence_points(sf_dir)
+
+    def per_part(df: "pd.DataFrame") -> "pd.DataFrame":
+        cols = ["event_id", "point_id", "kmh_milli"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+        df = df.sort_values(["point_id", "ts", "event_id"], kind="mergesort")
+        pid = df["point_id"].to_numpy()
+        same = np.concatenate([[False], pid[1:] == pid[:-1]])
+        lat = df["lat"].to_numpy()
+        lon = df["lon"].to_numpy()
+        # pin µs resolution before the int cast (pandas may carry ns or us)
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        dt = np.concatenate([[np.int64(0)], ts_us[1:] - ts_us[:-1]])
+        keep = same & (dt > 0)
+        hav = haversine_km(
+            np.concatenate([[0.0], lat[:-1]])[keep],
+            np.concatenate([[0.0], lon[:-1]])[keep],
+            lat[keep],
+            lon[keep],
+        )
+        kmh = hav / dt[keep].astype(np.float64) * 3.6e9
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy()[keep],
+                "point_id": pid[keep],
+                "kmh_milli": np.rint(kmh * 1000.0).astype(np.int64),
+            }
+        )
+
+    return hash_partitioned_apply(pts, "point_id", per_part, num_parts=32)
+
+
+def sql_track_speed() -> str:
+    hav = dv.SQL_HAVERSINE.format(lat1="plat", lon1="plon", lat2="lat", lon2="lon")
+    return f"""
+WITH {dv.SQL_FENCE_POINTS.strip()},
+seq AS (
+    SELECT event_id, point_id, lat, lon,
+           LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS dt_us
+    FROM fence_points
+    WINDOW w AS (PARTITION BY point_id ORDER BY ts, event_id)
+)
+SELECT event_id, point_id,
+       CAST(ROUND({hav} / CAST(dt_us AS DOUBLE) * 3600000000.0 * 1000.0) AS BIGINT) AS kmh_milli
+FROM seq WHERE plat IS NOT NULL AND dt_us > 0
+"""

@@ -1822,3 +1822,119 @@ FROM documents d LEFT JOIN m ON m.u = d.doc_id
 
 
 sql_scc_links = _functools.cache(_sql_scc_links)
+
+
+# -------------------------------------------------- clustering coefficient
+
+
+def clustering_coeff(sf_dir: str):
+    """Per-node LOCAL CLUSTERING COEFFICIENT over the undirected link graph:
+    c = 2·T / (deg·(deg−1)) for nodes with degree ≥ 2 — triangle_counts'
+    natural denominator (the graph-quality signal next to the raw triangle
+    census). Integer-exact output: coeff_micro = 10⁶·2·T // (deg·(deg−1)),
+    round-floor on both engines.
+
+    Shape: the distinct undirected edge pass feeds BOTH the degree count
+    (one node-keyed exchange over edge endpoints) and triangle_counts'
+    wedge-close machinery; one final node-keyed side-tagged exchange fuses
+    (deg, T) with T defaulting to 0 — zero-triangle nodes stay in the
+    output, as SQL's LEFT JOIN does."""
+    from ..stages.joins import hash_partitioned_apply
+
+    edges = dv.link_edges(sf_dir)
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = s != d
+        a, b = np.minimum(s[m], d[m]), np.maximum(s[m], d[m])
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    def distinct_part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    und = hash_partitioned_apply(
+        edges.map_batches(undirect, batch_format="pyarrow"), ["a", "b"], distinct_part
+    ).materialize()
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        return pa.table({"node": pa.array(np.concatenate([a, b]))})
+
+    def deg_count(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False).size().reset_index(name="deg")
+        return g.astype({"deg": np.int64})
+
+    degs = hash_partitioned_apply(
+        und.map_batches(endpoints, batch_format="pyarrow"), "node", deg_count
+    )
+
+    tris = triangle_counts(sf_dir)
+
+    def tag_deg(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "val": batch.column("deg").cast(pa.int64()),
+                "side": pa.array(np.zeros(batch.num_rows, np.int8)),
+            }
+        )
+
+    def tag_tri(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("doc_id").cast(pa.int64()),
+                "val": batch.column("n_triangles").cast(pa.int64()),
+                "side": pa.array(np.ones(batch.num_rows, np.int8)),
+            }
+        )
+
+    both = degs.map_batches(tag_deg, batch_format="pyarrow").union(
+        tris.map_batches(tag_tri, batch_format="pyarrow")
+    )
+
+    def fuse(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["side"] == 0][["node", "val"]].rename(columns={"val": "deg"})
+        t = df[df["side"] == 1][["node", "val"]].rename(columns={"val": "tri"})
+        m = d.merge(t, on="node", how="left").fillna({"tri": 0})
+        m = m[m["deg"] >= 2]
+        deg = m["deg"].to_numpy(np.int64)
+        tri = m["tri"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": m["node"].to_numpy(np.int64),
+                "deg": deg,
+                "n_triangles": tri,
+                "coeff_micro": 2_000_000 * tri // (deg * (deg - 1)),
+            }
+        )
+
+    return hash_partitioned_apply(both, "node", fuse)
+
+
+def sql_clustering_coeff() -> str:
+    return f"""
+WITH {dv.SQL_LINK_EDGES.strip()},
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM link_edges WHERE src <> dst),
+degs AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+    GROUP BY 1),
+tris AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM und e1
+    JOIN und e2 ON e2.a = e1.b
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+members AS (
+    SELECT x AS doc_id FROM tris
+    UNION ALL SELECT y FROM tris
+    UNION ALL SELECT z FROM tris),
+tcounts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS t FROM members GROUP BY 1)
+SELECT d.node AS doc_id, d.deg,
+       COALESCE(t.t, 0) AS n_triangles,
+       2000000 * COALESCE(t.t, 0) // (d.deg * (d.deg - 1)) AS coeff_micro
+FROM degs d LEFT JOIN tcounts t ON t.doc_id = d.node
+WHERE d.deg >= 2
+"""

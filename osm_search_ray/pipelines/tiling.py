@@ -977,3 +977,40 @@ SELECT c.cell_r12, c.n_docs, t.p95_x20
 FROM cells c, thr t
 WHERE 20 * c.n_docs > t.p95_x20
 """
+
+
+# ------------------------------------------------------- spatial ANTI-join
+
+
+def pip_anti_join(sf_dir: str):
+    """Spatial ANTI-join: every geo page contained by NO admin rectangle —
+    the coverage-gap audit (pages outside all administrative areas; the
+    complement of pip_join). One streaming pass through the broadcast
+    polygon index with how='left' (the reference's first-match rule emits a
+    null id for unmatched points) and a null filter — no shuffle at all.
+    Output (doc_id, lat, lon)."""
+    rects = admin_rects(sf_dir)
+    polys = PolygonSet.from_rects(rects.select(["rect_id", "lat0", "lon0", "lat1", "lon1"]))
+    pts = geo_pages(sf_dir)
+    left = broadcast_pip_join(pts, polys, how="left", id_out="rect_id")
+
+    def unmatched(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_null(batch.column("rect_id"))
+        return batch.filter(keep).select(["doc_id", "lat", "lon"])
+
+    return left.map_batches(unmatched, batch_format="pyarrow")
+
+
+def sql_pip_anti_join() -> str:
+    import osm_search_ray.sources.derived as _dv
+
+    return f"""
+WITH {_dv.SQL_GEO_PAGES.strip()}, {_dv.SQL_ADMIN_RECTS.strip()}
+SELECT p.doc_id, p.lat, p.lon
+FROM geo_pages p
+WHERE NOT EXISTS (
+    SELECT 1 FROM admin_rects r
+    WHERE p.lat BETWEEN r.lat0 AND r.lat1 AND p.lon BETWEEN r.lon0 AND r.lon1)
+"""
