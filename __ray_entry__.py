@@ -57,6 +57,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from osm_search_ray.pipelines import geofence_pipeline as _gf0
 
     q["track_speed"] = _gf0.track_speed  # per-entity segment km/h
+    q["related_terms"] = textops.related_terms  # co-occurrence query expansion
+    q["revenue_wow"] = relational.revenue_wow  # weekly series + WoW delta
+    q["kde_cells"] = tiling.kde_cells  # integer-kernel density smoothing
     q["session_concurrency"] = ev.session_concurrency  # sweep-line open-session count
     q["fuzzy_join_terms"] = textops.fuzzy_join_terms  # lev<=1 join, deletes blocking
     q["chunk_windows"] = traindata.chunk_windows  # RAG overlapping token windows
@@ -460,6 +463,9 @@ GROUP BY 1, 2
 
     sql["clustering_coeff"] = _gr0s.sql_clustering_coeff()
     sql["track_speed"] = _gf0s.sql_track_speed()
+    sql["related_terms"] = textops.sql_related_terms()
+    sql["revenue_wow"] = relational.SQL_REVENUE_WOW
+    sql["kde_cells"] = _ti0.sql_kde_cells()
     sql["doc_id_gaps"] = _pf0s.SQL_DOC_ID_GAPS
     sql["class_balance"] = _td0.sql_class_balance()
     sql["label_medoids"] = simsearch.SQL_LABEL_MEDOIDS

@@ -1033,3 +1033,51 @@ FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice >= 200000)
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------- weekly revenue deltas
+
+
+def revenue_wow(sf_dir: str):
+    """Weekly revenue time series with WEEK-OVER-WEEK deltas — the trend
+    dashboard aggregate: revenue cents per epoch week (days-since-epoch //
+    7, pure integer), delta vs the previous EXISTING week (LAG over present
+    weeks; calendar gaps intentionally skip, both engines). One orders pass
+    of per-(batch, week) cent partials; the fused series is calendar-bounded
+    (weeks, not rows), so the delta pass is a driver-side shift over a
+    |weeks|-sized artifact. Output (week, revenue_cents, delta_cents) with
+    delta NULL-free: the first week reports 0."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch.column("o_orderdate").cast(pa.int64()).to_numpy()  # timestamp[us]
+        week = us // 86_400_000_000 // 7
+        cents = np.rint(batch.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({"week": week, "cents": cents})
+        g = df.groupby("week", sort=False)["cents"].agg(["sum"]).reset_index()
+        return pa.table(
+            {"week": pa.array(g["week"].to_numpy(np.int64)),
+             "cents": pa.array(g["sum"].to_numpy(np.int64))}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()  # |weeks×blocks|
+    g = parts.groupby("week", sort=True)["cents"].sum().reset_index()
+    rev = g["cents"].to_numpy(np.int64)
+    delta = np.concatenate([[np.int64(0)], rev[1:] - rev[:-1]])
+    return pd.DataFrame(
+        {"week": g["week"].to_numpy(np.int64), "revenue_cents": rev, "delta_cents": delta}
+    )
+
+
+SQL_REVENUE_WOW = """
+WITH w AS (
+    SELECT epoch_us(o_orderdate) // 86400000000 // 7 AS week,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders GROUP BY 1)
+SELECT CAST(week AS BIGINT) AS week, revenue_cents,
+       CAST(COALESCE(revenue_cents - LAG(revenue_cents) OVER (ORDER BY week), 0) AS BIGINT)
+           AS delta_cents
+FROM w
+"""

@@ -1437,3 +1437,108 @@ SELECT term, CAST(COUNT(*) AS BIGINT) AS n_postings,
        8 * CAST(COUNT(*) AS BIGINT) AS raw_bytes
 FROM gaps GROUP BY 1
 """
+
+
+# ----------------------------------------------------- related-term expansion
+
+RELATED_TOP_K = 3
+
+
+def related_terms(sf_dir: str, window: int = SKIPGRAM_WINDOW, k: int = RELATED_TOP_K):
+    """QUERY-EXPANSION table: for every term, its top-k co-occurring partner
+    terms by windowed skip-gram count (count DESC, partner ASC) — the
+    related-searches / synonym-candidate pass built on skipgram_pmi's pair
+    machinery, integer-only (no PMI float needed for a rank output).
+
+    Shape: the same vectorized shift pair partials, ONE pair-keyed count
+    exchange, then each pair row fans to both directions and ONE term-keyed
+    exchange ranks partners in-partition. Output (term, partner, n_pairs,
+    rank)."""
+    from ..stages.joins import hash_partitioned_apply
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        flat, counts = tokenize_array(batch.column("text").to_pylist())
+        doc_ix = np.repeat(np.arange(len(counts)), counts)
+        parts = []
+        for d in range(1, window + 1):
+            if len(flat) <= d:
+                break
+            same = doc_ix[:-d] == doc_ix[d:]
+            l, r = flat[:-d][same], flat[d:][same]
+            lo = np.where(l <= r, l, r)
+            hi = np.where(l <= r, r, l)
+            parts.append(pd.DataFrame({"w1": lo, "w2": hi}))
+        if not parts:
+            return pa.table(
+                {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        g = (
+            pd.concat(parts, ignore_index=True)
+            .groupby(["w1", "w2"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def sum_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["w1", "w2"], sort=False)["n"].sum().reset_index()
+        return g.astype({"n": np.int64})
+
+    pairs = hash_partitioned_apply(
+        ds.map_batches(pair_partials, batch_format="pyarrow"), ["w1", "w2"], sum_pairs
+    )
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        w1 = batch.column("w1").to_pandas()
+        w2 = batch.column("w2").to_pandas()
+        n = batch.column("n").to_numpy()
+        # self-pairs (w1 == w2) expand once, not twice
+        m = (w1 != w2).to_numpy()
+        return pa.table(
+            {
+                "term": pa.array(pd.concat([w1, w2[m]], ignore_index=True)),
+                "partner": pa.array(pd.concat([w2, w1[m]], ignore_index=True)),
+                "n": pa.array(np.concatenate([n, n[m]])),
+            }
+        )
+
+    def rank_partners(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["term", "n", "partner"], ascending=[True, False, True], kind="mergesort")
+        df["rank"] = df.groupby("term", sort=False).cumcount() + 1
+        df = df[df["rank"] <= k]
+        return pd.DataFrame(
+            {
+                "term": df["term"].to_numpy(),
+                "partner": df["partner"].to_numpy(),
+                "n_pairs": df["n"].to_numpy(np.int64),
+                "rank": df["rank"].to_numpy(np.int64),
+            }
+        )
+
+    return hash_partitioned_apply(
+        pairs.map_batches(both_dirs, batch_format="pyarrow"), "term", rank_partners
+    )
+
+
+def sql_related_terms(window: int = SKIPGRAM_WINDOW, k: int = RELATED_TOP_K) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS2} AS t FROM documents),
+pos AS (SELECT doc_id, unnest(t) AS w,
+               generate_subscripts(t, 1) AS i FROM toks),
+ev AS (
+    SELECT LEAST(a.w, b.w) AS w1, GREATEST(a.w, b.w) AS w2
+    FROM pos a JOIN pos b
+      ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND {window}),
+pc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1, 2),
+d AS (SELECT w1 AS term, w2 AS partner, n FROM pc
+      UNION ALL SELECT w2, w1, n FROM pc WHERE w1 <> w2),
+ranked AS (
+    SELECT term, partner, n,
+           ROW_NUMBER() OVER (PARTITION BY term ORDER BY n DESC, partner) AS rank
+    FROM d)
+SELECT term, partner, n AS n_pairs, rank FROM ranked WHERE rank <= {k}
+"""

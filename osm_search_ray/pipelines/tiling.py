@@ -1014,3 +1014,79 @@ WHERE NOT EXISTS (
     SELECT 1 FROM admin_rects r
     WHERE p.lat BETWEEN r.lat0 AND r.lat1 AND p.lon BETWEEN r.lon0 AND r.lon1)
 """
+
+
+# ------------------------------------------------- kernel density smoothing
+
+
+def kde_cells(sf_dir: str, res: int = RES_COARSE):
+    """KERNEL-DENSITY smoothed tile grid — the heatmap-rendering pass: every
+    occupied cell's density is the 3×3-neighborhood count convolved with the
+    integer kernel w(dx,dy) = 4 >> (|dx|+|dy|)  (center 4, edge 2, corner 1)
+    — kring_density's weighted sibling, same shape: per-cell counts once,
+    each count row fans to its ≤9 neighbors CARRYING ITS WEIGHTED
+    contribution, one cell-keyed exchange sums; occupied markers ride along
+    so empty cells emit nothing. Pure integers. Output (cell_r12, n_docs,
+    density)."""
+    import pandas as pd
+
+    from ..stages.joins import hash_partitioned_apply
+
+    n = 1 << res
+    counts = tile_counts(sf_dir)
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell_r12").to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = batch.column("n_docs").to_numpy(zero_copy_only=False).astype(np.int64)
+        x, y = cell // n, cell % n
+        cells_out, n_out, side_out = [cell], [cnt], [np.zeros(len(cell), np.int8)]
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                w = 4 >> (abs(dx) + abs(dy))
+                nx, ny = x + dx, y + dy
+                m = (nx >= 0) & (nx < n) & (ny >= 0) & (ny < n)
+                cells_out.append((nx * n + ny)[m])
+                n_out.append(cnt[m] * w)
+                side_out.append(np.ones(int(m.sum()), np.int8))
+        return pa.table(
+            {
+                "cell_r12": pa.array(np.concatenate(cells_out)),
+                "n": pa.array(np.concatenate(n_out)),
+                "side": pa.array(np.concatenate(side_out)),
+            }
+        )
+
+    def fuse(df: "pd.DataFrame") -> "pd.DataFrame":
+        occ = df[df["side"] == 0][["cell_r12", "n"]].rename(columns={"n": "n_docs"})
+        dens = (
+            df[df["side"] == 1]
+            .groupby("cell_r12", sort=False, as_index=False)["n"]
+            .sum()
+            .rename(columns={"n": "density"})
+        )
+        out = occ.merge(dens, on="cell_r12")
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        out["density"] = out["density"].astype(np.int64)
+        return out
+
+    return hash_partitioned_apply(
+        counts.map_batches(fan_out, batch_format="pyarrow"), "cell_r12", fuse
+    )
+
+
+def sql_kde_cells(res: int = RES_COARSE) -> str:
+    import osm_search_ray.sources.derived as _dv
+
+    n = 1 << res
+    xe = f"LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT), 0), {n - 1})"
+    ye = f"LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * {n}) AS BIGINT), 0), {n - 1})"
+    return f"""
+WITH {_dv.SQL_GEO_PAGES.strip()},
+pts AS (SELECT {xe} AS x, {ye} AS y FROM geo_pages),
+cells AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY 1, 2)
+SELECT c.x * {n} + c.y AS cell_r12, c.n AS n_docs,
+       CAST(SUM(m.n * (4 >> (abs(m.x - c.x) + abs(m.y - c.y)))) AS BIGINT) AS density
+FROM cells c JOIN cells m
+  ON m.x BETWEEN c.x - 1 AND c.x + 1 AND m.y BETWEEN c.y - 1 AND c.y + 1
+GROUP BY 1, 2
+"""
