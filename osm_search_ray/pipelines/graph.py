@@ -502,6 +502,12 @@ def triangle_counts(sf_dir: str):
          pair is itself an edge; each triangle {a,b,c} closes EXACTLY
          once per center, so the per-center counts ARE the per-node
          participation counts (no /3 correction, no double count)."""
+    return _triangles_from_und(_und_edges(sf_dir))
+
+
+def _und_edges(sf_dir: str):
+    """Distinct undirected (a < b) link edges — one (a, b)-keyed exchange,
+    materialized so triangle_counts and clustering_coeff share one pass."""
     from ..stages.joins import hash_partitioned_apply
 
     edges = dv.link_edges(sf_dir)
@@ -518,9 +524,15 @@ def triangle_counts(sf_dir: str):
     def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates()
 
-    und = hash_partitioned_apply(
+    return hash_partitioned_apply(
         edges.map_batches(canon, batch_format="pyarrow"), ["a", "b"], dedup_pairs
     ).materialize()
+
+
+def _triangles_from_und(und):
+    """triangle_counts' wedge-generate + close core over a materialized
+    distinct-undirected-edge Dataset (see triangle_counts for the plan)."""
+    from ..stages.joins import hash_partitioned_apply
 
     def expand(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy()
@@ -1834,28 +1846,14 @@ def clustering_coeff(sf_dir: str):
     census). Integer-exact output: coeff_micro = 10⁶·2·T // (deg·(deg−1)),
     round-floor on both engines.
 
-    Shape: the distinct undirected edge pass feeds BOTH the degree count
-    (one node-keyed exchange over edge endpoints) and triangle_counts'
-    wedge-close machinery; one final node-keyed side-tagged exchange fuses
-    (deg, T) with T defaulting to 0 — zero-triangle nodes stay in the
-    output, as SQL's LEFT JOIN does."""
+    Shape: ONE distinct-undirected-edge pass (shared with triangle_counts
+    via _und_edges — materialized once, read by both the degree count and
+    the wedge-close machinery); one node-keyed degree exchange; one final
+    node-keyed side-tagged exchange fuses (deg, T) with T defaulting to 0 —
+    zero-triangle nodes stay in the output, as SQL's LEFT JOIN does."""
     from ..stages.joins import hash_partitioned_apply
 
-    edges = dv.link_edges(sf_dir)
-
-    def undirect(batch: pa.Table) -> pa.Table:
-        s = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
-        d = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
-        m = s != d
-        a, b = np.minimum(s[m], d[m]), np.maximum(s[m], d[m])
-        return pa.table({"a": pa.array(a), "b": pa.array(b)})
-
-    def distinct_part(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates()
-
-    und = hash_partitioned_apply(
-        edges.map_batches(undirect, batch_format="pyarrow"), ["a", "b"], distinct_part
-    ).materialize()
+    und = _und_edges(sf_dir)
 
     def endpoints(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy()
@@ -1870,7 +1868,7 @@ def clustering_coeff(sf_dir: str):
         und.map_batches(endpoints, batch_format="pyarrow"), "node", deg_count
     )
 
-    tris = triangle_counts(sf_dir)
+    tris = _triangles_from_und(und)
 
     def tag_deg(batch: pa.Table) -> pa.Table:
         return pa.table(
