@@ -933,6 +933,7 @@ FROM m
 
 
 BLOOM_SEMI_BITS_PER_KEY = 24  # stages/sketches defaults: FPR ~1e-5
+BLOOM_VERIFY_BROADCAST_LIMIT = 50_000_000  # sorted int64 keys <= ~400 MB broadcast
 
 
 def bloom_semi_join(sf_dir: str):
@@ -941,10 +942,16 @@ def bloom_semi_join(sf_dir: str):
     rows die AT THE SCAN and never reach the join exchange: lineitem rows are
     kept only when l_orderkey belongs to a high-value order (o_totalprice ≥
     200000). The Bloom pass admits ~1e-5 false positives, so survivors take
-    one EXACT bucketed semi-join verify — the result is exactly the plain
-    semi-join (the SQL oracle), the bloom only cuts exchange bytes: at scale
-    the filter is |filtered orders|·24 bits broadcast once, while the verify
-    exchange carries only the pre-filtered survivors instead of the corpus.
+    one EXACT verify — the result is exactly the plain semi-join (the SQL
+    oracle), the bloom only cuts bytes: at scale the filter is |filtered
+    orders|·24 bits broadcast once, while the verify touches only the
+    pre-filtered survivors instead of the corpus.
+
+    Exact-verify regimes: under BLOOM_VERIFY_BROADCAST_LIMIT keys the SORTED
+    key array rides the same broadcast as the bloom and membership is a
+    per-batch searchsorted — zero exchanges end to end (per-batch partial
+    aggregates fuse in one flag-bounded reduce); past it the survivors take
+    one bucketed key-keyed semi-join exchange (both-sides-large regime).
 
     Output: per (l_returnflag) survivor row count + revenue cents."""
     from ..functions.hashing import splitmix64
@@ -966,15 +973,49 @@ def bloom_semi_join(sf_dir: str):
     ).astype(np.int64)
     m_bits = max(64, int(keys.size) * BLOOM_SEMI_BITS_PER_KEY)
     bloom = bloom_build(splitmix64(keys.astype(np.uint64)), m_bits)
-    bloom_ref = ray.put((bloom, m_bits))
+    keys_sorted = np.sort(keys)
+    small = keys.size <= BLOOM_VERIFY_BROADCAST_LIMIT
+    bloom_ref = ray.put((bloom, m_bits, keys_sorted if small else None))
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_returnflag", "l_extendedprice"],
     )
 
+    from ray.data.aggregate import Sum as _Sum
+
+    if small:
+
+        def probe_exact(batch: pa.Table) -> pa.Table:
+            words, mb, ks = ray.get(bloom_ref)
+            ok = batch.column("l_orderkey").to_numpy().astype(np.int64)
+            hit = bloom_contains(words, splitmix64(ok.astype(np.uint64)), mb)
+            # exact membership on the bloom survivors only (the bloom did the
+            # bulk kill; searchsorted confirms, removing the ~1e-5 FPs)
+            surv = ok[hit]
+            pos = np.searchsorted(ks, surv)
+            exact = np.zeros(len(ok), bool)
+            exact[np.flatnonzero(hit)] = (pos < ks.size) & (ks[np.clip(pos, 0, ks.size - 1)] == surv)
+            t = batch.filter(pa.array(exact))
+            cents = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+            df = pd.DataFrame({"flag": t.column("l_returnflag").to_pandas(), "cents": cents})
+            g = df.groupby("flag", sort=False)["cents"].agg(["count", "sum"]).reset_index()
+            return pa.table(
+                {
+                    "l_returnflag": pa.array(g["flag"].astype(str)),
+                    "n_rows": pa.array(g["count"].to_numpy(np.int64)),
+                    "revenue_cents": pa.array(g["sum"].to_numpy(np.int64)),
+                }
+            )
+
+        partials = li.map_batches(probe_exact, batch_format="pyarrow")
+        return partials.groupby("l_returnflag").aggregate(
+            _Sum("n_rows", alias_name="n_rows"),
+            _Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+
     def probe(batch: pa.Table) -> pa.Table:
-        words, mb = ray.get(bloom_ref)
+        words, mb, _ = ray.get(bloom_ref)
         ok = batch.column("l_orderkey").to_numpy().astype(np.int64)
         hit = bloom_contains(words, splitmix64(ok.astype(np.uint64)), mb)
         t = batch.filter(pa.array(hit))
@@ -1016,12 +1057,10 @@ def bloom_semi_join(sf_dir: str):
             }
         )
 
-    from ray.data.aggregate import Sum as _Sum
-
     partials = hash_partitioned_apply(both, "key", verify)
-    return (
-        partials.groupby("l_returnflag")
-        .aggregate(_Sum("n_rows", alias_name="n_rows"), _Sum("revenue_cents", alias_name="revenue_cents"))
+    return partials.groupby("l_returnflag").aggregate(
+        _Sum("n_rows", alias_name="n_rows"),
+        _Sum("revenue_cents", alias_name="revenue_cents"),
     )
 
 

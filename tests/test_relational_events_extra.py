@@ -108,3 +108,13 @@ def test_assoc_rules_confidence_consistency():
     # every rule exists in both directions as a pair (support is symmetric)
     fwd = set(zip(df["ante"], df["cons"]))
     assert all((c, a) in fwd for a, c in fwd)
+
+
+def test_bloom_semi_join_regimes_agree(monkeypatch):
+    import osm_search_ray.pipelines.relational as relmod
+
+    small = rel.bloom_semi_join(SF).to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+    monkeypatch.setattr(relmod, "BLOOM_VERIFY_BROADCAST_LIMIT", 0)
+    big = relmod.bloom_semi_join(SF)
+    big = big.to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+    pd.testing.assert_frame_equal(small, big)
