@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from osm_search_ray.pipelines import geofence_pipeline as _gf0
 
     q["track_speed"] = _gf0.track_speed  # per-entity segment km/h
+    q["pip_triangles"] = tiling.pip_triangles  # winding-number PIP vs sign-test oracle
+    q["rect_quantiles"] = tiling.rect_quantiles  # grouped exact quartiles
     q["related_terms"] = textops.related_terms  # co-occurrence query expansion
     q["revenue_wow"] = relational.revenue_wow  # weekly series + WoW delta
     q["kde_cells"] = tiling.kde_cells  # integer-kernel density smoothing
@@ -463,6 +465,8 @@ GROUP BY 1, 2
 
     sql["clustering_coeff"] = _gr0s.sql_clustering_coeff()
     sql["track_speed"] = _gf0s.sql_track_speed()
+    sql["pip_triangles"] = _ti0.sql_pip_triangles()
+    sql["rect_quantiles"] = _ti0.sql_rect_quantiles()
     sql["related_terms"] = textops.sql_related_terms()
     sql["revenue_wow"] = relational.SQL_REVENUE_WOW
     sql["kde_cells"] = _ti0.sql_kde_cells()

@@ -1090,3 +1090,124 @@ FROM cells c JOIN cells m
   ON m.x BETWEEN c.x - 1 AND c.x + 1 AND m.y BETWEEN c.y - 1 AND c.y + 1
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------- general-polygon (triangle) PIP
+
+
+def pip_triangles(sf_dir: str):
+    """PIP join against GENERAL polygons (derived triangles) — the ring class
+    rects never exercise: non-axis-aligned edges through the exact
+    winding-number kernel (functions/geometry.points_in_polygon, the
+    reference M13 parity /root/reference/pkg/geo — see SURVEY §2.8), streamed
+    through the same broadcast PolygonSet index as pip_join. The SQL oracle
+    proves containment with the INDEPENDENT half-plane sign test — two
+    different float formulations agreeing exactly (the derived vertices keep
+    every page strictly off every edge; the unit asserts the margin).
+    Output (doc_id, tri_id)."""
+    import osm_search_ray.sources.derived as _dv
+
+    t = _dv.tri_polys(sf_dir)
+    tri_id = t.column("tri_id").to_numpy()
+    rings = [
+        (
+            np.asarray([t.column("alat")[i].as_py(), t.column("blat")[i].as_py(), t.column("clat")[i].as_py()]),
+            np.asarray([t.column("alon")[i].as_py(), t.column("blon")[i].as_py(), t.column("clon")[i].as_py()]),
+        )
+        for i in range(t.num_rows)
+    ]
+    polys = PolygonSet.from_rings(tri_id, rings)
+    pts = geo_pages(sf_dir)
+    return broadcast_pip_join(pts, polys, id_out="tri_id").select_columns(["doc_id", "tri_id"])
+
+
+def sql_pip_triangles() -> str:
+    import osm_search_ray.sources.derived as _dv
+
+    s1 = "((t.blon - t.alon) * (p.lat - t.alat) - (t.blat - t.alat) * (p.lon - t.alon))"
+    s2 = "((t.clon - t.blon) * (p.lat - t.blat) - (t.clat - t.blat) * (p.lon - t.blon))"
+    s3 = "((t.alon - t.clon) * (p.lat - t.clat) - (t.alat - t.clat) * (p.lon - t.clon))"
+    return f"""
+WITH {_dv.SQL_GEO_PAGES.strip()}, {_dv.SQL_TRI_POLYS.strip()}
+SELECT p.doc_id, t.tri_id
+FROM geo_pages p JOIN tri_polys t
+  ON ({s1} >= 0 AND {s2} >= 0 AND {s3} >= 0)
+  OR ({s1} <= 0 AND {s2} <= 0 AND {s3} <= 0)
+"""
+
+
+# ------------------------------------------------- grouped exact quantiles
+
+
+def rect_quantiles(sf_dir: str):
+    """GROUPED exact quantiles: per admin rect, the interpolated quartiles of
+    contained pages' n_chars — events_quantiles' per-group sibling. Quartile
+    positions land on a k/4 grid, so p·4 is an exact integer:
+    p_x4 = v[lo]·(4−f4) + v[lo+1]·f4 with pos4 = (n−1)·k, lo = pos4//4,
+    f4 = pos4 % 4 — pure int64 on both engines (SQL: quantile_cont × 4
+    rounds exactly; the hotspot_cells ×20 precedent).
+
+    Shape: the broadcast PIP join tags rows at the scan; per-batch
+    (rect, n_chars) value-count partials make the ONE rect-keyed exchange
+    carry a rects×domain-bounded histogram, never pages. Output
+    (rect_id, n_pages, p25_x4, p50_x4, p75_x4)."""
+    import pandas as pd
+
+    from ..stages.joins import hash_partitioned_apply
+
+    rects = admin_rects(sf_dir)
+    polys = PolygonSet.from_rects(rects.select(["rect_id", "lat0", "lon0", "lat1", "lon1"]))
+    pts = geo_pages(sf_dir, columns=["doc_id", "n_chars"])
+    joined = broadcast_pip_join(pts, polys, id_out="rect_id")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "rect_id": batch.column("rect_id").to_numpy(),
+                "v": batch.column("n_chars").to_numpy(),
+            }
+        )
+        g = df.groupby(["rect_id", "v"], sort=False).size().reset_index(name="c")
+        return pa.Table.from_pandas(g.astype({"c": np.int64}), preserve_index=False)
+
+    def quartiles(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for rid, g in df.groupby("rect_id", sort=False):
+            h = g.groupby("v", sort=True)["c"].sum()
+            vals = h.index.to_numpy(np.int64)
+            reps = h.to_numpy(np.int64)
+            n = int(reps.sum())
+            cum = np.cumsum(reps)  # rank r (0-based) lives at vals[searchsorted(cum, r, 'right')]
+            qs = []
+            for k in (1, 2, 3):
+                pos4 = (n - 1) * k
+                lo, f4 = pos4 // 4, pos4 % 4
+                vlo = vals[np.searchsorted(cum, lo, side="right")]
+                vhi = vals[np.searchsorted(cum, min(lo + 1, n - 1), side="right")]
+                qs.append(int(vlo) * (4 - f4) + int(vhi) * f4)
+            rows.append((rid, n, qs[0], qs[1], qs[2]))
+        return pd.DataFrame(
+            rows, columns=["rect_id", "n_pages", "p25_x4", "p50_x4", "p75_x4"]
+        ).astype(np.int64)
+
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+    return hash_partitioned_apply(partials, "rect_id", quartiles)
+
+
+def sql_rect_quantiles() -> str:
+    import osm_search_ray.sources.derived as _dv
+
+    return f"""
+WITH {_dv.SQL_GEO_PAGES.strip()}, {_dv.SQL_ADMIN_RECTS.strip()},
+inrect AS (
+    SELECT r.rect_id, d.n_chars
+    FROM geo_pages p
+    JOIN documents d USING (doc_id)
+    JOIN admin_rects r
+      ON p.lat BETWEEN r.lat0 AND r.lat1 AND p.lon BETWEEN r.lon0 AND r.lon1)
+SELECT rect_id, CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(ROUND(quantile_cont(n_chars, 0.25) * 4) AS BIGINT) AS p25_x4,
+       CAST(ROUND(quantile_cont(n_chars, 0.50) * 4) AS BIGINT) AS p50_x4,
+       CAST(ROUND(quantile_cont(n_chars, 0.75) * 4) AS BIGINT) AS p75_x4
+FROM inrect GROUP BY 1
+"""

@@ -429,3 +429,43 @@ def sql_splitmix64_chain(src_cte: str, key_cols: list[str], x_expr: str, out_cte
 
 # hashing.hash64_md5's SQL twin: first 8 bytes of md5, big-endian
 SQL_HASH64_MD5 = "CAST('0x' || substr(md5({col}), 1, 16) AS UBIGINT)"
+
+
+# ------------------------------------------------- derived triangle polygons
+
+
+def tri_polys(sf_dir: str) -> pa.Table:
+    """nation → 25 TRIANGLE polygons (general-ring PIP inputs — the shape
+    class the winding-number kernel exists for; rects never exercise a
+    non-axis-aligned edge). Vertex arithmetic is one mult + adds per
+    coordinate, mirrored exactly in SQL_TRI_POLYS."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+    key = t.column("n_nationkey").to_numpy().astype(np.int64)
+    alat = -6.62 + (key % 5).astype(np.float64) * 0.17
+    alon = 106.38 + (key // 5).astype(np.float64) * 0.19
+    return pa.table(
+        {
+            "tri_id": key,
+            "alat": alat,
+            "alon": alon,
+            "blat": alat + 0.13,
+            "blon": alon + 0.02,
+            "clat": alat + 0.05,
+            "clon": alon + 0.15,
+        }
+    )
+
+
+SQL_TRI_POLYS = """
+tri_polys AS (
+    SELECT n_nationkey AS tri_id,
+           -6.62 + CAST(n_nationkey % 5 AS DOUBLE) * 0.17 AS alat,
+           106.38 + CAST(n_nationkey // 5 AS DOUBLE) * 0.19 AS alon,
+           -6.62 + CAST(n_nationkey % 5 AS DOUBLE) * 0.17 + 0.13 AS blat,
+           106.38 + CAST(n_nationkey // 5 AS DOUBLE) * 0.19 + 0.02 AS blon,
+           -6.62 + CAST(n_nationkey % 5 AS DOUBLE) * 0.17 + 0.05 AS clat,
+           106.38 + CAST(n_nationkey // 5 AS DOUBLE) * 0.19 + 0.15 AS clon
+    FROM nation
+)"""
