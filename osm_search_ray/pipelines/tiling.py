@@ -1211,3 +1211,112 @@ SELECT rect_id, CAST(COUNT(*) AS BIGINT) AS n_pages,
        CAST(ROUND(quantile_cont(n_chars, 0.75) * 4) AS BIGINT) AS p75_x4
 FROM inrect GROUP BY 1
 """
+
+
+# -------------------------------------------------- rect-overlap spatial join
+
+
+def rect_overlap_pairs(sf_dir: str):
+    """2D box-intersection SELF-join (PBSM, Patel & DeWitt '96): every pair of
+    derived part rects whose closed boxes overlap, reported EXACTLY once.
+    This is the partition-based twin of the broadcast pip_join family — both
+    sides BIG, neither collectible, the shape a 100 TB footprint-overlap
+    audit needs (reference's bbox ops are M16, /root/reference/pkg/geo;
+    this composes them into a distributed join).
+
+    Shape: each rect fans out to the <=4 grid cells it touches (cell size
+    0.02 deg >= max rect extent per axis), ONE cell-keyed exchange, per-cell
+    vectorized all-pairs test, and the PBSM reference-point rule — a pair is
+    emitted only by the cell containing the intersection's min corner
+    (max(lat0), max(lon0)), a point both rects cover — kills cross-cell
+    duplicates without a distinct pass. Both engines compare bit-identical
+    float64 (derived arithmetic shared with SQL_PART_RECTS), so closed-edge
+    touches agree exactly. Output (a_id, b_id), a_id < b_id."""
+    import pandas as pd
+
+    import osm_search_ray.sources.derived as _dv
+    from ..stages.joins import hash_partitioned_apply
+
+    G = 0.02
+    BLAT, BLON = -6.75, 106.25
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        lat0 = batch.column("lat0").to_numpy()
+        lon0 = batch.column("lon0").to_numpy()
+        lat1 = batch.column("lat1").to_numpy()
+        lon1 = batch.column("lon1").to_numpy()
+        rid = batch.column("rid").to_numpy()
+        ix0 = np.floor((lat0 - BLAT) / G).astype(np.int64)
+        ix1 = np.floor((lat1 - BLAT) / G).astype(np.int64)
+        iy0 = np.floor((lon0 - BLON) / G).astype(np.int64)
+        iy1 = np.floor((lon1 - BLON) / G).astype(np.int64)
+        outs = []
+        for dx in (0, 1):
+            for dy in (0, 1):
+                m = (ix0 + dx <= ix1) & (iy0 + dy <= iy1)
+                outs.append(
+                    pa.table(
+                        {
+                            "cell": (ix0[m] + dx) * 1_000_003 + (iy0[m] + dy),
+                            "rid": rid[m],
+                            "lat0": lat0[m],
+                            "lon0": lon0[m],
+                            "lat1": lat1[m],
+                            "lon1": lon1[m],
+                        }
+                    )
+                )
+        return pa.concat_tables(outs)
+
+    def per_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        a_out, b_out = [], []
+        for cell, g in df.groupby("cell", sort=False):
+            k = len(g)
+            if k < 2:
+                continue
+            lat0 = g["lat0"].to_numpy()
+            lon0 = g["lon0"].to_numpy()
+            lat1 = g["lat1"].to_numpy()
+            lon1 = g["lon1"].to_numpy()
+            rid = g["rid"].to_numpy()
+            hit = (
+                (lat0[:, None] <= lat1[None, :])
+                & (lat0[None, :] <= lat1[:, None])
+                & (lon0[:, None] <= lon1[None, :])
+                & (lon0[None, :] <= lon1[:, None])
+                & (rid[:, None] < rid[None, :])
+            )
+            ii, jj = np.nonzero(hit)
+            if not len(ii):
+                continue
+            # PBSM reference point: intersection min corner's cell == this cell
+            rlat = np.maximum(lat0[ii], lat0[jj])
+            rlon = np.maximum(lon0[ii], lon0[jj])
+            rcell = (
+                np.floor((rlat - BLAT) / G).astype(np.int64) * 1_000_003
+                + np.floor((rlon - BLON) / G).astype(np.int64)
+            )
+            keep = rcell == cell
+            a_out.append(rid[ii[keep]])
+            b_out.append(rid[jj[keep]])
+        if not a_out:
+            return pd.DataFrame({"a_id": pd.Series([], dtype=np.int64), "b_id": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame(
+            {"a_id": np.concatenate(a_out), "b_id": np.concatenate(b_out)}
+        )
+
+    fanned = _dv.part_rects(sf_dir).map_batches(fan_out, batch_format="pyarrow")
+    return hash_partitioned_apply(fanned, "cell", per_partition)
+
+
+def sql_rect_overlap_pairs() -> str:
+    import osm_search_ray.sources.derived as _dv
+
+    return f"""
+WITH {_dv.SQL_PART_RECTS.strip()}
+SELECT a.rid AS a_id, b.rid AS b_id
+FROM part_rects a JOIN part_rects b
+  ON a.rid < b.rid
+ AND a.lat0 <= b.lat1 AND b.lat0 <= a.lat1
+ AND a.lon0 <= b.lon1 AND b.lon0 <= a.lon1
+"""

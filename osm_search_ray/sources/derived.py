@@ -469,3 +469,42 @@ tri_polys AS (
            106.38 + CAST(n_nationkey // 5 AS DOUBLE) * 0.19 + 0.15 AS clon
     FROM nation
 )"""
+
+
+# ----------------------------------------------------- derived part rects
+
+
+def add_part_rects(batch: pa.Table) -> pa.Table:
+    """part batch → scattered small rectangles (rid, lat0, lon0, lat1, lon1).
+    Widths/heights vary ~0.001-0.01 deg so every rect fits a 0.02-deg grid
+    cell per axis; SQL_PART_RECTS mirrors the float64 op order exactly."""
+    key = batch.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    # quadratic scatter — two LINEAR maps form a 2D lattice whose minimum
+    # distance exceeds the overlap window at small n (zero pairs at sf<=0.01)
+    lat0 = -6.7 + ((key * (key + 13)) % 9000).astype(np.float64) * 0.0001
+    lon0 = 106.3 + ((key * (key + 57)) % 10000).astype(np.float64) * 0.0001
+    lat1 = lat0 + (0.001 + (key % 7).astype(np.float64) * 0.0015)
+    lon1 = lon0 + (0.001 + (key % 5).astype(np.float64) * 0.002)
+    return pa.table(
+        {"rid": key, "lat0": lat0, "lon0": lon0, "lat1": lat1, "lon1": lon1}
+    )
+
+
+def part_rects(sf_dir: str) -> "ray.data.Dataset":
+    """part.parquet → rectangle Dataset (a BIG side — streamed, never
+    collected; the rect-overlap join fan-outs it through a grid exchange)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    return ds.map_batches(add_part_rects, batch_format="pyarrow")
+
+
+SQL_PART_RECTS = """
+part_rects AS (
+    SELECT p_partkey AS rid,
+           -6.7 + CAST((p_partkey * (p_partkey + 13)) % 9000 AS DOUBLE) * 0.0001 AS lat0,
+           106.3 + CAST((p_partkey * (p_partkey + 57)) % 10000 AS DOUBLE) * 0.0001 AS lon0,
+           -6.7 + CAST((p_partkey * (p_partkey + 13)) % 9000 AS DOUBLE) * 0.0001
+               + (0.001 + CAST(p_partkey % 7 AS DOUBLE) * 0.0015) AS lat1,
+           106.3 + CAST((p_partkey * (p_partkey + 57)) % 10000 AS DOUBLE) * 0.0001
+               + (0.001 + CAST(p_partkey % 5 AS DOUBLE) * 0.002) AS lon1
+    FROM part
+)"""
