@@ -1320,3 +1320,95 @@ FROM part_rects a JOIN part_rects b
  AND a.lat0 <= b.lat1 AND b.lat0 <= a.lat1
  AND a.lon0 <= b.lon1 AND b.lon0 <= a.lon1
 """
+
+
+# ------------------------------------------------- distance-band pair join
+
+
+DIST_EPS = 0.002  # degrees; pair iff (dlat^2 + dlon^2) <= DIST_EPS^2
+
+
+def distance_band_pairs(sf_dir: str):
+    """All page pairs within DIST_EPS degrees (squared planar degree metric)
+    — the epsilon-range SELF-join under DBSCAN/near-duplicate-location
+    audits, with BOTH sides big (the broadcast knn family can't express
+    this). Composes the reference's bbox/cell primitives (M16,
+    /root/reference/pkg/geo) into a distributed band join.
+
+    Shape: one grid pass keys every point to its epsilon-sized home cell and
+    replicates it to the 8 neighbors flagged visitor; ONE cell-keyed
+    exchange; per cell a vectorized home x all test. Exactly-once rule: a
+    pair is emitted only where the HOME point has the smaller doc_id — the
+    (a<b) pair appears as (home=a, visitor=b) in a's cell and fails the id
+    test everywhere else, so no distinct pass. Both engines compare
+    bit-identical float64 (shared derived arithmetic + identical epsilon
+    expression 0.002*0.002). Output (a_id, b_id), a_id < b_id."""
+    import pandas as pd
+
+    from ..stages.joins import hash_partitioned_apply
+
+    G = DIST_EPS
+    BLAT, BLON = -6.75, 106.25
+    EPS2 = np.float64(DIST_EPS) * np.float64(DIST_EPS)
+    CK = 4_000_037
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy()
+        lon = batch.column("lon").to_numpy()
+        did = batch.column("doc_id").to_numpy()
+        ix = np.floor((lat - BLAT) / G).astype(np.int64)
+        iy = np.floor((lon - BLON) / G).astype(np.int64)
+        outs = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                outs.append(
+                    pa.table(
+                        {
+                            "cell": (ix + dx) * CK + (iy + dy),
+                            "doc_id": did,
+                            "lat": lat,
+                            "lon": lon,
+                            "home": np.full(len(did), dx == 0 and dy == 0),
+                        }
+                    )
+                )
+        return pa.concat_tables(outs)
+
+    def per_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        a_out, b_out = [], []
+        for _, g in df.groupby("cell", sort=False):
+            hm = g["home"].to_numpy()
+            if not hm.any() or len(g) < 2:
+                continue
+            lat = g["lat"].to_numpy()
+            lon = g["lon"].to_numpy()
+            did = g["doc_id"].to_numpy()
+            hlat, hlon, hid = lat[hm], lon[hm], did[hm]
+            dlat = hlat[:, None] - lat[None, :]
+            dlon = hlon[:, None] - lon[None, :]
+            hit = (dlat * dlat + dlon * dlon <= EPS2) & (hid[:, None] < did[None, :])
+            ii, jj = np.nonzero(hit)
+            if len(ii):
+                a_out.append(hid[ii])
+                b_out.append(did[jj])
+        if not a_out:
+            return pd.DataFrame(
+                {"a_id": pd.Series([], dtype=np.int64), "b_id": pd.Series([], dtype=np.int64)}
+            )
+        return pd.DataFrame({"a_id": np.concatenate(a_out), "b_id": np.concatenate(b_out)})
+
+    fanned = geo_pages(sf_dir).map_batches(fan_out, batch_format="pyarrow")
+    return hash_partitioned_apply(fanned, "cell", per_partition)
+
+
+def sql_distance_band_pairs() -> str:
+    import osm_search_ray.sources.derived as _dv
+
+    return f"""
+WITH {_dv.SQL_GEO_PAGES.strip()}
+SELECT a.doc_id AS a_id, b.doc_id AS b_id
+FROM geo_pages a JOIN geo_pages b
+  ON a.doc_id < b.doc_id
+ AND (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon)
+     <= 0.002 * 0.002
+"""
