@@ -1542,3 +1542,69 @@ ranked AS (
     FROM d)
 SELECT term, partner, n AS n_pairs, rank FROM ranked WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------- lexicon tagging
+
+
+# (kw_id, phrase) — the broadcast dictionary of a brand-safety / taxonomy
+# tagger; tiny here, an Aho-Corasick automaton per actor at real lexicon
+# sizes (same broadcast-once shape either way).
+TAG_LEXICON: list[tuple[int, str]] = [
+    (0, "sort merge"),
+    (1, "join order"),
+    (2, "batch batch"),
+    (3, "table scan"),
+    (4, "hash join"),
+    (5, "data line"),
+    (6, "window window"),
+    (7, "stream spark"),
+]
+
+
+def lexicon_tags(sf_dir: str):
+    """Multi-phrase dictionary tagging: per (doc, phrase), the number of
+    NON-OVERLAPPING left-to-right occurrences of the phrase as a raw
+    substring — the scan-side kernel of brand-safety / taxonomy / PII-lexicon
+    tagging over a web corpus. The lexicon is broadcast state (a closure
+    constant; an actor-held Aho-Corasick automaton at 10^5-phrase scale);
+    the corpus streams through one map_batches with zero shuffles.
+    Left-to-right non-overlapping is exactly what both regex findall and
+    SQL replace() compute, so the twins agree on self-overlapping phrases
+    ("batch batch" in "batch batch batch" counts once on both engines).
+    Output (doc_id, kw_id, n) for n > 0."""
+    import re
+
+    pats = [(kid, re.compile(re.escape(kw))) for kid, kw in TAG_LEXICON]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pandas()
+        did = batch.column("doc_id").to_numpy()
+        ids_out, kid_out, n_out = [], [], []
+        for kid, pat in pats:
+            n = texts.str.count(pat).to_numpy(np.int64)
+            m = n > 0
+            ids_out.append(did[m])
+            kid_out.append(np.full(int(m.sum()), kid, dtype=np.int64))
+            n_out.append(n[m])
+        return pa.table(
+            {
+                "doc_id": np.concatenate(ids_out),
+                "kw_id": np.concatenate(kid_out),
+                "n": np.concatenate(n_out),
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def sql_lexicon_tags() -> str:
+    vals = ", ".join(f"({kid}, '{kw}')" for kid, kw in TAG_LEXICON)
+    return f"""
+WITH lex(kw_id, kw) AS (VALUES {vals})
+SELECT d.doc_id, CAST(l.kw_id AS BIGINT) AS kw_id,
+       (length(d.text) - length(replace(d.text, l.kw, ''))) // length(l.kw) AS n
+FROM documents d CROSS JOIN lex l
+WHERE (length(d.text) - length(replace(d.text, l.kw, ''))) // length(l.kw) > 0
+"""
