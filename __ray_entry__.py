@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["rect_overlap_pairs"] = tiling.rect_overlap_pairs  # PBSM box-intersection join
     q["distance_band_pairs"] = tiling.distance_band_pairs  # epsilon-range self-join
     q["lexicon_tags"] = textops.lexicon_tags  # broadcast multi-phrase tagger
+    q["degree_assortativity"] = _gr0.degree_assortativity  # graph mixing diagnostic
     q["related_terms"] = textops.related_terms  # co-occurrence query expansion
     q["revenue_wow"] = relational.revenue_wow  # weekly series + WoW delta
     q["kde_cells"] = tiling.kde_cells  # integer-kernel density smoothing
@@ -473,6 +474,7 @@ GROUP BY 1, 2
     sql["rect_overlap_pairs"] = _ti0.sql_rect_overlap_pairs()
     sql["distance_band_pairs"] = _ti0.sql_distance_band_pairs()
     sql["lexicon_tags"] = textops.sql_lexicon_tags()
+    sql["degree_assortativity"] = _gr0s.sql_degree_assortativity()
     sql["related_terms"] = textops.sql_related_terms()
     sql["revenue_wow"] = relational.SQL_REVENUE_WOW
     sql["kde_cells"] = _ti0.sql_kde_cells()

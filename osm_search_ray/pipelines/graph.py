@@ -1936,3 +1936,160 @@ SELECT d.node AS doc_id, d.deg,
 FROM degs d LEFT JOIN tcounts t ON t.doc_id = d.node
 WHERE d.deg >= 2
 """
+
+
+def degree_assortativity(sf_dir: str):
+    """Newman DEGREE ASSORTATIVITY of the undirected link graph: the Pearson
+    correlation of (deg(u), deg(v)) over the 2m ordered endpoint views of
+    the m distinct undirected edges — THE one-number mixing diagnostic next
+    to clustering_coeff. Output one row (n_samples=2m, assort_x1e9).
+
+    Shape: degrees from one node-keyed count exchange over exploded
+    endpoints; two side-tagged node-keyed exchanges attach deg to each
+    endpoint view (the distributed edges⋈degrees⋈degrees); the second
+    exchange emits per-PARTITION int64 moment partials (n, Σx, Σy, Σxy,
+    Σx², Σy²) — nothing edge-sized ever reaches the driver, which sums
+    O(num_parts) rows exactly (Python int) and evaluates the closed form in
+    corr_price_qty's float-expression-order contract (bit-identical SQL
+    twin). int64 partial bound: rows/partition · max_deg² — safe while
+    hub_deg² · partition_rows < 2⁶³ (document hubs first at petabyte walks).
+    """
+    from ..stages.joins import hash_partitioned_apply
+
+    und = _und_edges(sf_dir)
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        u, c = np.unique(np.concatenate([a, b]), return_counts=True)
+        return pa.table({"node": u, "cnt": c.astype(np.int64)})
+
+    def fuse_deg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False)["cnt"].sum().reset_index()
+        return g.rename(columns={"cnt": "deg"})
+
+    degs = hash_partitioned_apply(
+        und.map_batches(endpoints, batch_format="pyarrow"), "node", fuse_deg
+    )
+
+    # exchange 1: key by the FIRST endpoint, attach its degree
+    def edge_views(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        return pa.table(
+            {
+                "node": np.concatenate([a, b]),
+                "other": np.concatenate([b, a]),
+                "deg": np.full(2 * len(a), -1, dtype=np.int64),
+            }
+        )
+
+    def deg_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "other": pa.array(np.full(batch.num_rows, -1, dtype=np.int64)),
+                "deg": batch.column("deg"),
+            }
+        )
+
+    def attach_first(df: pd.DataFrame) -> pd.DataFrame:
+        dmap = df.loc[df["other"] == -1].set_index("node")["deg"]
+        e = df.loc[df["other"] != -1]
+        return pd.DataFrame(
+            {
+                "node": e["other"].to_numpy(),
+                "da": dmap.reindex(e["node"]).to_numpy(np.int64),
+            }
+        )
+
+    views = und.map_batches(edge_views, batch_format="pyarrow")
+    tagged1 = views.union(degs.map_batches(deg_rows, batch_format="pyarrow"))
+    half = hash_partitioned_apply(tagged1, "node", attach_first)
+
+    # exchange 2: key by the SECOND endpoint, attach its degree, reduce to moments
+    def half_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "da": batch.column("da"),
+                "deg": pa.array(np.full(batch.num_rows, -1, dtype=np.int64)),
+            }
+        )
+
+    def deg_rows2(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "da": pa.array(np.full(batch.num_rows, -1, dtype=np.int64)),
+                "deg": batch.column("deg"),
+            }
+        )
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        dmap = df.loc[df["deg"] != -1].set_index("node")["deg"]
+        e = df.loc[df["deg"] == -1]
+        if not len(e):
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=np.int64) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")}
+            )
+        x = e["da"].to_numpy(np.int64)
+        y = dmap.reindex(e["node"]).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "n": [np.int64(len(x))],
+                "sx": [x.sum()],
+                "sy": [y.sum()],
+                "sxy": [(x * y).sum()],
+                "sxx": [(x * x).sum()],
+                "syy": [(y * y).sum()],
+            }
+        )
+
+    tagged2 = half.map_batches(half_rows, batch_format="pyarrow").union(
+        degs.map_batches(deg_rows2, batch_format="pyarrow")
+    )
+    parts = hash_partitioned_apply(tagged2, "node", moments).to_pandas()
+
+    n, sx, sy, sxy, sxx, syy = (
+        int(parts[c].astype(object).sum()) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+    )
+    num = float(n * sxy - sx * sy)
+    den = np.sqrt(float(n * sxx - sx * sx)) * np.sqrt(float(n * syy - sy * sy))
+    out = pd.DataFrame(
+        {
+            "n_samples": [np.int64(n)],
+            "assort_x1e9": [np.int64(np.rint(num / den * 1000000000))],
+        }
+    )
+    import ray.data as _rd
+
+    return _rd.from_pandas(out)
+
+
+def sql_degree_assortativity() -> str:
+    return f"""
+WITH {dv.SQL_LINK_EDGES.strip()},
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM link_edges WHERE src <> dst),
+degs AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+    GROUP BY 1),
+pairs AS (SELECT a AS x, b AS y FROM und UNION ALL SELECT b, a FROM und),
+j AS (
+    SELECT dx.deg AS da, dy.deg AS db
+    FROM pairs p JOIN degs dx ON dx.node = p.x JOIN degs dy ON dy.node = p.y),
+m AS (
+    SELECT COUNT(*) AS n,
+           SUM(CAST(da AS HUGEINT)) AS sx, SUM(CAST(db AS HUGEINT)) AS sy,
+           SUM(CAST(da AS HUGEINT) * db) AS sxy,
+           SUM(CAST(da AS HUGEINT) * da) AS sxx,
+           SUM(CAST(db AS HUGEINT) * db) AS syy
+    FROM j)
+SELECT CAST(n AS BIGINT) AS n_samples,
+       CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+            * 1000000000) AS BIGINT) AS assort_x1e9
+FROM m
+"""

@@ -337,3 +337,27 @@ def test_scc_distributed_equals_numpy_regime():
     nodes, sid = _scc_numpy(src, dst)
     assert got["doc_id"].tolist() == nodes.tolist()
     assert got["scc_id"].tolist() == sid.tolist()
+
+
+def test_degree_assortativity_matches_numpy():
+    """Engine one-row result == a dense numpy replay (degrees via bincount,
+    Pearson via np.corrcoef over the 2m ordered endpoint views)."""
+    import pyarrow.parquet as pq
+
+    from osm_search_ray.pipelines import graph as gr
+
+    n = pq.ParquetFile(f"{SF}/documents.parquet").metadata.num_rows
+    s, d = _edges_numpy(n)
+    keep = s != d
+    a = np.minimum(s[keep], d[keep])
+    b = np.maximum(s[keep], d[keep])
+    und = np.unique(np.stack([a, b], axis=1), axis=0)
+    a, b = und[:, 0], und[:, 1]
+    deg = np.bincount(np.concatenate([a, b]), minlength=n)
+    x = np.concatenate([deg[a], deg[b]]).astype(np.float64)
+    y = np.concatenate([deg[b], deg[a]]).astype(np.float64)
+    r = np.corrcoef(x, y)[0, 1]
+    assert np.std(x) > 0, "fixture degenerate: regular graph"
+    got = gr.degree_assortativity(SF).to_pandas()
+    assert int(got["n_samples"].iloc[0]) == 2 * len(a)
+    assert abs(int(got["assort_x1e9"].iloc[0]) / 1e9 - r) < 1e-6
