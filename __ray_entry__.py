@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["distance_band_pairs"] = tiling.distance_band_pairs  # epsilon-range self-join
     q["lexicon_tags"] = textops.lexicon_tags  # broadcast multi-phrase tagger
     q["degree_assortativity"] = _gr0.degree_assortativity  # graph mixing diagnostic
+    q["near_search"] = search_docs.near_docs_search  # NEAR proximity via pos store
     q["related_terms"] = textops.related_terms  # co-occurrence query expansion
     q["revenue_wow"] = relational.revenue_wow  # weekly series + WoW delta
     q["kde_cells"] = tiling.kde_cells  # integer-kernel density smoothing
@@ -475,6 +476,7 @@ GROUP BY 1, 2
     sql["distance_band_pairs"] = _ti0.sql_distance_band_pairs()
     sql["lexicon_tags"] = textops.sql_lexicon_tags()
     sql["degree_assortativity"] = _gr0s.sql_degree_assortativity()
+    sql["near_search"] = search_docs.SQL_NEAR_DOCS_SEARCH
     sql["related_terms"] = textops.sql_related_terms()
     sql["revenue_wow"] = relational.SQL_REVENUE_WOW
     sql["kde_cells"] = _ti0.sql_kde_cells()

@@ -1353,3 +1353,116 @@ def phrase_store_query(store: str, phrase_queries):
     # doc-keyed partitions are disjoint, so per-partition matches ARE the
     # final rows — no second aggregation pass
     return hash_partitioned_apply(pruned, "doc_id", match, num_parts=16)
+
+
+# ------------------------------------------------------- proximity (NEAR) search
+
+# (query_id, term_a, term_b, window) — unordered proximity: how many
+# position pairs (pa, pb) with |pa - pb| <= window land in the same doc.
+# The NEAR operator the reference's AND-only boolean searcher
+# (/root/reference/pkg/searcher/searcher.go:664-670) never grew.
+NEAR_QUERIES: list[tuple[int, str, str, int]] = [
+    (1, "spark", "window", 3),
+    (2, "sort", "merge", 2),
+    (3, "customer", "data", 4),
+    (4, "query", "slow", 5),
+]
+
+
+def near_docs_search(sf_dir: str):
+    """Proximity retrieval from the ON-DISK positional store: for each
+    (term_a, term_b, w) query, every doc where the terms co-occur within w
+    token positions, with the exact pair count. Opens ONLY the two terms'
+    store buckets (partition-pruned read), ONE doc-keyed exchange over the
+    terms' occurrences — never a corpus scan; the per-partition kernel is
+    two searchsorted calls on (doc<<32 | pos) keys (windows cannot cross
+    docs: w << 2^32). Output (query_id, doc_id, n_pairs)."""
+    return near_store_query(_pos_store_dir(sf_dir), NEAR_QUERIES)
+
+
+def near_store_query(store: str, near_queries):
+    from ..functions.hashing import hash64_str
+    from ..stages.joins import hash_partitioned_apply
+
+    terms = sorted({t for _, a, b, _ in near_queries for t in (a, b)})
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series(dtype=np.int64),
+            "doc_id": pd.Series(dtype=np.int64),
+            "n_pairs": pd.Series(dtype=np.int64),
+        }
+    )
+    buckets = sorted(
+        set((hash64_str(np.array(terms, dtype=object)) % POS_BUCKETS).astype(np.int64).tolist())
+    )
+    files = [f"{store}/part={b}/data.parquet" for b in buckets if os.path.exists(f"{store}/part={b}/data.parquet")]
+    if not files:
+        return ray.data.from_pandas(empty)
+    postings = ray.data.read_parquet(files, columns=["term", "doc_id", "pos"])
+    term_arr = pa.array(terms)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch.column("term"), value_set=term_arr))
+
+    pruned = postings.map_batches(prune, batch_format="pyarrow")
+    K = np.int64(1) << 32
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        by_term = {t: g for t, g in df.groupby("term", sort=False)}
+        out = []
+        for qid, ta, tb, w in near_queries:
+            ga, gb = by_term.get(ta), by_term.get(tb)
+            if ga is None or gb is None:
+                continue
+            ka = ga["doc_id"].to_numpy(np.int64) * K + ga["pos"].to_numpy(np.int64)
+            kb = np.sort(gb["doc_id"].to_numpy(np.int64) * K + gb["pos"].to_numpy(np.int64))
+            cnt = np.searchsorted(kb, ka + w, side="right") - np.searchsorted(
+                kb, ka - w, side="left"
+            )
+            m = cnt > 0
+            if not m.any():
+                continue
+            hits = (
+                pd.DataFrame({"doc_id": ga["doc_id"].to_numpy(np.int64)[m], "c": cnt[m]})
+                .groupby("doc_id", sort=False)["c"]
+                .sum()
+            )
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": np.full(len(hits), qid, np.int64),
+                        "doc_id": hits.index.to_numpy(np.int64),
+                        "n_pairs": hits.to_numpy(np.int64),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    # doc-keyed partitions are disjoint — per-partition counts are final
+    return hash_partitioned_apply(pruned, "doc_id", match)
+
+
+def _sql_near() -> str:
+    toks = SQL_TOKENIZE.format(col="text")
+    arms = []
+    for qid, ta, tb, w in NEAR_QUERIES:
+        arms.append(
+            f"""SELECT CAST({qid} AS BIGINT) AS query_id, a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pos a JOIN pos b
+      ON a.doc_id = b.doc_id AND b.i BETWEEN a.i - {w} AND a.i + {w}
+    WHERE a.w = '{ta}' AND b.w = '{tb}'
+    GROUP BY a.doc_id"""
+        )
+    union = "\n    UNION ALL ".join(arms)
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+pos AS (SELECT doc_id, unnest(t) AS w,
+               generate_subscripts(t, 1) AS i FROM toks)
+{union}
+"""
+
+
+SQL_NEAR_DOCS_SEARCH = _sql_near()
