@@ -162,3 +162,104 @@ SELECT event_id, point_id,
        CAST(ROUND({hav} / CAST(dt_us AS DOUBLE) * 3600000000.0 * 1000.0) AS BIGINT) AS kmh_milli
 FROM seq WHERE plat IS NOT NULL AND dt_us > 0
 """
+
+
+RDP_EPS_CROSS = 0.1  # |cross-product| threshold (deg^2-scaled, division-free)
+
+
+def rdp_tracks(sf_dir: str):
+    """Per-entity POLYLINE SIMPLIFICATION — Ramer-Douglas-Peucker with the
+    DIVISION-FREE cross-product criterion: a segment (i0, i1) splits at its
+    max-|cross| interior point when that exceeds RDP_EPS_CROSS, where
+    cross_j = (lat1−lat0)(lon_j−lon0) − (lon1−lon0)(lat_j−lat0) — pure
+    subtract/multiply on the shared derived doubles, so the engine replay
+    and the SQL recursive CTE compare bit-identical values (no sqrt, no
+    divide; ties broken by smallest index = numpy first-argmax = ORDER BY
+    maxc DESC, i ASC). Track order is (ts, event_id), endpoints always
+    kept; single-point tracks survive whole.
+
+    Shape: ONE entity-keyed exchange (tracks are the partition unit — the
+    trajectory family's standing assumption, cf. track_speed); per track an
+    explicit-stack loop whose per-level work is one vectorized cross-product
+    scan. Output (point_id, event_id) of kept points."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.joins import hash_partitioned_apply
+
+    pts = dv.fence_points(sf_dir)
+
+    def _keep_mask(lat: "np.ndarray", lon: "np.ndarray") -> "np.ndarray":
+        n = len(lat)
+        keep = np.zeros(n, dtype=bool)
+        keep[0] = keep[-1] = True
+        stack = [(0, n - 1)]
+        while stack:
+            i0, i1 = stack.pop()
+            if i1 - i0 < 2:
+                continue
+            c = np.abs(
+                (lat[i1] - lat[i0]) * (lon[i0 + 1 : i1] - lon[i0])
+                - (lon[i1] - lon[i0]) * (lat[i0 + 1 : i1] - lat[i0])
+            )
+            k = int(np.argmax(c))
+            if c[k] > RDP_EPS_CROSS:
+                j = i0 + 1 + k
+                keep[j] = True
+                stack.append((i0, j))
+                stack.append((j, i1))
+        return keep
+
+    def per_part(df: "pd.DataFrame") -> "pd.DataFrame":
+        cols = ["point_id", "event_id"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+        df = df.sort_values(["point_id", "ts", "event_id"], kind="mergesort")
+        out_p, out_e = [], []
+        for pid, g in df.groupby("point_id", sort=False):
+            lat = g["lat"].to_numpy()
+            lon = g["lon"].to_numpy()
+            m = _keep_mask(lat, lon) if len(g) > 1 else np.ones(1, dtype=bool)
+            ev = g["event_id"].to_numpy(np.int64)[m]
+            out_p.append(np.full(len(ev), pid, dtype=np.int64))
+            out_e.append(ev)
+        return pd.DataFrame(
+            {"point_id": np.concatenate(out_p), "event_id": np.concatenate(out_e)}
+        )
+
+    return hash_partitioned_apply(pts, "point_id", per_part, num_parts=32)
+
+
+def sql_rdp_tracks() -> str:
+    return f"""
+WITH RECURSIVE {dv.SQL_FENCE_POINTS.strip()},
+pts AS (SELECT point_id, event_id, lat, lon,
+        ROW_NUMBER() OVER (PARTITION BY point_id ORDER BY ts, event_id) - 1 AS i
+        FROM fence_points),
+lasts AS (SELECT point_id, MAX(i) AS last FROM pts GROUP BY 1),
+segs(point_id, i0, i1) AS (
+    SELECT point_id, CAST(0 AS BIGINT), CAST(last AS BIGINT) FROM lasts WHERE last >= 1
+  UNION ALL
+    SELECT s.point_id,
+           CASE WHEN v.side = 0 THEN s.i0 ELSE jm.j END,
+           CASE WHEN v.side = 0 THEN jm.j ELSE s.i1 END
+    FROM segs s
+    JOIN LATERAL (
+        SELECT pj.i AS j, abs((p1.lat - p0.lat) * (pj.lon - p0.lon)
+                            - (p1.lon - p0.lon) * (pj.lat - p0.lat)) AS maxc
+        FROM pts pj
+        JOIN pts p0 ON p0.point_id = s.point_id AND p0.i = s.i0
+        JOIN pts p1 ON p1.point_id = s.point_id AND p1.i = s.i1
+        WHERE pj.point_id = s.point_id AND pj.i > s.i0 AND pj.i < s.i1
+        ORDER BY maxc DESC, pj.i ASC
+        LIMIT 1
+    ) jm ON jm.maxc > {RDP_EPS_CROSS}
+    CROSS JOIN (VALUES (0), (1)) v(side)),
+kept AS (
+    SELECT point_id, i0 AS i FROM segs
+    UNION SELECT point_id, i1 FROM segs
+    UNION SELECT point_id, i FROM pts
+     WHERE point_id IN (SELECT point_id FROM lasts WHERE last = 0))
+SELECT p.point_id, p.event_id
+FROM kept k JOIN pts p ON p.point_id = k.point_id AND p.i = k.i
+"""
