@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["degree_assortativity"] = _gr0.degree_assortativity  # graph mixing diagnostic
     q["near_search"] = search_docs.near_docs_search  # NEAR proximity via pos store
     q["rdp_tracks"] = _gf0.rdp_tracks  # cross-product RDP polyline simplification
+    q["idw_interpolate"] = tiling.idw_interpolate  # inverse-distance-squared raster
+    q["events_ewma"] = ev.events_ewma  # exact fixed-point exponential smoother
     q["related_terms"] = textops.related_terms  # co-occurrence query expansion
     q["revenue_wow"] = relational.revenue_wow  # weekly series + WoW delta
     q["kde_cells"] = tiling.kde_cells  # integer-kernel density smoothing
@@ -479,6 +481,8 @@ GROUP BY 1, 2
     sql["degree_assortativity"] = _gr0s.sql_degree_assortativity()
     sql["near_search"] = search_docs.SQL_NEAR_DOCS_SEARCH
     sql["rdp_tracks"] = _gf0s.sql_rdp_tracks()
+    sql["idw_interpolate"] = _ti0.sql_idw_interpolate()
+    sql["events_ewma"] = ev.SQL_EVENTS_EWMA
     sql["related_terms"] = textops.sql_related_terms()
     sql["revenue_wow"] = relational.SQL_REVENUE_WOW
     sql["kde_cells"] = _ti0.sql_kde_cells()

@@ -2179,3 +2179,65 @@ SELECT user_id,
            AS bounce_micro
 FROM sizes GROUP BY 1
 """
+
+
+# ------------------------------------------------------------ integer EWMA
+
+
+EWMA_NUM, EWMA_DEN = 256, 1024  # alpha = 1/4 in exact fixed-point
+
+
+def events_ewma(sf_dir: str):
+    """Per-user EXPONENTIAL moving average of event value — the streaming
+    smoother next to events_moving_sum's flat window. The recurrence is
+    EXACT integer fixed-point, so the engines agree bit-for-bit with no
+    float contract at all:  e₁ = v₁,  eᵢ = (256·vᵢ + 768·eᵢ₋₁) // 1024
+    over cent-scaled values (all operands non-negative — `//` is floor on
+    both sides). Order is (ts, event_id) within user.
+
+    Shape: ONE user-keyed exchange; the recurrence is inherently sequential
+    per entity (the same standing partition assumption as geofence keyed
+    state and track_speed), a tight per-user Python loop over the track —
+    at fleet scale each user's history is one partition-resident array.
+    Output (event_id, ewma_cents)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.joins import hash_partitioned_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["event_id", "ewma_cents"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        v = np.rint(df["value"].to_numpy() * 100).astype(np.int64)
+        uid = df["user_id"].to_numpy()
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        out = np.empty(len(v), dtype=np.int64)
+        e = 0
+        for i in range(len(v)):
+            e = v[i] if new_user[i] else (EWMA_NUM * v[i] + (EWMA_DEN - EWMA_NUM) * e) // EWMA_DEN
+            out[i] = e
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(np.int64), "ewma_cents": out})
+
+    return hash_partitioned_apply(ds, "user_id", per_part)
+
+
+SQL_EVENTS_EWMA = f"""
+WITH RECURSIVE
+seq AS (
+    SELECT event_id, user_id, CAST(ROUND(value * 100) AS BIGINT) AS v,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+    FROM events),
+rec(user_id, i, event_id, e) AS (
+    SELECT user_id, i, event_id, v FROM seq WHERE i = 1
+  UNION ALL
+    SELECT s.user_id, s.i, s.event_id,
+           ({EWMA_NUM} * s.v + {EWMA_DEN - EWMA_NUM} * r.e) // {EWMA_DEN}
+    FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.i = r.i + 1)
+SELECT event_id, e AS ewma_cents FROM rec
+"""

@@ -1412,3 +1412,83 @@ FROM geo_pages a JOIN geo_pages b
  AND (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon)
      <= 0.002 * 0.002
 """
+
+
+# ----------------------------------------------------- IDW interpolation
+
+
+def idw_interpolate(sf_dir: str):
+    """Inverse-distance-squared interpolation of page n_chars at the 5
+    derived query points — the raster-estimation pass of a heatmap service.
+    Weight scheme is division-free-exact across engines: d2 (squared degree
+    distance) is a bit-identical float64 expression, the weight
+    w = floor(1.0 / (d2 + 1e-6)) is an INTEGER (max 10⁶ at d2=0 — the +1e-6
+    cap doubles as the self-distance guard), and all sums are exact
+    integers, so idw_milli = 1000·Σ(w·v) // Σw needs no float agreement
+    beyond the shared d2/w expressions.
+
+    Shape: queries are a closure constant (broadcast once); ONE streaming
+    corpus pass emits per-(batch, query) int64 partials (Σw, Σwv, n·[w>0]);
+    the driver reduces O(5 × blocks) rows exactly (Python int). Output
+    (query_id, n_pages, idw_milli) for queries with Σw > 0."""
+    import pandas as pd
+
+    import osm_search_ray.sources.derived as _dv
+
+    qt = _dv.knn_query_points(sf_dir)
+    qid = qt.column("query_id").to_numpy().astype(np.int64)
+    qlat = qt.column("qlat").to_numpy()
+    qlon = qt.column("qlon").to_numpy()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy()
+        lon = batch.column("lon").to_numpy()
+        v = batch.column("n_chars").to_numpy().astype(np.int64)
+        dlat = qlat[:, None] - lat[None, :]
+        dlon = qlon[:, None] - lon[None, :]
+        d2 = dlat * dlat + dlon * dlon
+        w = np.floor(1.0 / (d2 + 1e-6)).astype(np.int64)
+        return pa.table(
+            {
+                "query_id": qid,
+                "sw": w.sum(axis=1),
+                "swv": (w * v[None, :]).sum(axis=1),
+                "n": (w > 0).sum(axis=1).astype(np.int64),
+            }
+        )
+
+    parts = (
+        geo_pages(sf_dir, columns=["doc_id", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )  # O(queries × blocks) rows — never corpus-sized
+    rows = []
+    for q, g in parts.groupby("query_id", sort=True):
+        sw = int(g["sw"].astype(object).sum())
+        swv = int(g["swv"].astype(object).sum())
+        n = int(g["n"].astype(object).sum())
+        if sw > 0:
+            rows.append((q, n, (1000 * swv) // sw))
+    out = pd.DataFrame(rows, columns=["query_id", "n_pages", "idw_milli"]).astype(np.int64)
+    import ray.data as _rd
+
+    return _rd.from_pandas(out)
+
+
+def sql_idw_interpolate() -> str:
+    import osm_search_ray.sources.derived as _dv
+
+    return f"""
+WITH {_dv.SQL_GEO_PAGES.strip()}, {_dv.SQL_KNN_QUERIES.strip()},
+wts AS (
+    SELECT q.query_id, d.n_chars AS v,
+           CAST(FLOOR(1.0 / ((q.qlat - p.lat) * (q.qlat - p.lat)
+                           + (q.qlon - p.lon) * (q.qlon - p.lon) + 1e-6)) AS BIGINT) AS w
+    FROM geo_pages p
+    JOIN documents d USING (doc_id)
+    CROSS JOIN knn_queries q)
+SELECT query_id,
+       CAST(COUNT(*) FILTER (WHERE w > 0) AS BIGINT) AS n_pages,
+       CAST((1000 * SUM(CAST(w AS HUGEINT) * v)) // SUM(CAST(w AS HUGEINT)) AS BIGINT) AS idw_milli
+FROM wts GROUP BY 1 HAVING SUM(w) > 0
+"""
