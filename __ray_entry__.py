@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["rdp_tracks"] = _gf0.rdp_tracks  # cross-product RDP polyline simplification
     q["idw_interpolate"] = tiling.idw_interpolate  # inverse-distance-squared raster
     q["events_ewma"] = ev.events_ewma  # exact fixed-point exponential smoother
+    q["mutual_knn_pairs"] = simsearch.mutual_knn_pairs  # reciprocal top-k filter
     q["related_terms"] = textops.related_terms  # co-occurrence query expansion
     q["revenue_wow"] = relational.revenue_wow  # weekly series + WoW delta
     q["kde_cells"] = tiling.kde_cells  # integer-kernel density smoothing
@@ -483,6 +484,7 @@ GROUP BY 1, 2
     sql["rdp_tracks"] = _gf0s.sql_rdp_tracks()
     sql["idw_interpolate"] = _ti0.sql_idw_interpolate()
     sql["events_ewma"] = ev.SQL_EVENTS_EWMA
+    sql["mutual_knn_pairs"] = simsearch.SQL_MUTUAL_KNN_PAIRS
     sql["related_terms"] = textops.sql_related_terms()
     sql["revenue_wow"] = relational.SQL_REVENUE_WOW
     sql["kde_cells"] = _ti0.sql_kde_cells()

@@ -1117,3 +1117,47 @@ best AS (
 SELECT label, vec_id AS medoid_vec_id, sc AS sq_dist_sum
 FROM best WHERE rn = 1
 """
+
+
+def mutual_knn_pairs(sf_dir: str):
+    """RECIPROCAL k-NN pairs — vector pairs that are in each other's top-k
+    (the high-precision SemDeDup / duplicate-candidate filter: a one-sided
+    neighbor is often a hub artifact, a mutual one is a near-duplicate
+    signal). Built ON TOP of the exact knn_graph: directed edges →
+    canonical (min, max) keys → ONE pair-keyed exchange → a pair survives
+    iff both directions arrived (count == 2). Output (a_id, b_id), a < b."""
+    from ..stages.joins import hash_partitioned_apply
+
+    g = knn_graph(sf_dir)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src_id").to_numpy().astype(np.int64)
+        n = batch.column("neighbor_id").to_numpy().astype(np.int64)
+        return pa.table({"a_id": np.minimum(s, n), "b_id": np.maximum(s, n)})
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby(["a_id", "b_id"], sort=False).size()
+        keep = c[c == 2].reset_index()[["a_id", "b_id"]]
+        return keep.astype(np.int64)
+
+    return hash_partitioned_apply(
+        g.map_batches(canon, batch_format="pyarrow"), ["a_id", "b_id"], per_part
+    )
+
+
+SQL_MUTUAL_KNN_PAIRS = f"""
+WITH scored AS (
+    SELECT a.vec_id AS src_id, b.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                              ORDER BY list_cosine_similarity(
+                                  list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                                  list_transform(b.embedding, x -> CAST(x AS DOUBLE))) DESC,
+                              b.vec_id) AS rank
+    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+),
+topk AS (SELECT src_id, neighbor_id FROM scored WHERE rank <= {KNN_GRAPH_K})
+SELECT a.src_id AS a_id, a.neighbor_id AS b_id
+FROM topk a JOIN topk b
+  ON b.src_id = a.neighbor_id AND b.neighbor_id = a.src_id
+WHERE a.src_id < a.neighbor_id
+"""

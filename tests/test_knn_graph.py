@@ -74,3 +74,20 @@ class TestKnnGraph:
             common = e1.index.intersection(a1.index)
             recalls[nprobe] = float((e1.loc[common] == a1.loc[common]).mean())
         assert recalls[4] >= recalls[2] > 0.2
+
+
+def test_mutual_knn_pairs_are_exactly_the_reciprocal_edges():
+    from osm_search_ray.pipelines import simsearch as ss
+
+    g = ss.knn_graph("/root/testdata/sf0.001").to_pandas()
+    directed = set(zip(g["src_id"].astype(int), g["neighbor_id"].astype(int)))
+    exp = sorted(
+        (a, b) for (a, b) in directed if a < b and (b, a) in directed
+    )
+    got = (
+        ss.mutual_knn_pairs("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values(["a_id", "b_id"])
+    )
+    assert 0 < len(got) < len(directed), "mutual filter must actually filter"
+    assert list(map(tuple, got.to_numpy())) == exp
