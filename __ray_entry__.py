@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["idw_interpolate"] = tiling.idw_interpolate  # inverse-distance-squared raster
     q["events_ewma"] = ev.events_ewma  # exact fixed-point exponential smoother
     q["mutual_knn_pairs"] = simsearch.mutual_knn_pairs  # reciprocal top-k filter
+    q["feature_hash"] = textops.feature_hash  # hashing-trick featurizer
     q["related_terms"] = textops.related_terms  # co-occurrence query expansion
     q["revenue_wow"] = relational.revenue_wow  # weekly series + WoW delta
     q["kde_cells"] = tiling.kde_cells  # integer-kernel density smoothing
@@ -485,6 +486,7 @@ GROUP BY 1, 2
     sql["idw_interpolate"] = _ti0.sql_idw_interpolate()
     sql["events_ewma"] = ev.SQL_EVENTS_EWMA
     sql["mutual_knn_pairs"] = simsearch.SQL_MUTUAL_KNN_PAIRS
+    sql["feature_hash"] = textops.sql_feature_hash()
     sql["related_terms"] = textops.sql_related_terms()
     sql["revenue_wow"] = relational.SQL_REVENUE_WOW
     sql["kde_cells"] = _ti0.sql_kde_cells()

@@ -1608,3 +1608,75 @@ SELECT d.doc_id, CAST(l.kw_id AS BIGINT) AS kw_id,
 FROM documents d CROSS JOIN lex l
 WHERE (length(d.text) - length(replace(d.text, l.kw, ''))) // length(l.kw) > 0
 """
+
+
+# ------------------------------------------------------- feature hashing
+
+
+FEATURE_HASH_DIMS = 64
+
+
+def feature_hash(sf_dir: str):
+    """HASHING-TRICK featurizer (Weinberger et al.): every doc becomes a
+    signed-count vector over FEATURE_HASH_DIMS buckets — dim = h % 64,
+    sign = (h // 64) % 2 (an independent hash bit), h = the md5-derived
+    64-bit token hash whose SQL twin is SQL_HASH64_MD5. The streaming
+    embedding for linear models / MinHash-free similarity when no learned
+    encoder is available.
+
+    Shape: ZERO shuffles — a doc's tokens live in its row, so one
+    map_batches pass emits final (doc_id, dim, feat≠0) rows; hashing runs
+    once per DISTINCT batch token (an actor-cached term→(dim,sign) dict at
+    real vocab scale). Exact integers end-to-end."""
+    from ..functions.hashing import hash64_md5
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        toks, counts = tokenize_array(batch.column("text").to_pylist())
+        if len(toks) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "feat": pa.array([], pa.int64()),
+                }
+            )
+        uniq, inv = np.unique(toks, return_inverse=True)
+        h = hash64_md5(uniq)
+        dim = (h % np.uint64(FEATURE_HASH_DIMS)).astype(np.int64)[inv]
+        sign = np.where(
+            ((h // np.uint64(FEATURE_HASH_DIMS)) % np.uint64(2)).astype(np.int64)[inv] == 0,
+            np.int64(1),
+            np.int64(-1),
+        )
+        di = np.repeat(np.arange(len(doc_ids), dtype=np.int64), counts)
+        key = di * FEATURE_HASH_DIMS + dim
+        feat = np.bincount(key, weights=sign, minlength=len(doc_ids) * FEATURE_HASH_DIMS)
+        feat = np.rint(feat).astype(np.int64)  # ±1 sums are exact in float64
+        nz = np.flatnonzero(feat)
+        return pa.table(
+            {
+                "doc_id": doc_ids[nz // FEATURE_HASH_DIMS],
+                "dim": nz % FEATURE_HASH_DIMS,
+                "feat": feat[nz],
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(featurize, batch_format="pyarrow")
+
+
+def sql_feature_hash() -> str:
+    from ..sources.derived import SQL_HASH64_MD5
+
+    toks = SQL_TOKENIZE.format(col="text")
+    h = SQL_HASH64_MD5.format(col="tok")
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({toks}) AS tok FROM documents),
+hv AS (SELECT doc_id, {h} AS h FROM toks),
+f AS (
+    SELECT doc_id, CAST(h % {FEATURE_HASH_DIMS} AS BIGINT) AS dim,
+           SUM(CASE WHEN (h // {FEATURE_HASH_DIMS}) % 2 = 0 THEN 1 ELSE -1 END) AS feat
+    FROM hv GROUP BY 1, 2)
+SELECT doc_id, dim, CAST(feat AS BIGINT) AS feat FROM f WHERE feat <> 0
+"""

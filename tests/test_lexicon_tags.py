@@ -38,3 +38,25 @@ def test_lexicon_self_overlap_counts_nonoverlapping():
     s = pd.Series(["batch batch batch", "batch batch batch batch"])
     n = s.str.count(re.compile(re.escape("batch batch"))).tolist()
     assert n == [1, 2] == [x.count("batch batch") for x in s]
+
+
+def test_feature_hash_matches_python_replay():
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from osm_search_ray.functions.tokenize import tokenize
+    from osm_search_ray.pipelines.textops import FEATURE_HASH_DIMS, feature_hash
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    exp = {}
+    for did, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        for tok in tokenize(text):
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            k = (did, h % FEATURE_HASH_DIMS)
+            exp[k] = exp.get(k, 0) + (1 if (h // FEATURE_HASH_DIMS) % 2 == 0 else -1)
+    exp = {k: v for k, v in exp.items() if v}
+    got = feature_hash(SF).to_pandas()
+    assert len(got) == len(exp)
+    for did, dim, feat in got.itertuples(index=False):
+        assert exp[(int(did), int(dim))] == int(feat)
