@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_ewma"] = ev.events_ewma  # exact fixed-point exponential smoother
     q["mutual_knn_pairs"] = simsearch.mutual_knn_pairs  # reciprocal top-k filter
     q["feature_hash"] = textops.feature_hash  # hashing-trick featurizer
+    q["part_skyline"] = relational.part_skyline  # Pareto-front skyline
     q["related_terms"] = textops.related_terms  # co-occurrence query expansion
     q["revenue_wow"] = relational.revenue_wow  # weekly series + WoW delta
     q["kde_cells"] = tiling.kde_cells  # integer-kernel density smoothing
@@ -487,6 +488,7 @@ GROUP BY 1, 2
     sql["events_ewma"] = ev.SQL_EVENTS_EWMA
     sql["mutual_knn_pairs"] = simsearch.SQL_MUTUAL_KNN_PAIRS
     sql["feature_hash"] = textops.sql_feature_hash()
+    sql["part_skyline"] = relational.SQL_PART_SKYLINE
     sql["related_terms"] = textops.sql_related_terms()
     sql["revenue_wow"] = relational.SQL_REVENUE_WOW
     sql["kde_cells"] = _ti0.sql_kde_cells()

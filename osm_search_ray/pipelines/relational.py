@@ -1120,3 +1120,74 @@ SELECT CAST(week AS BIGINT) AS week, revenue_cents,
            AS delta_cents
 FROM w
 """
+
+
+def _skyline_2d(key: np.ndarray, pc: np.ndarray, sz: np.ndarray):
+    """Exact 2D min-min skyline kernel: sort by (pc asc, sz asc); a point
+    survives iff its sz is strictly below every strictly-cheaper point's
+    min sz AND equals its own price group's min sz (equal-price points
+    with larger sz are dominated within the group; full duplicates all
+    survive — neither dominates). Fuzz-tested against O(n²) brute force."""
+    order = np.lexsort((sz, pc))
+    key, pc, sz = key[order], pc[order], sz[order]
+    new_price = np.concatenate([[True], pc[1:] != pc[:-1]])
+    grp = np.cumsum(new_price) - 1
+    first_idx = np.flatnonzero(new_price)
+    cm = np.minimum.accumulate(sz)
+    # min sz over all strictly-cheaper points: cummin up to each group start
+    prev = np.full(len(first_idx), np.iinfo(np.int64).max, dtype=np.int64)
+    if len(first_idx) > 1:
+        prev[1:] = cm[first_idx[1:] - 1]
+    prev_min = prev[grp]
+    # each group's own min sz = sz of its first row (sz asc within group)
+    grp_min = sz[first_idx][grp]
+    keep = (sz < prev_min) & (sz == grp_min)
+    return key[keep], pc[keep], sz[keep]
+
+
+def part_skyline(sf_dir: str):
+    """SKYLINE (Pareto-front) query: parts not dominated on (retail price,
+    size), both minimized — the multi-criteria "best offers" operator.
+    Dominance: another part with BOTH coords <= and at least one strictly <.
+
+    Shape: the skyline-of-skylines identity (a global skyline point is a
+    skyline point of every subset containing it) makes this embarrassingly
+    partial: each batch computes its LOCAL skyline with one sort + running
+    running-min scan (vectorized), and ONE final pass over the
+    O(batches × skyline-size) union — bounded, never corpus-shaped —
+    yields the exact global front. Output (p_partkey, price_cents, p_size)."""
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_retailprice", "p_size"]
+    )
+
+    def local(batch: pa.Table) -> pa.Table:
+        key = batch.column("p_partkey").to_numpy().astype(np.int64)
+        pc = np.rint(batch.column("p_retailprice").to_numpy() * 100).astype(np.int64)
+        sz = batch.column("p_size").to_numpy().astype(np.int64)
+        k, p, s = _skyline_2d(key, pc, sz)
+        return pa.table({"p_partkey": k, "price_cents": p, "p_size": s})
+
+    parts = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    # O(batches × local-skyline) rows — bounded; final exact front
+    k, p, s = _skyline_2d(
+        parts["p_partkey"].to_numpy(np.int64),
+        parts["price_cents"].to_numpy(np.int64),
+        parts["p_size"].to_numpy(np.int64),
+    )
+    out = pd.DataFrame({"p_partkey": k, "price_cents": p, "p_size": s})
+    return ray.data.from_pandas(out)
+
+
+SQL_PART_SKYLINE = """
+SELECT a.p_partkey,
+       CAST(ROUND(a.p_retailprice * 100) AS BIGINT) AS price_cents,
+       CAST(a.p_size AS BIGINT) AS p_size
+FROM part a
+WHERE NOT EXISTS (
+    SELECT 1 FROM part b
+    WHERE ROUND(b.p_retailprice * 100) <= ROUND(a.p_retailprice * 100)
+      AND b.p_size <= a.p_size
+      AND (ROUND(b.p_retailprice * 100) < ROUND(a.p_retailprice * 100)
+           OR b.p_size < a.p_size))
+"""
