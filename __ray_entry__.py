@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["mutual_knn_pairs"] = simsearch.mutual_knn_pairs  # reciprocal top-k filter
     q["feature_hash"] = textops.feature_hash  # hashing-trick featurizer
     q["part_skyline"] = relational.part_skyline  # Pareto-front skyline
+    q["lang_source_chi2"] = textops.lang_source_chi2  # independence audit
+    q["domain_gini"] = _wc0.domain_gini  # crawl-concentration KPI
     q["related_terms"] = textops.related_terms  # co-occurrence query expansion
     q["revenue_wow"] = relational.revenue_wow  # weekly series + WoW delta
     q["kde_cells"] = tiling.kde_cells  # integer-kernel density smoothing
@@ -489,6 +491,10 @@ GROUP BY 1, 2
     sql["mutual_knn_pairs"] = simsearch.SQL_MUTUAL_KNN_PAIRS
     sql["feature_hash"] = textops.sql_feature_hash()
     sql["part_skyline"] = relational.SQL_PART_SKYLINE
+    sql["lang_source_chi2"] = textops.SQL_LANG_SOURCE_CHI2
+    from osm_search_ray.pipelines import webcorpus as _wcg
+
+    sql["domain_gini"] = _wcg.sql_domain_gini()
     sql["related_terms"] = textops.sql_related_terms()
     sql["revenue_wow"] = relational.SQL_REVENUE_WOW
     sql["kde_cells"] = _ti0.sql_kde_cells()

@@ -1680,3 +1680,70 @@ f AS (
     FROM hv GROUP BY 1, 2)
 SELECT doc_id, dim, CAST(feat AS BIGINT) AS feat FROM f WHERE feat <> 0
 """
+
+
+# ------------------------------------------------- chi-square independence
+
+
+def lang_source_chi2(sf_dir: str):
+    """Pearson CHI-SQUARE independence test of lang × source — the corpus
+    drift / sampling-bias audit (is language mix independent of the crawl
+    source?). Exact integer contract: with per-cell observed O, row total
+    R, column total C and N rows, each cell contributes
+    (10⁶ · (O·N − R·C)²) // (N·R·C) — floor per cell, summed, arbitrary
+    precision (Python int ↔ HUGEINT), ZERO-count cells included (their
+    R·C/N mass is part of the statistic). Output one row
+    (n_rows, n_cells, chi2_micro).
+
+    Shape: per-batch (lang, source) count partials; the fuse is driver-side
+    over O(cells × blocks) count rows — nothing corpus-sized moves."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().dropna()
+        g = df.groupby(["lang", "source"], sort=False).size().reset_index(name="c")
+        g["c"] = g["c"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cells = parts.groupby(["lang", "source"], sort=False)["c"].sum()
+    langs = sorted({k[0] for k in cells.index})
+    sources = sorted({k[1] for k in cells.index})
+    n = int(cells.sum())
+    r = {l: int(cells[cells.index.get_level_values(0) == l].sum()) for l in langs}
+    col = {s: int(cells[cells.index.get_level_values(1) == s].sum()) for s in sources}
+    chi2 = 0
+    for l in langs:
+        for s in sources:
+            o = int(cells.get((l, s), 0))
+            d = o * n - r[l] * col[s]
+            chi2 += (1000000 * d * d) // (n * r[l] * col[s])
+    out = pd.DataFrame(
+        {
+            "n_rows": [np.int64(n)],
+            "n_cells": [np.int64(len(langs) * len(sources))],
+            "chi2_micro": [np.int64(chi2)],
+        }
+    )
+    return ray.data.from_pandas(out)
+
+
+SQL_LANG_SOURCE_CHI2 = """
+WITH c AS (
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+    FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+    GROUP BY 1, 2),
+r AS (SELECT lang, SUM(o) AS rt FROM c GROUP BY 1),
+s AS (SELECT source, SUM(o) AS ct FROM c GROUP BY 1),
+t AS (SELECT SUM(o) AS n FROM c),
+cells AS (
+    SELECT COALESCE(c.o, 0) AS o, r.rt, s.ct
+    FROM r CROSS JOIN s
+    LEFT JOIN c ON c.lang = r.lang AND c.source = s.source)
+SELECT CAST(t.n AS BIGINT) AS n_rows,
+       CAST((SELECT COUNT(*) FROM cells) AS BIGINT) AS n_cells,
+       CAST(SUM((1000000 * (CAST(o AS HUGEINT) * t.n - rt * ct)
+                         * (CAST(o AS HUGEINT) * t.n - rt * ct))
+                // (CAST(t.n AS HUGEINT) * rt * ct)) AS BIGINT) AS chi2_micro
+FROM cells, t GROUP BY t.n
+"""

@@ -1078,3 +1078,64 @@ r AS (
 SELECT url, event_id AS last_event, CAST(n_ops AS BIGINT) AS n_ops
 FROM r WHERE rn = 1 AND is_del = 0
 """
+
+
+def domain_gini(sf_dir: str):
+    """GINI concentration of pages over domains — the crawl-diversity KPI
+    next to domain_cap (how much of the corpus do the biggest domains own?).
+    With per-domain counts x₁≤…≤x_k: G = (2·Σi·xᵢ − (k+1)·Σx) / (k·Σx),
+    emitted as gini_micro = (10⁶·(2·Σi·xᵢ − (k+1)·Σx)) // (k·Σx) — exact
+    integers end-to-end (Σi·xᵢ is permutation-invariant within ties, so the
+    two engines' tie orders cannot diverge). Output one row
+    (n_domains, n_pages, gini_micro).
+
+    Shape: per-batch (domain, count) partials → ONE domain-keyed bounded
+    exchange → a |domains|-sized driver fuse."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..stages.joins import hash_partitioned_apply
+
+    wp = dv.web_pages(sf_dir, columns=["domain"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dom = batch.column("domain").to_pandas()
+        g = dom.value_counts()
+        return pa.table({"domain": g.index.to_numpy(object), "c": g.to_numpy(np.int64)})
+
+    def fuse(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("domain", sort=False)["c"].sum().reset_index()
+        return g
+
+    counts = hash_partitioned_apply(
+        wp.map_batches(partial, batch_format="pyarrow"), "domain", fuse
+    ).to_pandas()
+    x = np.sort(counts["c"].to_numpy(np.int64))
+    k = len(x)
+    sx = int(x.sum())
+    six = int((np.arange(1, k + 1, dtype=np.int64) * x).sum())
+    gini = (1000000 * (2 * six - (k + 1) * sx)) // (k * sx)
+    out = pd.DataFrame(
+        {
+            "n_domains": [np.int64(k)],
+            "n_pages": [np.int64(sx)],
+            "gini_micro": [np.int64(gini)],
+        }
+    )
+    import ray.data as _rd
+
+    return _rd.from_pandas(out)
+
+
+def sql_domain_gini() -> str:
+    return f"""
+WITH {dv.SQL_WEB_PAGES.strip()},
+c AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n FROM web_pages GROUP BY 1),
+o AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS i FROM c)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_domains,
+       CAST(SUM(n) AS BIGINT) AS n_pages,
+       CAST((1000000 * (2 * SUM(CAST(i AS HUGEINT) * n) - (COUNT(*) + 1) * SUM(CAST(n AS HUGEINT))))
+            // (COUNT(*) * SUM(CAST(n AS HUGEINT))) AS BIGINT) AS gini_micro
+FROM o
+"""
