@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["part_skyline"] = relational.part_skyline  # Pareto-front skyline
     q["lang_source_chi2"] = textops.lang_source_chi2  # independence audit
     q["domain_gini"] = _wc0.domain_gini  # crawl-concentration KPI
+    q["events_autocorr"] = ev.events_autocorr  # lag-1 series burstiness
     q["related_terms"] = textops.related_terms  # co-occurrence query expansion
     q["revenue_wow"] = relational.revenue_wow  # weekly series + WoW delta
     q["kde_cells"] = tiling.kde_cells  # integer-kernel density smoothing
@@ -495,6 +496,7 @@ GROUP BY 1, 2
     from osm_search_ray.pipelines import webcorpus as _wcg
 
     sql["domain_gini"] = _wcg.sql_domain_gini()
+    sql["events_autocorr"] = ev.SQL_EVENTS_AUTOCORR
     sql["related_terms"] = textops.sql_related_terms()
     sql["revenue_wow"] = relational.SQL_REVENUE_WOW
     sql["kde_cells"] = _ti0.sql_kde_cells()

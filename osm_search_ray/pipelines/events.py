@@ -2241,3 +2241,69 @@ rec(user_id, i, event_id, e) AS (
     FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.i = r.i + 1)
 SELECT event_id, e AS ewma_cents FROM rec
 """
+
+
+def events_autocorr(sf_dir: str):
+    """LAG-1 AUTOCORRELATION of the gap-filled hourly event-count series —
+    the burstiness / periodicity scalar of a stream-health dashboard.
+    Series: every hour in [min, max] (missing hours count 0 — the
+    events_gapfill densification rule); r = Pearson over consecutive pairs
+    (x_t, x_{t+1}) via EXACT integer moments in corr_price_qty's
+    closed-form float contract. Output (n_pairs, autocorr_x1e9).
+
+    Shape: per-batch (hour, count) partials; the series is CALENDAR-BOUNDED
+    (hours since epoch, not corpus-sized), so the dense fuse runs
+    driver-side over O(hours × blocks) rows."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        hour = ts // 3_600_000_000
+        u, c = np.unique(hour, return_counts=True)
+        return pa.table({"hour": u, "c": c.astype(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("hour")["c"].sum()
+    h0, h1 = int(g.index.min()), int(g.index.max())
+    dense = np.zeros(h1 - h0 + 1, dtype=np.int64)
+    dense[g.index.to_numpy(np.int64) - h0] = g.to_numpy(np.int64)
+    x, y = dense[:-1], dense[1:]
+    n = len(x)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy = int((x * y).sum())
+    sxx, syy = int((x * x).sum()), int((y * y).sum())
+    num = float(n * sxy - sx * sy)
+    den = np.sqrt(float(n * sxx - sx * sx)) * np.sqrt(float(n * syy - sy * sy))
+    out = pd.DataFrame(
+        {
+            "n_pairs": [np.int64(n)],
+            "autocorr_x1e9": [np.int64(np.rint(num / den * 1000000000))],
+        }
+    )
+    return ray.data.from_pandas(out)
+
+
+SQL_EVENTS_AUTOCORR = """
+WITH c AS (
+    SELECT epoch_us(ts) // 3600000000 AS hour, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1),
+rng AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM c),
+dense AS (
+    SELECT u.h AS hour, COALESCE(c.n, 0) AS n
+    FROM rng, UNNEST(range(rng.h0, rng.h1 + 1)) AS u(h)
+    LEFT JOIN c ON c.hour = u.h),
+pairs AS (
+    SELECT n AS x, LEAD(n) OVER (ORDER BY hour) AS y FROM dense),
+m AS (
+    SELECT COUNT(*) AS n,
+           SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+           SUM(CAST(x AS HUGEINT) * y) AS sxy,
+           SUM(CAST(x AS HUGEINT) * x) AS sxx,
+           SUM(CAST(y AS HUGEINT) * y) AS syy
+    FROM pairs WHERE y IS NOT NULL)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+            * 1000000000) AS BIGINT) AS autocorr_x1e9
+FROM m
+"""

@@ -49,3 +49,16 @@ def test_ewma_matches_python_recurrence_and_tracks_pandas():
     fl = g1["value"].mul(100).ewm(alpha=ev.EWMA_NUM / ev.EWMA_DEN, adjust=False).mean()
     ours = np.array([exp[int(i)] for i in g1["event_id"]], dtype=np.float64)
     assert np.max(np.abs(ours - fl.to_numpy())) < 5.0
+
+
+def test_autocorr_tracks_numpy_corrcoef():
+    e = pq.read_table(f"{SF}/events.parquet", columns=["ts"]).to_pandas()
+    hour = e["ts"].astype("datetime64[us]").astype("int64") // 3_600_000_000
+    g = hour.value_counts().sort_index()
+    h0, h1 = int(g.index.min()), int(g.index.max())
+    dense = np.zeros(h1 - h0 + 1)
+    dense[g.index.to_numpy() - h0] = g.to_numpy()
+    r = np.corrcoef(dense[:-1], dense[1:])[0, 1]
+    got = ev.events_autocorr(SF).to_pandas()
+    assert int(got["n_pairs"].iloc[0]) == len(dense) - 1
+    assert abs(int(got["autocorr_x1e9"].iloc[0]) / 1e9 - r) < 1e-6
