@@ -263,3 +263,92 @@ kept AS (
 SELECT p.point_id, p.event_id
 FROM kept k JOIN pts p ON p.point_id = k.point_id AND p.i = k.i
 """
+
+
+def fence_dwell(sf_dir: str):
+    """Per-(entity, fence) DWELL TIME — total microseconds an entity's track
+    spends fully inside each circular fence, counting a segment iff BOTH
+    endpoints are inside (the conservative in-fence rule; no boundary
+    interpolation). The utilisation/exposure KPI the transition log
+    (geofence_status) doesn't give directly. Output
+    (point_id, key, dwell_us, n_segs), rows with n_segs > 0.
+
+    Shape: the 10 fence circles broadcast as a closure constant; ONE
+    entity-keyed exchange (the trajectory family's partition unit); per
+    partition a vectorized sort + shift produces every segment, one
+    (segments × fences) haversine broadcast classifies endpoints — the
+    bit-identical SQL_HAVERSINE twin on both sides, so the <= radius
+    comparisons agree exactly. dt sums are exact int64 µs."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.geometry import haversine_km
+    from ..stages.joins import hash_partitioned_apply
+
+    circles = dv.fence_circles(sf_dir)
+    fkey = circles["key"].to_numpy(np.int64)
+    flat = circles["lat"].to_numpy()
+    flon = circles["lon"].to_numpy()
+    frad = circles["radius_km"].to_numpy()
+
+    pts = dv.fence_points(sf_dir)
+
+    def per_part(df: "pd.DataFrame") -> "pd.DataFrame":
+        cols = ["point_id", "key", "dwell_us", "n_segs"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+        df = df.sort_values(["point_id", "ts", "event_id"], kind="mergesort")
+        pid = df["point_id"].to_numpy()
+        lat = df["lat"].to_numpy()
+        lon = df["lon"].to_numpy()
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        inside = np.empty((len(df), len(fkey)), dtype=bool)
+        for j in range(len(fkey)):
+            inside[:, j] = haversine_km(lat, lon, flat[j], flon[j]) <= frad[j]
+        same = pid[1:] == pid[:-1]
+        seg_in = inside[1:] & inside[:-1] & same[:, None]
+        dt = (ts_us[1:] - ts_us[:-1])[:, None]
+        out = []
+        for j in range(len(fkey)):
+            m = seg_in[:, j]
+            if not m.any():
+                continue
+            g = pd.DataFrame({"point_id": pid[1:][m], "dt": dt[m, 0]}).groupby(
+                "point_id", sort=False
+            )["dt"]
+            agg = g.agg(["sum", "size"]).reset_index()
+            out.append(
+                pd.DataFrame(
+                    {
+                        "point_id": agg["point_id"].to_numpy(np.int64),
+                        "key": np.full(len(agg), fkey[j], dtype=np.int64),
+                        "dwell_us": agg["sum"].to_numpy(np.int64),
+                        "n_segs": agg["size"].to_numpy(np.int64),
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+        return pd.concat(out, ignore_index=True)
+
+    return hash_partitioned_apply(pts, "point_id", per_part, num_parts=32)
+
+
+def sql_fence_dwell() -> str:
+    hav_cur = dv.SQL_HAVERSINE.format(lat1="s.lat", lon1="s.lon", lat2="c.flat", lon2="c.flon")
+    hav_prev = dv.SQL_HAVERSINE.format(lat1="s.plat", lon1="s.plon", lat2="c.flat", lon2="c.flon")
+    return f"""
+WITH {dv.SQL_FENCE_POINTS.strip()}, {dv.SQL_FENCE_CIRCLES.strip()},
+seq AS (
+    SELECT point_id, ts, lat, lon,
+           LAG(ts) OVER w AS pts, LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon
+    FROM fence_points
+    WINDOW w AS (PARTITION BY point_id ORDER BY ts, event_id)),
+segs AS (SELECT * FROM seq WHERE pts IS NOT NULL)
+SELECT s.point_id, c.key,
+       CAST(SUM(epoch_us(s.ts) - epoch_us(s.pts)) AS BIGINT) AS dwell_us,
+       CAST(COUNT(*) AS BIGINT) AS n_segs
+FROM segs s CROSS JOIN fence_circles c
+WHERE {hav_cur} <= c.radius_km AND {hav_prev} <= c.radius_km
+GROUP BY 1, 2
+"""

@@ -63,3 +63,30 @@ def test_rdp_tracks_match_recursive_replay():
         for t in map(tuple, df.to_numpy()):
             assert t in kept_keys
     pd.testing.assert_frame_equal(got.astype(np.int64), exp.astype(np.int64))
+
+
+def test_fence_dwell_matches_pandas_replay():
+    import pandas as pd
+
+    from osm_search_ray.functions.geometry import haversine_km
+    from osm_search_ray.sources.derived import fence_circles
+
+    sf = "/root/testdata/sf0.01"
+    pts = fence_points(sf).to_pandas().sort_values(["point_id", "ts", "event_id"])
+    circles = fence_circles(sf)
+    rows = {}
+    for pid, g in pts.groupby("point_id", sort=True):
+        lat, lon = g["lat"].to_numpy(), g["lon"].to_numpy()
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        for _, c in circles.iterrows():
+            inside = haversine_km(lat, lon, c["lat"], c["lon"]) <= c["radius_km"]
+            m = inside[1:] & inside[:-1]
+            if m.any():
+                rows[(int(pid), int(c["key"]))] = (
+                    int((ts[1:] - ts[:-1])[m].sum()),
+                    int(m.sum()),
+                )
+    got = gf.fence_dwell(sf).to_pandas()
+    assert len(got) == len(rows) > 0
+    for pid, key, dw, ns in got.itertuples(index=False):
+        assert rows[(int(pid), int(key))] == (int(dw), int(ns))
