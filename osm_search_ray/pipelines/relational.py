@@ -1191,3 +1191,39 @@ WHERE NOT EXISTS (
       AND (ROUND(b.p_retailprice * 100) < ROUND(a.p_retailprice * 100)
            OR b.p_size < a.p_size))
 """
+
+
+def benford_digits(sf_dir: str):
+    """BENFORD leading-digit audit of l_extendedprice (cents) — the classic
+    fabricated-data / corruption screen. Leading digit extracted with PURE
+    INTEGER arithmetic (searchsorted against the 10^k ladder, then one
+    floor divide — no float log10, whose boundary ulps flip digits at
+    powers of ten). Output (digit, n) for digits 1-9.
+
+    Shape: per-batch 9-bin bincount partials, digit-keyed driver fuse over
+    O(9 × blocks) rows — the minimal-footprint audit scan."""
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    powers = np.array([10**k for k in range(1, 19)], dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        cents = cents[cents > 0]
+        nd = np.searchsorted(powers, cents, side="right") + 1  # digit count
+        lead = cents // np.concatenate([[1], powers])[nd - 1]
+        c = np.bincount(lead, minlength=10)[1:10]
+        return pa.table({"digit": np.arange(1, 10, dtype=np.int64), "n": c.astype(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("digit", as_index=False)["n"].sum()
+    out = out[out["n"] > 0].astype(np.int64).reset_index(drop=True)
+    return ray.data.from_pandas(out)
+
+
+SQL_BENFORD_DIGITS = """
+WITH c AS (
+    SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+d AS (
+    SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+    FROM c WHERE cents > 0)
+SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1
+"""

@@ -54,3 +54,18 @@ def test_part_skyline_matches_bruteforce():
     exp = _brute(key, pc, sz)
     got = sorted(map(tuple, part_skyline(SF).to_pandas().to_numpy()))
     assert got == exp and len(got) > 0
+
+
+def test_benford_digits_match_string_replay():
+    import pyarrow.parquet as pq
+
+    from osm_search_ray.pipelines.relational import benford_digits
+
+    p = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_extendedprice"]).to_pandas()
+    cents = np.rint(p["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+    cents = cents[cents > 0]
+    exp = pd.Series([int(str(v)[0]) for v in cents]).value_counts().sort_index()
+    got = benford_digits(SF).to_pandas().sort_values("digit")
+    assert got["n"].sum() == len(cents)
+    for d, n in zip(got["digit"], got["n"]):
+        assert exp[int(d)] == int(n)
