@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_autocorr"] = ev.events_autocorr  # lag-1 series burstiness
     q["fence_dwell"] = _gf0.fence_dwell  # per-(entity, fence) dwell time
     q["benford_digits"] = relational.benford_digits  # leading-digit audit
+    q["lexical_diversity"] = textops.lexical_diversity  # per-doc type-token ratio
     q["related_terms"] = textops.related_terms  # co-occurrence query expansion
     q["revenue_wow"] = relational.revenue_wow  # weekly series + WoW delta
     q["kde_cells"] = tiling.kde_cells  # integer-kernel density smoothing
@@ -501,6 +502,7 @@ GROUP BY 1, 2
     sql["events_autocorr"] = ev.SQL_EVENTS_AUTOCORR
     sql["fence_dwell"] = _gf0s.sql_fence_dwell()
     sql["benford_digits"] = relational.SQL_BENFORD_DIGITS
+    sql["lexical_diversity"] = textops.sql_lexical_diversity()
     sql["related_terms"] = textops.sql_related_terms()
     sql["revenue_wow"] = relational.SQL_REVENUE_WOW
     sql["kde_cells"] = _ti0.sql_kde_cells()

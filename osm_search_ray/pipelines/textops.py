@@ -1747,3 +1747,52 @@ SELECT CAST(t.n AS BIGINT) AS n_rows,
                 // (CAST(t.n AS HUGEINT) * rt * ct)) AS BIGINT) AS chi2_micro
 FROM cells, t GROUP BY t.n
 """
+
+
+# ------------------------------------------------------- lexical diversity
+
+
+def lexical_diversity(sf_dir: str):
+    """Per-doc TYPE-TOKEN RATIO — distinct tokens per token, the lexical-
+    diversity quality signal next to char_entropy / repetition_stats
+    (template/spam pages score low). ttr_micro = 10⁶·n_types // n_tokens,
+    pure integers. ZERO shuffles — one streaming scan, per-row np.unique
+    over the flat token array segmented by doc. Empty docs are dropped on
+    both engines. Output (doc_id, n_tokens, n_types, ttr_micro)."""
+
+    def scan(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        toks, counts = tokenize_array(batch.column("text").to_pylist())
+        n = len(doc_ids)
+        di = np.repeat(np.arange(n), counts)
+        # distinct per doc: sort (doc, token) pairs once, count group firsts
+        order = np.lexsort((toks, di))
+        dd, tt = di[order], toks[order]
+        first = np.concatenate([[True], (dd[1:] != dd[:-1]) | (tt[1:] != tt[:-1])])
+        types = np.bincount(dd[first], minlength=n).astype(np.int64)
+        ntok = counts.astype(np.int64)
+        keep = ntok > 0
+        ttr = 1000000 * types[keep] // ntok[keep]
+        return pa.table(
+            {
+                "doc_id": doc_ids[keep],
+                "n_tokens": ntok[keep],
+                "n_types": types[keep],
+                "ttr_micro": ttr,
+            }
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def sql_lexical_diversity() -> str:
+    toks = SQL_TOKENIZE.format(col="text")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+       CAST(1000000 * len(list_distinct(toks)) // len(toks) AS BIGINT) AS ttr_micro
+FROM t WHERE len(toks) > 0
+"""

@@ -60,3 +60,21 @@ def test_feature_hash_matches_python_replay():
     assert len(got) == len(exp)
     for did, dim, feat in got.itertuples(index=False):
         assert exp[(int(did), int(dim))] == int(feat)
+
+
+def test_lexical_diversity_matches_python_replay():
+    import pyarrow.parquet as pq
+
+    from osm_search_ray.functions.tokenize import tokenize
+    from osm_search_ray.pipelines.textops import lexical_diversity
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    exp = {}
+    for did, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        toks = tokenize(text)
+        if toks:
+            exp[did] = (len(toks), len(set(toks)), 1000000 * len(set(toks)) // len(toks))
+    got = lexical_diversity(SF).to_pandas()
+    assert len(got) == len(exp)
+    for did, nt, ty, ttr in got.itertuples(index=False):
+        assert exp[int(did)] == (int(nt), int(ty), int(ttr))
