@@ -1944,97 +1944,45 @@ def degree_assortativity(sf_dir: str):
     the m distinct undirected edges — THE one-number mixing diagnostic next
     to clustering_coeff. Output one row (n_samples=2m, assort_x1e9).
 
-    Shape: degrees from one node-keyed count exchange over exploded
-    endpoints; two side-tagged node-keyed exchanges attach deg to each
-    endpoint view (the distributed edges⋈degrees⋈degrees); the second
-    exchange emits per-PARTITION int64 moment partials (n, Σx, Σy, Σxy,
-    Σx², Σy²) — nothing edge-sized ever reaches the driver, which sums
-    O(num_parts) rows exactly (Python int) and evaluates the closed form in
-    corr_price_qty's float-expression-order contract (bit-identical SQL
-    twin). int64 partial bound: rows/partition · max_deg² — safe while
-    hub_deg² · partition_rows < 2⁶³ (document hubs first at petabyte walks).
-    """
+    Shape (TWO exchanges past the edge dedup, no separate degree pass): the
+    view exchange keyed by the FIRST endpoint already co-locates exactly
+    deg(x) rows per node x (both orientations of every incident edge), so
+    deg is a partition-local row count — the degs⋈ join collapses into the
+    exchange that was needed anyway; the second exchange (keyed by the
+    other endpoint, whose row count per node is again its degree) attaches
+    the second degree and reduces to per-PARTITION int64 moment partials
+    (n, Σx, Σy, Σxy, Σx², Σy²). Nothing edge-sized reaches the driver,
+    which sums O(num_parts) rows exactly (Python int) and evaluates the
+    closed form in corr_price_qty's float-expression-order contract
+    (bit-identical SQL twin). int64 partial bound: rows/partition ·
+    max_deg² — safe while hub_deg² · partition_rows < 2⁶³."""
     from ..stages.joins import hash_partitioned_apply
 
     und = _und_edges(sf_dir)
 
-    def endpoints(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_numpy()
-        b = batch.column("b").to_numpy()
-        u, c = np.unique(np.concatenate([a, b]), return_counts=True)
-        return pa.table({"node": u, "cnt": c.astype(np.int64)})
-
-    def fuse_deg(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("node", sort=False)["cnt"].sum().reset_index()
-        return g.rename(columns={"cnt": "deg"})
-
-    degs = hash_partitioned_apply(
-        und.map_batches(endpoints, batch_format="pyarrow"), "node", fuse_deg
-    )
-
-    # exchange 1: key by the FIRST endpoint, attach its degree
     def edge_views(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy()
         b = batch.column("b").to_numpy()
         return pa.table(
-            {
-                "node": np.concatenate([a, b]),
-                "other": np.concatenate([b, a]),
-                "deg": np.full(2 * len(a), -1, dtype=np.int64),
-            }
-        )
-
-    def deg_rows(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "node": batch.column("node"),
-                "other": pa.array(np.full(batch.num_rows, -1, dtype=np.int64)),
-                "deg": batch.column("deg"),
-            }
+            {"node": np.concatenate([a, b]), "other": np.concatenate([b, a])}
         )
 
     def attach_first(df: pd.DataFrame) -> pd.DataFrame:
-        dmap = df.loc[df["other"] == -1].set_index("node")["deg"]
-        e = df.loc[df["other"] != -1]
+        deg = df.groupby("node", sort=False)["node"].transform("size")
         return pd.DataFrame(
-            {
-                "node": e["other"].to_numpy(),
-                "da": dmap.reindex(e["node"]).to_numpy(np.int64),
-            }
+            {"node": df["other"].to_numpy(), "da": deg.to_numpy(np.int64)}
         )
 
     views = und.map_batches(edge_views, batch_format="pyarrow")
-    tagged1 = views.union(degs.map_batches(deg_rows, batch_format="pyarrow"))
-    half = hash_partitioned_apply(tagged1, "node", attach_first)
-
-    # exchange 2: key by the SECOND endpoint, attach its degree, reduce to moments
-    def half_rows(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "node": batch.column("node"),
-                "da": batch.column("da"),
-                "deg": pa.array(np.full(batch.num_rows, -1, dtype=np.int64)),
-            }
-        )
-
-    def deg_rows2(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "node": batch.column("node"),
-                "da": pa.array(np.full(batch.num_rows, -1, dtype=np.int64)),
-                "deg": batch.column("deg"),
-            }
-        )
+    half = hash_partitioned_apply(views, "node", attach_first)
 
     def moments(df: pd.DataFrame) -> pd.DataFrame:
-        dmap = df.loc[df["deg"] != -1].set_index("node")["deg"]
-        e = df.loc[df["deg"] == -1]
-        if not len(e):
+        if not len(df):
             return pd.DataFrame(
                 {c: pd.Series([], dtype=np.int64) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")}
             )
-        x = e["da"].to_numpy(np.int64)
-        y = dmap.reindex(e["node"]).to_numpy(np.int64)
+        x = df["da"].to_numpy(np.int64)
+        y = df.groupby("node", sort=False)["node"].transform("size").to_numpy(np.int64)
         return pd.DataFrame(
             {
                 "n": [np.int64(len(x))],
@@ -2046,10 +1994,7 @@ def degree_assortativity(sf_dir: str):
             }
         )
 
-    tagged2 = half.map_batches(half_rows, batch_format="pyarrow").union(
-        degs.map_batches(deg_rows2, batch_format="pyarrow")
-    )
-    parts = hash_partitioned_apply(tagged2, "node", moments).to_pandas()
+    parts = hash_partitioned_apply(half, "node", moments).to_pandas()
 
     n, sx, sy, sxy, sxx, syy = (
         int(parts[c].astype(object).sum()) for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
