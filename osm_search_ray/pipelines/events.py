@@ -2307,3 +2307,73 @@ SELECT CAST(n AS BIGINT) AS n_pairs,
             * 1000000000) AS BIGINT) AS autocorr_x1e9
 FROM m
 """
+
+
+BURST_PAD_US = 3_600_000_000  # ±1 h around each event
+
+
+def activity_bursts(sf_dir: str):
+    """INTERVAL COALESCING — per user, each event spans [ts−1h, ts+1h]; the
+    overlapping spans merge into maximal activity-burst islands (the
+    interval-union operator under incident windows / crawl-activity
+    clustering; sessionize's gap rule expressed on intervals). With sorted
+    timestamps the union rule collapses to: break when Δts > 2·pad — one
+    vectorized pass, no pairwise interval join. Output
+    (user_id, island, start_us, end_us, n_events), island 0-based per user.
+
+    Shape: ONE user-keyed exchange; inside the partition a cross-user
+    vectorized sort + shift assigns islands (the bounce_rate/sessionize
+    pattern); min/max/count per island via one groupby over the partition."""
+    from ..stages.joins import hash_partitioned_apply
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["user_id", "island", "start_us", "end_us", "n_events"]
+        if not len(df):
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy(np.int64)
+        t = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        dt = np.concatenate([[np.int64(0)], t[1:] - t[:-1]])
+        brk = new_user | (dt > 2 * BURST_PAD_US)
+        # island index resets per user: cumsum of breaks minus per-user base
+        cum = np.cumsum(brk)
+        base = np.maximum.accumulate(np.where(new_user, cum, 0))
+        island = cum - base
+        g = pd.DataFrame({"user_id": uid, "island": island, "t": t}).groupby(
+            ["user_id", "island"], sort=False
+        )["t"]
+        agg = g.agg(["min", "max", "size"]).reset_index()
+        return pd.DataFrame(
+            {
+                "user_id": agg["user_id"].to_numpy(np.int64),
+                "island": agg["island"].to_numpy(np.int64),
+                "start_us": agg["min"].to_numpy(np.int64) - BURST_PAD_US,
+                "end_us": agg["max"].to_numpy(np.int64) + BURST_PAD_US,
+                "n_events": agg["size"].to_numpy(np.int64),
+            }
+        )
+
+    return hash_partitioned_apply(ds, "user_id", per_part)
+
+
+SQL_ACTIVITY_BURSTS = f"""
+WITH o AS (
+    SELECT user_id, event_id, ts, epoch_us(ts) AS t,
+           CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {2 * BURST_PAD_US}
+                THEN 1 ELSE 0 END AS brk
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+i AS (
+    SELECT user_id, t,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS island
+    FROM o)
+SELECT user_id, CAST(island AS BIGINT) AS island,
+       CAST(MIN(t) - {BURST_PAD_US} AS BIGINT) AS start_us,
+       CAST(MAX(t) + {BURST_PAD_US} AS BIGINT) AS end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM i GROUP BY 1, 2
+"""

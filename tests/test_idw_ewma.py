@@ -62,3 +62,32 @@ def test_autocorr_tracks_numpy_corrcoef():
     got = ev.events_autocorr(SF).to_pandas()
     assert int(got["n_pairs"].iloc[0]) == len(dense) - 1
     assert abs(int(got["autocorr_x1e9"].iloc[0]) / 1e9 - r) < 1e-6
+
+
+def test_activity_bursts_match_interval_union_replay():
+    """Engine islands == a literal interval-union replay (merge [t-1h, t+1h]
+    spans pairwise), proving the Δt>2·pad shortcut implements the union."""
+    e = pq.read_table(f"{SF}/events.parquet", columns=["event_id", "user_id", "ts"]).to_pandas()
+    e = e.sort_values(["user_id", "ts", "event_id"])
+    P = ev.BURST_PAD_US
+    exp = []
+    for uid, g in e.groupby("user_id", sort=True):
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        islands = []
+        for x in t:
+            s0, e0 = x - P, x + P
+            if islands and s0 <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e0)
+                islands[-1][2] += 1
+            else:
+                islands.append([s0, e0, 1])
+        for i, (s0, e0, n) in enumerate(islands):
+            exp.append((int(uid), i, s0, e0, n))
+    got = (
+        ev.activity_bursts(SF)
+        .to_pandas()
+        .sort_values(["user_id", "island"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) and len(exp) < len(e), "fixture must merge some spans"
+    assert list(map(tuple, got.astype(np.int64).to_numpy())) == exp
