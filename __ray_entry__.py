@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["benford_digits"] = relational.benford_digits  # leading-digit audit
     q["lexical_diversity"] = textops.lexical_diversity  # per-doc type-token ratio
     q["activity_bursts"] = ev.activity_bursts  # interval-union burst islands
+    q["vocab_growth"] = textops.vocab_growth  # Heaps-law decile curve
     q["related_terms"] = textops.related_terms  # co-occurrence query expansion
     q["revenue_wow"] = relational.revenue_wow  # weekly series + WoW delta
     q["kde_cells"] = tiling.kde_cells  # integer-kernel density smoothing
@@ -505,6 +506,7 @@ GROUP BY 1, 2
     sql["benford_digits"] = relational.SQL_BENFORD_DIGITS
     sql["lexical_diversity"] = textops.sql_lexical_diversity()
     sql["activity_bursts"] = ev.SQL_ACTIVITY_BURSTS
+    sql["vocab_growth"] = textops.sql_vocab_growth()
     sql["related_terms"] = textops.sql_related_terms()
     sql["revenue_wow"] = relational.SQL_REVENUE_WOW
     sql["kde_cells"] = _ti0.sql_kde_cells()

@@ -1796,3 +1796,93 @@ SELECT doc_id,
        CAST(1000000 * len(list_distinct(toks)) // len(toks) AS BIGINT) AS ttr_micro
 FROM t WHERE len(toks) > 0
 """
+
+
+# ---------------------------------------------------- vocabulary growth
+
+
+def vocab_growth(sf_dir: str):
+    """HEAPS-LAW vocabulary growth curve: the corpus in doc_id order is cut
+    into 10 deciles (dec = doc_id·10 // N over the dense id space); for
+    each decile, the CUMULATIVE token count and CUMULATIVE distinct-term
+    count after consuming deciles 0..d — the tokenizer-budget / OOV-rate
+    planning curve. A term's contribution decile is its MINIMUM decile of
+    occurrence, so cum_types(d) = Σ terms first seen ≤ d — exact, no
+    approximate sketches. Output (dec, cum_tokens, cum_types), 10 rows.
+
+    Shape: per-batch distinct (term, min-batch-dec) partials → ONE
+    vocab-bounded term-keyed exchange taking the global min per term →
+    10-bin counts; token counts ride the same scan as O(10 × blocks)
+    partials; the 10-row cumsum is driver arithmetic."""
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import hash_partitioned_apply
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        toks, counts = tokenize_array(batch.column("text").to_pylist())
+        dec = doc_ids * 10 // n_docs
+        di = np.repeat(dec, counts)
+        df = pd.DataFrame({"term": toks, "dec": di})
+        firsts = df.groupby("term", sort=False)["dec"].min().reset_index()
+        ntok = np.bincount(dec, weights=counts, minlength=10)[:10]
+        tok_rows = pd.DataFrame(
+            {"term": [f"#tokens{d}" for d in range(10)], "dec": -np.rint(ntok).astype(np.int64) - 1}
+        )
+        # token partials ride the exchange as sentinel terms (dec < 0 encodes
+        # the per-decile token count so one exchange carries both signals);
+        # '#' cannot tokenize, and NEVER use \x00 sentinels — pandas' string
+        # hashtable is NUL-terminated and collapses them into one group
+        return pa.Table.from_pandas(pd.concat([firsts, tok_rows], ignore_index=True), preserve_index=False)
+
+    def fuse(df: pd.DataFrame) -> pd.DataFrame:
+        toks_mask = df["dec"] < 0
+        out = []
+        t = df[toks_mask]
+        if len(t):
+            g = t.groupby("term", sort=False)["dec"].apply(lambda s: (-s - 1).sum())
+            out.append(pd.DataFrame({"kind": 1, "dec": [int(k[7:]) for k in g.index], "v": g.to_numpy(np.int64)}))
+        f = df[~toks_mask]
+        if len(f):
+            firsts = f.groupby("term", sort=False)["dec"].min()
+            cnt = firsts.value_counts()
+            out.append(pd.DataFrame({"kind": 0, "dec": cnt.index.to_numpy(np.int64), "v": cnt.to_numpy(np.int64)}))
+        if not out:
+            return pd.DataFrame({"kind": pd.Series(dtype=np.int64), "dec": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)})
+        return pd.concat(out, ignore_index=True).astype(np.int64)
+
+    parts = hash_partitioned_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), "term", fuse
+    ).to_pandas()
+    ntok = np.zeros(10, dtype=np.int64)
+    nty = np.zeros(10, dtype=np.int64)
+    for kind, dec, v in parts.itertuples(index=False):
+        (ntok if kind == 1 else nty)[int(dec)] += int(v)
+    out = pd.DataFrame(
+        {
+            "dec": np.arange(10, dtype=np.int64),
+            "cum_tokens": np.cumsum(ntok),
+            "cum_types": np.cumsum(nty),
+        }
+    )
+    return ray.data.from_pandas(out)
+
+
+def sql_vocab_growth() -> str:
+    toks = SQL_TOKENIZE.format(col="text")
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+tok AS (SELECT doc_id * 10 // (SELECT n FROM nn) AS dec, unnest({toks}) AS term
+        FROM documents),
+tcount AS (SELECT dec, CAST(COUNT(*) AS BIGINT) AS ntok FROM tok GROUP BY 1),
+firsts AS (SELECT term, MIN(dec) AS dec FROM tok GROUP BY 1),
+ty AS (SELECT dec, CAST(COUNT(*) AS BIGINT) AS nty FROM firsts GROUP BY 1),
+decs AS (SELECT unnest(range(0, 10)) AS dec)
+SELECT CAST(d.dec AS BIGINT) AS dec,
+       CAST(SUM(COALESCE(t.ntok, 0)) OVER (ORDER BY d.dec) AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(y.nty, 0)) OVER (ORDER BY d.dec) AS BIGINT) AS cum_types
+FROM decs d LEFT JOIN tcount t ON t.dec = d.dec LEFT JOIN ty y ON y.dec = d.dec
+"""

@@ -78,3 +78,29 @@ def test_lexical_diversity_matches_python_replay():
     assert len(got) == len(exp)
     for did, nt, ty, ttr in got.itertuples(index=False):
         assert exp[int(did)] == (int(nt), int(ty), int(ttr))
+
+
+def test_vocab_growth_matches_python_replay():
+    import pyarrow.parquet as pq
+
+    from osm_search_ray.functions.tokenize import tokenize
+    from osm_search_ray.pipelines.textops import vocab_growth
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    n = t.num_rows
+    ntok = [0] * 10
+    first = {}
+    for did, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        d = did * 10 // n
+        toks = tokenize(text)
+        ntok[d] += len(toks)
+        for tk in toks:
+            if tk not in first or first[tk] > d:
+                first[tk] = d
+    nty = [0] * 10
+    for d in first.values():
+        nty[d] += 1
+    got = vocab_growth(SF).to_pandas()
+    assert got["cum_tokens"].tolist() == list(np.cumsum(ntok))
+    assert got["cum_types"].tolist() == list(np.cumsum(nty))
+    assert got["cum_types"].iloc[-1] == len(first)
