@@ -18,6 +18,82 @@ from typing import Any
 
 from osm_search_ray.sources import derived as dv
 
+# Registry ORDER is part of the driver contract: the driver certifies the
+# first ~50 queries per round (r3 and r4 both stopped at exactly 50).
+# Round-5 rotation: the 74 queries with no CORRECTNESS row in rounds 1-4
+# come first — within them, the search family (VERDICT r4 task 5), then
+# flagship LLM-data/dedup/ANN/graph operators, then the window/KPI micro
+# queries; previously-certified queries follow least-recently-first
+# (r2 block, then r3, then r4).
+_R5_ORDER = [
+    # -- never driver-certified (74): search family first --
+    "segmented_search", "bm25f_store_search", "tfidf_store_search",
+    "spell_store_search", "boolean_search", "phrase_search",
+    "phrase_store_search", "lm_doc_scores",
+    # -- flagship dedup / LLM-training-data operators --
+    "dedup_ngram_prefix", "dedup_substring", "dedup_ngram",
+    "dedup_incremental", "dedup_clusters_minhash", "semantic_dedup",
+    "line_dedup", "cdc_chunks", "cdc_dedup", "split_leakage_safe",
+    "dsir_select", "ccnet_buckets", "quality_model", "bpe_train",
+    "bpe_tokenize", "mix_temperature", "cms_heavy_terms", "audio_features",
+    # -- ANN / clustering --
+    "ann_pq_topk", "ann_quantized_topk", "kmeans_clusters", "knn_graph",
+    "embedding_centroids", "label_medoids", "nn_join",
+    # -- graph --
+    "triangle_counts", "link_prediction", "kcore_links", "ppr_links",
+    "hits_links", "label_prop", "bfs_levels",
+    # -- spatial / formats / web-corpus --
+    "hotspot_cells", "zorder_sort", "jsonl_roundtrip", "csv_roundtrip",
+    "url_canonical", "snapshot_diff", "skipgram_pmi", "covisit_pairs",
+    # -- window / KPI micro queries (never-certified tail) --
+    "conversion_lag", "doc_id_gaps", "class_balance", "ohlc_hourly",
+    "column_profile", "events_gapfill", "events_lag_delta",
+    "agg_pricing_cube", "late_events", "length_histogram",
+    "events_range_sum", "dense_rank_chars", "band_join_chars",
+    "promo_revenue_share", "next_transitions", "events_funnel",
+    "viewers_full_outer_buyers", "retention_cohorts", "events_pivot",
+    "purchase_view_window", "events_median", "events_quantiles",
+    "users_view_no_purchase", "events_cumulative", "events_moving_sum",
+    "price_quantiles_tdigest",
+    # -- last driver row is r02 (18) --
+    "bm25f_search", "tfidf_search", "spell_search", "autocomplete",
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_embedding",
+    "dedup_fingerprint", "ann_cosine_topk", "ann_ivf_topk", "events_hourly",
+    "events_sliding", "sessionize", "purchase_attribution",
+    "approx_distinct_users", "geofence_status", "raster_coverage",
+    # -- green in r03 (50) --
+    "tile_assign", "pip_join", "pip_join_partitioned", "pip_tile_summary",
+    "knn_nearest_docs", "knn_radius_lang", "reverse_geocode",
+    "kring_density", "agg_pricing", "agg_pricing_rollup",
+    "join_customer_orders", "topk_orders_per_segment",
+    "filter_project_lineitem", "join_lineitem_orders_bucketed",
+    "customer_left_join_orders", "corr_price_qty", "revenue_by_nation",
+    "global_rank_chars", "ntile_chars", "doc_lookup", "token_counts",
+    "token_counts_bpe", "term_doc_freq", "term_dictionary", "text_quality",
+    "langid", "bigram_counts", "postings_lists", "image_features",
+    "contamination_check", "contamination_bloom", "top_terms",
+    "repetition_stats", "pii_redact", "curate_corpus", "url_latest",
+    "domain_stats", "domain_cap", "chunk_dedup", "dup_clusters",
+    "domain_top_lang", "url_history", "visit_snapshots", "pagerank_links",
+    "train_val_split", "pack_sequences", "sample_weighted",
+    "sample_stratified", "bm25_search", "bm25_store_search",
+    # -- green in r04 (50) --
+    "adaptive_tiles", "dbscan_cells", "keywords_tfidf", "postings_sizes",
+    "price_trend", "bloom_semi_join", "assoc_rules", "events_anomaly",
+    "pip_anti_join", "clustering_coeff", "bounce_rate", "track_speed",
+    "pip_triangles", "rect_quantiles", "rect_overlap_pairs",
+    "distance_band_pairs", "lexicon_tags", "degree_assortativity",
+    "near_search", "rdp_tracks", "idw_interpolate", "events_ewma",
+    "mutual_knn_pairs", "feature_hash", "part_skyline", "lang_source_chi2",
+    "domain_gini", "events_autocorr", "fence_dwell", "benford_digits",
+    "lexical_diversity", "activity_bursts", "vocab_growth", "related_terms",
+    "revenue_wow", "kde_cells", "session_concurrency", "fuzzy_join_terms",
+    "chunk_windows", "events_mad", "scc_links", "changelog_apply",
+    "char_entropy", "containment_pairs", "embed_normalize",
+    "nearest_centroid", "tile_pyramid", "shuffle_shards", "promo_overlap",
+    "path_trigrams",
+]
+
 
 def entry() -> Any:
     """Flagship pipeline on sf0.001: pages → coords → tiling → PIP join →
@@ -274,7 +350,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- full-text search (BM25+ with reference formula quirks) ---
     q["bm25_search"] = search_docs.bm25_docs_search
     q["bm25_store_search"] = search_docs.bm25_store_search  # served from the on-disk index
-    return q
+
+    assert set(q) == set(_R5_ORDER), (
+        sorted(set(q) - set(_R5_ORDER)),
+        sorted(set(_R5_ORDER) - set(q)),
+    )
+    return {k: q[k] for k in _R5_ORDER}
 
 
 def oracle_sql() -> dict[str, str]:
