@@ -274,19 +274,23 @@ def bpe_tokenize(sf_dir: str):
     joined = hash_bucket_join(pairs, wlen_ds, "word")
     per_doc = joined.groupby("doc_id").aggregate(Sum("n_syms", alias_name="n_tokens_bpe"))
 
-    def zero_fill(batch: pa.Table, sums: dict) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy()
-        vals = np.asarray([sums.get(int(i), 0) for i in ids], dtype=np.int64)
-        return pa.table({"doc_id": batch.column("doc_id"), "n_tokens_bpe": pa.array(vals)})
-
     # Docs with zero tokens vanish in the explode; restore them with 0 via a
-    # left join against doc ids (bounded: one int64 sum per doc — at true
-    # scale this would be a second hash_bucket_join; per-doc sums here are
-    # already the smallest table in the pipeline).
-    sums = {int(r["doc_id"]): int(r["n_tokens_bpe"]) for r in per_doc.take_all()}
-    return docs.drop_columns(["text"]).map_batches(
-        lambda t: zero_fill(t, sums), batch_format="pyarrow"
-    )
+    # second hash_bucket_join (left) against the doc-id spine — no
+    # driver-resident per-doc state at any corpus size.
+    def fill_zero(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens_bpe": pc.fill_null(
+                    batch.column("n_tokens_bpe").cast(pa.int64()), 0
+                ),
+            }
+        )
+
+    filled = hash_bucket_join(docs.drop_columns(["text"]), per_doc, "doc_id", how="left")
+    return filled.map_batches(fill_zero, batch_format="pyarrow")
 
 
 def _sql_bpe_chain(n_merges: int = N_MERGES) -> str:

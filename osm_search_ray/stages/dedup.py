@@ -669,12 +669,22 @@ def ngram_jaccard_pairs(
             f"got {len(candidate_pairs)} pairs (cap {max_pairs}) — use ngram_jaccard_pairs_ds "
             f"(distributed bucketed-join verify) instead"
         )
-    wanted = set(candidate_pairs["doc_a"]) | set(candidate_pairs["doc_b"])
+    wanted = np.unique(
+        np.concatenate(
+            [
+                candidate_pairs["doc_a"].to_numpy(np.int64),
+                candidate_pairs["doc_b"].to_numpy(np.int64),
+            ]
+        )
+    )
     wanted_ref = ray.put(wanted)
 
     def grab(batch: pa.Table) -> pa.Table:
-        w = ray.get(wanted_ref)
-        mask = np.asarray([int(d) in w for d in batch.column(id_col).to_numpy()])
+        w = ray.get(wanted_ref)  # sorted-unique int64 ids
+        ids = batch.column(id_col).to_numpy().astype(np.int64, copy=False)
+        pos = np.searchsorted(w, ids)
+        pos_c = np.minimum(pos, len(w) - 1) if len(w) else pos
+        mask = (pos < len(w)) & (w[pos_c] == ids) if len(w) else np.zeros(len(ids), bool)
         return batch.filter(pa.array(mask)).select([id_col, text_col])
 
     texts = {r[id_col]: r[text_col] for r in docs.map_batches(grab, batch_format="pyarrow").take_all()}
