@@ -505,10 +505,19 @@ def triangle_counts(sf_dir: str):
     return _triangles_from_und(_und_edges(sf_dir))
 
 
+_UND_EDGES_CACHE: dict = {}
+
+
 def _und_edges(sf_dir: str):
     """Distinct undirected (a < b) link edges — one (a, b)-keyed exchange,
-    materialized so triangle_counts and clustering_coeff share one pass."""
+    materialized and cached per sf_dir so triangle_counts, clustering_coeff,
+    degree_assortativity and link_prediction share one pass within a suite
+    process (the same memo pattern search_docs' _STORE_CACHE uses; blocks
+    live in the object store, one corpus held at a time)."""
     from ..stages.joins import hash_partitioned_apply
+
+    if sf_dir in _UND_EDGES_CACHE:
+        return _UND_EDGES_CACHE[sf_dir]
 
     edges = dv.link_edges(sf_dir)
 
@@ -524,9 +533,11 @@ def _und_edges(sf_dir: str):
     def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates()
 
-    return hash_partitioned_apply(
+    _UND_EDGES_CACHE.clear()  # hold ONE corpus at a time
+    _UND_EDGES_CACHE[sf_dir] = hash_partitioned_apply(
         edges.map_batches(canon, batch_format="pyarrow"), ["a", "b"], dedup_pairs
     ).materialize()
+    return _UND_EDGES_CACHE[sf_dir]
 
 
 def _triangles_from_und(und):
@@ -925,22 +936,7 @@ def link_prediction(
     node-keyed tagged-union exchanges; the paths are equality-tested."""
     from ..stages.joins import hash_partitioned_apply
 
-    edges = dv.link_edges(sf_dir)
-
-    def canon(batch: pa.Table) -> pa.Table:
-        s = batch.column("src").to_numpy().astype(np.int64)
-        d = batch.column("dst").to_numpy().astype(np.int64)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        return pa.table(
-            {"a": pa.array(np.minimum(s, d)), "b": pa.array(np.maximum(s, d))}
-        )
-
-    und = hash_partitioned_apply(
-        edges.map_batches(canon, batch_format="pyarrow"),
-        ["a", "b"],
-        lambda df: df.drop_duplicates(),
-    ).materialize()
+    und = _und_edges(sf_dir)
 
     def expand(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy()

@@ -992,6 +992,9 @@ def spell_search_docs(sf_dir: str):
     return out.sort_values(["query_id", "rank"], kind="mergesort").reset_index(drop=True)
 
 
+_LM_SCORES_CACHE: dict = {}
+
+
 def lm_doc_scores(sf_dir: str):
     """Per-document 4-gram LM log-probability — the quality-filter-by-
     perplexity pass of a training-data pipeline, using the corpus's own
@@ -1005,7 +1008,10 @@ def lm_doc_scores(sf_dir: str):
     Output (doc_id, n_tokens, logprob_milli, is_finite) — docs containing
     a below-threshold (<UNK>-trained) word score -inf exactly like the
     reference (ngram_lm.go:300-318), reported as is_finite=0 with a
-    sentinel logprob."""
+    sentinel logprob. The SCORED Dataset is memoized per sf_dir (object-store
+    blocks) so ccnet_buckets shares this scan instead of re-running it."""
+    if sf_dir in _LM_SCORES_CACHE:
+        return _LM_SCORES_CACHE[sf_dir]
     lm, _ = _lm_state(sf_dir)
     lm_ref = ray.put(lm)
     NEG_SENTINEL = -(2**62)
@@ -1033,7 +1039,11 @@ def lm_doc_scores(sf_dir: str):
             )
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(Scorer, batch_format="pyarrow", concurrency=(1, 4))
+    _LM_SCORES_CACHE.clear()  # hold ONE corpus at a time
+    _LM_SCORES_CACHE[sf_dir] = ds.map_batches(
+        Scorer, batch_format="pyarrow", concurrency=(1, 4)
+    ).materialize()
+    return _LM_SCORES_CACHE[sf_dir]
 
 
 def _sql_lm_doc_scores() -> str:
