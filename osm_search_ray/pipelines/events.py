@@ -2274,10 +2274,13 @@ def events_autocorr(sf_dir: str):
     sxx, syy = int((x * x).sum()), int((y * y).sum())
     num = float(n * sxy - sx * sy)
     den = np.sqrt(float(n * sxx - sx * sx)) * np.sqrt(float(n * syy - sy * sy))
+    # A constant series (possible at tiny scale factors) has den == 0; both
+    # engines define r = 0 there instead of NaN-vs-NULL disagreement.
+    r_scaled = np.int64(0) if den == 0.0 else np.int64(np.rint(num / den * 1000000000))
     out = pd.DataFrame(
         {
             "n_pairs": [np.int64(n)],
-            "autocorr_x1e9": [np.int64(np.rint(num / den * 1000000000))],
+            "autocorr_x1e9": [r_scaled],
         }
     )
     return ray.data.from_pandas(out)
@@ -2302,9 +2305,11 @@ m AS (
            SUM(CAST(y AS HUGEINT) * y) AS syy
     FROM pairs WHERE y IS NOT NULL)
 SELECT CAST(n AS BIGINT) AS n_pairs,
-       CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-            / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
-            * 1000000000) AS BIGINT) AS autocorr_x1e9
+       CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)) = 0
+            THEN CAST(0 AS BIGINT)
+            ELSE CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                 * 1000000000) AS BIGINT) END AS autocorr_x1e9
 FROM m
 """
 

@@ -1250,6 +1250,20 @@ def rect_overlap_pairs(sf_dir: str):
         ix1 = np.floor((lat1 - BLAT) / G).astype(np.int64)
         iy0 = np.floor((lon0 - BLON) / G).astype(np.int64)
         iy1 = np.floor((lon1 - BLON) / G).astype(np.int64)
+        # The {0,1}² offset fan-out below is exact ONLY while every rect
+        # spans ≤ 2 cells per axis (extent ≤ G) and indices are in-range
+        # non-negative (key ix*1_000_003+iy injective): fail loudly rather
+        # than silently drop overlapping pairs if a fixture change widens
+        # rects or moves them south/west of the grid base.
+        if len(ix0):
+            assert (ix1 - ix0 <= 1).all() and (iy1 - iy0 <= 1).all(), (
+                "rect_overlap_pairs: rect extent exceeds one grid cell "
+                f"(G={G}) — widen the fan-out offsets"
+            )
+            assert ix0.min() >= 0 and iy0.min() >= 0 and iy1.max() < 1_000_003, (
+                "rect_overlap_pairs: rect outside the grid base — cell key "
+                "no longer injective"
+            )
         outs = []
         for dx in (0, 1):
             for dy in (0, 1):
@@ -1358,6 +1372,14 @@ def distance_band_pairs(sf_dir: str):
         did = batch.column("doc_id").to_numpy()
         ix = np.floor((lat - BLAT) / G).astype(np.int64)
         iy = np.floor((lon - BLON) / G).astype(np.int64)
+        # Cell key (ix+dx)*CK + (iy+dy) is injective only for in-range
+        # non-negative indices; points south/west of the grid base would
+        # silently collide cells — fail loudly instead.
+        if len(ix):
+            assert ix.min() >= 1 and 1 <= iy.min() and iy.max() < CK - 1, (
+                "distance_band_pairs: point outside the grid base "
+                f"(BLAT={BLAT}, BLON={BLON}) — cell key no longer injective"
+            )
         outs = []
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
