@@ -502,7 +502,20 @@ def triangle_counts(sf_dir: str):
          pair is itself an edge; each triangle {a,b,c} closes EXACTLY
          once per center, so the per-center counts ARE the per-node
          participation counts (no /3 correction, no double count)."""
-    return _triangles_from_und(_und_edges(sf_dir))
+    return _triangles_cached(sf_dir)
+
+
+_TRIANGLES_CACHE: dict = {}
+
+
+def _triangles_cached(sf_dir: str):
+    """Per-node triangle counts, materialized and cached per sf_dir so
+    triangle_counts and clustering_coeff share one wedge-close pass within
+    a suite process (same memo discipline as _und_edges below)."""
+    if sf_dir not in _TRIANGLES_CACHE:
+        _TRIANGLES_CACHE.clear()  # hold ONE corpus at a time
+        _TRIANGLES_CACHE[sf_dir] = _triangles_from_und(_und_edges(sf_dir)).materialize()
+    return _TRIANGLES_CACHE[sf_dir]
 
 
 _UND_EDGES_CACHE: dict = {}
@@ -1864,7 +1877,7 @@ def clustering_coeff(sf_dir: str):
         und.map_batches(endpoints, batch_format="pyarrow"), "node", deg_count
     )
 
-    tris = _triangles_from_und(und)
+    tris = _triangles_cached(sf_dir)
 
     def tag_deg(batch: pa.Table) -> pa.Table:
         return pa.table(
