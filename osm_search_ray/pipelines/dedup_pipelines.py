@@ -465,6 +465,31 @@ NGRAM_THRESHOLD_MICRO = 500_000  # keep pairs with jaccard >= 0.5
 NGRAM_MAX_OCC = 64  # per-gram distinct-doc cap (boilerplate guard, SQL-mirrored)
 NGRAM_SIZES_BROADCAST_LIMIT = 4_000_000  # per-doc size table broadcast cutover
 
+_KGRAMS_CACHE: dict = {}
+
+
+def _distinct_kgrams(sf_dir: str, n: int) -> "ray.data.Dataset":
+    """DISTINCT (doc_id, ghash) token-n-gram table over documents —
+    materialized once per (sf_dir, n) and shared by dedup_ngram,
+    dedup_ngram_prefix and containment_pairs (identical prep in all
+    three; the _und_edges memo discipline, one corpus at a time)."""
+    key = (sf_dir, n)
+    if key not in _KGRAMS_CACHE:
+        if any(k[0] != sf_dir for k in _KGRAMS_CACHE):
+            _KGRAMS_CACHE.clear()
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        grams = ds.map_batches(
+            lambda b: _kgram_explode(b, n), batch_format="pyarrow"
+        ).map_batches(
+            lambda b: pa.Table.from_pandas(
+                b.select(["doc_id", "ghash"]).to_pandas().drop_duplicates(),
+                preserve_index=False,
+            ),
+            batch_format="pyarrow",
+        )
+        _KGRAMS_CACHE[key] = grams.materialize()
+    return _KGRAMS_CACHE[key]
+
 
 def dedup_ngram(
     sf_dir: str,
@@ -490,15 +515,7 @@ def dedup_ngram(
     explode (2⁻⁶⁴ hash-collision bound, as dedup_substring)."""
     from ..stages.joins import hash_bucket_join, hash_partitioned_apply
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    grams = ds.map_batches(
-        lambda b: _kgram_explode(b, n), batch_format="pyarrow"
-    ).map_batches(
-        lambda b: pa.Table.from_pandas(
-            b.select(["doc_id", "ghash"]).to_pandas().drop_duplicates(), preserve_index=False
-        ),
-        batch_format="pyarrow",
-    )
+    grams = _distinct_kgrams(sf_dir, n)
 
     def gram_partition(df: pd.DataFrame) -> pd.DataFrame:
         # vectorized pair expansion (self-merge, the dedup_substring shape) —
@@ -1078,15 +1095,7 @@ def dedup_ngram_prefix(
     filtered at ``threshold_micro`` — dedup_ngram's exact contract."""
     from ..stages.joins import hash_bucket_join, hash_partitioned_apply
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    grams = ds.map_batches(
-        lambda b: _kgram_explode(b, n), batch_format="pyarrow"
-    ).map_batches(
-        lambda b: pa.Table.from_pandas(
-            b.select(["doc_id", "ghash"]).to_pandas().drop_duplicates(), preserve_index=False
-        ),
-        batch_format="pyarrow",
-    )
+    grams = _distinct_kgrams(sf_dir, n)
 
     def attach_df(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates()
@@ -1246,15 +1255,7 @@ def containment_pairs(
     Output (src, dst, containment_micro)."""
     from ..stages.joins import hash_bucket_join, hash_partitioned_apply
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    grams = ds.map_batches(
-        lambda b: _kgram_explode(b, n), batch_format="pyarrow"
-    ).map_batches(
-        lambda b: pa.Table.from_pandas(
-            b.select(["doc_id", "ghash"]).to_pandas().drop_duplicates(), preserve_index=False
-        ),
-        batch_format="pyarrow",
-    )
+    grams = _distinct_kgrams(sf_dir, n)
 
     def gram_partition(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates()
