@@ -432,6 +432,9 @@ KNN_GRAPH_K = 5
 KNN_GRAPH_NLIST = 8
 
 
+_KNN_GRAPH_CACHE: dict = {}
+
+
 def knn_graph(sf_dir: str, k: int = KNN_GRAPH_K, nlist: int = KNN_GRAPH_NLIST, nprobe: int | None = None):
     """All-vectors k-NN graph — top-k cosine neighbors for EVERY vector
     (the SemDeDup / kNN-LM / dedup-graph building block), built as a
@@ -450,7 +453,11 @@ def knn_graph(sf_dir: str, k: int = KNN_GRAPH_K, nlist: int = KNN_GRAPH_NLIST, n
     oracle checks; nprobe < nlist is the approximate scale regime (the
     ann_ivf_topk contract), unit-tested for recall and probe containment.
     Exchange budget: n x (1 + nprobe) fixed-width rows; no corpus-sized
-    broadcast anywhere.  Output (src_id, neighbor_id, rank)."""
+    broadcast anywhere.  Output (src_id, neighbor_id, rank).
+
+    The result is memoized per (sf_dir, k, nlist, nprobe) — materialized
+    object-store blocks — so mutual_knn_pairs reuses the graph instead of
+    rebuilding it (the _und_edges memo discipline)."""
     import pyarrow.parquet as pq
 
     from ..functions.arrowutil import vec_matrix
@@ -459,6 +466,9 @@ def knn_graph(sf_dir: str, k: int = KNN_GRAPH_K, nlist: int = KNN_GRAPH_NLIST, n
 
     if nprobe is None:
         nprobe = nlist
+    memo_key = (sf_dir, k, nlist, nprobe)
+    if memo_key in _KNN_GRAPH_CACHE:
+        return _KNN_GRAPH_CACHE[memo_key]
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     centroids = train_centroids(emb, "embedding", nlist)
     dim = centroids.shape[1]
@@ -531,7 +541,12 @@ def knn_graph(sf_dir: str, k: int = KNN_GRAPH_K, nlist: int = KNN_GRAPH_NLIST, n
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g[["src_id", "neighbor_id", "rank"]]
 
-    return partial.groupby("src_id").map_groups(final, batch_format="pandas")
+    if any(mk[0] != sf_dir for mk in _KNN_GRAPH_CACHE):
+        _KNN_GRAPH_CACHE.clear()  # hold ONE corpus at a time
+    _KNN_GRAPH_CACHE[memo_key] = (
+        partial.groupby("src_id").map_groups(final, batch_format="pandas").materialize()
+    )
+    return _KNN_GRAPH_CACHE[memo_key]
 
 
 SQL_KNN_GRAPH = f"""
