@@ -48,6 +48,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
+from ..sources.readers import read_pq
 import ray.data
 from ray.data.aggregate import Sum
 
@@ -61,7 +62,7 @@ SEP = "\x01"  # never occurs in [a-z0-9]+ tokens
 
 def word_freqs(sf_dir: str) -> "ray.data.Dataset":
     """(word, cnt) corpus token frequencies — combiner partials, one shuffle."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
         toks, _ = tokenize_array(batch.column("text").to_pylist())
@@ -245,7 +246,7 @@ def bpe_tokenize(sf_dir: str):
     merges (symbols remaining after applying all merges in rank order to
     each word). Zero-token docs report 0."""
     learned = _learn(sf_dir)
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     if isinstance(learned[1], dict):
         wlen_ref = ray.put(learned[1])

@@ -38,6 +38,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+from ..sources.readers import read_pq
 
 from ..functions.hashing import hash64_md5, splitmix64
 from ..sources.derived import sql_splitmix64_chain
@@ -127,7 +128,7 @@ def chunk_batch(batch: pa.Table) -> pa.Table:
 
 
 def cdc_chunks_ds(sf_dir: str) -> "ray.data.Dataset":
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return docs.map_batches(chunk_batch, batch_format="pyarrow")
 
 

@@ -43,6 +43,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
+from ..sources.readers import read_pq
 import ray.data
 
 from ..functions.tokenize import SQL_TOKENIZE, tokenize_array
@@ -116,7 +117,7 @@ def curate_corpus(sf_dir: str):
     """(doc_id, verdict) for EVERY document — the funnel's one-frame audit."""
     from ..stages.joins import hash_partitioned_apply
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     # eval-holdout shingles: benchmark-sized by construction → collect
     # sorted-unique once, broadcast (same shape as contamination_check)
@@ -234,7 +235,7 @@ def ccnet_buckets(sf_dir: str, k: int = CCNET_K):
     px = scores.map_batches(to_ppx, batch_format="pyarrow")
     # row count from parquet metadata (scoring is 1:1 per doc) — never
     # execute the LM scan twice just to size the buckets
-    n = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+    n = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
     srt = px.sort(["ppx_scaled", "doc_id"])
     sizes = np.full(k, n // k, np.int64)
     sizes[: n % k] += 1

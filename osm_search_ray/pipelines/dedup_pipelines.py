@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
+from ..sources.readers import read_pq
 
 from ..functions.hashing import hash64_str
 
@@ -36,7 +37,7 @@ def dedup_exact(sf_dir: str):
     needed.
 
     Output: (doc_id, n_dups) for each kept representative."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def add_hash(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pandas()
@@ -83,7 +84,7 @@ def dedup_minhash(sf_dir: str):
 
     from ..stages.dedup import minhash_lsh_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return minhash_lsh_pairs(ds, threshold=0.5)
 
 
@@ -204,7 +205,7 @@ def _minhash_store_dir(sf_dir: str) -> str:
     from .search_docs import _cached_store_dir
 
     def build(path: str, out_dir: str) -> None:
-        ds = ray.data.read_parquet(path, columns=["doc_id", "text"]).map_batches(
+        ds = read_pq(path, columns=["doc_id", "text"]).map_batches(
             _mod_split(new=False), batch_format="pyarrow"
         )
         build_minhash_store(ds, out_dir)
@@ -227,7 +228,7 @@ def dedup_incremental(sf_dir: str):
     from ..stages.dedup import minhash_store_new_pairs
 
     store = _minhash_store_dir(sf_dir)
-    new_docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+    new_docs = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
         _mod_split(new=True), batch_format="pyarrow"
     )
     return minhash_store_new_pairs(new_docs, store, threshold=0.5)
@@ -250,7 +251,7 @@ def dedup_simhash(sf_dir: str):
 
     from ..stages.dedup import simhash_near_dups
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_near_dups(ds, max_hamming=3)
 
 
@@ -306,7 +307,7 @@ def dedup_embedding(sf_dir: str):
 
     from ..stages.dedup import embedding_near_dups
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return embedding_near_dups(ds, threshold=0.35)
 
 
@@ -439,7 +440,7 @@ def dedup_fingerprint(sf_dir: str):
 
     from ..stages.textstats import fingerprint_stage
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     fp = fingerprint_stage(ds)
 
     # bounded partitions + one vectorized groupby per partition (same
@@ -477,7 +478,7 @@ def _distinct_kgrams(sf_dir: str, n: int) -> "ray.data.Dataset":
     if key not in _KGRAMS_CACHE:
         if any(k[0] != sf_dir for k in _KGRAMS_CACHE):
             _KGRAMS_CACHE.clear()
-        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         grams = ds.map_batches(
             lambda b: _kgram_explode(b, n), batch_format="pyarrow"
         ).map_batches(
@@ -705,7 +706,7 @@ def dedup_substring(sf_dir: str, k: int = SUBSTR_K, max_occ: int = SUBSTR_MAX_OC
 
     from ..stages.joins import hash_partitioned_apply
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     grams = ds.map_batches(lambda b: _kgram_explode(b, k), batch_format="pyarrow")
 
     def gram_pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -809,7 +810,7 @@ def semantic_dedup(sf_dir: str):
 
     from ..stages.dedup import semantic_dedup as _sd
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return _sd(ds, k=16, threshold=0.35)
 
 
@@ -904,7 +905,7 @@ def line_dedup(sf_dir: str):
     the corpus. Output (doc_id, text_dedup, n_lines, n_kept)."""
     from ..stages.joins import hash_partitioned_apply
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def explode_lines(batch: pa.Table) -> pa.Table:
         doc = batch.column("doc_id").to_numpy()
@@ -1025,7 +1026,7 @@ def dedup_clusters_minhash(sf_dir: str):
     from ..stages.dedup import minhash_lsh_pairs
     from .webcorpus import contraction_cc
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     pairs_ds = minhash_lsh_pairs(ds, threshold=0.5)
 
     def to_edges(batch: pa.Table) -> pa.Table:
@@ -1187,16 +1188,18 @@ def dedup_ngram_prefix(
         cand, ["doc_a", "doc_b"], lambda df: df.drop_duplicates(), num_parts=16
     )
 
+    from ..stages.joins import attach_blob_column
+
     a_side = blobs.map_batches(
-        lambda t: pa.table({"doc_a": t.column("doc_id"), "g_a": t.column("blob")}),
+        lambda t: pa.table({"doc_a": t.column("doc_id"), "blob": t.column("blob")}),
         batch_format="pyarrow",
     )
     b_side = blobs.map_batches(
-        lambda t: pa.table({"doc_b": t.column("doc_id"), "g_b": t.column("blob")}),
+        lambda t: pa.table({"doc_b": t.column("doc_id"), "blob": t.column("blob")}),
         batch_format="pyarrow",
     )
-    j = hash_bucket_join(pairs, a_side, on="doc_a", num_buckets=16)
-    j = hash_bucket_join(j, b_side, on="doc_b", num_buckets=16)
+    j = attach_blob_column(pairs, a_side, on="doc_a", blob_col="blob", out_col="g_a")
+    j = attach_blob_column(j, b_side, on="doc_b", blob_col="blob", out_col="g_b")
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         cols = ["doc_a", "doc_b", "jaccard_micro"]

@@ -36,6 +36,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+from ..sources.readers import read_pq
 from ray.data.aggregate import Sum
 
 from ..functions.hashing import hash64_md5, splitmix64
@@ -81,7 +82,7 @@ def _gram_buckets(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 def _fit_log_ratios(sf_dir: str) -> np.ndarray:
     """ONE streaming pass -> lam[b] = ln(p[b]) - ln(q[b]) with add-one
     smoothing; per-batch bincount partials, one bounded B-row exchange."""
-    docs = ray.data.read_parquet(
+    docs = read_pq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
 
@@ -129,7 +130,7 @@ def _fit_log_ratios(sf_dir: str) -> np.ndarray:
 def dsir_weights_ds(sf_dir: str) -> "ray.data.Dataset":
     """(doc_id, logw) for every document — the stateless scoring pass."""
     lam = _fit_log_ratios(sf_dir)
-    docs = ray.data.read_parquet(
+    docs = read_pq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 

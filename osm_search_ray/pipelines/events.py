@@ -12,6 +12,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
+from ..sources.readers import read_pq
 from ray.data.aggregate import Sum
 
 
@@ -20,7 +21,7 @@ def events_hourly(sf_dir: str):
 
     Window key = floor(epoch_us / 3600e6) computed vectorized; partial
     per-batch aggregation before the groupby shuffle."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    ds = read_pq(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").cast(pa.int64()).to_numpy()  # microseconds since epoch
@@ -90,7 +91,7 @@ def sessionize(sf_dir: str, gap_minutes: int = 30):
     previous event share a session. groupby(user) + sorted window inside the
     group — the ordering assumption is per-user ts order, established by the
     in-group sort (not globally)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
+    ds = read_pq(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("ts", kind="mergesort").copy()
@@ -133,7 +134,7 @@ def purchase_attribution(sf_dir: str):
     sort by ts inside the group, pandas merge_asof per group.
 
     Output (purchase_event_id, click_event_id nullable, gap_seconds_x100)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"])
+    ds = read_pq(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"])
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         purchases = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"], kind="mergesort")
@@ -212,7 +213,7 @@ def approx_distinct_users(sf_dir: str, p: int = 12):
     from ..stages.joins import hash_partitioned_apply
     from ..stages.sketches import hll_add_hashes, hll_create, hll_estimate_int, hll_merge
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    ds = read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select(["event_type", "user_id"]).to_pandas()
@@ -354,7 +355,7 @@ def events_median(sf_dir: str):
     FIRST (×100, rint), the q=0.5 interpolation over ints is exact in
     binary (x.0 / x.5 only), and ×10 re-scales to a BIGINT both engines
     agree on bit-for-bit."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ds = read_pq(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -413,7 +414,7 @@ def events_quantiles(sf_dir: str):
     qv×1000 = vlo×1000 + (vhi−vlo)×rem×10 is pure int64 arithmetic — no
     float ever enters, and the SQL quantile_cont lands on the same
     integer (its only error is ~ulp, absorbed by the ROUND)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ds = read_pq(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -476,7 +477,7 @@ def users_view_no_purchase(sf_dir: str):
     of either side."""
     from ray.data.aggregate import Max
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"])
+    ds = read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -526,7 +527,7 @@ def purchase_view_window(sf_dir: str):
     purchase's window count; exact integer-µs boundaries.
 
     Output (purchase_event_id, n_views_30m)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"])
+    ds = read_pq(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"])
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         p = g[g["event_type"] == "purchase"]
@@ -573,7 +574,7 @@ def events_pivot(sf_dir: str):
     adding a type widens rows, it never adds a pass or a shuffle.
 
     Output (hour_bucket, n_click, n_error, n_purchase, n_signup, n_view)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    ds = read_pq(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
 
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").cast(pa.int64()).to_numpy()
@@ -612,7 +613,7 @@ def events_cumulative(sf_dir: str):
     to int64 cents BEFORE the cumsum, gaps are integer µs.
 
     Output (event_id, user_id, cum_value, prev_gap_us)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"])
+    ds = read_pq(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"])
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="mergesort")
@@ -656,7 +657,7 @@ def events_moving_sum(sf_dir: str, preceding: int = MOVING_WINDOW_ROWS):
     trick — no per-group loop.
 
     Output (event_id, user_id, moving_sum_cents)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"])
+    ds = read_pq(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"])
     w = preceding + 1
 
     def per_part(df: pd.DataFrame) -> pd.DataFrame:
@@ -718,7 +719,7 @@ def events_funnel(sf_dir: str, steps: tuple = FUNNEL_STEPS, window_us: int = FUN
     rows with t_i < ts <= t_i + window — never a per-user Python loop."""
     from ..stages.joins import hash_partitioned_apply
 
-    ds = ray.data.read_parquet(
+    ds = read_pq(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
     )
 
@@ -804,7 +805,7 @@ def viewers_full_outer_buyers(sf_dir: str):
     a user's rows co-locate, so the zero-fill is exact."""
     from ..stages.joins import hash_partitioned_apply
 
-    ds = ray.data.read_parquet(
+    ds = read_pq(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
     )
 
@@ -872,7 +873,7 @@ def retention_cohorts(sf_dir: str):
     DISJOINT user sets) and summed in one tiny (cohorts x weeks) groupby."""
     from ..stages.joins import hash_partitioned_apply
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ds = read_pq(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
     def project(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -942,7 +943,7 @@ def covisit_pairs(sf_dir: str, cap: int = COVISIT_CAP):
 
     from ..stages.joins import hash_partitioned_apply
 
-    ds = ray.data.read_parquet(
+    ds = read_pq(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type", "props"]
     )
 
@@ -1036,7 +1037,7 @@ def next_transitions(sf_dir: str):
     groupby and the normalization run on the |types|²-sized result."""
     from ..stages.joins import hash_partitioned_apply
 
-    ds = ray.data.read_parquet(
+    ds = read_pq(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
     )
 
@@ -1096,7 +1097,7 @@ def events_gapfill(sf_dir: str):
     log) → ONE type-keyed exchange; the dense hour grid is generated INSIDE
     each type's partition (bounded by the corpus time span in hours, never
     by event count). Output (event_type, hour_bucket, n_events)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    ds = read_pq(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
 
     def partial(batch: pa.Table) -> pa.Table:
         hour = batch.column("ts").cast(pa.int64()).to_numpy() // 3_600_000_000
@@ -1158,7 +1159,7 @@ def events_lag_delta(sf_dir: str):
     the feature behind dwell-time and bot-burst detection. One user-keyed
     exchange; order inside the partition is (ts, event_id), the SQL window's
     exact ORDER BY. Output (event_id, user_id, delta_us)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
+    ds = read_pq(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
 
     def to_us(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -1231,7 +1232,7 @@ def late_events(sf_dir: str, late_hours: int = LATE_HOURS):
 
     n_events = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
     late_us = late_hours * 3_600_000_000
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    ds = read_pq(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
 
     def derive(batch: pa.Table) -> pa.Table:
         ev = batch.column("event_id").to_numpy().astype(np.int64)
@@ -1307,7 +1308,7 @@ def events_range_sum(sf_dir: str, window_us: int = RANGE_WINDOW_US):
     (RANGE semantics — the SQL twin's peer-row rule), which the cumsum-at-
     last-peer form reproduces exactly. Output
     (event_id, user_id, range_sum_cents)."""
-    ds = ray.data.read_parquet(
+    ds = read_pq(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
     )
 
@@ -1368,7 +1369,7 @@ def session_intervals(sf_dir: str, gap_minutes: int = 30):
     the shared front half of session_concurrency / promo_overlap: one
     user-keyed exchange, vectorized per-user boundary detection (same
     30-min-gap rule and (ts, event_id) tie order as ``sessionize``)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
+    ds = read_pq(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
     gap_us = gap_minutes * 60 * 1_000_000
 
     def to_us(batch: pa.Table) -> pa.Table:
@@ -1521,7 +1522,7 @@ def events_mad(sf_dir: str):
     = a + b is an exact int; deviations d2 = |2v - med2| are ints; the MAD
     median is doubled again (mad4) — every emitted column is exact BIGINT
     arithmetic both engines reproduce bit-for-bit."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ds = read_pq(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -1603,7 +1604,7 @@ def promo_overlap(sf_dir: str):
     total_overlap_us) for windows at least one session touches."""
     from ..stages.joins import hash_partitioned_apply
 
-    tmin = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"]).map_batches(
+    tmin = read_pq(f"{sf_dir}/events.parquet", columns=["ts"]).map_batches(
         lambda b: pa.table({"t": pa.array([b.column("ts").cast(pa.int64()).to_numpy().min()])}),
         batch_format="pyarrow",
     ).min("t")
@@ -1691,7 +1692,7 @@ def path_trigrams(sf_dir: str):
     (e1, e2, e3)-keyed exchange. Output (e1, e2, e3, n)."""
     from ..stages.joins import hash_partitioned_apply
 
-    ds = ray.data.read_parquet(
+    ds = read_pq(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
     )
 
@@ -1759,7 +1760,7 @@ def conversion_lag(sf_dir: str):
     Output (lag_hours, n_users)."""
     from ..stages.joins import hash_partitioned_apply
 
-    ds = ray.data.read_parquet(
+    ds = read_pq(
         f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"]
     )
 
@@ -1821,7 +1822,7 @@ def ohlc_hourly(sf_dir: str):
     close_cents, n_events)."""
     from ..stages.joins import hash_partitioned_apply
 
-    ds = ray.data.read_parquet(
+    ds = read_pq(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type", "value"]
     )
 
@@ -1920,7 +1921,7 @@ def assoc_rules(sf_dir: str, cap: int = COVISIT_CAP, min_sup: int = ASSOC_MIN_SU
 
     from ..stages.joins import hash_partitioned_apply
 
-    ds = ray.data.read_parquet(
+    ds = read_pq(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type", "props"]
     )
 
@@ -2061,7 +2062,7 @@ def events_anomaly(sf_dir: str, w: int = ANOM_WINDOW, z: int = ANOM_Z):
     Output (event_id, user_id, value_cents) over anomalous rows."""
     from ..stages.joins import hash_partitioned_apply
 
-    ds = ray.data.read_parquet(
+    ds = read_pq(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
     )
 
@@ -2127,7 +2128,7 @@ def bounce_rate(sf_dir: str, gap_minutes: int = BOUNCE_GAP_MIN):
     per-user loop). Output (user_id, n_sessions, n_bounces, bounce_micro)."""
     from ..stages.joins import hash_partitioned_apply
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
+    ds = read_pq(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
     gap_s = gap_minutes * 60
 
     def per_part(df: pd.DataFrame) -> pd.DataFrame:
@@ -2205,7 +2206,7 @@ def events_ewma(sf_dir: str):
 
     from ..stages.joins import hash_partitioned_apply
 
-    ds = ray.data.read_parquet(
+    ds = read_pq(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
     )
 
@@ -2254,7 +2255,7 @@ def events_autocorr(sf_dir: str):
     Shape: per-batch (hour, count) partials; the series is CALENDAR-BOUNDED
     (hours since epoch, not corpus-sized), so the dense fuse runs
     driver-side over O(hours × blocks) rows."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    ds = read_pq(f"{sf_dir}/events.parquet", columns=["ts"])
 
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").cast(pa.int64()).to_numpy()
@@ -2331,7 +2332,7 @@ def activity_bursts(sf_dir: str):
     pattern); min/max/count per island via one groupby over the partition."""
     from ..stages.joins import hash_partitioned_apply
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    ds = read_pq(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
 
     def per_part(df: pd.DataFrame) -> pd.DataFrame:
         cols = ["user_id", "island", "start_us", "end_us", "n_events"]

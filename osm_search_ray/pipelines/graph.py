@@ -29,6 +29,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
+from ..sources.readers import read_pq
 
 from ..sources import derived as dv
 from ..stages.joins import hash_partitioned_apply
@@ -171,7 +172,7 @@ def pagerank_links(sf_dir: str):
     import pyarrow.parquet as pq
 
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    nodes = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+    nodes = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
         lambda b: b.rename_columns(["id"]), batch_format="pyarrow"
     )
     ranks = pagerank(nodes, dv.link_edges(sf_dir), iters=PAGERANK_ITERS, n_nodes=n_docs)
@@ -223,7 +224,7 @@ def ppr_links(sf_dir: str):
     import pyarrow.parquet as pq
 
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    nodes = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+    nodes = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
         lambda b: b.rename_columns(["id"]), batch_format="pyarrow"
     )
     # ids are exactly 0..n-1, so the seed count is closed-form
@@ -431,7 +432,7 @@ def hits(
 def hits_links(sf_dir: str):
     """Driver query: HITS over the derived link graph.
     Output (doc_id, hub_x1e6, auth_x1e6)."""
-    nodes = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+    nodes = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
         lambda b: b.rename_columns(["id"]), batch_format="pyarrow"
     )
     res = hits(nodes, dv.link_edges(sf_dir), iters=HITS_ITERS)

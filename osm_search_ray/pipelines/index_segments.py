@@ -34,6 +34,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
+from ..sources.readers import read_pq
 import ray.data
 
 from .text_index import (
@@ -216,7 +217,7 @@ def _read_parts(sub_dir: str, columns: list[str] | None = None) -> "ray.data.Dat
             raise FileNotFoundError(f"manifest lists parts missing on disk: {missing}")
     else:
         files = sorted(glob.glob(os.path.join(sub_dir, "part=*", "data.parquet")))
-    return ray.data.read_parquet(files, columns=columns)
+    return read_pq(files, columns=columns)
 
 
 def _segment_raw(seg_dir: str) -> "ray.data.Dataset":
@@ -304,7 +305,7 @@ def _segment_raw(seg_dir: str) -> "ray.data.Dataset":
     import glob as _glob
 
     len_files = sorted(_glob.glob(os.path.join(seg_dir, "doclens", "*.parquet")))
-    lens = ray.data.read_parquet(len_files).map_batches(doclen_rows, batch_format="pyarrow")
+    lens = read_pq(len_files).map_batches(doclen_rows, batch_format="pyarrow")
     return posts.union(lens)
 
 

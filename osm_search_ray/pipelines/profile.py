@@ -19,6 +19,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
+from ..sources.readers import read_pq
 
 from ..functions.hashing import hash64_str
 from ..stages.joins import hash_partitioned_apply
@@ -31,7 +32,7 @@ def column_profile(sf_dir: str) -> pd.DataFrame:
     one row per documents column, every value stat computed over the
     stringified cell (CAST(x AS VARCHAR) in the SQL twin) so mixed column
     types share one exact contract."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=PROFILE_COLS)
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=PROFILE_COLS)
 
     def partial_stats(batch: pa.Table) -> pa.Table:
         rows = []
@@ -134,7 +135,7 @@ def length_histogram(sf_dir: str):
     on both sides: numpy frexp exponent == SQL length(bin(x)) for x > 0
     (n_chars < 2^53 so the float64 frexp is exact). Pure combiner +
     one tiny bucket-keyed exchange. Output (bucket, n_docs, chars_sum)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["n_chars"])
 
     def partial(batch: pa.Table) -> pa.Table:
         x = batch.column("n_chars").to_numpy().astype(np.int64)
@@ -174,7 +175,7 @@ def doc_id_gaps(sf_dir: str):
 
     from ..stages.joins import hash_partitioned_apply, prefix_max_exclusive
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
 
     def uniq(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

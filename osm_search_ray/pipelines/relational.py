@@ -14,6 +14,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
+from ..sources.readers import read_pq
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Sum
 
@@ -23,7 +24,7 @@ def agg_pricing(sf_dir: str):
 
     groupby (l_returnflag, l_linestatus): sum qty, sum price, sum discounted
     revenue, row count — the A1/A3/A4-style accumulation pattern."""
-    ds = ray.data.read_parquet(
+    ds = read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
@@ -165,7 +166,7 @@ def join_customer_orders(sf_dir: str):
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    orders = read_pq(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
     partials = orders.map_batches(join_rollup, batch_format="pyarrow")
     return partials.groupby(["n_name", "c_mktsegment"]).aggregate(
         Sum("n_orders", alias_name="n_orders"), Sum("total_price", alias_name="total_price")
@@ -200,8 +201,8 @@ def customer_left_join_orders(sf_dir: str):
     total_cents)."""
     from ..stages.joins import hash_partitioned_apply
 
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    orders = read_pq(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    cust = read_pq(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
 
     def prep_orders(batch: pa.Table) -> pa.Table:
         cents = np.rint(batch.column("o_totalprice").to_numpy() * 100).astype(np.int64)
@@ -274,7 +275,7 @@ def topk_orders_per_segment(sf_dir: str, k: int = 5):
         g = df.groupby("c_mktsegment", sort=False).head(k)
         return pa.Table.from_pandas(g[["c_mktsegment", "o_orderkey", "o_totalprice"]], preserve_index=False)
 
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    orders = read_pq(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
     partials = orders.map_batches(partial_topk, batch_format="pyarrow")
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
@@ -299,7 +300,7 @@ SELECT c_mktsegment, o_orderkey, o_totalprice, rank FROM ranked WHERE rank <= 5
 def filter_project_lineitem(sf_dir: str):
     """Vectorized filter + projection + computed column, zero-copy Arrow
     (M1/M2/M3-style predicate + projection). Filter pushed to the read."""
-    ds = ray.data.read_parquet(
+    ds = read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_returnflag"],
     )
@@ -337,8 +338,8 @@ def join_lineitem_orders_bucketed(sf_dir: str):
 
     import os
 
-    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
+    li = read_pq(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+    orders = read_pq(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
     # size the shuffle to the data: the native join spins up one shuffle
     # actor per partition, a FIXED ramp cost (~0.5 s/partition on this
     # host) that dwarfs small inputs — 16 hardcoded buckets made this the
@@ -381,7 +382,7 @@ def doc_lookup(sf_dir: str):
     wanted = [1, 7, 42, 99, 365]
     wanted_arr = pa.array(wanted, pa.int64())
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
     return ds.map_batches(
         lambda t: t.filter(pc.is_in(t.column("doc_id"), value_set=wanted_arr)), batch_format="pyarrow"
     )
@@ -404,7 +405,7 @@ def corr_price_qty(sf_dir: str):
     HUGEINT in the SQL oracle), and the final formula converts the exact
     integer moments to float64 in the SAME expression order on both
     sides — corr_x1e9 is a bit-identical scaled BIGINT."""
-    ds = ray.data.read_parquet(
+    ds = read_pq(
         f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity", "l_extendedprice"]
     )
 
@@ -480,7 +481,7 @@ def price_quantiles_tdigest(sf_dir: str, delta: int = 200):
     are pinned in tests/test_functions.py."""
     from ..stages.sketches import tdigest_from_values, tdigest_merge, tdigest_quantiles
 
-    ds = ray.data.read_parquet(
+    ds = read_pq(
         f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
     )
 
@@ -541,8 +542,8 @@ def revenue_by_nation(sf_dir: str):
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
     names = dict(zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist()))
 
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    orders = read_pq(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    cust = read_pq(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
 
     def prep_orders(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -628,7 +629,7 @@ def global_rank_chars(sf_dir: str):
     Output (doc_id, n_chars, rank)."""
     from ..stages.joins import zip_with_index
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
     srt = ds.sort(["n_chars", "doc_id"], descending=[True, False])
 
     def to_rank(t: pa.Table) -> pa.Table:
@@ -653,7 +654,7 @@ def ntile_chars(sf_dir: str, k: int = 4):
     Output (doc_id, n_chars, tile)."""
     from ..stages.joins import zip_with_index
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
     n = ds.count()  # parquet metadata, no read
     srt = ds.sort(["n_chars", "doc_id"], descending=[True, False])
     # bucket b (1-based) spans n//k + (1 if b <= n%k) rows — cumulative
@@ -685,7 +686,7 @@ def dense_rank_chars(sf_dir: str):
     histogram argument), so per-batch unique-value combiners reduce to a
     domain-sized driver array, and one broadcast searchsorted pass ranks
     every row in place. Output (doc_id, n_chars, dense_rank)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
 
     def uniq(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -732,7 +733,7 @@ def band_join_chars(sf_dir: str, eps: int = BAND_EPS):
     domain-sized histogram from per-batch bincount combiners is broadcast
     once and each row's partner count is a vectorized window sum minus
     itself. Output (doc_id, n_partners) including zero-partner docs."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
 
     def hist_partial(batch: pa.Table) -> pa.Table:
         v, c = np.unique(batch.column("n_chars").to_numpy(), return_counts=True)
@@ -788,7 +789,7 @@ def promo_revenue_share(sf_dir: str):
     order = np.argsort(pk, kind="stable")
     ref = ray.put((pk[order], is_promo[order]))
 
-    ds = ray.data.read_parquet(
+    ds = read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
     )
@@ -865,11 +866,11 @@ def price_trend(sf_dir: str):
     Output (p_brand, n_rows, slope_x1e6, intercept_x1e6):
       slope     = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)       [cents per unit qty]
       intercept = (ΣyΣx² − ΣxΣxy) / (nΣx² − (Σx)²)     [cents]"""
-    part = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    part = read_pq(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
     pdf = part.to_pandas()  # |part| dim rows — the broadcast small side
     brand_of = ray.put(dict(zip(pdf["p_partkey"].astype(np.int64), pdf["p_brand"])))
 
-    ds = ray.data.read_parquet(
+    ds = read_pq(
         f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity", "l_extendedprice"]
     )
 
@@ -958,7 +959,7 @@ def bloom_semi_join(sf_dir: str):
     from ..stages.joins import hash_partitioned_apply
     from ..stages.sketches import BLOOM_K, bloom_build, bloom_contains
 
-    orders = ray.data.read_parquet(
+    orders = read_pq(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
     )
 
@@ -977,7 +978,7 @@ def bloom_semi_join(sf_dir: str):
     small = keys.size <= BLOOM_VERIFY_BROADCAST_LIMIT
     bloom_ref = ray.put((bloom, m_bits, keys_sorted if small else None))
 
-    li = ray.data.read_parquet(
+    li = read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_returnflag", "l_extendedprice"],
     )
@@ -1086,7 +1087,7 @@ def revenue_wow(sf_dir: str):
     (weeks, not rows), so the delta pass is a driver-side shift over a
     |weeks|-sized artifact. Output (week, revenue_cents, delta_cents) with
     delta NULL-free: the first week reports 0."""
-    ds = ray.data.read_parquet(
+    ds = read_pq(
         f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
     )
 
@@ -1157,7 +1158,7 @@ def part_skyline(sf_dir: str):
     O(batches × skyline-size) union — bounded, never corpus-shaped —
     yields the exact global front. Output (p_partkey, price_cents, p_size)."""
 
-    ds = ray.data.read_parquet(
+    ds = read_pq(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_retailprice", "p_size"]
     )
 
@@ -1202,7 +1203,7 @@ def benford_digits(sf_dir: str):
 
     Shape: per-batch 9-bin bincount partials, digit-keyed driver fuse over
     O(9 × blocks) rows — the minimal-footprint audit scan."""
-    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    ds = read_pq(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
     powers = np.array([10**k for k in range(1, 19)], dtype=np.int64)
 
     def partial(batch: pa.Table) -> pa.Table:

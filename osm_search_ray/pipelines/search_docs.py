@@ -50,6 +50,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
+from ..sources.readers import read_pq
 import ray.data
 
 from ..functions.tokenize import SQL_TOKENIZE, tokenize, tokenize_array
@@ -115,7 +116,7 @@ def _scan_matches(sf_dir: str, fields: dict[str, int], qterms: list[str]):
 
     Returns (matches Dataset, n_docs, {field_id: token_sum}, df_map)."""
     cols = ["doc_id"] + list(fields)
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=cols)
     qindex = pd.Index(sorted(set(qterms)))  # tiny — broadcast by closure
 
     def scan(batch: pa.Table) -> pa.Table:
@@ -214,7 +215,7 @@ def _lm_state(sf_dir: str):
     path = f"{sf_dir}/documents.parquet"
     key = (sf_dir, os.path.getmtime(path))
     if key not in _LM_STATE_CACHE:
-        ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+        ds = read_pq(path, columns=["doc_id", "text"])
         lm = build_ngram_lm(ds, text_cols=["text"])
         _LM_STATE_CACHE.clear()  # hold ONE corpus at a time
         _LM_STATE_CACHE[key] = (lm, SpellCorrector.build(lm.full_vocab, lm))
@@ -420,7 +421,7 @@ def boolean_docs_search(sf_dir: str):
     qindex = pd.Index(list(vocab))
     nv = len(vocab)
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def scan(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_numpy()
@@ -799,7 +800,7 @@ def _text_store_dir(sf_dir: str, text_cols: dict[str, int] | None = None) -> str
     text_cols = text_cols or {"text": 0}
 
     def build(path: str, out_dir: str) -> None:
-        ds = ray.data.read_parquet(path, columns=["doc_id"] + list(text_cols))
+        ds = read_pq(path, columns=["doc_id"] + list(text_cols))
         if os.path.getsize(path) < _STORE_DISTRIBUTED_BYTES:
             save_text_index(build_text_index(ds, text_cols=text_cols), out_dir)
         else:
@@ -871,7 +872,7 @@ def _segmented_store_dir(sf_dir: str, text_cols: dict[str, int]) -> str:
     def build(path: str, out_dir: str) -> None:
         import pyarrow.compute as pc
 
-        ds = ray.data.read_parquet(path, columns=["doc_id"] + list(text_cols))
+        ds = read_pq(path, columns=["doc_id"] + list(text_cols))
         in_ram = os.path.getsize(path) < _STORE_DISTRIBUTED_BYTES
         for i, par in enumerate((0, 1)):
             # idempotent per parity: a crash between the two adds must not
@@ -975,7 +976,7 @@ def spell_search_docs(sf_dir: str):
     from .search import free_form_search
     from .text_index import build_text_index
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     index = build_text_index(ds, text_cols={"text": 0})
     _, sc = _lm_state(sf_dir)
     queries = pd.DataFrame(
@@ -1038,7 +1039,7 @@ def lm_doc_scores(sf_dir: str):
                 }
             )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     _LM_SCORES_CACHE.clear()  # hold ONE corpus at a time
     _LM_SCORES_CACHE[sf_dir] = ds.map_batches(
         Scorer, batch_format="pyarrow", concurrency=(1, 4)
@@ -1172,7 +1173,7 @@ def phrase_docs_search(sf_dir: str):
 
     Output: (query_id, doc_id, n_hits) for every doc with ≥1 occurrence."""
     phrases = [(qid, tokenize(p)) for qid, p in PHRASE_QUERIES]
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def scan(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
@@ -1241,7 +1242,7 @@ def build_positional_store(path: str, out_dir: str) -> None:
     from ..functions.hashing import hash64_str
     from ..sources import checkpoint as cp
 
-    docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    docs = read_pq(path, columns=["doc_id", "text"])
 
     def explode(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
@@ -1314,7 +1315,7 @@ def phrase_store_query(store: str, phrase_queries):
     files = [f"{store}/part={b}/data.parquet" for b in buckets if os.path.exists(f"{store}/part={b}/data.parquet")]
     if not files:
         return empty
-    postings = ray.data.read_parquet(files, columns=["term", "doc_id", "pos"])
+    postings = read_pq(files, columns=["term", "doc_id", "pos"])
     term_arr = pa.array(terms)
 
     def prune(batch: pa.Table) -> pa.Table:
@@ -1408,7 +1409,7 @@ def near_store_query(store: str, near_queries):
     files = [f"{store}/part={b}/data.parquet" for b in buckets if os.path.exists(f"{store}/part={b}/data.parquet")]
     if not files:
         return ray.data.from_pandas(empty)
-    postings = ray.data.read_parquet(files, columns=["term", "doc_id", "pos"])
+    postings = read_pq(files, columns=["term", "doc_id", "pos"])
     term_arr = pa.array(terms)
 
     def prune(batch: pa.Table) -> pa.Table:

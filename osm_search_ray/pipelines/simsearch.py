@@ -14,6 +14,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
+from ..sources.readers import read_pq
 import ray.data
 
 from ..functions.arrowutil import vec_matrix
@@ -75,7 +76,7 @@ def ann_cosine_topk(sf_dir: str, k: int = K_DEFAULT):
         {"vec_id": qt.column("vec_id").to_numpy(), "mat": vec_matrix(qt.column("embedding"))}
     )
 
-    corpus = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    corpus = read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     partial = corpus.map_batches(
         PartialCosineTopK,
         fn_constructor_kwargs=dict(queries_ref=queries_ref, k=k),
@@ -164,7 +165,7 @@ def ann_ivf_topk(sf_dir: str, k: int = K_DEFAULT, nlist: int = 8, nprobe: int | 
         "vec_id": qt.column("vec_id").to_numpy(),
         "mat": vec_matrix(qt.column("embedding")),
     }
-    corpus = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    corpus = read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     store = tempfile.mkdtemp(prefix="ivf_store_", dir="/tmp")
     try:
         build_ivf_store(corpus, store, nlist=nlist)
@@ -194,7 +195,7 @@ def kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 5):
     (tests/test_ann_misc.py::TestDistributedKMeans)."""
     from ..stages.annindex import cluster_assign, smallest_k_vecs
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     init = smallest_k_vecs(emb, k)
     return cluster_assign(emb, k=k, iters=iters, init=init)
 
@@ -260,7 +261,7 @@ def build_quantized_store(sf_dir: str, out_dir: str) -> None:
     per-vector scheme: scale = max|x|/127, q = rint(x/scale) ∈ [−127, 127],
     elementwise |x − q·scale| ≤ scale/2 (unit-tested). One streaming pass,
     written as partitioned Parquet (vec_id, qvec int8 blob, scale, dim)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def quantize(batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy()
@@ -369,7 +370,7 @@ def ann_quantized_topk(sf_dir: str, k: int = K_DEFAULT):
     queries_ref = ray.put({"vec_id": qt.column("vec_id").to_numpy(), "mat": qm})
 
     store = _quant_store_dir(sf_dir)
-    corpus = ray.data.read_parquet(store, columns=["vec_id", "qvec", "dim"])
+    corpus = read_pq(store, columns=["vec_id", "qvec", "dim"])
 
     class PartialQuantTopK(PartialCosineTopK):
         def __init__(self, queries_ref, k: int):
@@ -469,7 +470,7 @@ def knn_graph(sf_dir: str, k: int = KNN_GRAPH_K, nlist: int = KNN_GRAPH_NLIST, n
     memo_key = (sf_dir, k, nlist, nprobe)
     if memo_key in _KNN_GRAPH_CACHE:
         return _KNN_GRAPH_CACHE[memo_key]
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     centroids = train_centroids(emb, "embedding", nlist)
     dim = centroids.shape[1]
 
@@ -578,7 +579,7 @@ def embedding_centroids(sf_dir: str):
     from ..functions.arrowutil import vec_matrix
     from ..stages.joins import hash_partitioned_apply
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    ds = read_pq(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
 
     def partial(batch: pa.Table) -> pa.Table:
         lab = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -672,7 +673,7 @@ def ann_pq_topk(
         raise ValueError(f"ann_pq_topk: dim {dim} not divisible by m={m}")
     sub = dim // m
 
-    emb = ray.data.read_parquet(
+    emb = read_pq(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).materialize()
 
@@ -883,7 +884,7 @@ def embed_normalize(sf_dir: str):
     Output (vec_id, dim, z_e4)."""
     from ..functions.arrowutil import vec_matrix
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         q = np.rint(vec_matrix(batch.column("embedding")) * 1000.0).astype(np.int64)
@@ -978,7 +979,7 @@ def nearest_centroid_classify(sf_dir: str):
     c6 = (2 * S * 1000 + n) // (2 * n)  # round-half-up centroid at x1e6
     ref = ray.put((labels, c6))
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"])
+    ds = read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"])
 
     def classify(batch: pa.Table) -> pa.Table:
         labs, cm = ray.get(ref)
@@ -1048,7 +1049,7 @@ def label_medoids(sf_dir: str):
     from ..functions.arrowutil import vec_matrix
     from ..stages.joins import hash_partitioned_apply
 
-    ds = ray.data.read_parquet(
+    ds = read_pq(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"]
     )
 

@@ -13,6 +13,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
+from ..sources.readers import read_pq
 from ray.data.aggregate import Sum
 
 from ..functions.tokenize import SQL_TOKENIZE, tokenize_array
@@ -21,7 +22,7 @@ from ..functions.tokenize import SQL_TOKENIZE, tokenize_array
 def token_counts(sf_dir: str):
     """(doc_id, n_tokens) via the canonical tokenizer — A3-style field-length
     stats, vectorized per batch, no shuffle."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
         _, counts = tokenize_array(batch.column("text").to_pylist())
@@ -48,7 +49,7 @@ def token_counts_bpe(sf_dir: str):
     pretokenizer regex (the budget number an LLM data pipeline sizes
     datasets by; the whitespace-word twin is token_counts). Vectorized RE2
     count per batch, no shuffle."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -70,7 +71,7 @@ def term_doc_freq(sf_dir: str):
     term, built the scalable way: per-batch DISTINCT (term, doc) partials →
     per-batch per-term counts → groupby(term).sum(). A document's terms are
     always within one batch row, so batch-level dedup is exact."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def partial(batch: pa.Table) -> pa.Table:
         toks, counts = tokenize_array(batch.column("text").to_pylist())
@@ -99,7 +100,7 @@ def term_dictionary(sf_dir: str):
     [a-z0-9]+ so Python and DuckDB binary collation agree."""
     from .text_index import build_term_dictionary
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def explode(batch: pa.Table) -> pa.Table:
         toks, _ = tokenize_array(batch.column("text").to_pylist())
@@ -120,7 +121,7 @@ def text_quality(sf_dir: str):
     token count, mean token length, distinct-token ratio (all exactly
     SQL-expressible; stopword/punct ratios live in stages/textstats.py with
     pytest oracles)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -169,7 +170,7 @@ def langid(sf_dir: str):
 
     from ..stages.textstats import langid_stage
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return langid_stage(ds)
 
 
@@ -200,7 +201,7 @@ def bigram_counts(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def partial(batch: pa.Table) -> pa.Table:
         counts: dict[str, int] = {}
@@ -237,7 +238,7 @@ def postings_lists(sf_dir: str):
 
     from .text_index import spimi_postings_lists
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     lists = spimi_postings_lists(ds)
 
     def stringify(batch: pa.Table) -> pa.Table:
@@ -273,7 +274,7 @@ def image_features(sf_dir: str):
 
     from ..stages.multimodal import image_feature_stage
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def to_binary(batch: pa.Table) -> pa.Table:
         payloads = [t.encode() for t in batch.column("text").to_pylist()]
@@ -382,7 +383,7 @@ def contamination_check(sf_dir: str):
     searchsorted membership test per batch. No shuffle anywhere."""
     import ray
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def eval_partial(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
@@ -461,7 +462,7 @@ def contamination_check_bloom(sf_dir: str):
     from ..functions.hashing import hash64_md5
     from ..stages.sketches import BLOOM_BITS_PER_KEY, bloom_build, bloom_contains
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def eval_partial(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
@@ -578,7 +579,7 @@ def top_terms_sketch(sf_dir: str, k: int = TOP_TERMS_K, width: int = TOP_TERMS_W
     (n DESC, term ASC); SQL-oracle-checked."""
     from ..stages.sketches import mg_reduce
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def mg_partial(batch: pa.Table) -> pa.Table:
         toks, _ = tokenize_array(batch.column("text").to_pylist())
@@ -701,7 +702,7 @@ def repetition_stats(sf_dir: str):
     One vectorized streaming pass, no shuffle; repeat ratio is
     n_repeats/n_tokens downstream (kept as two exact ints per the
     oracle-float rule)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
         toks, counts = tokenize_array(batch.column("text").to_pylist())
@@ -743,7 +744,7 @@ def quality_model(sf_dir: str):
 
     from ..stages.textstats import quality_model_stage
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return quality_model_stage(ds)
 
 
@@ -801,7 +802,7 @@ def cms_heavy_terms(sf_dir: str, min_count: int = CMS_MIN_COUNT):
     from ..functions.hashing import hash64_md5
     from ..stages.sketches import CMS_D, CMS_W, cms_estimate, cms_partial
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def reg_partial(batch: pa.Table) -> pa.Table:
         toks, _ = tokenize_array(batch.column("text").to_pylist())
@@ -921,7 +922,7 @@ def skipgram_pmi(sf_dir: str, window: int = SKIPGRAM_WINDOW, top: int = SKIPGRAM
     statistic (the CMS/HLL partial-merge pattern) before PMI."""
     from ..stages.joins import hash_partitioned_apply
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def pair_partials(batch: pa.Table) -> pa.Table:
         flat, counts = tokenize_array(batch.column("text").to_pylist())
@@ -1043,7 +1044,7 @@ def audio_features(sf_dir: str):
 
     from ..stages.multimodal import audio_sample_stage
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def to_binary(batch: pa.Table) -> pa.Table:
         payloads = [t.encode() for t in batch.column("text").to_pylist()]
@@ -1142,7 +1143,7 @@ def fuzzy_join_terms(sf_dir: str):
     from ..stages.joins import hash_bucket_join, hash_partitioned_apply
     from ..state.spell import _lev_leq
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def explode(batch: pa.Table) -> pa.Table:
         toks, _ = tokenize_array(batch.column("text").to_pylist())
@@ -1245,7 +1246,7 @@ def char_entropy(sf_dir: str):
     docs are excluded on both sides. No shuffle."""
     import math
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
@@ -1317,7 +1318,7 @@ def keywords_tfidf(sf_dir: str, k: int = KEYWORDS_TOP_K):
     """
     import math
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     n_docs = float(ds.count())
 
     df_tbl = term_doc_freq(sf_dir).to_pandas()  # vocab-bounded artifact
@@ -1385,7 +1386,7 @@ def postings_sizes(sf_dir: str):
     (term, n_postings, encoded_bytes, raw_bytes)."""
     from ..stages.joins import hash_partitioned_apply
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def pairs(batch: pa.Table) -> pa.Table:
         toks, counts = tokenize_array(batch.column("text").to_pylist())
@@ -1456,7 +1457,7 @@ def related_terms(sf_dir: str, window: int = SKIPGRAM_WINDOW, k: int = RELATED_T
     rank)."""
     from ..stages.joins import hash_partitioned_apply
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def pair_partials(batch: pa.Table) -> pa.Table:
         flat, counts = tokenize_array(batch.column("text").to_pylist())
@@ -1595,7 +1596,7 @@ def lexicon_tags(sf_dir: str):
             }
         )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(tag, batch_format="pyarrow")
 
 
@@ -1662,7 +1663,7 @@ def feature_hash(sf_dir: str):
             }
         )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(featurize, batch_format="pyarrow")
 
 
@@ -1697,7 +1698,7 @@ def lang_source_chi2(sf_dir: str):
 
     Shape: per-batch (lang, source) count partials; the fuse is driver-side
     over O(cells × blocks) count rows — nothing corpus-sized moves."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().dropna()
@@ -1782,7 +1783,7 @@ def lexical_diversity(sf_dir: str):
             }
         )
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(scan, batch_format="pyarrow")
 
 
@@ -1819,7 +1820,7 @@ def vocab_growth(sf_dir: str):
     from ..stages.joins import hash_partitioned_apply
 
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def partial(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)

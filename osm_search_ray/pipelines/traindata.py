@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
+from ..sources.readers import read_pq
 import ray.data
 
 from ..functions.tokenize import SQL_TOKENIZE, tokenize_array
@@ -37,7 +38,7 @@ def train_val_split(sf_dir: str):
     doc_id. Stable under reruns, re-partitioning, and cluster size (the
     property a training pipeline needs so val docs never leak into train
     between runs)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy().astype(np.int64)
@@ -83,7 +84,7 @@ def pack_sequences(sf_dir: str, ctx: int = 256, keep_ref=None):
     packs only those docs (the composed training-data job's curate+mix
     survivors; zero-copy plasma view per batch, same membership pattern as
     webcorpus.drop_bad)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def count_tokens(batch: pa.Table) -> pa.Table:
         if keep_ref is not None:
@@ -156,7 +157,7 @@ def sample_weighted(sf_dir: str, k: int = SAMPLE_K):
     SQL oracle — and the rank order (priority, doc_id) cannot diverge.
 
     Output (doc_id, weight, rank)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def partial(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy().astype(np.int64)
@@ -200,7 +201,7 @@ def sample_stratified(sf_dir: str, k: int = STRATUM_K):
     BOTH sides (pandas groupby would silently drop them while SQL would
     rank NULL as its own partition — excluding explicitly keeps the two
     identical by construction). Output (lang, doc_id, rank)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
 
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -279,7 +280,7 @@ def split_leakage_safe(sf_dir: str):
     from ..stages.joins import hash_bucket_join
     from .webcorpus import dup_clusters
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    docs = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     clusters = dup_clusters(sf_dir)
 
     def finish_pd(df: pd.DataFrame) -> pd.DataFrame:
@@ -386,7 +387,7 @@ def mix_temperature(sf_dir: str, budget: int = MIX_BUDGET, keep_ref=None):
 
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
 
     def count_partial(batch: pa.Table) -> pa.Table:
         if keep_ref is not None:
@@ -459,7 +460,7 @@ def chunk_windows(sf_dir: str, window: int = CHUNK_W, stride: int = CHUNK_S):
     join is per-output-row, i.e. bounded by the result size, not the corpus
     token count. No shuffle at all — chunking is embarrassingly parallel.
     Output (doc_id, chunk_no, n_tokens, chunk_text)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
         toks, counts = tokenize_array(batch.column("text").to_pylist())
@@ -527,7 +528,7 @@ def shuffle_shards(sf_dir: str, shard_size: int = SHARD_SIZE):
     from ..functions.hashing import splitmix64
     from ..stages.joins import zip_with_index
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def add_rank(batch: pa.Table) -> pa.Table:
         d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -577,7 +578,7 @@ def class_balance(sf_dir: str):
     from ..functions.hashing import splitmix64
     from ..stages.joins import hash_partitioned_apply
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -37,6 +37,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+from ..sources.readers import read_pq
 
 from ..sources import derived as dv
 from ..stages.joins import hash_partitioned_apply
@@ -522,7 +523,7 @@ def chunk_dedup(sf_dir: str, min_docs: int = MIN_DOCS):
     payload. Fallback above BOILERPLATE_BROADCAST_LIMIT: a narrow
     (doc_id, ci, chash) anti-join exchange, strings still only on the
     reassembly leg."""
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     exploded = explode_chunks(docs)
 
     freq = _chunk_doc_freq(exploded).map_batches(
@@ -712,7 +713,7 @@ def _dup_clusters_impl(sf_dir: str, min_docs: int = MIN_DOCS, max_docs: int = MA
     band verify.
 
     Output (doc_id, cluster_id) for every doc with at least one edge."""
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     exploded = explode_chunks(docs)
 
     # chunk identity travels as its int64 chash — the string is never needed
@@ -946,7 +947,7 @@ def snapshot_diff(sf_dir: str):
     from ..functions.hashing import hash64_str
     from ..stages.joins import hash_partitioned_apply
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def both_sides(batch: pa.Table) -> pa.Table:
         doc = batch.column("doc_id").to_numpy().astype(np.int64)

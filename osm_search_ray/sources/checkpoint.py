@@ -37,6 +37,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from .readers import read_pq
+
 
 def _lineage_hash(df: pd.DataFrame) -> str:
     """Deterministic content hash of a partition (row-order independent)."""
@@ -225,4 +227,4 @@ def read_checkpointed(out_dir: str, columns: list[str] | None = None):
         for k in sorted(completed_keys(out_dir), key=str)
     ]
     files = [f for f in files if os.path.exists(f)]
-    return ray.data.read_parquet(files, columns=columns)
+    return read_pq(files, columns=columns)

@@ -15,6 +15,7 @@ import os
 import shutil
 
 import ray.data
+from .readers import read_pq
 
 from .jsonl import SQL_JSONL_ROUNDTRIP, lang_xor_summary
 
@@ -43,7 +44,7 @@ def csv_roundtrip(sf_dir: str):
     scratch = os.path.join(
         "/tmp", "osm_search_ray_csv", os.path.basename(os.path.normpath(sf_dir))
     )
-    docs = ray.data.read_parquet(
+    docs = read_pq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "n_chars"]
     )
     export_csv(docs, scratch)

@@ -35,6 +35,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+from .readers import read_pq
 
 # ---------------------------------------------------------------- numpy side
 
@@ -62,7 +63,7 @@ def add_page_coords(batch: pa.Table) -> pa.Table:
 def geo_pages(sf_dir: str, columns: list[str] | None = None) -> "ray.data.Dataset":
     """documents.parquet → geo-referenced pages dataset (doc_id, lat, lon, ...)."""
     cols = columns if columns is not None else ["doc_id"]
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=cols)
     return ds.map_batches(add_page_coords, batch_format="pyarrow")
 
 
@@ -156,7 +157,7 @@ SQL_HAVERSINE = (
 
 def fence_points(sf_dir: str) -> "ray.data.Dataset":
     """events → geofence query-point log (event_id, point_id, ts, lat, lon)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    ds = read_pq(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
 
     def fn(batch: pa.Table) -> pa.Table:
         ev = batch.column("event_id").to_numpy()
@@ -223,7 +224,7 @@ def contact_suffix(doc_id: np.ndarray) -> list[str]:
 
 def contact_pages(sf_dir: str) -> "ray.data.Dataset":
     """documents → (doc_id, raw_text) where raw_text = text + contact_suffix."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
         suffix = contact_suffix(batch.column("doc_id").to_numpy(zero_copy_only=False))
@@ -276,7 +277,7 @@ def web_page_columns(batch: pa.Table) -> pa.Table:
 
 def web_pages(sf_dir: str, columns: list[str] | None = None) -> "ray.data.Dataset":
     """documents → (doc_id, lang, n_chars, domain, url, warc_ts) Dataset."""
-    ds = ray.data.read_parquet(
+    ds = read_pq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
     )
     ds = ds.map_batches(web_page_columns, batch_format="pyarrow")
@@ -307,7 +308,7 @@ def visit_urls(sf_dir: str) -> "ray.data.Dataset":
     import pyarrow.parquet as pq
 
     n_urls = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows // 3
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    ds = read_pq(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
 
     def fn(batch: pa.Table) -> pa.Table:
         ev = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -362,7 +363,7 @@ def link_edges(sf_dir: str) -> "ray.data.Dataset":
     import pyarrow.parquet as pq
 
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def fn(batch: pa.Table) -> pa.Table:
         src = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -493,7 +494,7 @@ def add_part_rects(batch: pa.Table) -> pa.Table:
 def part_rects(sf_dir: str) -> "ray.data.Dataset":
     """part.parquet → rectangle Dataset (a BIG side — streamed, never
     collected; the rect-overlap join fan-outs it through a grid exchange)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+    ds = read_pq(f"{sf_dir}/part.parquet", columns=["p_partkey"])
     return ds.map_batches(add_part_rects, batch_format="pyarrow")
 
 

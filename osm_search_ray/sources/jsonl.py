@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
+from .readers import read_pq
 
 from ..functions.hashing import hash64_md5
 
@@ -88,7 +89,7 @@ def jsonl_roundtrip(sf_dir: str):
     scratch = os.path.join(
         "/tmp", "osm_search_ray_jsonl", os.path.basename(os.path.normpath(sf_dir))
     )
-    docs = ray.data.read_parquet(
+    docs = read_pq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "n_chars"]
     )
     export_jsonl(docs, scratch)

@@ -33,6 +33,7 @@ from io import StringIO
 import numpy as np
 import pyarrow as pa
 import ray.data
+from .readers import read_pq
 
 _WS_RE = re.compile(r"\s+")
 _SKIP_TAGS = {"script", "style", "head", "title", "noscript", "template"}
@@ -96,9 +97,9 @@ def read_pages(
     by the extracted text."""
     keep = keep_cols or ["url", "warc_ts", "text", "lang"]
     if not extract:
-        return ray.data.read_parquet(path, columns=keep)
+        return read_pq(path, columns=keep)
     cols = [c for c in keep if c != "text"] + ["html"]
-    ds = ray.data.read_parquet(path, columns=cols)
+    ds = read_pq(path, columns=cols)
     # small batches: html payloads × batch × concurrency must fit the heap
     return ds.map_batches(extract_text_batch, batch_format="pyarrow", batch_size=256)
 

@@ -23,6 +23,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
+from ..sources.readers import read_pq
 import ray.data
 
 from ..functions.arrowutil import vec_matrix
@@ -164,7 +165,7 @@ def ivf_store_topk(
     files = probed_list_files(out_dir, np.unique(probes))
     if not files:
         return pd.DataFrame({"query_id": pd.Series(dtype=np.int64), id_col: pd.Series(dtype=np.int64), "rank": pd.Series(dtype=np.int64)})
-    ds = ray.data.read_parquet(files)
+    ds = read_pq(files)
     state_ref = ray.put((queries["vec_id"], qn, probes))
 
     def score(batch: pa.Table) -> pa.Table:

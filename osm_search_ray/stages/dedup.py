@@ -19,6 +19,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
+from ..sources.readers import read_pq
 import ray.data
 
 from ..functions.hashing import (
@@ -472,7 +473,7 @@ def minhash_store_new_pairs(
     bucket_files = _store_part_files(store_dir, "buckets", touched)
     if not bucket_files:
         return ray.data.from_pandas(_empty)
-    old_buckets = ray.data.read_parquet(bucket_files, columns=["band", "bucket", id_col])
+    old_buckets = read_pq(bucket_files, columns=["band", "bucket", id_col])
 
     if n_new_rows <= NEW_BAND_BROADCAST_LIMIT:
         new_ref = ray.put(new_pd)
@@ -547,14 +548,14 @@ def minhash_store_new_pairs(
             pos = np.minimum(np.searchsorted(want, ids), len(want) - 1)
             return _unpack_sig_rows(t.filter(pa.array(want[pos] == ids)))
 
-        old_sigs = ray.data.read_parquet(sig_files).map_batches(old_sig_rows, batch_format="pyarrow")
+        old_sigs = read_pq(sig_files).map_batches(old_sig_rows, batch_format="pyarrow")
         verified = _verify_minhash_pairs_broadcast(
             cand_pd, cand_ids, sig_new.union(old_sigs), id_col, num_perm, threshold
         )
     else:
         # large regime: bucketed signature joins over the full store
         sig_files = _store_part_files(store_dir, "sigs", range(num_parts))
-        old_sigs = ray.data.read_parquet(sig_files).map_batches(_unpack_sig_rows, batch_format="pyarrow")
+        old_sigs = read_pq(sig_files).map_batches(_unpack_sig_rows, batch_format="pyarrow")
         if cand_pd is not None:
             deduped = ray.data.from_pandas(cand_pd)
         else:

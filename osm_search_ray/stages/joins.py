@@ -147,6 +147,75 @@ def hash_bucket_join(
     return both.groupby("__bucket").map_groups(join_group, batch_format="pandas")
 
 
+def attach_blob_column(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    blob_col: str,
+    out_col: str,
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Attach ``right``'s binary ``blob_col`` (one row per int64 key) to
+    every ``left`` row keyed by ``left[on]`` — INNER join semantics, ONE
+    bucketed tagged-union exchange that stays TYPED ARROW end-to-end.
+
+    hash_bucket_join widens both sides through pandas with ``None`` filler
+    columns, turning a large pair table into object-dtype blocks that get
+    pickled through the shuffle twice; for the pair-verify topology
+    (409k pairs × per-doc gram/signature blobs in dedup_ngram_prefix) that
+    costs seconds. Here filler cells are Arrow typed nulls, the exchange
+    ships Arrow blocks, and the per-bucket fuse is a searchsorted lookup."""
+    l_names = list(left.schema().names)
+    l_types = {n: t for n, t in zip(left.schema().names, left.schema().types)}
+    if out_col in l_names:
+        raise ValueError(f"left already has column {out_col}")
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        b = t.column(on).to_numpy(zero_copy_only=False).astype(np.int64) % num_buckets
+        t = t.append_column(out_col, pa.nulls(len(t), pa.binary()))
+        t = t.append_column("__bucket", pa.array(b))
+        return t.append_column("__side", pa.array(np.zeros(len(t), np.int8)))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        keys = t.column(on).to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {}
+        for n in l_names:
+            if n == on:
+                cols[n] = pa.array(keys, pa.int64())
+            else:
+                cols[n] = pa.nulls(len(t), l_types[n])
+        cols[out_col] = t.column(blob_col).cast(pa.binary())
+        cols["__bucket"] = pa.array(keys % num_buckets)
+        cols["__side"] = pa.array(np.ones(len(t), np.int8))
+        return pa.table(cols)
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def fuse(t: pa.Table) -> pa.Table:
+        side = t.column("__side").to_numpy(zero_copy_only=False)
+        lt = t.filter(pa.array(side == 0))
+        rt = t.filter(pa.array(side == 1))
+        keys = rt.column(on).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(keys, kind="stable")
+        ks = keys[order]
+        blobs = rt.column(out_col).to_pylist()
+        lids = lt.column(on).to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(ks, lids)
+        if len(ks):
+            ok = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == lids)
+        else:
+            ok = np.zeros(len(lids), bool)
+        lt = lt.filter(pa.array(ok))
+        sel = order[pos[ok]]
+        blob_arr = pa.array([blobs[i] for i in sel], pa.binary())
+        out = lt.drop_columns(["__bucket", "__side", out_col])
+        return out.append_column(out_col, blob_arr)
+
+    return both.groupby("__bucket").map_groups(fuse, batch_format="pyarrow")
+
+
 def zip_with_index(ds: "ray.data.Dataset", id_col: str = "row_id") -> "ray.data.Dataset":
     """Add a dense 0..N-1 int64 id following the dataset's current block
     order. Call after ``ds.sort(...)`` for a fully deterministic numbering.
