@@ -208,6 +208,20 @@ def checkpointed_write(
         os.replace(side_tmp, os.path.join(pdir, "manifest.json"))
         return pd.DataFrame([row])
 
+    # The sink's parallelism is its FAILURE-DOMAIN granularity: groupby's
+    # reduce-partition count follows the input block count, so a small
+    # (few-block) input would funnel every partition through one task and
+    # a single write failure would lose all sibling partitions' progress.
+    # Re-block to the cluster width so partition writes run (and commit)
+    # independently — the resumable-store contract the crash/resume tests
+    # pin, independent of upstream read sizing.
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    ds = ds.repartition(max(8, min(64, 2 * cpus)))
     manifest_rows = ds.groupby(partition_col).map_groups(write_group, batch_format="pandas").to_pandas()
     mp = manifest_path(out_dir)
     with open(mp, "a") as f:
