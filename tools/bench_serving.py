@@ -107,6 +107,36 @@ def main() -> None:
                 "batched_qps": round(batch_qps, 1),
             }
         sess.stop()
+
+    # HTTP facade end-to-end (the reference's k6 shape: GET /api/search
+    # against the resident in-RAM searcher) — parse + search + JSON serialize
+    from urllib.parse import quote
+    from urllib.request import urlopen
+
+    from osm_search_ray.serving_http import ServingApp, start_http_server
+
+    sess = start_session(index, corrector=corrector, name="bench-http")
+    server, port = start_http_server(ServingApp(sess))
+    results["http"] = {}
+    for pname, pool in pools.items():
+        urls = [
+            f"http://127.0.0.1:{port}/api/search?q={quote(pool[i % len(pool)]['text'])}"
+            for i in range(n_req)
+        ]
+        for u in urls[:10]:  # warm
+            urlopen(u, timeout=30).read()
+        lat = np.empty(n_req)
+        for i, u in enumerate(urls):
+            t = time.perf_counter()
+            urlopen(u, timeout=30).read()
+            lat[i] = time.perf_counter() - t
+        results["http"][pname] = {
+            "rps_sequential": round(1.0 / lat.mean(), 1),
+            "p50_ms": round(float(np.percentile(lat, 50)) * 1000, 2),
+            "p95_ms": round(float(np.percentile(lat, 95)) * 1000, 2),
+        }
+    server.shutdown()
+    sess.stop()
     print(json.dumps(results))
 
 
