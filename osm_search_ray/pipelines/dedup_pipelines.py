@@ -514,7 +514,7 @@ def dedup_ngram(
     doc-keyed counting exchanges → two doc_id-bucketed joins attach set
     sizes. Every exchanged row is int64s; gram strings never leave the
     explode (2⁻⁶⁴ hash-collision bound, as dedup_substring)."""
-    from ..stages.joins import hash_bucket_join, hash_partitioned_apply
+    from ..stages.joins import attach_columns, hash_bucket_join, hash_partitioned_apply
 
     grams = _distinct_kgrams(sf_dir, n)
 
@@ -604,8 +604,8 @@ def dedup_ngram(
         lambda t: pa.table({"doc_b": t.column("doc"), "nb": t.column("n_grams")}),
         batch_format="pyarrow",
     )
-    j = hash_bucket_join(pairs, a_side, on="doc_a", num_buckets=16)
-    j = hash_bucket_join(j, b_side, on="doc_b", num_buckets=16)
+    j = attach_columns(pairs, a_side, on="doc_a", cols={"na": "na"}, num_buckets=16)
+    j = attach_columns(j, b_side, on="doc_b", cols={"nb": "nb"}, num_buckets=16)
     return j.map_batches(_finish, batch_format="pandas")
 
 
@@ -1094,7 +1094,7 @@ def dedup_ngram_prefix(
     vectorized sorted-set intersections. Every exchange row is int64s or
     one blob per doc. Output (doc_a, doc_b, jaccard_micro), round-half-up,
     filtered at ``threshold_micro`` — dedup_ngram's exact contract."""
-    from ..stages.joins import hash_bucket_join, hash_partitioned_apply
+    from ..stages.joins import attach_columns, hash_bucket_join, hash_partitioned_apply
 
     grams = _distinct_kgrams(sf_dir, n)
 
@@ -1256,7 +1256,7 @@ def containment_pairs(
     emits both directions of each undirected overlap row and applies the
     integer round-half-up micro scaling, so the oracle is bit-exact.
     Output (src, dst, containment_micro)."""
-    from ..stages.joins import hash_bucket_join, hash_partitioned_apply
+    from ..stages.joins import attach_columns, hash_bucket_join, hash_partitioned_apply
 
     grams = _distinct_kgrams(sf_dir, n)
 
@@ -1349,8 +1349,8 @@ def containment_pairs(
         lambda t: pa.table({"doc_b": t.column("doc"), "nb": t.column("n_grams")}),
         batch_format="pyarrow",
     )
-    j = hash_bucket_join(pairs, a_side, on="doc_a", num_buckets=16)
-    j = hash_bucket_join(j, b_side, on="doc_b", num_buckets=16)
+    j = attach_columns(pairs, a_side, on="doc_a", cols={"na": "na"}, num_buckets=16)
+    j = attach_columns(j, b_side, on="doc_b", cols={"nb": "nb"}, num_buckets=16)
     return j.map_batches(_finish, batch_format="pandas")
 
 

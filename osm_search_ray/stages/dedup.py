@@ -260,7 +260,7 @@ def _verify_minhash_pairs(
 
     At 10^12-doc scale both inputs are Datasets and the exchanges are
     bounded by |candidate pairs| + 2×|signatures| bucket-hashed rows."""
-    from .joins import hash_bucket_join
+    from .joins import attach_columns, hash_bucket_join
 
     def blob_side(side: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -277,8 +277,8 @@ def _verify_minhash_pairs(
 
     a_side = sig_mat.map_batches(blob_side("a"), batch_format="pyarrow")
     b_side = sig_mat.map_batches(blob_side("b"), batch_format="pyarrow")
-    j = hash_bucket_join(pairs, a_side, on="doc_a", num_buckets=num_buckets)
-    j = hash_bucket_join(j, b_side, on="doc_b", num_buckets=num_buckets)
+    j = attach_columns(pairs, a_side, on="doc_a", cols={"sig_a": "sig_a"}, num_buckets=num_buckets)
+    j = attach_columns(j, b_side, on="doc_b", cols={"sig_b": "sig_b"}, num_buckets=num_buckets)
 
     def estimate(df: pd.DataFrame) -> pd.DataFrame:
         # duplicates of a pair are co-located in this block (same doc_b
@@ -722,7 +722,7 @@ def ngram_jaccard_pairs_ds(
     negligible against corpus-scale dedup thresholds (the driver verifier
     compares tuples directly; both are tested equal on real text).
     ``pairs`` must carry (doc_a, doc_b), globally deduplicated."""
-    from .joins import hash_bucket_join
+    from .joins import attach_columns, hash_bucket_join
 
     def gram_side(side: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -744,8 +744,8 @@ def ngram_jaccard_pairs_ds(
 
     a_side = docs.map_batches(gram_side("a"), batch_format="pyarrow")
     b_side = docs.map_batches(gram_side("b"), batch_format="pyarrow")
-    j = hash_bucket_join(pairs, a_side, on="doc_a", num_buckets=num_buckets)
-    j = hash_bucket_join(j, b_side, on="doc_b", num_buckets=num_buckets)
+    j = attach_columns(pairs, a_side, on="doc_a", cols={"g_a": "g_a"}, num_buckets=num_buckets)
+    j = attach_columns(j, b_side, on="doc_b", cols={"g_b": "g_b"}, num_buckets=num_buckets)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
@@ -1002,7 +1002,7 @@ def _verify_cosine_pairs(
     `_verify_minhash_pairs` topology; see ordered_dot for why the order is
     fixed — bit-parity with the SQL oracle). Exchanges are bounded by
     |pairs| + 2×|vectors| bucket-hashed rows."""
-    from .joins import hash_bucket_join
+    from .joins import attach_columns, hash_bucket_join
 
     def blob_side(side: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -1028,8 +1028,8 @@ def _verify_cosine_pairs(
 
     a_side = emb.map_batches(blob_side("a"), batch_format="pyarrow")
     b_side = emb.map_batches(blob_side("b"), batch_format="pyarrow")
-    j = hash_bucket_join(pairs, a_side, on="doc_a", num_buckets=num_buckets)
-    j = hash_bucket_join(j, b_side, on="doc_b", num_buckets=num_buckets)
+    j = attach_columns(pairs, a_side, on="doc_a", cols={"vec_a": "vec_a", "den_a": "den_a"}, num_buckets=num_buckets)
+    j = attach_columns(j, b_side, on="doc_b", cols={"vec_b": "vec_b", "den_b": "den_b"}, num_buckets=num_buckets)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:

@@ -147,47 +147,55 @@ def hash_bucket_join(
     return both.groupby("__bucket").map_groups(join_group, batch_format="pandas")
 
 
-def attach_blob_column(
+def attach_columns(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
     on: str,
-    blob_col: str,
-    out_col: str,
+    cols: dict[str, str],
     num_buckets: int = 16,
 ) -> "ray.data.Dataset":
-    """Attach ``right``'s binary ``blob_col`` (one row per int64 key) to
-    every ``left`` row keyed by ``left[on]`` — INNER join semantics, ONE
-    bucketed tagged-union exchange that stays TYPED ARROW end-to-end.
+    """Attach ``right``'s payload columns (one row per int64 key) to every
+    ``left`` row keyed by ``left[on]`` — INNER join semantics, ONE bucketed
+    tagged-union exchange that stays TYPED ARROW end-to-end. ``cols`` maps
+    right column → output column name.
 
     hash_bucket_join widens both sides through pandas with ``None`` filler
     columns, turning a large pair table into object-dtype blocks that get
     pickled through the shuffle twice; for the pair-verify topology
-    (409k pairs × per-doc gram/signature blobs in dedup_ngram_prefix) that
-    costs seconds. Here filler cells are Arrow typed nulls, the exchange
-    ships Arrow blocks, and the per-bucket fuse is a searchsorted lookup."""
+    (100k+ pairs × per-doc gram/signature/vector blobs in the dedup
+    family) that costs seconds. Here filler cells are Arrow typed nulls,
+    the exchange ships Arrow blocks, and the per-bucket fuse is a
+    searchsorted lookup + Arrow ``take``."""
     l_names = list(left.schema().names)
     l_types = {n: t for n, t in zip(left.schema().names, left.schema().types)}
-    if out_col in l_names:
-        raise ValueError(f"left already has column {out_col}")
+    r_types = {n: t for n, t in zip(right.schema().names, right.schema().types)}
+    for rc, oc in cols.items():
+        if oc in l_names:
+            raise ValueError(f"left already has column {oc}")
+        if rc not in r_types:
+            raise ValueError(f"right has no column {rc}")
+    out_cols = list(cols.values())
 
     def tag_left(t: pa.Table) -> pa.Table:
         b = t.column(on).to_numpy(zero_copy_only=False).astype(np.int64) % num_buckets
-        t = t.append_column(out_col, pa.nulls(len(t), pa.binary()))
+        for rc, oc in cols.items():
+            t = t.append_column(oc, pa.nulls(len(t), r_types[rc]))
         t = t.append_column("__bucket", pa.array(b))
         return t.append_column("__side", pa.array(np.zeros(len(t), np.int8)))
 
     def tag_right(t: pa.Table) -> pa.Table:
         keys = t.column(on).to_numpy(zero_copy_only=False).astype(np.int64)
-        cols = {}
+        c = {}
         for n in l_names:
             if n == on:
-                cols[n] = pa.array(keys, pa.int64())
+                c[n] = pa.array(keys, pa.int64())
             else:
-                cols[n] = pa.nulls(len(t), l_types[n])
-        cols[out_col] = t.column(blob_col).cast(pa.binary())
-        cols["__bucket"] = pa.array(keys % num_buckets)
-        cols["__side"] = pa.array(np.ones(len(t), np.int8))
-        return pa.table(cols)
+                c[n] = pa.nulls(len(t), l_types[n])
+        for rc, oc in cols.items():
+            c[oc] = t.column(rc)
+        c["__bucket"] = pa.array(keys % num_buckets)
+        c["__side"] = pa.array(np.ones(len(t), np.int8))
+        return pa.table(c)
 
     both = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow")
@@ -200,7 +208,6 @@ def attach_blob_column(
         keys = rt.column(on).to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(keys, kind="stable")
         ks = keys[order]
-        blobs = rt.column(out_col).to_pylist()
         lids = lt.column(on).to_numpy(zero_copy_only=False).astype(np.int64)
         pos = np.searchsorted(ks, lids)
         if len(ks):
@@ -208,12 +215,38 @@ def attach_blob_column(
         else:
             ok = np.zeros(len(lids), bool)
         lt = lt.filter(pa.array(ok))
-        sel = order[pos[ok]]
-        blob_arr = pa.array([blobs[i] for i in sel], pa.binary())
-        out = lt.drop_columns(["__bucket", "__side", out_col])
-        return out.append_column(out_col, blob_arr)
+        sel = pa.array(order[pos[ok]])
+        out = lt.drop_columns(["__bucket", "__side"] + out_cols)
+        for oc in out_cols:
+            col = rt.column(oc).combine_chunks() if rt.num_rows else rt.column(oc)
+            out = out.append_column(oc, col.take(sel))
+        return out
 
     return both.groupby("__bucket").map_groups(fuse, batch_format="pyarrow")
+
+
+def attach_blob_column(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    blob_col: str,
+    out_col: str,
+    num_buckets: int = 16,
+) -> "ray.data.Dataset":
+    """Single-binary-column convenience form of :func:`attach_columns`."""
+
+    def to_bin(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index(blob_col), blob_col, t.column(blob_col).cast(pa.binary())
+        )
+
+    return attach_columns(
+        left,
+        right.map_batches(to_bin, batch_format="pyarrow"),
+        on,
+        {blob_col: out_col},
+        num_buckets=num_buckets,
+    )
 
 
 def zip_with_index(ds: "ray.data.Dataset", id_col: str = "row_id") -> "ray.data.Dataset":
