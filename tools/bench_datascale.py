@@ -1,0 +1,124 @@
+"""Data-volume scaling ladder — does pipeline wall time grow ~linearly in
+corpus size at fixed parallelism? (The 100 TB question the per-CPU ladder
+can't answer; VERDICT r1-r4 asked for scale-shape evidence per operator.)
+
+Synthesizes k× corpora from the sf-dir ``documents`` table (doc_id-offset
+replicas with deterministic ~10% token perturbation so near-dup density
+stays realistic — exact dups exist between replicas, most pairs don't
+collide), then times flagship pipelines at each scale in ONE Ray session
+(caches cleared between scales so nothing is reused).
+
+Usage:  python tools/bench_datascale.py [sf_dir] [scales...]
+Prints one JSON line {pipeline: {scale: sec, ...}, ...} plus the fitted
+log-log growth exponent per pipeline (1.0 = linear).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+
+def synth(sf_dir: str, k: int, out_dir: str) -> None:
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    n = t.num_rows
+    tables = [t]
+    for rep in range(1, k):
+        ids = t.column("doc_id").to_numpy() + rep * n
+        texts = []
+        for did, txt in zip(ids, t.column("text").to_pylist()):
+            toks = txt.split()
+            # keep a CONSTANT 2% of docs as exact cross-replica duplicates
+            # (realistic dup density — heavy perturbation everywhere else so
+            # candidate-pair counts stay O(n), not O(k²·n))
+            if toks and did % 50 != 0:
+                h = (np.arange(len(toks)) * 2654435761 + did * 40503) & 0xFFFFFFFF
+                mask = (h % 10) < 4  # ~40% replica-specific tokens
+                toks = np.asarray(toks, dtype=object)
+                toks[mask] = np.array([f"r{rep}w{x % 9973}" for x in h[mask]], dtype=object)
+                txt = " ".join(toks.tolist())
+            texts.append(txt)
+        tables.append(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": t.column("lang"),
+                    "source": t.column("source"),
+                    "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+                }
+            )
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(pa.concat_tables(tables), f"{out_dir}/documents.parquet")
+
+
+def clear_caches() -> None:
+    from osm_search_ray.pipelines import dedup_pipelines as dp
+    from osm_search_ray.pipelines import graph, search_docs
+
+    dp._KGRAMS_CACHE.clear()
+    graph._UND_EDGES_CACHE.clear()
+    graph._TRIANGLES_CACHE.clear()
+    search_docs._LM_SCORES_CACHE.clear()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    scales = [int(x) for x in sys.argv[2:]] or [1, 4, 16]
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False, logging_level="ERROR")
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    from osm_search_ray.pipelines import dedup_pipelines as dp
+    from osm_search_ray.pipelines import textops
+
+    pipelines = {
+        "token_counts": textops.token_counts,  # scan baseline
+        "dedup_exact": dp.dedup_exact,
+        "dedup_minhash": dp.dedup_minhash,
+        "dedup_ngram_prefix": dp.dedup_ngram_prefix,
+        "line_dedup": dp.line_dedup,
+    }
+
+    results: dict = {p: {} for p in pipelines}
+    rows: dict = {}
+    for k in scales:
+        d = f"/tmp/osm_ray_datascale_{k}x"
+        shutil.rmtree(d, ignore_errors=True)
+        synth(sf_dir, k, d)
+        rows[str(k)] = pq.read_metadata(f"{d}/documents.parquet").num_rows
+        for name, fn in pipelines.items():
+            clear_caches()
+            t0 = time.perf_counter()
+            out = fn(d)
+            n_out = out.materialize().count()
+            results[name][str(k)] = {"sec": round(time.perf_counter() - t0, 2), "out_rows": n_out}
+        shutil.rmtree(d, ignore_errors=True)
+
+    # fitted log-log growth exponent (1.0 = linear in corpus size)
+    exps = {}
+    for name, r in results.items():
+        xs = np.log([rows[s] for s in r])
+        ys = np.log([r[s]["sec"] for s in r])
+        exps[name] = round(float(np.polyfit(xs, ys, 1)[0]), 2)
+
+    print(json.dumps({"rows": rows, "pipelines": results, "growth_exponent": exps}))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
