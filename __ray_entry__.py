@@ -55,6 +55,8 @@ _R5_ORDER = [
     "purchase_view_window", "events_median", "events_quantiles",
     "users_view_no_purchase", "events_cumulative", "events_moving_sum",
     "price_quantiles_tdigest",
+    # -- new in r5 (never driver-certified; after the r1-r4 backlog) --
+    "props_extract_stats", "unpivot_revenue", "percent_rank_orders",
     # -- last driver row is r02 (18) --
     "bm25f_search", "tfidf_search", "spell_search", "autocomplete",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_embedding",
@@ -350,6 +352,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # --- full-text search (BM25+ with reference formula quirks) ---
     q["bm25_search"] = search_docs.bm25_docs_search
     q["bm25_store_search"] = search_docs.bm25_store_search  # served from the on-disk index
+    # --- new in r5 ---
+    q["props_extract_stats"] = ev.props_extract_stats  # JSON payload extraction + rollup
+    q["unpivot_revenue"] = relational.unpivot_revenue  # UNPIVOT/melt (events_pivot's inverse)
+    q["percent_rank_orders"] = relational.percent_rank_orders  # RANK-tie PERCENT_RANK window
 
     assert set(q) == set(_R5_ORDER), (
         sorted(set(q) - set(_R5_ORDER)),
@@ -658,5 +664,9 @@ GROUP BY 1, 2
     from osm_search_ray.pipelines import raster_pipeline
 
     sql["raster_coverage"] = raster_pipeline.SQL_RASTER_COVERAGE
+    # --- new in r5 ---
+    sql["props_extract_stats"] = ev.SQL_PROPS_EXTRACT_STATS
+    sql["unpivot_revenue"] = relational.SQL_UNPIVOT_REVENUE
+    sql["percent_rank_orders"] = relational.SQL_PERCENT_RANK_ORDERS
     # autocomplete: LM ranking not SQL-expressible → rows-only check
     return sql

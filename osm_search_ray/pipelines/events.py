@@ -2383,3 +2383,62 @@ SELECT user_id, CAST(island AS BIGINT) AS island,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM i GROUP BY 1, 2
 """
+
+
+# --------------------------------------------- semi-structured extraction
+
+
+def props_extract_stats(sf_dir: str):
+    """SEMI-STRUCTURED EXTRACTION over the JSON ``props`` payload — the
+    parse-then-aggregate operator every event pipeline starts with (the
+    ``json_extract`` family; the engine's other props consumer, covisit,
+    buries the parse inside a bigger plan — this exposes it as the
+    operator). The integer ``k`` property is pulled with the Arrow C++
+    regex kernel (zero Python per row) and rolled up per event type.
+
+    Shape: per-batch (event_type, k) count partials (k's domain is
+    value-bounded, so partials are tiny) → ONE type-keyed exchange →
+    n_events / sum_k / n_distinct_k per type, all exact int64.
+    Output (event_type, n_events, sum_k, n_distinct_k)."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import hash_partitioned_apply
+
+    ds = read_pq(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch.column("props"), pattern=COVISIT_ITEM_RE)
+        k = pc.struct_field(ex, "item").cast(pa.int64())
+        df = pd.DataFrame(
+            {
+                "event_type": batch.column("event_type").to_pandas(),
+                "k": k.to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby(["event_type", "k"], sort=False).size().reset_index(name="cnt")
+        return pa.Table.from_pandas(g.astype({"cnt": np.int64}), preserve_index=False)
+
+    def fuse(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["event_type", "k"], sort=False)["cnt"].sum().reset_index()
+        g["ksum"] = g["k"].to_numpy(np.int64) * g["cnt"].to_numpy(np.int64)
+        out = g.groupby("event_type", sort=False).agg(
+            n_events=("cnt", "sum"), sum_k=("ksum", "sum"), n_distinct_k=("k", "size")
+        )
+        return out.reset_index().astype({"n_events": np.int64, "sum_k": np.int64, "n_distinct_k": np.int64})
+
+    return hash_partitioned_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), "event_type", fuse
+    )
+
+
+SQL_PROPS_EXTRACT_STATS = """
+WITH ex AS (
+    SELECT event_type,
+           CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k
+    FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+FROM ex GROUP BY 1
+"""

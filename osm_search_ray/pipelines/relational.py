@@ -1228,3 +1228,141 @@ d AS (
     FROM c WHERE cents > 0)
 SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1
 """
+
+
+# ------------------------------------------------------- unpivot / melt
+
+
+def unpivot_revenue(sf_dir: str):
+    """UNPIVOT (melt, wide → long) — events_pivot's inverse, the missing
+    half of the reshape pair: the per-returnflag revenue cube is built
+    WIDE (one exact-integer revenue column per linestatus, conditional
+    aggregation inside the per-batch partial) and then melted back to one
+    (flag, status, revenue) row per cell. The melt is a flat map over the
+    flag-bounded wide table — reshaping never adds a shuffle.
+    Output (l_returnflag, linestatus, revenue_x10000); revenue follows
+    revenue_by_nation's exact-integer contract (price_cents × pct)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        price_c = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_pct = np.rint(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        rev = price_c * (100 - disc_pct)
+        out = pd.DataFrame({"l_returnflag": df["l_returnflag"]})
+        for st in ("F", "O"):
+            out[f"rev_{st}"] = np.where(df["l_linestatus"].to_numpy() == st, rev, 0)
+        g = out.groupby("l_returnflag", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    wide = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("rev_F", alias_name="rev_F"), Sum("rev_O", alias_name="rev_O"))
+    )
+
+    def melt(batch: pa.Table) -> pa.Table:
+        flags = batch.column("l_returnflag")
+        outs = []
+        for st in ("F", "O"):
+            outs.append(
+                pa.table(
+                    {
+                        "l_returnflag": flags,
+                        "linestatus": pa.array([st] * len(batch), pa.string()),
+                        "revenue_x10000": batch.column(f"rev_{st}").cast(pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
+SQL_UNPIVOT_REVENUE = """
+WITH wide AS (
+    SELECT l_returnflag,
+           SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                    ELSE 0 END) AS rev_f,
+           SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                    ELSE 0 END) AS rev_o
+    FROM lineitem GROUP BY 1)
+SELECT l_returnflag, 'F' AS linestatus, CAST(rev_f AS BIGINT) AS revenue_x10000 FROM wide
+UNION ALL
+SELECT l_returnflag, 'O' AS linestatus, CAST(rev_o AS BIGINT) AS revenue_x10000 FROM wide
+"""
+
+
+# -------------------------------------------------- PERCENT_RANK (ties)
+
+
+def percent_rank_orders(sf_dir: str):
+    """PERCENT_RANK with RANK-tie semantics over order totals — the
+    normalized-rank window the ROW_NUMBER family (global_rank_chars /
+    ntile_chars / dense_rank_chars) doesn't cover: tied totals share a
+    rank, pr = (rank−1)/(n−1) emitted as the exact integer
+    ``pr_micro = 10⁶·(rank−1) // (n−1)``.
+
+    Shape: global sort + zip_with_index gives ROW_NUMBER−1; RANK−1 is the
+    MINIMUM row id among a value's ties — ONE cents-keyed exchange
+    computes it, one typed-Arrow attach joins it back (attach_columns).
+    n comes from Parquet metadata, not a count pass.
+    Output (o_orderkey, cents, pr_micro)."""
+    import pyarrow.parquet as _pq
+
+    from ..stages.joins import attach_columns, hash_partitioned_apply, zip_with_index
+
+    n = _pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    ds = read_pq(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        return pa.table({"o_orderkey": batch.column("o_orderkey"), "cents": pa.array(cents)})
+
+    # deterministic global order: (cents, o_orderkey) so row ids are stable
+    idx = zip_with_index(
+        ds.map_batches(to_cents, batch_format="pyarrow").sort(["cents", "o_orderkey"]),
+        "row_id",
+    )
+
+    def min_row(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cents", sort=False)["row_id"].min().reset_index(name="minrow")
+        return g.astype({"minrow": np.int64})
+
+    minrows = hash_partitioned_apply(
+        idx.drop_columns(["o_orderkey"]), "cents", min_row
+    )
+    j = attach_columns(idx, minrows, on="cents", cols={"minrow": "minrow"})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        mr = batch.column("minrow").to_numpy(zero_copy_only=False).astype(np.int64)
+        pr = 1_000_000 * mr // max(n - 1, 1)
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "cents": batch.column("cents"),
+                "pr_micro": pa.array(pr),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_PERCENT_RANK_ORDERS = """
+WITH c AS (
+    SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders)
+SELECT o_orderkey, cents,
+       CAST(1000000 * (RANK() OVER (ORDER BY cents) - 1)
+            // GREATEST(COUNT(*) OVER () - 1, 1) AS BIGINT) AS pr_micro
+FROM c
+"""
