@@ -172,11 +172,24 @@ def minhash_lsh_pairs(
         if len(cand_ids) <= BROADCAST_SIG_ID_LIMIT:
             return _verify_minhash_pairs_broadcast(cand_pd, cand_ids, sig_mat, id_col, num_perm, threshold)
         return _verify_minhash_pairs(ray.data.from_pandas(cand_pd), sig_mat, id_col, num_perm, threshold)
-    deduped = _dedup_pairs(pairs, ["doc_a", "doc_b"])
+    # middle regime: the RAW pair list is driver-too-large — dedup
+    # distributed first (int64-only exchange, 0.4 s at 6.7M rows), then
+    # re-check the limits on the DISTINCT set so the 2-3× faster broadcast
+    # verify still applies when it fits
+    deduped = _dedup_pairs(pairs, ["doc_a", "doc_b"]).materialize()
+    if deduped.count() <= PAIR_DRIVER_LIMIT:
+        cand_pd = deduped.to_pandas()
+        cand_ids = np.union1d(cand_pd["doc_a"].to_numpy(), cand_pd["doc_b"].to_numpy())
+        if len(cand_ids) <= BROADCAST_SIG_ID_LIMIT:
+            return _verify_minhash_pairs_broadcast(cand_pd, cand_ids, sig_mat, id_col, num_perm, threshold)
     return _verify_minhash_pairs(deduped, sig_mat, id_col, num_perm, threshold)
 
 
-PAIR_DRIVER_LIMIT = 2_000_000  # pair frame ≤ ~32 MB on the driver
+PAIR_DRIVER_LIMIT = 16_000_000  # pair frame ≤ ~256 MB on the driver (16 B/pair);
+# measured: 6.4M-pair to_pandas costs 0.06 s and the vectorized broadcast
+# verify beats the bucketed-join path 3.4 s vs ~10 s — the driver frame is
+# NOT the bottleneck until pairs reach the billions, where the distributed
+# regime below takes over
 BROADCAST_SIG_ID_LIMIT = 300_000  # candidate sigs ≤ ~300 MB broadcast
 
 
