@@ -944,7 +944,15 @@ def embedding_near_dups(
         return _verify_cosine_pairs(
             ray.data.from_pandas(cand_pd), emb, id_col, vec_col, threshold, num_buckets=num_buckets
         )
-    deduped = _dedup_pairs(cand, ["doc_a", "doc_b"])
+    # middle regime (the minhash_lsh_pairs shape): distributed int64 pair
+    # dedup first, then re-check the limits on the distinct set so the
+    # broadcast verify still applies when it fits
+    deduped = _dedup_pairs(cand, ["doc_a", "doc_b"]).materialize()
+    if deduped.count() <= PAIR_DRIVER_LIMIT:
+        cand_pd = deduped.to_pandas()
+        cand_ids = np.union1d(cand_pd["doc_a"].to_numpy(), cand_pd["doc_b"].to_numpy())
+        if len(cand_ids) <= BROADCAST_SIG_ID_LIMIT:
+            return _verify_cosine_pairs_broadcast(cand_pd, cand_ids, emb, id_col, vec_col, threshold)
     return _verify_cosine_pairs(deduped, emb, id_col, vec_col, threshold, num_buckets=num_buckets)
 
 
