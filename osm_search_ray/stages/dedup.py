@@ -48,6 +48,11 @@ def jaccard(a: set, b: set) -> float:
     return len(a & b) / len(a | b)
 
 
+LSH_BUCKET_CAP = 4096  # max docs per band bucket before the loud guard
+# (K docs in one bucket → K²/2 candidate pairs; past ~4096 the pair set is
+# dominated by one near-identical clique that exact dedup should collapse)
+
+
 def band_buckets(sigs_u64: np.ndarray, bands: int) -> np.ndarray:
     """(N, bands) int64 LSH bucket keys from an (N, num_perm) uint64
     signature matrix — the one band hash shared by the in-RAM pipeline,
@@ -138,6 +143,18 @@ def minhash_lsh_pairs(
         idc = g.columns[2]
         g = g.drop_duplicates(["band", "bucket", idc])
         sizes = g.groupby(["band", "bucket"])[idc].transform("size")
+        # hot-bucket exactness guard (the PREFIX_MAX_OCC discipline): a
+        # band bucket with K docs emits K²/2 candidate pairs — a boiler-
+        # plate clique of 10⁶ identical docs would silently generate 10¹²
+        # pairs. Fail loudly instead: such corpora must run exact dedup
+        # (dedup_exact) before MinHash, which collapses the clique first.
+        if (sizes > LSH_BUCKET_CAP).any():
+            hot = g.loc[sizes > LSH_BUCKET_CAP, "bucket"].iloc[0]
+            raise RuntimeError(
+                f"minhash_lsh_pairs: band bucket {hot} holds more than "
+                f"{LSH_BUCKET_CAP} docs (near-identical clique) — run exact "
+                "dedup first or raise LSH_BUCKET_CAP"
+            )
         g = g[sizes > 1].sort_values(["band", "bucket", idc], kind="mergesort")
         out_a, out_b = [], []
         for _, grp in g.groupby(["band", "bucket"], sort=False):

@@ -174,6 +174,11 @@ def attach_columns(
             raise ValueError(f"left already has column {oc}")
         if rc not in r_types:
             raise ValueError(f"right has no column {rc}")
+        # replicating per-key blobs across many left rows can exceed
+        # pa.binary()'s int32 offset range (2 GiB per array) inside one
+        # bucket — widen to large_binary (int64 offsets) up front
+        if pa.types.is_binary(r_types[rc]):
+            r_types[rc] = pa.large_binary()
     out_cols = list(cols.values())
 
     def tag_left(t: pa.Table) -> pa.Table:
@@ -192,7 +197,7 @@ def attach_columns(
             else:
                 c[n] = pa.nulls(len(t), l_types[n])
         for rc, oc in cols.items():
-            c[oc] = t.column(rc)
+            c[oc] = t.column(rc).cast(r_types[rc])
         c["__bucket"] = pa.array(keys % num_buckets)
         c["__side"] = pa.array(np.ones(len(t), np.int8))
         return pa.table(c)

@@ -495,3 +495,25 @@ def test_dedup_ngram_prefix_is_lossless_and_prunes():
     assert got_map == want
     # pruning: surviving pairs are a tiny fraction of all C(n,2) pairs
     assert len(got_map) < len(ids) * (len(ids) - 1) // 20
+
+
+def test_minhash_hot_bucket_guard(ray_session):
+    """A near-identical clique larger than LSH_BUCKET_CAP must fail LOUDLY
+    (K²/2 silent candidate pairs is the 100 TB boilerplate pathology) —
+    the PREFIX_MAX_OCC discipline applied to LSH band buckets."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data
+
+    from osm_search_ray.stages import dedup as dd
+
+    n = dd.LSH_BUCKET_CAP + 8
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": ["the same boilerplate sentence repeated everywhere"] * n,
+        }
+    )
+    with pytest.raises(Exception, match="LSH_BUCKET_CAP|band bucket"):
+        dd.minhash_lsh_pairs(ray.data.from_pandas(docs), threshold=0.5).materialize()
