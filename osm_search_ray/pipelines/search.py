@@ -17,6 +17,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
+from ..stages.joins import default_actor_pool
 import ray.data
 
 from ..functions.tokenize import tokenize
@@ -116,7 +117,7 @@ def free_form_search(
     index: TextIndex,
     queries: "ray.data.Dataset | pd.DataFrame",
     corrector=None,
-    concurrency=(1, 4),
+    concurrency=None,
 ) -> "ray.data.Dataset":
     """queries(query_id, text[, scoring, top_k, offset]) → ranked results."""
     if isinstance(queries, pd.DataFrame):
@@ -127,11 +128,11 @@ def free_form_search(
         SearchActor,
         fn_constructor_kwargs=dict(index_ref=index_ref, corrector_ref=corrector_ref),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=concurrency or default_actor_pool(),
     )
 
 
-def boolean_and_search(index: TextIndex, queries: "ray.data.Dataset | pd.DataFrame", concurrency=(1, 4)):
+def boolean_and_search(index: TextIndex, queries: "ray.data.Dataset | pd.DataFrame", concurrency=None):
     """J5 — implicit-AND boolean retrieval: docs containing ALL query terms
     (sorted-posting intersection, /root/reference/pkg/searcher/searcher.go:572-630;
     OR/NOT are parsed but unimplemented there, :664-670 — matched here)."""
@@ -163,7 +164,7 @@ def boolean_and_search(index: TextIndex, queries: "ray.data.Dataset | pd.DataFra
                     out_d.append(int(d))
             return pa.table({"query_id": pa.array(out_q, pa.int64()), "doc_id": pa.array(out_d, pa.int64())})
 
-    return queries.map_batches(AndActor, batch_format="pyarrow", concurrency=concurrency)
+    return queries.map_batches(AndActor, batch_format="pyarrow", concurrency=concurrency or default_actor_pool())
 
 
 def validate_queries(queries: "ray.data.Dataset", require_geo: bool = False) -> "ray.data.Dataset":
@@ -190,7 +191,7 @@ def validate_queries(queries: "ray.data.Dataset", require_geo: bool = False) -> 
 
 
 def autocomplete_search(
-    corrector, queries: "ray.data.Dataset | pd.DataFrame", top_n: int = 3, concurrency=(1, 4)
+    corrector, queries: "ray.data.Dataset | pd.DataFrame", top_n: int = 3, concurrency=None
 ) -> "ray.data.Dataset":
     """Batch autocomplete: queries(query_id, text) streamed through an
     actor pool holding the corrector (sorted vocab + LM) — the engine form
@@ -222,7 +223,7 @@ def autocomplete_search(
                 }
             )
 
-    return queries.map_batches(AutocompleteActor, batch_format="pyarrow", concurrency=concurrency)
+    return queries.map_batches(AutocompleteActor, batch_format="pyarrow", concurrency=concurrency or default_actor_pool())
 
 
 class DiskSearchCore:

@@ -50,6 +50,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
+from ..stages.joins import default_actor_pool
 from ..sources.readers import read_pq
 import ray.data
 
@@ -1042,7 +1043,7 @@ def lm_doc_scores(sf_dir: str):
     ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     _LM_SCORES_CACHE.clear()  # hold ONE corpus at a time
     _LM_SCORES_CACHE[sf_dir] = ds.map_batches(
-        Scorer, batch_format="pyarrow", concurrency=(1, 4)
+        Scorer, batch_format="pyarrow", concurrency=default_actor_pool()
     ).materialize()
     return _LM_SCORES_CACHE[sf_dir]
 

@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
+from .joins import default_actor_pool
 
 from ..functions.cells import RES_FINE, cell_bounds, cell_of, ring_only
 from ..functions.geometry import haversine_km
@@ -81,7 +82,7 @@ def broadcast_knn(
     id_col: str = "doc_id",
     radius_km: float | None = None,
     batch_size: int = 65536,
-    concurrency=(2, 8),
+    concurrency=None,
 ) -> "ray.data.Dataset":
     """Exact kNN of each broadcast query against the full point dataset.
 
@@ -97,7 +98,7 @@ def broadcast_knn(
         ),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or default_actor_pool(2),
     )
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:

@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
+from .joins import default_actor_pool
 
 from ..functions.hashing import splitmix64
 
@@ -166,31 +167,31 @@ class AudioFrameSampler:
         )
 
 
-def image_feature_stage(ds: "ray.data.Dataset", codec: str = "fake", concurrency=(1, 8), batch_size: int = 64):
+def image_feature_stage(ds: "ray.data.Dataset", codec: str = "fake", concurrency=None, batch_size: int = 64):
     return ds.map_batches(
         ImageDecodeFeatures,
         fn_constructor_kwargs=dict(codec=codec),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or default_actor_pool(),
     )
 
 
 def image_resize_stage(
-    ds: "ray.data.Dataset", codec: str = "fake", out_hw: tuple = (8, 8), concurrency=(1, 8), batch_size: int = 64
+    ds: "ray.data.Dataset", codec: str = "fake", out_hw: tuple = (8, 8), concurrency=None, batch_size: int = 64
 ):
     return ds.map_batches(
         ImageResize,
         fn_constructor_kwargs=dict(codec=codec, out_hw=out_hw),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or default_actor_pool(),
     )
 
 
-def audio_sample_stage(ds: "ray.data.Dataset", concurrency=(1, 8), batch_size: int = 64):
+def audio_sample_stage(ds: "ray.data.Dataset", concurrency=None, batch_size: int = 64):
     return ds.map_batches(
-        AudioFrameSampler, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+        AudioFrameSampler, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency or default_actor_pool()
     )
 
 

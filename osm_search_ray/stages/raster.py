@@ -14,6 +14,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
+from .joins import default_actor_pool
 
 from ..functions.cells import RES_COARSE, cell_bounds
 from .spatial_join import PolygonSet
@@ -112,5 +113,5 @@ def rasterize_coverage(tiles: "ray.data.Dataset", polys: PolygonSet, res: int = 
         fn_constructor_kwargs=dict(polys_ref=ref, res=res, grid=grid),
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=(1, 8),
+        concurrency=default_actor_pool(),
     )

@@ -34,6 +34,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
+from .joins import default_actor_pool
 
 from ..functions.cells import RES_COARSE, cell_of, cover_bbox
 from ..functions.geometry import points_in_polygon
@@ -168,7 +169,7 @@ def broadcast_pip_join(
         fn_constructor_kwargs=dict(poly_ref=ref, lat_col=lat_col, lon_col=lon_col, how=how, id_out=id_out),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or (2, 8),
+        concurrency=concurrency or default_actor_pool(2),
     )
 
 

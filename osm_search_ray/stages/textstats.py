@@ -12,6 +12,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.hashing import rolling_fingerprint
+from .joins import default_actor_pool
 from ..functions.tokenize import tokenize_array
 
 # Stopword sets per language, alphabetical language order is the tie-break.
@@ -162,5 +163,5 @@ def quality_model_stage(docs, text_col: str = "text", id_col: str = "doc_id", co
         QualityModel,
         fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
         batch_format="pyarrow",
-        concurrency=concurrency or 2,
+        concurrency=concurrency or default_actor_pool(),
     )
