@@ -166,6 +166,16 @@ def attach_columns(
     family) that costs seconds. Here filler cells are Arrow typed nulls,
     the exchange ships Arrow blocks, and the per-bucket fuse is a
     searchsorted lookup + Arrow ``take``."""
+    # pandas-block datasets (from_pandas, incl. EMPTY frames — a
+    # hypothesis-found edge) report numpy dtypes from schema(); force
+    # Arrow blocks so the typed-null machinery below sees pa.DataType
+    def _arrow_blocks(ds):
+        if all(isinstance(t, pa.DataType) for t in ds.schema().types):
+            return ds
+        return ds.map_batches(lambda t: t, batch_format="pyarrow")
+
+    left = _arrow_blocks(left)
+    right = _arrow_blocks(right)
     l_names = list(left.schema().names)
     l_types = {n: t for n, t in zip(left.schema().names, left.schema().types)}
     r_types = {n: t for n, t in zip(right.schema().names, right.schema().types)}
