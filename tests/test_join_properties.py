@@ -94,3 +94,44 @@ class TestHashPartitionedApplyProperties:
         g = got.sort_values("k").reset_index(drop=True)[["k", "size"]]
         w = want.sort_values("k").reset_index(drop=True)
         pd.testing.assert_frame_equal(g.astype(w.dtypes.to_dict()), w)
+
+
+class TestScanPrimitivesProperties:
+    @settings(**_SETTINGS)
+    @given(st.integers(0, 2**31 - 1), st.integers(1, 6))
+    def test_zip_with_index_dense_in_sort_order(self, seed, blocks):
+        from osm_search_ray.stages.joins import zip_with_index
+
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(1, 500))
+        df = pd.DataFrame({"v": rng.integers(-50, 50, n).astype(np.int64)})
+        ds = ray.data.from_pandas(df).repartition(blocks).sort("v")
+        out = zip_with_index(ds, "row_id").to_pandas()
+        assert len(out) == n
+        # dense 0..n-1, and row_id order == sort order
+        assert sorted(out["row_id"]) == list(range(n))
+        o = out.sort_values("row_id")
+        assert (np.diff(o["v"].to_numpy()) >= 0).all()
+
+    @settings(**_SETTINGS)
+    @given(st.integers(0, 2**31 - 1), st.integers(1, 6))
+    def test_prefix_max_exclusive_matches_cummax(self, seed, blocks):
+        from osm_search_ray.stages.joins import PREFIX_SENTINEL, prefix_max_exclusive, zip_with_index
+
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(1, 400))
+        df = pd.DataFrame(
+            {
+                "t": np.sort(rng.integers(0, 1000, n)).astype(np.int64),
+                "v": rng.integers(-100, 100, n).astype(np.int64),
+            }
+        )
+        ds = ray.data.from_pandas(df).repartition(blocks).sort("t")
+        out = prefix_max_exclusive(zip_with_index(ds, "rid"), "v").to_pandas()
+        o = out.sort_values("rid").reset_index(drop=True)
+        v = o["v"].to_numpy()
+        want = np.empty(n, np.int64)
+        want[0] = PREFIX_SENTINEL
+        if n > 1:
+            np.maximum.accumulate(v[:-1], out=want[1:])
+        assert (o["prev_max"].to_numpy(np.int64) == want).all()
