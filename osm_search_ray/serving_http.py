@@ -33,13 +33,105 @@ import pandas as pd
 from .functions.geometry import haversine_km
 
 
-class ServingApp:
-    """WSGI callable mapping the reference's three GET routes onto a live
-    QuerySession (search/autocomplete) and an in-RAM geo table (reverse)."""
+_FENCE_NAME_RE = __import__("re").compile(r"^[A-Za-z0-9_]+$")
 
-    def __init__(self, session, geo=None, top_n: int = 3):
+
+class GeofenceRegistry:
+    """In-process named-fence registry backing the reference's geofence CRUD
+    (pkg/geofence/geofence.go via searcher.go:52-57): named fences hold
+    circle fence points; a search classifies a query point against its
+    k-nearest fence points with the SAME transition semantics the batch
+    geofence_status query certifies (stages/geofence._statuses_for_track —
+    INSIDE/OUTSIDE/ENTER/EXIT/CROSS, keyed last-position state like the
+    reference's persisted query point store)."""
+
+    def __init__(self, k_nearest: int = 3):
+        self.k = k_nearest
+        # fence → {point_name: (key, lat, lon, radius_km)}; keys are stable ints
+        self._fences: dict[str, dict[str, tuple[int, float, float, float]]] = {}
+        self._next_key = 0
+        # (fence, query_point_id) → (lat, lon) last position
+        self._last: dict[tuple[str, str], tuple[float, float]] = {}
+
+    @staticmethod
+    def _check_name(name: str, what: str) -> None:
+        if not name or not _FENCE_NAME_RE.match(name):
+            raise ValueError(f"{what} must be alphanumeric or '_'")
+
+    def add_fence(self, name: str) -> dict:
+        self._check_name(name, "fence_name")
+        self._fences.setdefault(name, {})
+        return {"message": "add geofence success"}
+
+    def delete_fence(self, name: str) -> dict:
+        self._check_name(name, "fencename")
+        if name not in self._fences:
+            raise ValueError(f"no fence {name}")
+        del self._fences[name]
+        self._last = {k: v for k, v in self._last.items() if k[0] != name}
+        return {"message": "delete geofence success"}
+
+    def add_point(self, fence: str, point: str, lat: float, lon: float, radius_km: float) -> dict:
+        self._check_name(fence, "fence_name")
+        self._check_name(point, "fence_point_name")
+        if fence not in self._fences:
+            raise ValueError(f"no fence {fence}")
+        if not (0.2 <= radius_km <= 20.0):  # the reference's validator bounds
+            raise ValueError("radius must be in [0.2, 20] km")
+        if not (-90.0 <= lat <= 90.0 and -180.0 <= lon <= 180.0):
+            raise ValueError("lat/lon out of range")
+        self._next_key += 1
+        self._fences[fence][point] = (self._next_key, lat, lon, radius_km)
+        return {"message": "add fence point success"}
+
+    def search(self, fence: str, lat: float, lon: float, query_point_id: str) -> dict:
+        self._check_name(fence, "fencename")
+        self._check_name(query_point_id, "query_point_id")
+        if fence not in self._fences:
+            raise ValueError(f"no fence {fence}")
+        pts = self._fences[fence]
+        if not pts:
+            return {"fence": fence, "statuses": []}
+        from .stages.geofence import NO_PREV, _statuses_for_track
+
+        names = list(pts)
+        fk = np.array([pts[n][0] for n in names], dtype=np.int64)
+        flat = np.array([pts[n][1] for n in names])
+        flon = np.array([pts[n][2] for n in names])
+        frad = np.array([pts[n][3] for n in names])
+        p0 = self._last.get((fence, query_point_id), (NO_PREV, NO_PREV))
+        res = _statuses_for_track(
+            np.array([0], dtype=np.int64),
+            np.array([lat]),
+            np.array([lon]),
+            np.array([p0[0]]),
+            np.array([p0[1]]),
+            fk,
+            flat,
+            flon,
+            frad,
+            self.k,
+        )
+        self._last[(fence, query_point_id)] = (lat, lon)
+        by_key = {pts[n][0]: n for n in names}
+        return {
+            "fence": fence,
+            "statuses": [
+                {"fence_point_name": by_key[int(r.fence_key)], "status": r.status}
+                for r in res.itertuples()
+            ],
+        }
+
+
+class ServingApp:
+    """WSGI callable mapping the reference's routes onto a live QuerySession
+    (search/autocomplete), an in-RAM geo table (reverse) and an optional
+    GeofenceRegistry (geofence CRUD + point status)."""
+
+    def __init__(self, session, geo=None, top_n: int = 3, geofences: "GeofenceRegistry | None" = None):
         self.session = session
         self.top_n = top_n
+        self.geofences = geofences
         if geo is not None:
             ids, lats, lons = geo
             self._geo_ids = np.asarray(ids, dtype=np.int64)
@@ -97,14 +189,20 @@ class ServingApp:
     # --- WSGI entry -----------------------------------------------------
     def __call__(self, environ, start_response):
         path = environ.get("PATH_INFO", "")
-        handler = self.ROUTES.get(path)
-        if handler is None:
-            body = json.dumps({"error": f"no route {path}"}).encode()
-            start_response("404 Not Found", [("Content-Type", "application/json")])
-            return [body]
+        method = environ.get("REQUEST_METHOD", "GET")
         try:
             qs = parse_qs(environ.get("QUERY_STRING", ""))
-            payload = handler(self, qs)
+            if path.startswith("/api/geofence"):
+                if self.geofences is None:
+                    raise ValueError("geofencing not configured")
+                payload = self._route_geofence(method, path, qs, environ)
+            else:
+                handler = self.ROUTES.get(path) if method == "GET" else None
+                if handler is None:
+                    body = json.dumps({"error": f"no route {method} {path}"}).encode()
+                    start_response("404 Not Found", [("Content-Type", "application/json")])
+                    return [body]
+                payload = handler(self, qs)
             body = json.dumps(payload).encode()
             start_response("200 OK", [("Content-Type", "application/json")])
             return [body]
@@ -112,6 +210,41 @@ class ServingApp:
             body = json.dumps({"error": str(e)}).encode()
             start_response("400 Bad Request", [("Content-Type", "application/json")])
             return [body]
+
+    # --- geofence CRUD (reference searcher.go:52-57 routes) -------------
+    def _route_geofence(self, method: str, path: str, qs, environ) -> dict:
+        parts = [p for p in path.split("/") if p][2:]  # after /api/geofence
+        if method == "POST" and not parts:
+            req = self._read_json(environ)
+            return self.geofences.add_fence(req.get("fence_name", ""))
+        if method == "DELETE" and len(parts) == 1:
+            return self.geofences.delete_fence(parts[0])
+        if method == "POST" and len(parts) == 2 and parts[1] == "point":
+            req = self._read_json(environ)
+            return self.geofences.add_point(
+                parts[0],
+                req.get("fence_point_name", ""),
+                float(req["lat"]),
+                float(req["lon"]),
+                float(req["radius"]),
+            )
+        if method == "GET" and len(parts) == 1:
+            return self.geofences.search(
+                parts[0],
+                float(qs.get("lat", [""])[0]),
+                float(qs.get("lon", [""])[0]),
+                qs.get("query_point_id", ["q"])[0],
+            )
+        raise ValueError(f"no geofence route {method} {path}")
+
+    @staticmethod
+    def _read_json(environ) -> dict:
+        try:
+            n = int(environ.get("CONTENT_LENGTH") or 0)
+        except ValueError:
+            n = 0
+        raw = environ["wsgi.input"].read(n) if n else b"{}"
+        return json.loads(raw or b"{}")
 
 
 def start_http_server(app: ServingApp, port: int = 0):

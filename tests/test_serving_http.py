@@ -14,7 +14,7 @@ import ray.data
 
 from osm_search_ray import serving
 from osm_search_ray.pipelines import text_index as ti
-from osm_search_ray.serving_http import ServingApp, start_http_server
+from osm_search_ray.serving_http import GeofenceRegistry, ServingApp, start_http_server
 from osm_search_ray.state.lm import count_ngrams
 from osm_search_ray.state.spell import SpellCorrector
 
@@ -46,6 +46,7 @@ def server():
     session = serving.start_session(index, corrector=sc, name="http-test")
     app = ServingApp(
         session,
+        geofences=GeofenceRegistry(),
         geo=(
             DOCS["doc_id"].to_numpy(),
             np.array([-6.12, -6.30, -6.12, -6.19]),
@@ -104,3 +105,61 @@ class TestHttpFacade:
         except urllib.error.HTTPError as e:
             status, body = e.code, json.loads(e.read())
         assert status == 404
+
+
+class TestGeofenceCrud:
+    @pytest.fixture()
+    def gport(self, server):
+        """Server fixture extended with a live geofence registry."""
+        session, port = server
+        return port
+
+    def _req(self, port, method, path, body=None):
+        data = json.dumps(body).encode() if body is not None else None
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}", data=data, method=method,
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=30) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    def test_crud_and_transitions(self, gport):
+        port = gport
+        # create fence + point (searcher.go:52-57 routes)
+        st, b = self._req(port, "POST", "/api/geofence", {"fence_name": "office"})
+        assert st == 200 and "success" in b["message"]
+        st, b = self._req(
+            port, "POST", "/api/geofence/office/point",
+            {"fence_point_name": "hq", "lat": -6.2, "lon": 106.8, "radius": 1.0},
+        )
+        assert st == 200
+        # first sighting inside → ENTER (+ INSIDE transition row)
+        st, b = self._req(port, "GET", "/api/geofence/office?lat=-6.2&lon=106.8&query_point_id=car1")
+        assert st == 200
+        statuses = {s["status"] for s in b["statuses"]}
+        assert "ENTER" in statuses and "INSIDE" in statuses
+        # stay inside → INSIDE only
+        st, b = self._req(port, "GET", "/api/geofence/office?lat=-6.2001&lon=106.8&query_point_id=car1")
+        assert {s["status"] for s in b["statuses"]} == {"INSIDE"}
+        # leave → EXIT (+ OUTSIDE)
+        st, b = self._req(port, "GET", "/api/geofence/office?lat=-6.5&lon=106.8&query_point_id=car1")
+        statuses = {s["status"] for s in b["statuses"]}
+        assert "EXIT" in statuses and "OUTSIDE" in statuses
+
+    def test_validation(self, gport):
+        port = gport
+        st, b = self._req(port, "POST", "/api/geofence", {"fence_name": "bad name!"})
+        assert st == 400
+        self._req(port, "POST", "/api/geofence", {"fence_name": "f1"})
+        st, b = self._req(
+            port, "POST", "/api/geofence/f1/point",
+            {"fence_point_name": "p", "lat": 0, "lon": 0, "radius": 100.0},
+        )
+        assert st == 400 and "radius" in b["error"]
+        st, b = self._req(port, "GET", "/api/geofence/nope?lat=0&lon=0")
+        assert st == 400
+        st, b = self._req(port, "DELETE", "/api/geofence/f1")
+        assert st == 200
