@@ -2442,3 +2442,102 @@ SELECT event_type,
        CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
 FROM ex GROUP BY 1
 """
+
+
+# ------------------------------------------- sliding COUNT DISTINCT
+
+
+ROLLING_DAYS = 7  # trailing window width (days)
+
+
+def rolling_distinct_users(sf_dir: str):
+    """EXACT SLIDING COUNT DISTINCT — trailing-7-day distinct active users
+    per day, the DAU/WAU-style engagement series. COUNT(DISTINCT) over a
+    sliding frame is the classic window no streaming aggregate handles
+    (distinct is not subtractable), and most engines punt to sketches;
+    exact and distributed here:
+
+      1. per-batch (day, user) distinct partials (tiny — day×user bounded);
+      2. ONE user-keyed exchange dedups globally, then each (user, day)
+         fans out to the ≤7 windows it can serve — but only ONE row per
+         (user, window) survives via the min-day-in-window rule applied
+         per user (vectorized diff over the user's sorted days: a day
+         serves window w only if the user's previous active day is outside
+         w — exactly-once without a second distinct);
+      3. ONE window-keyed count exchange.
+
+    Exchanges carry int64 (user, day|window) rows only. Output
+    (day_bucket, n_distinct_users) for every day in [min+6, max]."""
+    import pyarrow.parquet as _pq
+
+    from ..stages.joins import hash_partitioned_apply
+
+    ds = read_pq(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        day = ts // 86_400_000_000
+        u = batch.column("user_id").to_numpy()
+        df = pd.DataFrame({"user_id": u, "day": day}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow")
+
+    # global day span from metadata-cheap min/max (one tiny aggregate over
+    # the already-distinct partials would also do; the span is calendar-
+    # bounded either way)
+    meta = _pq.read_metadata(f"{sf_dir}/events.parquet")
+    # row-group statistics give exact ts min/max without a data scan
+    ts_idx = meta.schema.names.index("ts")
+    tmin = min(meta.row_group(i).column(ts_idx).statistics.min for i in range(meta.num_row_groups))
+    tmax = max(meta.row_group(i).column(ts_idx).statistics.max for i in range(meta.num_row_groups))
+    import datetime as _dt
+
+    def _us(v):
+        if isinstance(v, _dt.datetime):
+            return int(v.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+        return int(v)
+
+    d_lo = _us(tmin) // 86_400_000_000
+    d_hi = _us(tmax) // 86_400_000_000
+
+    def fan_out(df: pd.DataFrame) -> pd.DataFrame:
+        # per user: sorted active days; day d serves window w ∈ [d, d+6]
+        # iff the user's previous active day < w-6 (else the later day in
+        # the window already counted the user) — exactly one row per
+        # (user, window) the user is active in
+        df = df.drop_duplicates(["user_id", "day"]).sort_values(["user_id", "day"], kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        d = df["day"].to_numpy(np.int64)
+        prev = np.concatenate([[np.iinfo(np.int64).min], d[:-1]])
+        prev[np.concatenate([[True], u[1:] != u[:-1]])] = np.iinfo(np.int64).min
+        outs_u, outs_w = [], []
+        for off in range(ROLLING_DAYS):
+            w = d + off
+            keep = (prev < w - (ROLLING_DAYS - 1)) & (w >= d_lo + ROLLING_DAYS - 1) & (w <= d_hi)
+            outs_u.append(u[keep])
+            outs_w.append(w[keep])
+        return pd.DataFrame(
+            {"window": np.concatenate(outs_w), "user_id": np.concatenate(outs_u)}
+        )
+
+    contrib = hash_partitioned_apply(pairs, "user_id", fan_out)
+
+    def count_win(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("window", sort=False).size().reset_index(name="n_distinct_users")
+        return g.astype({"n_distinct_users": np.int64}).rename(columns={"window": "day_bucket"})
+
+    return hash_partitioned_apply(contrib, "window", count_win)
+
+
+SQL_ROLLING_DISTINCT_USERS = f"""
+WITH du AS (
+    SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+span AS (SELECT MIN(day) AS d_lo, MAX(day) AS d_hi FROM du),
+wins AS (
+    SELECT u.w AS day_bucket FROM span, UNNEST(range(span.d_lo + {ROLLING_DAYS} - 1, span.d_hi + 1)) AS u(w))
+SELECT w.day_bucket,
+       CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS n_distinct_users
+FROM wins w JOIN du ON du.day BETWEEN w.day_bucket - {ROLLING_DAYS} + 1 AND w.day_bucket
+GROUP BY 1
+"""

@@ -108,3 +108,35 @@ class TestPercentRankOrders:
         # tied cents share pr
         g = got.groupby("cents")["pr_micro"].nunique()
         assert (g == 1).all()
+
+
+class TestRollingDistinctUsers:
+    def test_matches_brute_force(self):
+        from osm_search_ray.pipelines.events import ROLLING_DAYS, rolling_distinct_users
+
+        got = (
+            rolling_distinct_users(SF)
+            .to_pandas()
+            .sort_values("day_bucket")
+            .reset_index(drop=True)
+        )
+        df = pq.read_table(f"{SF}/events.parquet", columns=["ts", "user_id"]).to_pandas()
+        day = (df["ts"].astype("int64") // 86_400_000_000).to_numpy()
+        du = pd.DataFrame({"day": day, "u": df["user_id"]}).drop_duplicates()
+        lo, hi = int(du["day"].min()), int(du["day"].max())
+        rows = []
+        for w in range(lo + ROLLING_DAYS - 1, hi + 1):
+            n = du[(du["day"] >= w - ROLLING_DAYS + 1) & (du["day"] <= w)]["u"].nunique()
+            rows.append((w, n))
+        want = pd.DataFrame(rows, columns=["day_bucket", "n_distinct_users"]).astype(np.int64)
+        pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+
+    def test_exactly_once_per_user_window(self):
+        """The min-day-in-window fan-out rule never double-counts: every
+        count is <= the total distinct user population."""
+        from osm_search_ray.pipelines.events import rolling_distinct_users
+
+        got = rolling_distinct_users(SF).to_pandas()
+        total_users = pq.read_table(f"{SF}/events.parquet", columns=["user_id"])["user_id"].to_pandas().nunique()
+        assert (got["n_distinct_users"] <= total_users).all()
+        assert (got["n_distinct_users"] > 0).all()
