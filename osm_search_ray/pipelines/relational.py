@@ -1366,3 +1366,73 @@ SELECT o_orderkey, cents,
             // GREATEST(COUNT(*) OVER () - 1, 1) AS BIGINT) AS pr_micro
 FROM c
 """
+
+
+# ------------------------------------------------ exact weighted median
+
+
+def weighted_median_price(sf_dir: str):
+    """EXACT WEIGHTED MEDIAN per group — the quantity-weighted median unit
+    price per returnflag (the robust price-level statistic unweighted
+    medians and t-digests don't give you; most engines only offer the
+    unweighted percentile). Integer-exact: median = the smallest cents
+    value v with 2·cumweight(v) ≥ totalweight (weights = quantity cents),
+    so both engines pick the identical row with no interpolation float.
+
+    Shape (the rect_quantiles histogram discipline, plus weights): per-batch
+    (flag, cents) → weight-sum partials — the exchange carries DISTINCT
+    value rows, value-bounded, never raw rows — ONE flag-keyed exchange,
+    per-flag sorted cumsum scan. Output (l_returnflag, median_cents,
+    total_weight)."""
+    from ..stages.joins import hash_partitioned_apply
+
+    ds = read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        w = np.rint(df["l_quantity"].to_numpy() * 100).astype(np.int64)
+        g = (
+            pd.DataFrame({"l_returnflag": df["l_returnflag"], "cents": cents, "w": w})
+            .groupby(["l_returnflag", "cents"], sort=False)["w"]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g.astype({"w": np.int64}), preserve_index=False)
+
+    def fuse(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for flag, g in df.groupby("l_returnflag", sort=False):
+            g = g.groupby("cents", sort=True)["w"].sum()
+            cum = g.cumsum().to_numpy(np.int64)
+            total = int(cum[-1])
+            med = int(g.index.to_numpy(np.int64)[np.searchsorted(2 * cum, total)])
+            out.append((flag, med, total))
+        return pd.DataFrame(out, columns=["l_returnflag", "median_cents", "total_weight"]).astype(
+            {"median_cents": np.int64, "total_weight": np.int64}
+        )
+
+    return hash_partitioned_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), "l_returnflag", fuse
+    )
+
+
+SQL_WEIGHTED_MEDIAN_PRICE = """
+WITH vals AS (
+    SELECT l_returnflag,
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS w
+    FROM lineitem GROUP BY 1, 2),
+cum AS (
+    SELECT l_returnflag, cents, w,
+           SUM(w) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cw,
+           SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+    FROM vals)
+SELECT l_returnflag,
+       CAST(MIN(CASE WHEN 2 * cw >= tw THEN cents END) AS BIGINT) AS median_cents,
+       CAST(MAX(tw) AS BIGINT) AS total_weight
+FROM cum GROUP BY 1
+"""

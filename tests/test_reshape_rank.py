@@ -140,3 +140,51 @@ class TestRollingDistinctUsers:
         total_users = pq.read_table(f"{SF}/events.parquet", columns=["user_id"])["user_id"].to_pandas().nunique()
         assert (got["n_distinct_users"] <= total_users).all()
         assert (got["n_distinct_users"] > 0).all()
+
+
+class TestWeightedMedianPrice:
+    def test_matches_brute_force(self):
+        from osm_search_ray.pipelines.relational import weighted_median_price
+
+        got = (
+            weighted_median_price(SF)
+            .to_pandas()
+            .sort_values("l_returnflag")
+            .reset_index(drop=True)
+        )
+        df = pq.read_table(
+            f"{SF}/lineitem.parquet",
+            columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+        ).to_pandas()
+        df["cents"] = np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        df["w"] = np.rint(df["l_quantity"].to_numpy() * 100).astype(np.int64)
+        rows = []
+        for flag, g in df.groupby("l_returnflag"):
+            g = g.sort_values("cents")
+            cum = g["w"].cumsum().to_numpy(np.int64)
+            total = int(cum[-1])
+            med = int(g["cents"].to_numpy()[np.searchsorted(2 * cum, total)])
+            rows.append((flag, med, total))
+        want = (
+            pd.DataFrame(rows, columns=["l_returnflag", "median_cents", "total_weight"])
+            .sort_values("l_returnflag")
+            .reset_index(drop=True)
+            .astype({"median_cents": np.int64, "total_weight": np.int64})
+        )
+        pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+
+    def test_weighting_matters(self):
+        """The weighted median must differ from treating every row equally
+        whenever weights are non-uniform (sanity that weights are applied)."""
+        from osm_search_ray.pipelines.relational import weighted_median_price
+
+        got = weighted_median_price(SF).to_pandas()
+        df = pq.read_table(
+            f"{SF}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+        ).to_pandas()
+        for _, row in got.iterrows():
+            cents = np.rint(
+                df[df["l_returnflag"] == row["l_returnflag"]]["l_extendedprice"].to_numpy() * 100
+            ).astype(np.int64)
+            # the weighted median stays within the group's value range
+            assert cents.min() <= row["median_cents"] <= cents.max()
