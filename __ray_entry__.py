@@ -57,7 +57,7 @@ _R5_ORDER = [
     "price_quantiles_tdigest",
     # -- new in r5 (never driver-certified; after the r1-r4 backlog) --
     "props_extract_stats", "unpivot_revenue", "percent_rank_orders",
-    "rolling_distinct_users", "weighted_median_price",
+    "rolling_distinct_users", "weighted_median_price", "table_checksum",
     # -- last driver row is r02 (18) --
     "bm25f_search", "tfidf_search", "spell_search", "autocomplete",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_embedding",
@@ -359,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["percent_rank_orders"] = relational.percent_rank_orders  # RANK-tie PERCENT_RANK window
     q["rolling_distinct_users"] = ev.rolling_distinct_users  # exact sliding COUNT DISTINCT
     q["weighted_median_price"] = relational.weighted_median_price  # exact grouped weighted median
+    q["table_checksum"] = _pf0.table_checksum  # order-invariant anti-entropy digest
 
     assert set(q) == set(_R5_ORDER), (
         sorted(set(q) - set(_R5_ORDER)),
@@ -673,5 +674,6 @@ GROUP BY 1, 2
     sql["percent_rank_orders"] = relational.SQL_PERCENT_RANK_ORDERS
     sql["rolling_distinct_users"] = ev.SQL_ROLLING_DISTINCT_USERS
     sql["weighted_median_price"] = relational.SQL_WEIGHTED_MEDIAN_PRICE
+    sql["table_checksum"] = _pf0s.SQL_TABLE_CHECKSUM
     # autocomplete: LM ranking not SQL-expressible → rows-only check
     return sql

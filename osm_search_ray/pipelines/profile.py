@@ -210,3 +210,51 @@ nbr AS (SELECT id, LAG(id) OVER (ORDER BY id) AS prev_id FROM ids)
 SELECT prev_id + 1 AS gap_start, id - 1 AS gap_end, id - prev_id - 1 AS gap_len
 FROM nbr WHERE prev_id IS NOT NULL AND id - prev_id > 1
 """
+
+
+def table_checksum(sf_dir: str):
+    """ORDER-INVARIANT TABLE DIGEST of documents — the anti-entropy /
+    replication-verification primitive (compare two copies of a table
+    without sorting either): per row h = md5-hash64(doc_id ␟ text), the
+    digest is Σh mod 2⁶⁴ plus the row count. ONE streaming pass, partial
+    sums per batch, an O(blocks) reduce — zero shuffles, and the digest is
+    independent of row order and partitioning by construction (modular
+    addition commutes). Output (n_rows, checksum) with the sum emitted as
+    signed int64 (the 2⁶⁴ wraparound twin of the SQL HUGEINT form)."""
+    from ..functions.hashing import hash64_md5
+
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        keys = [f"{i}\x1f{t}" for i, t in zip(ids, texts)]
+        h = hash64_md5(keys)  # uint64; np.sum wraps mod 2⁶⁴ on unsigned
+        s = h.astype(np.uint64).sum(dtype=np.uint64) if len(keys) else np.uint64(0)
+        return pa.table(
+            {
+                "n": pa.array([np.int64(len(keys))]),
+                "s": pa.array([s.view(np.int64)]),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    with np.errstate(over="ignore"):
+        total = parts["s"].to_numpy(np.int64).view(np.uint64).sum(dtype=np.uint64)
+    return ray.data.from_pandas(
+        pd.DataFrame({"n_rows": [np.int64(n)], "checksum": [np.int64(total.view(np.int64))]})
+    )
+
+
+SQL_TABLE_CHECKSUM = """
+WITH h AS (
+    SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || text), 1, 16) AS UBIGINT) AS v
+    FROM documents),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             SUM(CAST(v AS HUGEINT)) % 18446744073709551616 AS s
+      FROM h)
+SELECT n_rows,
+       CAST(CASE WHEN s >= 9223372036854775808 THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS checksum
+FROM m
+"""

@@ -188,3 +188,35 @@ class TestWeightedMedianPrice:
             ).astype(np.int64)
             # the weighted median stays within the group's value range
             assert cents.min() <= row["median_cents"] <= cents.max()
+
+
+class TestTableChecksum:
+    def test_order_and_partition_invariant(self, tmp_path):
+        """The digest must be identical for any row order / partitioning of
+        the same rows, and change when any row changes."""
+        import pyarrow as pa
+
+        from osm_search_ray.pipelines.profile import table_checksum
+
+        t = pq.read_table(f"{SF}/documents.parquet")
+        base = table_checksum(SF).to_pandas()
+
+        # shuffled copy, multiple row groups
+        idx = np.random.default_rng(3).permutation(t.num_rows)
+        shuf = t.take(idx)
+        d2 = tmp_path / "shuf"
+        d2.mkdir()
+        pq.write_table(shuf, str(d2 / "documents.parquet"), row_group_size=100)
+        got2 = table_checksum(str(d2)).to_pandas()
+        pd.testing.assert_frame_equal(base, got2)
+
+        # one-character change flips the digest
+        texts = t.column("text").to_pylist()
+        texts[0] = texts[0] + "x"
+        t3 = t.set_column(t.schema.get_field_index("text"), "text", pa.array(texts, pa.string()))
+        d3 = tmp_path / "mut"
+        d3.mkdir()
+        pq.write_table(t3, str(d3 / "documents.parquet"))
+        got3 = table_checksum(str(d3)).to_pandas()
+        assert got3["checksum"].iloc[0] != base["checksum"].iloc[0]
+        assert got3["n_rows"].iloc[0] == base["n_rows"].iloc[0]
